@@ -1,44 +1,508 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in jesterj_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every entry in ``queries()`` is an implemented operator/pipeline from
+SURVEY.md §2 (JesterJ processor analogs, the inverted-index/BM25 flagship,
+plus the training-data operators: dedup, ANN, text analysis).  Column
+names match the paired ``oracle_sql()`` exactly; float columns are rounded
+identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _doc(sf_dir: str, cols=None):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=cols)
+
+
+# ---------- processor-library queries (JesterJ §2.3 analogs) ----------
+
+def _copy_field(sf_dir: str):
+    from jesterj_ray.stages.fields import copy_field
+    return _doc(sf_dir, ["doc_id", "text"]).map_batches(
+        copy_field, batch_format="pyarrow",
+        fn_kwargs={"from_field": "text", "into": "body",
+                   "retain_original": False})
+
+
+def _trim_values(sf_dir: str):
+    from jesterj_ray.stages.fields import trim_values
+    return _doc(sf_dir, ["doc_id", "text"]).map_batches(
+        trim_values, batch_format="pyarrow", fn_kwargs={"field": "text"})
+
+
+def _split_field(sf_dir: str):
+    import ray.data as rd
+    from jesterj_ray.stages.fields import split_field
+
+    def explode(t: pa.Table) -> pa.Table:
+        parts = t["parts"]
+        arr = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        return pa.table({
+            "p_partkey": pc.take(t["p_partkey"], pc.list_parent_indices(arr)),
+            "part_word": pc.list_flatten(arr)})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    ds = ds.map_batches(split_field, batch_format="pyarrow",
+                        fn_kwargs={"field": "p_type", "delimiter": " ",
+                                   "into": "parts"})
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _regex_replace(sf_dir: str):
+    from jesterj_ray.stages.fields import regex_value_replace
+    return _doc(sf_dir, ["doc_id", "text"]).map_batches(
+        regex_value_replace, batch_format="pyarrow",
+        fn_kwargs={"field": "text", "regex": "data", "replacement": "DATA"})
+
+
+def _set_static(sf_dir: str):
+    from jesterj_ray.stages.fields import set_static_value
+    return _doc(sf_dir, ["doc_id"]).map_batches(
+        set_static_value, batch_format="pyarrow",
+        fn_kwargs={"field": "pipeline_stage", "value": "ingest"})
+
+
+def _date_reformat(sf_dir: str):
+    import ray.data as rd
+    from jesterj_ray.stages.fields import date_reformat
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts"])
+    ds = ds.map_batches(date_reformat, batch_format="pyarrow",
+                        fn_kwargs={"field": "ts", "out_field": "ts_iso"})
+    return ds.select_columns(["event_id", "ts_iso"])
+
+
+def _readable_size(sf_dir: str):
+    from jesterj_ray.stages.fields import readable_file_size
+    ds = _doc(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        readable_file_size, batch_format="pyarrow",
+        fn_kwargs={"field": "n_chars", "out_field": "readable_size",
+                   "numeric_field": "size_num", "units_field": "size_units"})
+    return ds.select_columns(["doc_id", "readable_size", "size_num", "size_units"])
+
+
+def _url_encode(sf_dir: str):
+    from jesterj_ray.stages.fields import url_encode_field
+    return _doc(sf_dir, ["doc_id", "text"]).map_batches(
+        url_encode_field, batch_format="pyarrow",
+        fn_kwargs={"field": "text", "out_field": "text_enc"}) \
+        .select_columns(["doc_id", "text_enc"])
+
+
+def _field_template(sf_dir: str):
+    from jesterj_ray.stages.fields import field_template
+    return _doc(sf_dir, ["doc_id", "lang"]).map_batches(
+        field_template, batch_format="pyarrow",
+        fn_kwargs={"template": "doc-{doc_id}-{lang}", "out_field": "doc_label"}) \
+        .select_columns(["doc_id", "doc_label"])
+
+
+def _route_by_lang(sf_dir: str):
+    return _doc(sf_dir, ["doc_id", "lang"]).map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow")
+
+
+def _field_match_count(sf_dir: str):
+    from ray.data.aggregate import Count
+    ds = _doc(sf_dir, ["lang", "text"]).map_batches(
+        lambda t: t.filter(pc.match_substring(t["text"], "merge")),
+        batch_format="pyarrow")
+    out = ds.groupby("lang").aggregate(Count(alias_name="n_match")).to_pandas()
+    out["n_match"] = out["n_match"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _sha256_dedup(sf_dir: str):
+    from jesterj_ray.stages.dedup import exact_dedup
+    out = exact_dedup(_doc(sf_dir, ["doc_id", "text"]), field="text",
+                      order_col="doc_id").to_pandas()
+    out = out[["doc_id", "content_sha256"]].sort_values("doc_id")
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+# ---------- text analysis ----------
+
+def _token_count(sf_dir: str):
+    from jesterj_ray.stages.textstats import token_count
+    return _doc(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count, batch_format="pyarrow", fn_kwargs={"field": "text"}) \
+        .select_columns(["doc_id", "n_tokens"])
+
+
+def _quality(sf_dir: str):
+    from jesterj_ray.stages.textstats import quality_score
+
+    def roundcols(t: pa.Table) -> pa.Table:
+        for c in ("punct_ratio", "stop_ratio", "quality"):
+            t = t.set_column(t.column_names.index(c), c,
+                             pc.round(t[c], ndigits=6))
+        return t
+
+    ds = _doc(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_score, batch_format="pyarrow", fn_kwargs={"field": "text"})
+    return ds.map_batches(roundcols, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_tokens", "punct_ratio", "stop_ratio",
+                         "quality"])
+
+
+def _bpe_count(sf_dir: str):
+    from jesterj_ray.stages.textstats import bpe_ish_token_count
+    return _doc(sf_dir, ["doc_id", "text"]).map_batches(
+        bpe_ish_token_count, batch_format="pyarrow",
+        fn_kwargs={"field": "text"}).select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def _lang_id(sf_dir: str):
+    from jesterj_ray.stages.textstats import LangId
+    return _doc(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, fn_constructor_kwargs={"text_field": "text"},
+        batch_format="pyarrow", concurrency=2) \
+        .select_columns(["doc_id", "lang_pred"])
+
+
+def _fingerprint(sf_dir: str):
+    from jesterj_ray.stages.textstats import fingerprint
+    ds = _doc(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint, batch_format="pyarrow", fn_kwargs={"field": "text"})
+    return ds.map_batches(
+        lambda t: t.set_column(t.column_names.index("fingerprint"),
+                               "fingerprint", t["fingerprint"].cast(pa.string())),
+        batch_format="pyarrow").select_columns(["doc_id", "fingerprint"])
+
+
+# ---------- index / BM25 flagship ----------
+
+def _term_df(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import term_df_top
+    return term_df_top(sf_dir, 20)
+
+
+def _term_postings(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import term_postings
+    return term_postings(sf_dir, "merge")
+
+
+def _bm25_topk(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import bm25_topk_documents
+    return bm25_topk_documents(sf_dir)
+
+
+def _bm25_topk_exhaustive(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import bm25_topk_documents
+    return bm25_topk_documents(sf_dir, pruned=False)
+
+
+# ---------- relational / streaming ----------
+
+def _q1(sf_dir: str):
+    from jesterj_ray.pipelines.relational import q1_lineitem_agg
+    return q1_lineitem_agg(sf_dir)
+
+
+def _join(sf_dir: str):
+    from jesterj_ray.pipelines.relational import join_orders_customer
+    return join_orders_customer(sf_dir)
+
+
+def _window(sf_dir: str):
+    from jesterj_ray.pipelines.relational import events_tumbling_window
+    return events_tumbling_window(sf_dir)
+
+
+def _sessionize(sf_dir: str):
+    from jesterj_ray.pipelines.relational import sessionize_events
+    return sessionize_events(sf_dir)
+
+
+# ---------- dedup / ANN ----------
+
+def _minhash_pairs(sf_dir: str):
+    from jesterj_ray.stages.dedup import minhash_lsh_pairs
+    out = minhash_lsh_pairs(_doc(sf_dir, ["doc_id", "text"]),
+                            text_field="text", id_field="doc_id",
+                            threshold=0.6).to_pandas()
+    out = out[["id_a", "id_b", "est_jaccard"]]
+    out["id_a"] = out["id_a"].astype(np.int64)
+    out["id_b"] = out["id_b"].astype(np.int64)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _simhash_pairs(sf_dir: str):
+    from jesterj_ray.stages.dedup import simhash_near_dup_pairs
+    out = simhash_near_dup_pairs(_doc(sf_dir, ["doc_id", "text"]),
+                                 text_field="text", id_field="doc_id",
+                                 max_hamming=3).to_pandas()
+    out = out[["id_a", "id_b", "hamming"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _knn(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from jesterj_ray.ann.knn import brute_force_topk
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(emb_path).to_pandas()
+    qvec = np.asarray(q.loc[q["vec_id"] == 0, "embedding"].iloc[0],
+                      dtype=np.float64)
+    out = brute_force_topk(rd.read_parquet(emb_path), qvec[None, :], k=10,
+                           dtype=np.float64)
+    out["score"] = out["score"].round(6)
+    # rank over the ROUNDED score so ties match the SQL oracle exactly
+    out = out.sort_values(["score", "vec_id"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out[["rank", "vec_id", "score"]]
+
+
+def _knn_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from jesterj_ray.ann.knn import LSHIndexedSearch
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(emb_path).to_pandas()
+    qvec = np.asarray(q.loc[q["vec_id"] == 0, "embedding"].iloc[0],
+                      dtype=np.float64)
+    lsh = LSHIndexedSearch(dim=qvec.size, n_planes=10)
+    ds = rd.read_parquet(emb_path).map_batches(
+        lsh.add_buckets, batch_format="pyarrow")
+    out = lsh.topk(ds, qvec, k=10)
+    out = out[["rank", "vec_id", "score"]]
+    out["score"] = out["score"].round(6)
+    return out.reset_index(drop=True)
+
+
+# ---------- driver contract ----------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on sf0.001: code-corpus index build (dedup + code tokenizer
+    + posting merge) and BM25 top-k over the reference query set; also
+    touches the documents-table index. Returns the hit table."""
+    from jesterj_ray.pipelines.flagship import (bm25_topk_documents,
+                                                corpus_index_pipeline)
+    sf = "/root/testdata/sf0.001"
+    hits = bm25_topk_documents(sf)
+    corpus_hits = corpus_index_pipeline(400)
+    corpus_hits = corpus_hits.rename(columns={"doc_key": "doc_key"})
+    hits["source"] = "documents"
+    corpus_hits["source"] = "corpus"
+    cols = ["qid", "rank", "score", "source"]
+    return pd.concat([hits[cols], corpus_hits[cols]], ignore_index=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "q1_lineitem_agg": _q1,
+        "join_orders_customer": _join,
+        "events_tumbling_window": _window,
+        "sessionize_events": _sessionize,
+        "copy_field": _copy_field,
+        "trim_values": _trim_values,
+        "split_field_explode": _split_field,
+        "regex_replace": _regex_replace,
+        "set_static": _set_static,
+        "date_reformat": _date_reformat,
+        "readable_size": _readable_size,
+        "url_encode": _url_encode,
+        "field_template": _field_template,
+        "route_by_lang": _route_by_lang,
+        "field_match_count": _field_match_count,
+        "sha256_dedup": _sha256_dedup,
+        "token_count": _token_count,
+        "quality_score": _quality,
+        "bpe_token_count": _bpe_count,
+        "lang_id": _lang_id,
+        "fingerprint": _fingerprint,
+        "term_df_top20": _term_df,
+        "term_postings_merge": _term_postings,
+        "bm25_topk": _bm25_topk,
+        "bm25_topk_exhaustive": _bm25_topk_exhaustive,
+        "minhash_lsh_pairs": _minhash_pairs,
+        "simhash_pairs": _simhash_pairs,
+        "knn_cosine_top10": _knn,
+        "knn_lsh_top10": _knn_lsh,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+_BM25_QUERIES_SQL = ("(VALUES (1,'merge'),(1,'sort'),(2,'customer'),"
+                     "(3,'window'),(3,'filter'),(3,'stream'),(4,'zzzabsent'),"
+                     "(5,'hash'),(5,'join'))")
+
+_BM25_KS_SQL = "(VALUES (1,10),(2,10),(3,10),(4,10),(5,5))"
+
+
+def _bm25_sql() -> str:
+    return f"""
+WITH qterms(qid, term) AS {_BM25_QUERIES_SQL},
+qk(qid, k) AS {_BM25_KS_SQL},
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT q.qid, q.term, t.doc_id, count(*) AS tf
+  FROM toks t JOIN qterms q USING (term)
+  GROUP BY q.qid, q.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.qid, tf.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.doc_id, round(r.score, 6) AS score
+FROM ranked r JOIN qk ON r.qid = qk.qid
+WHERE r.rank <= qk.k
+ORDER BY r.qid, r.rank
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = "\\b(a|and|for|in|is|it|of|that|the|to)\\b"
+    return {
+        "q1_lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 2) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "join_orders_customer": """
+            SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total_revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "events_tumbling_window": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+            ORDER BY event_type, window_start""",
+        "sessionize_events": """
+            SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) GROUP BY user_id ORDER BY user_id""",
+        "copy_field": "SELECT doc_id, text AS body FROM documents",
+        "trim_values": "SELECT doc_id, trim(text) AS text FROM documents",
+        "split_field_explode": """
+            SELECT p_partkey, unnest(string_split(p_type, ' ')) AS part_word
+            FROM part""",
+        "regex_replace": """
+            SELECT doc_id, regexp_replace(text, 'data', 'DATA', 'g') AS text
+            FROM documents""",
+        "set_static": "SELECT doc_id, 'ingest' AS pipeline_stage FROM documents",
+        "date_reformat": """
+            SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso
+            FROM events""",
+        "readable_size": """
+            SELECT doc_id,
+                   CASE WHEN n_chars >= 1048576
+                            THEN CAST(n_chars // 1048576 AS VARCHAR) || ' MB'
+                        WHEN n_chars >= 1024
+                            THEN CAST(n_chars // 1024 AS VARCHAR) || ' KB'
+                        ELSE CAST(n_chars AS VARCHAR) || ' bytes' END AS readable_size,
+                   CASE WHEN n_chars >= 1048576 THEN n_chars // 1048576
+                        WHEN n_chars >= 1024 THEN n_chars // 1024
+                        ELSE n_chars END AS size_num,
+                   CASE WHEN n_chars >= 1048576 THEN 'MB'
+                        WHEN n_chars >= 1024 THEN 'KB'
+                        ELSE 'bytes' END AS size_units
+            FROM documents""",
+        "field_template": """
+            SELECT doc_id, 'doc-' || CAST(doc_id AS VARCHAR) || '-' || lang
+                   AS doc_label FROM documents""",
+        "route_by_lang": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
+        "field_match_count": """
+            SELECT lang, count(*) AS n_match FROM documents
+            WHERE text LIKE '%merge%' GROUP BY lang ORDER BY lang""",
+        "sha256_dedup": """
+            SELECT min(doc_id) AS doc_id, sha256(text) AS content_sha256
+            FROM documents GROUP BY sha256(text) ORDER BY doc_id""",
+        "token_count": f"""
+            SELECT doc_id, length({_TOKS}) AS n_tokens FROM documents""",
+        "quality_score": f"""
+            SELECT doc_id,
+                   length({_TOKS}) AS n_tokens,
+                   round(length(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(length(regexp_extract_all(lower(text), '{stop}'))
+                         / greatest(length({_TOKS}), 1), 6) AS stop_ratio,
+                   round(least(length({_TOKS}) / 400.0, 1.0)
+                         * (1 - length(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                              / greatest(length(text), 1))
+                         * (0.5 + 0.5 * least(
+                             (length(regexp_extract_all(lower(text), '{stop}'))
+                              / greatest(length({_TOKS}), 1)) * 5, 1.0)), 6)
+                       AS quality
+            FROM documents""",
+        "bpe_token_count": r"""
+            SELECT doc_id, length(regexp_extract_all(text,
+              e'\'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+              AS n_bpe_tokens FROM documents""",
+        "term_df_top20": f"""
+            SELECT term, count(DISTINCT doc_id) AS df FROM (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            GROUP BY term ORDER BY df DESC, term LIMIT 20""",
+        "term_postings_merge": f"""
+            SELECT doc_id, count(*) AS tf FROM (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            WHERE term = 'merge' GROUP BY doc_id ORDER BY doc_id""",
+        "bm25_topk": _bm25_sql(),
+        "bm25_topk_exhaustive": _bm25_sql(),
+        "knn_cosine_top10": """
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT)
+                       AS rank, vec_id, score FROM (
+              SELECT e.vec_id,
+                     round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])), 6) AS score
+              FROM embeddings e,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+            ORDER BY score DESC, vec_id LIMIT 10""",
+        # url_encode / lang_id / fingerprint / minhash_lsh_pairs /
+        # simhash_pairs / knn_lsh_top10: no faithful ANSI-SQL equivalent
+        # (urlencode, heuristic models, signature hashing, approximate
+        # search) -> rows-only checks.
+    }

@@ -1,0 +1,165 @@
+"""Benchmark harness (driver contract).
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) in one fresh Ray session with
+num_cpus=$RAY_GRAFT_CPUS (default 32) and prints ONE JSON line.
+
+--scaling: runs the identical headline index build twice in FRESH
+subprocesses at num_cpus=8 and num_cpus=32 over the same input and prints
+both throughputs plus the scaling efficiency eff = T32/(4*T8) (the
+sandbox evidence for the two-cluster-size criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    n_docs = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows
+    timings: dict = {}
+
+    # untimed warm-up: spin up the Ray worker pool + import deps in workers
+    # so timings measure compute, not process cold-start
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow").materialize()
+
+    # headline: inverted-index build over documents (simple tokenizer,
+    # fresh dir — no cache reuse)
+    from jesterj_ray.index.build import build_index
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    out_dir = f"/tmp/jjray_bench/docidx-{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.time()
+    # block count sized to the session CPUs (tiny test files would
+    # otherwise split into O(100) sub-MB blocks and scheduling overhead
+    # dominates; at real scale default target_max_block_size sizing holds).
+    # num_partitions is FIXED (not CPU-dependent) so the index is identical
+    # at every parallelism level.
+    ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"],
+                         override_num_blocks=NUM_CPUS)
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "doc_key", pc.utf8_lpad(pc.cast(t["doc_id"], pa.string()),
+                                    width=12, padding="0")),
+        batch_format="pyarrow")
+    build_index(ds, out_dir, text_col="text", tokenizer="simple",
+                num_partitions=32, num_shards=8, dedup=False)
+    timings["index_build"] = time.time() - t0
+
+    # query serving: the fixed query set, many times over, via the actor pool
+    from jesterj_ray.index.query import QueryActor
+    from jesterj_ray.pipelines.flagship import DOC_QUERIES
+    reps = 40
+    qt = pa.table({
+        "qid": pa.array([q["qid"] + 1000 * r for r in range(reps)
+                         for q in DOC_QUERIES], pa.int64()),
+        "query": pa.array([q["query"] for r in range(reps)
+                           for q in DOC_QUERIES], pa.string()),
+        "k": pa.array([q["k"] for r in range(reps)
+                       for q in DOC_QUERIES], pa.int64()),
+    })
+    t0 = time.time()
+    rd.from_arrow(qt).map_batches(
+        QueryActor, fn_constructor_kwargs={"index_dir": out_dir},
+        batch_format="pandas", batch_size=16,
+        concurrency=min(8, NUM_CPUS)).materialize()
+    timings["bm25_queries"] = time.time() - t0
+    n_queries = qt.num_rows
+
+    # supporting pipelines
+    from jesterj_ray.pipelines.relational import (join_orders_customer,
+                                                  q1_lineitem_agg)
+    t0 = time.time()
+    q1_lineitem_agg(SF_DIR)
+    timings["q1_lineitem_agg"] = time.time() - t0
+    t0 = time.time()
+    join_orders_customer(SF_DIR)
+    timings["join_orders_customer"] = time.time() - t0
+
+    from jesterj_ray.stages.dedup import exact_dedup
+    t0 = time.time()
+    exact_dedup(rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                                columns=["doc_id", "text"],
+                                override_num_blocks=NUM_CPUS),
+                field="text", order_col="doc_id").count()
+    timings["exact_dedup"] = time.time() - t0
+
+    import numpy as np
+    from jesterj_ray.ann.knn import brute_force_topk
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    qvecs = np.asarray(emb["embedding"].to_pylist()[:16], dtype=np.float32)
+    t0 = time.time()
+    brute_force_topk(rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet")),
+                     qvecs, k=10)
+    timings["knn_16q"] = time.time() - t0
+
+    headline = timings["index_build"]
+    result = {
+        "metric": "index_build_sec_plus_query_throughput",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+        "queries_per_sec": round(n_queries / timings["bm25_queries"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    lo_cpus, hi_cpus = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "cpus_lo": lo_cpus, "cpus_hi": hi_cpus,
+        "docs_per_sec_lo": lo["docs_per_sec"],
+        "docs_per_sec_hi": hi["docs_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,354 @@
+"""Distributed inverted-index build — the Ray-Data-native core pipeline.
+
+Replaces JesterJ's terminal Solr/OpenSearch senders
+(``ingest/processors/SendToSolrProcessor.java``,
+``SendToOpenSearchProcessor.java`` — which batch documents to an external
+search engine) with a from-scratch index build, per the north_rule.
+
+Architecture (SURVEY.md §7.1), one all-to-all shuffle end to end:
+
+    read corpus (Parquet)
+      -> map_batches: content_sha256 + doc_key + pid          [stateless, Arrow]
+         pid = hash(content_sha256) % P   (duplicates co-locate by design,
+         so exact dedup needs no extra shuffle)
+      -> filter out partitions already committed (resume)     [stateless]
+      -> groupby(pid).map_groups(partition_indexer)           [shuffle #1]
+           dedup keep-first (min doc_key) within the partition
+           sort by doc_key; doc_id = pid << 32 | local_rank   (deterministic,
+           independent of execution order / parallelism level)
+           tokenize (module-level compiled lexers), count (term, tf) per doc
+           write run file  runs/part-<pid>.parquet  (term-sorted, postings
+           delta+varbyte encoded) + docs/part-<pid>.parquet  via atomic
+           rename; commit manifest row  -> emits one metrics row
+      -> merge: read runs -> map_batches(shard=hash(term)%S)
+      -> groupby(shard).map_groups(shard_writer)              [shuffle #2,
+           over the ALREADY-AGGREGATED runs: at most one row per (term,
+           partition), so hot terms like ``import`` contribute P rows of
+           encoded blobs, not one row per posting — the partial-aggregation
+           answer to term skew; groups additionally bounded by ``bucket``
+           (= pid // bucket_width) so a single group never holds more than
+           ``bucket_width`` runs of a hot term's blob bytes]
+           within shard: per (term, bucket) stitch runs in ascending doc
+           order, re-encode with block-max metadata; write
+           segments/shard-<s>.parquet via atomic rename
+
+Determinism: doc_ids derive only from (sha-hash partition, sorted doc_key),
+never from execution order, so an index built at num_cpus=8 and num_cpus=32
+is identical (FIXTURES.md test 8).
+
+Scale notes (100 TB / 10^12 files): P is the unit of resume and should be
+sized so a partition is a few GB (P ~ 30k at 100 TB); S sized so a shard
+file is ~100-500 MB; ``content`` never leaves stage 1 (dropped right after
+tokenize); runs/segments live on shared storage in a real cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..state.manifest import (Manifest, MAX_ATTEMPTS, STATUS_DEAD,
+                              STATUS_INDEXED, atomic_write_bytes,
+                              atomic_write_table)
+from ..tokenize.tokenizer import TOKENIZERS
+
+DOC_BITS = 32  # doc_id = pid << DOC_BITS | local_rank
+
+
+def _sha256_hex(arr: Iterable[bytes]) -> List[str]:
+    return [hashlib.sha256(x).hexdigest() for x in arr]
+
+
+def add_sha_and_partition(batch: pa.Table, *, num_partitions: int,
+                          text_col: str, key_cols: List[str]) -> pa.Table:
+    """Stage 1: content_sha256 + doc_key + pid columns (vectorized where
+    pyarrow has kernels; sha256 is per-value hashlib over the raw bytes)."""
+    content = batch[text_col].cast(pa.large_binary())
+    shas = _sha256_hex(x if x is not None else b"" for x in content.to_pylist())
+    sha_arr = pa.array(shas, pa.string())
+    if "doc_key" not in batch.column_names:
+        key = batch[key_cols[0]].cast(pa.string())
+        for c in key_cols[1:]:
+            key = pc.binary_join_element_wise(key, batch[c].cast(pa.string()), ":")
+        batch = batch.append_column("doc_key", key)
+    # pid from the first 8 hex chars of the sha (deterministic, co-locates dups)
+    pid = np.array([int(s[:8], 16) for s in shas], dtype=np.int64) % num_partitions
+    return batch.append_column("content_sha256", sha_arr) \
+                .append_column("pid", pa.array(pid, pa.int64()))
+
+
+def make_partition_indexer(out_dir: str, *, tokenizer: str, text_col: str,
+                           dedup: bool, fail_pids: Optional[List[int]] = None):
+    """Returns the map_groups fn for stage 1 (one call per pid group).
+
+    ``fail_pids`` injects a deterministic failure for resume tests (the
+    LogAndFail analog, reference ``ingest/processors/LogAndFail.java:47-60``).
+    """
+    tok = TOKENIZERS[tokenizer]
+    fail = set(fail_pids or [])
+
+    def partition_indexer(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["pid"].iloc[0])
+        man = Manifest(out_dir, "build")
+        prior = man.read(pid)
+        if prior and prior.get("status") == STATUS_INDEXED:
+            # resume: partition already committed — emit its metrics row only
+            return pd.DataFrame([{k: prior[k] for k in
+                                  ("partition_id", "docs_seen", "terms_emitted",
+                                   "bytes_written", "dl_sum")} | {"status": prior["status"]}])
+        attempt = (prior.get("attempt", 0) if prior else 0) + 1
+        try:
+            if pid in fail:
+                raise RuntimeError(f"injected failure for pid {pid}")
+            if attempt > MAX_ATTEMPTS:
+                raise RuntimeError("max attempts exceeded")
+            return _index_partition(g, pid, man, out_dir, tok, text_col, dedup, attempt)
+        except Exception as e:  # quarantine: record ERROR/DEAD, re-raise unless DEAD
+            status = STATUS_DEAD if attempt >= MAX_ATTEMPTS else "ERROR"
+            man.commit(pid, status=status, attempt=attempt, message=str(e)[:500])
+            if status == STATUS_DEAD:
+                # poison partition: swallow so one bad partition can't wedge the job
+                return pd.DataFrame([{"partition_id": pid, "docs_seen": 0,
+                                      "terms_emitted": 0, "bytes_written": 0,
+                                      "dl_sum": 0, "status": STATUS_DEAD}])
+            raise
+
+    return partition_indexer
+
+
+def _index_partition(g: pd.DataFrame, pid: int, man: Manifest, out_dir: str,
+                     tok, text_col: str, dedup: bool, attempt: int) -> pd.DataFrame:
+    fingerprint = hashlib.sha256(
+        ("|".join(sorted(g["doc_key"])) + f"#{len(g)}").encode()).hexdigest()
+    if dedup:
+        # exact dedup keep-first: duplicates share content_sha256 and
+        # therefore pid, so a per-partition keep-min(doc_key) is GLOBAL dedup
+        g = g.sort_values("doc_key", kind="mergesort")
+        g = g.drop_duplicates(subset="content_sha256", keep="first")
+    g = g.sort_values("doc_key", kind="mergesort").reset_index(drop=True)
+    doc_ids = (np.int64(pid) << DOC_BITS) | np.arange(len(g), dtype=np.int64)
+
+    # tokenize + per-doc term counts, vectorized via one factorized value_counts
+    texts = g[text_col].tolist()
+    toks_per_doc = [tok(t) for t in texts]
+    dls = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    if len(toks_per_doc):
+        flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks_per_doc]) \
+            if any(toks_per_doc) else np.empty(0, dtype=object)
+    else:
+        flat_terms = np.empty(0, dtype=object)
+    flat_docs = np.repeat(doc_ids, dls)
+    if flat_terms.size:
+        tdf = pd.DataFrame({"term": flat_terms, "doc": flat_docs})
+        counts = tdf.groupby(["term", "doc"], sort=True, observed=True).size()
+        counts = counts.reset_index(name="tf")
+    else:
+        counts = pd.DataFrame({"term": [], "doc": [], "tf": []})
+
+    # encode one run row per term (doc ascending within term by construction)
+    from .codec import varbyte_encode
+    rows = {"term": [], "count": [], "cf": [], "first_doc": [], "last_doc": [],
+            "doc_blob": [], "tf_blob": []}
+    if len(counts):
+        terms_arr = counts["term"].to_numpy()
+        docs_arr = counts["doc"].to_numpy(dtype=np.int64)
+        tfs_arr = counts["tf"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, terms_arr[1:] != terms_arr[:-1]])
+        ends = np.r_[starts[1:], terms_arr.size]
+        for s, e in zip(starts, ends):
+            d = docs_arr[s:e]
+            t = tfs_arr[s:e]
+            deltas = np.empty_like(d)
+            deltas[0] = d[0]
+            np.subtract(d[1:], d[:-1], out=deltas[1:])
+            rows["term"].append(terms_arr[s])
+            rows["count"].append(e - s)
+            rows["cf"].append(int(t.sum()))
+            rows["first_doc"].append(int(d[0]))
+            rows["last_doc"].append(int(d[-1]))
+            rows["doc_blob"].append(varbyte_encode(deltas.astype(np.uint64)))
+            rows["tf_blob"].append(varbyte_encode(t.astype(np.uint64)))
+
+    run_table = pa.table({
+        "term": pa.array(rows["term"], pa.string()),
+        "pid": pa.array([pid] * len(rows["term"]), pa.int64()),
+        "count": pa.array(rows["count"], pa.int64()),
+        "cf": pa.array(rows["cf"], pa.int64()),
+        "first_doc": pa.array(rows["first_doc"], pa.int64()),
+        "last_doc": pa.array(rows["last_doc"], pa.int64()),
+        "doc_blob": pa.array(rows["doc_blob"], pa.binary()),
+        "tf_blob": pa.array(rows["tf_blob"], pa.binary()),
+    })
+    meta_cols = [c for c in ("repo", "path", "commit", "lang", "source")
+                 if c in g.columns]
+    doc_table = pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "doc_key": pa.array(g["doc_key"], pa.string()),
+         "content_sha256": pa.array(g["content_sha256"], pa.string()),
+         "dl": pa.array(dls, pa.int64())} |
+        {c: pa.array(g[c]) for c in meta_cols})
+
+    run_path = os.path.join(out_dir, "runs", f"part-{pid:05d}.parquet")
+    doc_path = os.path.join(out_dir, "docs", f"part-{pid:05d}.parquet")
+    nbytes = atomic_write_table(run_path, run_table)
+    nbytes += atomic_write_table(doc_path, doc_table)
+    man.commit(pid, status=STATUS_INDEXED, input_fingerprint=fingerprint,
+               docs_seen=len(g), terms_emitted=run_table.num_rows,
+               bytes_written=nbytes, dl_sum=int(dls.sum()),
+               output_files=[run_path, doc_path], attempt=attempt)
+    return pd.DataFrame([{"partition_id": pid, "docs_seen": len(g),
+                          "terms_emitted": run_table.num_rows,
+                          "bytes_written": nbytes, "dl_sum": int(dls.sum()),
+                          "status": STATUS_INDEXED}])
+
+
+def make_shard_writer(out_dir: str):
+    """Stage 2 map_groups fn: merge one shard's runs into a segment file."""
+    from .codec import encode_postings, varbyte_decode
+
+    def shard_writer(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["shard"].iloc[0])
+        man = Manifest(out_dir, "merge")
+        prior = man.read(shard)
+        if prior and prior.get("status") == STATUS_INDEXED:
+            return pd.DataFrame([{"shard": shard, "terms": prior["terms_emitted"],
+                                  "bytes_written": prior["bytes_written"]}])
+        g = g.sort_values(["term", "first_doc"], kind="mergesort")
+        out = {"term": [], "df": [], "cf": [], "count": [], "doc_blob": [],
+               "tf_blob": [], "block_last": [], "block_max_tf": []}
+        terms = g["term"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1]]) \
+            if terms.size else np.empty(0, dtype=np.int64)
+        ends = np.r_[starts[1:], terms.size] if terms.size else starts
+        for s, e in zip(starts, ends):
+            sub = g.iloc[s:e]
+            doc_parts, tf_parts = [], []
+            for _, r in sub.iterrows():
+                n = int(r["count"])
+                d = np.cumsum(varbyte_decode(r["doc_blob"], n).astype(np.int64))
+                t = varbyte_decode(r["tf_blob"], n).astype(np.int64)
+                doc_parts.append(d)
+                tf_parts.append(t)
+            docs = np.concatenate(doc_parts)
+            tfs = np.concatenate(tf_parts)
+            # partitions hold disjoint doc ranges in ascending pid order
+            doc_blob, tf_blob, bl, bm = encode_postings(docs, tfs)
+            out["term"].append(terms[s])
+            out["df"].append(docs.size)
+            out["cf"].append(int(tfs.sum()))
+            out["count"].append(docs.size)
+            out["doc_blob"].append(doc_blob)
+            out["tf_blob"].append(tf_blob)
+            out["block_last"].append(bl.tolist())
+            out["block_max_tf"].append(bm.tolist())
+        seg = pa.table({
+            "term": pa.array(out["term"], pa.string()),
+            "df": pa.array(out["df"], pa.int64()),
+            "cf": pa.array(out["cf"], pa.int64()),
+            "count": pa.array(out["count"], pa.int64()),
+            "doc_blob": pa.array(out["doc_blob"], pa.binary()),
+            "tf_blob": pa.array(out["tf_blob"], pa.binary()),
+            "block_last": pa.array(out["block_last"], pa.list_(pa.int64())),
+            "block_max_tf": pa.array(out["block_max_tf"], pa.list_(pa.int64())),
+        })
+        path = os.path.join(out_dir, "segments", f"shard-{shard:04d}.parquet")
+        nbytes = atomic_write_table(path, seg)
+        man.commit(shard, status=STATUS_INDEXED, terms_emitted=seg.num_rows,
+                   bytes_written=nbytes, output_files=[path])
+        return pd.DataFrame([{"shard": shard, "terms": seg.num_rows,
+                              "bytes_written": nbytes}])
+
+    return shard_writer
+
+
+def term_shard(terms: pa.ChunkedArray, num_shards: int) -> np.ndarray:
+    """Deterministic term -> shard mapping (first 8 hex of sha256)."""
+    return np.array([int(hashlib.sha256(t.encode()).hexdigest()[:8], 16) % num_shards
+                     for t in terms.to_pylist()], dtype=np.int64)
+
+
+def build_index(ds: "ray.data.Dataset", out_dir: str, *,
+                text_col: str = "content",
+                key_cols: Optional[List[str]] = None,
+                tokenizer: str = "code",
+                num_partitions: int = 16,
+                num_shards: int = 8,
+                dedup: bool = True,
+                resume: bool = True,
+                fail_pids: Optional[List[int]] = None) -> Dict:
+    """Build the inverted index for ``ds`` under ``out_dir``.
+
+    Returns build metrics {n_docs, dl_sum, avgdl, terms, partitions}.
+    """
+    key_cols = key_cols or ["repo", "path", "commit"]
+    man = Manifest(out_dir, "build")
+    done = set(man.completed_partitions()) if resume else set()
+
+    prepared = ds.map_batches(
+        add_sha_and_partition, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"num_partitions": num_partitions, "text_col": text_col,
+                   "key_cols": key_cols})
+    if done:
+        done_arr = list(done)
+        prepared = prepared.map_batches(
+            lambda t, d=done_arr: t.filter(
+                pc.invert(pc.is_in(t["pid"], value_set=pa.array(d, pa.int64())))),
+            batch_format="pyarrow")
+
+    indexer = make_partition_indexer(out_dir, tokenizer=tokenizer,
+                                     text_col=text_col, dedup=dedup,
+                                     fail_pids=fail_pids)
+    metrics = prepared.groupby("pid").map_groups(indexer, batch_format="pandas")
+    mdf = metrics.to_pandas()  # small: one row per partition
+
+    # stage 2: merge runs into term-sharded segments.  The merge manifest is
+    # valid only for the exact run-set it was built from: if resume added new
+    # runs, invalidate it so every shard re-merges.
+    runs_dir = os.path.join(out_dir, "runs")
+    run_files = sorted(os.path.join(runs_dir, f) for f in os.listdir(runs_dir)
+                       if f.endswith(".parquet")) if os.path.isdir(runs_dir) else []
+    if run_files:
+        merge_fp = hashlib.sha256("|".join(
+            f"{p}:{os.path.getsize(p)}" for p in run_files).encode()).hexdigest()
+        fp_path = os.path.join(out_dir, "merge_fingerprint.json")
+        prior_fp = None
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                prior_fp = json.load(f).get("fingerprint")
+        if prior_fp != merge_fp:
+            merge_dir = os.path.join(out_dir, "manifest", "merge")
+            if os.path.isdir(merge_dir):
+                for name in os.listdir(merge_dir):
+                    os.unlink(os.path.join(merge_dir, name))
+        runs = ray.data.read_parquet(run_files)
+        runs = runs.map_batches(
+            lambda t: t.append_column(
+                "shard", pa.array(term_shard(t["term"], num_shards), pa.int64())),
+            batch_format="pyarrow")
+        writer = make_shard_writer(out_dir)
+        runs.groupby("shard").map_groups(writer, batch_format="pandas").to_pandas()
+        atomic_write_bytes(fp_path, json.dumps({"fingerprint": merge_fp}).encode())
+
+    # global stats from the manifest (associative: any completion order works)
+    recs = Manifest(out_dir, "build").all()
+    n_docs = sum(r["docs_seen"] for r in recs.values() if r["status"] == STATUS_INDEXED)
+    dl_sum = sum(r.get("dl_sum", 0) for r in recs.values() if r["status"] == STATUS_INDEXED)
+    stats = {"n_docs": int(n_docs), "dl_sum": int(dl_sum),
+             "avgdl": (dl_sum / n_docs) if n_docs else 0.0,
+             "tokenizer": tokenizer,
+             "num_partitions": num_partitions, "num_shards": num_shards,
+             "dead_partitions": sorted(p for p, r in recs.items()
+                                       if r["status"] == STATUS_DEAD)}
+    atomic_write_bytes(os.path.join(out_dir, "stats.json"),
+                       json.dumps(stats).encode())
+    stats["metrics"] = mdf.to_dict("records")
+    return stats

@@ -1,0 +1,149 @@
+"""Flagship pipelines: the inverted-index build + BM25 query engine over
+the ``documents`` test table and the synthetic code corpus.
+
+``documents_index`` builds (and caches per sf_dir under /tmp) an index
+over the driver's ``documents`` parquet with the SIMPLE tokenizer —
+whose semantics are exactly expressible in DuckDB SQL, so the driver's
+oracle can verify the full distributed pipeline: tokenize -> partition ->
+posting runs -> merge -> segments -> BM25 top-k.
+
+The code corpus flagship (``corpus_index_pipeline``) uses the CODE
+tokenizer (camelCase/snake_case identifier splitting) + sha256 dedup and
+is verified in pytest against the in-repo brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..index.build import build_index
+from ..index.query import IndexReader, QueryActor
+
+# fixed query set over the documents table's vocabulary (BM25-checkable
+# in SQL; terms chosen to cover hot, rare, multi-term and absent cases)
+DOC_QUERIES = [
+    {"qid": 1, "query": "merge sort", "k": 10},
+    {"qid": 2, "query": "customer", "k": 10},
+    {"qid": 3, "query": "window filter stream", "k": 10},
+    {"qid": 4, "query": "zzzabsent", "k": 10},
+    {"qid": 5, "query": "hash join", "k": 5},
+]
+
+
+def _cache_dir(sf_dir: str, tag: str) -> str:
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join("/tmp/jjray_cache", f"{tag}-{key}")
+
+
+def documents_index(sf_dir: str, *, rebuild: bool = False) -> str:
+    """Build (or reuse) the simple-tokenizer index over documents.parquet.
+
+    dedup=False because the SQL oracle scores the raw table.  doc_key is
+    the zero-padded doc_id so engine order == numeric doc_id order.
+    Returns the index directory."""
+    out = _cache_dir(sf_dir, "docidx")
+    marker = os.path.join(out, "stats.json")
+    if rebuild and os.path.isdir(out):
+        shutil.rmtree(out)
+    if not os.path.exists(marker):
+        # the test parquet files are tiny; without override Ray splits them
+        # into O(100) sub-MB blocks and per-task overhead dominates.  At
+        # real scale the default (target_max_block_size) sizing is correct.
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"],
+                             override_num_blocks=8)
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "doc_key", pc.utf8_lpad(pc.cast(t["doc_id"], pa.string()),
+                                        width=12, padding="0")),
+            batch_format="pyarrow")
+        build_index(ds, out, text_col="text", tokenizer="simple",
+                    num_partitions=8, num_shards=4, dedup=False)
+    return out
+
+
+def bm25_topk_documents(sf_dir: str, queries: Optional[List[dict]] = None,
+                        *, pruned: bool = True) -> pd.DataFrame:
+    """Top-k BM25 over documents.parquet for the fixed query set.
+
+    Output columns (qid:int64, rank:int64, doc_id:int64, score:float64
+    rounded to 6dp) match the SQL oracle exactly."""
+    idx = documents_index(sf_dir)
+    qs = queries or DOC_QUERIES
+    qds = rd.from_arrow(pa.table({
+        "qid": pa.array([q["qid"] for q in qs], pa.int64()),
+        "query": pa.array([q["query"] for q in qs], pa.string()),
+        "k": pa.array([q["k"] for q in qs], pa.int64()),
+    }))
+    hits = qds.map_batches(QueryActor, fn_constructor_kwargs={
+        "index_dir": idx, "pruned": pruned},
+        batch_format="pandas", concurrency=2).to_pandas()
+    if hits.empty:
+        return pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    hits["doc_id"] = hits["doc_key"].astype(np.int64)
+    hits["score"] = hits["score"].round(6)
+    hits["rank"] = hits["rank"].astype(np.int64)
+    return hits[["qid", "rank", "doc_id", "score"]] \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+def term_df_top(sf_dir: str, top_n: int = 20) -> pd.DataFrame:
+    """Top-N terms by document frequency, read from the built index's
+    segment dictionary (verifies the groupby-term aggregation)."""
+    idx = documents_index(sf_dir)
+    import pyarrow.parquet as pq
+    seg_dir = os.path.join(idx, "segments")
+    parts = [pq.read_table(os.path.join(seg_dir, f), columns=["term", "df"])
+             for f in sorted(os.listdir(seg_dir)) if f.endswith(".parquet")]
+    t = pa.concat_tables(parts).to_pandas()
+    t = t.sort_values(["df", "term"], ascending=[False, True]).head(top_n)
+    t["df"] = t["df"].astype(np.int64)
+    return t.reset_index(drop=True)
+
+
+def term_postings(sf_dir: str, term: str = "merge") -> pd.DataFrame:
+    """The decoded posting list of one term: (doc_id, tf) — direct check
+    of posting construction, delta+varbyte codec and the run merge."""
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    docs, tfs = reader.postings(term)
+    orig = np.array([int(k) for k in reader.doc_keys(docs)], dtype=np.int64)
+    order = np.argsort(orig)
+    return pd.DataFrame({"doc_id": orig[order], "tf": tfs[order].astype(np.int64)})
+
+
+def corpus_index_pipeline(n_rows: int = 500, *, out_dir: Optional[str] = None,
+                          num_partitions: int = 8, num_shards: int = 4,
+                          queries: Optional[List[dict]] = None) -> pd.DataFrame:
+    """The code-corpus flagship: synthesize the input_hint corpus, build the
+    code-tokenizer index with sha256 dedup, answer the reference query set.
+    Returns (qid, rank, doc_key, score)."""
+    from ..sources.corpus import REFERENCE_QUERIES, generate_corpus
+    out = out_dir or f"/tmp/jjray_cache/corpus-{n_rows}"
+    ds = rd.from_arrow(generate_corpus(n_rows, seed=42))
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        build_index(ds, out, text_col="content", tokenizer="code",
+                    num_partitions=num_partitions, num_shards=num_shards,
+                    dedup=True)
+    qs = queries or REFERENCE_QUERIES
+    qds = rd.from_arrow(pa.table({
+        "qid": pa.array([q["qid"] for q in qs], pa.int64()),
+        "query": pa.array([q["query"] for q in qs], pa.string()),
+        "k": pa.array([q["k"] for q in qs], pa.int64()),
+    }))
+    hits = qds.map_batches(QueryActor, fn_constructor_kwargs={"index_dir": out},
+                           batch_format="pandas", concurrency=2).to_pandas()
+    return hits.sort_values(["qid", "rank"]).reset_index(drop=True)

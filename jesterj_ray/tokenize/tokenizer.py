@@ -1,0 +1,64 @@
+"""Tokenizers — FROZEN semantics (the oracle and the engine share these).
+
+Reference analog: JesterJ ``PreAnalyzeFields`` runs a Lucene Analyzer built
+once per step over field values (reference
+``ingest/processors/PreAnalyzeFields.java:64-114``, analyzer construction
+``ingest/utils/SolrSchemaUtil.java:134+``).  Our engine needs two frozen
+tokenizers:
+
+- ``simple_tokenize``: lowercase, maximal runs of ``[a-z0-9]+``.  Exactly
+  expressible in DuckDB SQL as ``regexp_extract_all(lower(text),
+  '[a-z0-9]+')`` so the driver's SQL oracle can verify index pipelines
+  end-to-end.
+- ``code_tokenize``: language-aware identifier splitting — snake_case and
+  camelCase identifiers split into sub-tokens (``parseHTTPResponse`` ->
+  ``parse http response``; ``my_var2`` -> ``my var2``), lowercased.  Used by
+  the code-corpus index; verified against the in-repo brute-force oracle.
+
+Determinism rules (tests pin these):
+- token order is document order (after splitting, sub-tokens keep order)
+- no stemming, no stopword removal, tokens of length >= 1 kept
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+# simple: maximal [a-z0-9]+ runs over the lowercased text
+_SIMPLE_RE = re.compile(r"[a-z0-9]+")
+
+# code: identifiers / numbers in the raw text
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+")
+# camelCase boundaries: ABCDef -> ABC_Def ; abC -> ab_C
+_ACRONYM_RE = re.compile(r"([A-Z]+)([A-Z][a-z])")
+_CAMEL_RE = re.compile(r"([a-z0-9])([A-Z])")
+
+
+def simple_tokenize(text: str) -> List[str]:
+    """Lowercase [a-z0-9]+ runs. SQL-oracle-identical."""
+    return _SIMPLE_RE.findall(text.lower())
+
+
+def split_identifier(ident: str) -> List[str]:
+    """Split one identifier on snake_case and camelCase boundaries, lowercase."""
+    s = _ACRONYM_RE.sub(r"\1_\2", ident)
+    s = _CAMEL_RE.sub(r"\1_\2", s)
+    return [p.lower() for p in s.split("_") if p]
+
+
+def code_tokenize(text: str) -> List[str]:
+    """Identifier-aware tokenization for source code."""
+    out: List[str] = []
+    for ident in _IDENT_RE.findall(text):
+        if "_" in ident or not ident.islower():
+            out.extend(split_identifier(ident))
+        else:
+            out.append(ident)
+    return out
+
+
+TOKENIZERS = {"simple": simple_tokenize, "code": code_tokenize}
+
+# the DuckDB expression exactly equivalent to simple_tokenize(text)
+SIMPLE_TOKENIZE_SQL = "regexp_extract_all(lower({col}), '[a-z0-9]+')"

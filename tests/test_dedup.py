@@ -1,0 +1,96 @@
+"""Dedup operators: exact keep-first, MinHash-LSH near-dups, SimHash."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+from jesterj_ray.stages.dedup import (exact_dedup, minhash_dedup_ids,
+                                      minhash_lsh_pairs, minhash_signature,
+                                      ngram_set, simhash64,
+                                      simhash_near_dup_pairs,
+                                      verify_jaccard_pairs)
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight while stars shine") * 3
+
+
+@pytest.fixture(scope="module")
+def docs():
+    rows = []
+    rng = np.random.default_rng(3)
+    words = BASE.split()
+    for i in range(40):
+        w = list(rng.permutation(words))
+        rows.append({"doc_id": i, "text": " ".join(w)})
+    # planted exact duplicate
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    # planted near-duplicate of doc 1 (one word changed)
+    w = rows[1]["text"].split()
+    w[5] = "zzz"
+    rows.append({"doc_id": 101, "text": " ".join(w)})
+    # unrelated short doc
+    rows.append({"doc_id": 102, "text": "completely different tiny text"})
+    return pd.DataFrame(rows)
+
+
+def test_exact_dedup_keep_first(docs):
+    out = exact_dedup(rd.from_pandas(docs), field="text",
+                      order_col="doc_id").to_pandas()
+    assert 100 not in set(out["doc_id"])      # dup of 0 dropped
+    assert 0 in set(out["doc_id"])            # keep-first
+    assert 101 in set(out["doc_id"])          # near-dup survives exact dedup
+    assert len(out) == len(docs) - 1
+
+
+def test_minhash_estimates_jaccard():
+    a = minhash_signature(BASE)
+    b = minhash_signature(BASE)
+    assert np.array_equal(a, b)
+    w = BASE.split()
+    w[10] = "changed"
+    c = minhash_signature(" ".join(w))
+    est = (a == c).mean()
+    assert 0.7 < est < 1.0  # near-dup: high but not perfect
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = minhash_lsh_pairs(rd.from_pandas(docs), text_field="text",
+                              id_field="doc_id", threshold=0.5).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 100) in found       # exact dup
+    assert (1, 101) in found       # near dup
+    assert all(b != 102 and a != 102 for a, b in found)  # unrelated not paired
+
+
+def test_minhash_dedup_ids(docs):
+    drops = minhash_dedup_ids(rd.from_pandas(docs), text_field="text",
+                              id_field="doc_id", threshold=0.5).to_pandas()
+    dropped = set(drops["node"].astype(int))
+    assert 100 in dropped and 101 in dropped
+    assert 0 not in dropped and 1 not in dropped
+
+
+def test_simhash_near_dup(docs):
+    pairs = simhash_near_dup_pairs(rd.from_pandas(docs), text_field="text",
+                                   id_field="doc_id",
+                                   max_hamming=6).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 100) in found
+    h = simhash64(BASE.split())
+    assert h == simhash64(BASE.split())
+    assert h != 0
+
+
+def test_ngram_jaccard_verify(docs):
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    pairs = pd.DataFrame({"id_a": [0, 1], "id_b": [100, 101]})
+    v = verify_jaccard_pairs(pairs, texts)
+    assert v.loc[0, "jaccard"] == 1.0          # exact dup
+    assert 0.8 < v.loc[1, "jaccard"] < 1.0     # near dup
+
+
+def test_ngram_set():
+    assert ngram_set("a b c d", 3) == {"a b c", "b c d"}
+    assert ngram_set("a b", 3) == {"a b"}
+    assert ngram_set("", 3) == set()

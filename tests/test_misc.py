@@ -1,0 +1,121 @@
+"""Plan DAG API, text stats, ANN recall, multimodal stubs."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+from jesterj_ray.model.plan import CyclicPlanError, Plan, PlanBuilder, Step
+
+
+def test_plan_builder_and_execute():
+    from jesterj_ray.stages import fields as F
+    b = PlanBuilder("p")
+    b.add_step(Step("trim", F.trim_values, fn_kwargs={"field": "text"}))
+    b.add_step(Step("upper", lambda t: t.set_column(
+        t.column_names.index("text"), "text",
+        pa.compute.utf8_upper(t["text"]))), "trim")
+    b.add_step(Step("count", lambda t: t.append_column(
+        "n", pa.compute.utf8_length(t["text"]))), "trim")
+    plan = b.build()
+    assert set(plan.leaves()) == {"upper", "count"}
+    src = rd.from_arrow(pa.table({"text": pa.array(["  a b ", "xy "])}))
+    out = plan.execute(src)
+    assert out["upper"].to_pandas()["text"].tolist() == ["A B", "XY"]
+    assert out["count"].to_pandas()["n"].tolist() == [3, 2]
+
+
+def test_plan_rejects_cycles():
+    steps = {"a": Step("a", lambda t: t), "b": Step("b", lambda t: t)}
+    with pytest.raises(CyclicPlanError):
+        Plan(steps, {"a": ["b"], "b": ["a"]})
+
+
+def test_plan_rejects_unknown_predecessor():
+    b = PlanBuilder()
+    with pytest.raises(ValueError):
+        b.add_step(Step("x", lambda t: t), "nope")
+
+
+def test_route_when_branch():
+    from jesterj_ray.model.plan import Step
+    import pyarrow.compute as pc
+    src = rd.from_arrow(pa.table({"lang": pa.array(["en", "fr", "en"]),
+                                  "x": pa.array([1, 2, 3])}))
+    b = PlanBuilder()
+    b.add_step(Step("root", lambda t: t))
+    b.add_step(Step("en_only", lambda t: t,
+                    route_when=pc.equal(pc.field("lang"), "en")), "root")
+    out = b.build().execute(src)
+    assert out["en_only"].to_pandas()["x"].tolist() == [1, 3]
+
+
+def test_textstats():
+    from jesterj_ray.stages.textstats import (LangId, fingerprint,
+                                              quality_score, token_count)
+    b = pa.table({"text": pa.array([
+        "the cat and the dog in the house",
+        "le chat et le chien est pour la maison un deux",
+        "",
+    ])})
+    out = token_count(b, field="text")
+    assert out["n_tokens"].to_pylist() == [8, 11, 0]
+    lang = LangId(text_field="text")(b)
+    assert lang["lang_pred"].to_pylist()[0] == "en"
+    assert lang["lang_pred"].to_pylist()[1] == "fr"
+    q = quality_score(b, field="text")
+    assert 0 <= q["quality"].to_pylist()[0] <= 1
+    f1 = fingerprint(b, field="text")["fingerprint"].to_pylist()
+    b2 = pa.table({"text": pa.array(["THE CAT and the DOG in the house "])})
+    f2 = fingerprint(b2, field="text")["fingerprint"].to_pylist()
+    assert f1[0] == f2[0]  # case/whitespace-insensitive
+    assert f1[0] != f1[1]
+
+
+def test_ann_brute_force_and_lsh_recall():
+    from jesterj_ray.ann.knn import LSHIndexedSearch, brute_force_topk
+    rng = np.random.default_rng(11)
+    # clustered vectors (LSH needs locality; uniform random has none)
+    centers = rng.standard_normal((8, 32)).astype(np.float32) * 3
+    vecs = (centers[np.arange(400) % 8]
+            + 0.3 * rng.standard_normal((400, 32))).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32(), 32))})
+    q = vecs[7]
+    exact = brute_force_topk(rd.from_arrow(t), q[None, :], k=10)
+    assert exact.iloc[0]["vec_id"] == 7 and exact.iloc[0]["score"] > 0.999
+    assert (exact["rank"] == range(1, 11)).all()
+    lsh = LSHIndexedSearch(dim=32, n_planes=8)
+    ds = rd.from_arrow(t).map_batches(lsh.add_buckets, batch_format="pyarrow")
+    approx = lsh.topk(ds, q, k=10, multiprobe=1)
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.5  # bucketed search finds most of the true top-k
+    assert approx.iloc[0]["vec_id"] == 7
+
+
+def test_multimodal_stubs():
+    from jesterj_ray.stages.multimodal import (AudioFrameSampler, ImageDecoder,
+                                               synth_media_table)
+    t = synth_media_table(6)
+    feats = rd.from_arrow(t).map_batches(
+        ImageDecoder, fn_constructor_kwargs={"out_size": 8, "fake": True},
+        batch_format="pyarrow", batch_size=2, concurrency=2).to_pandas()
+    assert len(feats) == 6 and len(feats["feature"].iloc[0]) == 64
+    # deterministic: same payload -> same fake feature
+    again = ImageDecoder(out_size=8, fake=True)(t)
+    assert np.allclose(np.asarray(feats.sort_values("media_id")["feature"].tolist()),
+                       np.asarray(again["feature"].to_pylist()))
+    frames = AudioFrameSampler(frames_per_doc=3)(t)
+    assert frames.num_rows == 18
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(fake=False)._decode_one(b"x")
+
+
+def test_entry_contract():
+    import __ray_entry__ as m
+    res = m.entry()
+    assert len(res) >= 0
+    qs, os_ = m.queries(), m.oracle_sql()
+    assert set(os_).issubset(set(qs))
+    assert len(qs) >= 20

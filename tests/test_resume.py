@@ -1,0 +1,97 @@
+"""Checkpoint/resume — the FTI analog (FIXTURES.md test 7; reference
+behavior: SimpleFileScannerImplFTITest.java:57-120 asserts previously
+processed docs are NOT re-fed after reactivation)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+from jesterj_ray.index.build import build_index
+from jesterj_ray.index.query import IndexReader
+from jesterj_ray.sources.corpus import REFERENCE_QUERIES, generate_corpus
+from jesterj_ray.state.manifest import Manifest, STATUS_DEAD, STATUS_INDEXED
+
+
+def test_resume_after_injected_failure(small_corpus, tmp_path):
+    out = str(tmp_path / "idx")
+    # first run: partitions 2 and 5 fail (LogAndFail analog)
+    with pytest.raises(Exception):
+        build_index(rd.from_arrow(small_corpus), out, tokenizer="code",
+                    num_partitions=8, num_shards=4, fail_pids=[2, 5])
+    man = Manifest(out, "build")
+    done_first = set(man.completed_partitions())
+    assert 2 not in done_first and 5 not in done_first
+    assert len(done_first) >= 1  # some partitions committed before the kill
+    mtimes = {p: os.path.getmtime(os.path.join(out, "runs", f"part-{p:05d}.parquet"))
+              for p in done_first}
+
+    # resume without the failure: only missing partitions run
+    stats = build_index(rd.from_arrow(small_corpus), out, tokenizer="code",
+                        num_partitions=8, num_shards=4)
+    man2 = Manifest(out, "build")
+    assert len(man2.completed_partitions()) == 8
+    for p in done_first:  # committed run files were NOT rewritten
+        assert os.path.getmtime(
+            os.path.join(out, "runs", f"part-{p:05d}.parquet")) == mtimes[p]
+
+    # final index identical to a clean one-shot build
+    clean = str(tmp_path / "clean")
+    build_index(rd.from_arrow(small_corpus), clean, tokenizer="code",
+                num_partitions=8, num_shards=4)
+    ra, rb = IndexReader(out), IndexReader(clean)
+    assert ra.n_docs == rb.n_docs and ra.avgdl == rb.avgdl
+    for q in REFERENCE_QUERIES:
+        assert ra.topk(q["query"], q["k"]) == rb.topk(q["query"], q["k"])
+
+
+def test_poison_partition_goes_dead(small_corpus, tmp_path):
+    """A partition that fails on every attempt is quarantined DEAD after
+    MAX_ATTEMPTS (mirrors retry-then-DEAD, ScannerImpl.java:57,688-694)
+    and the rest of the build completes."""
+    out = str(tmp_path / "idx")
+    for _ in range(3):
+        try:
+            build_index(rd.from_arrow(small_corpus), out, tokenizer="code",
+                        num_partitions=8, num_shards=4, fail_pids=[3])
+        except Exception:
+            continue
+    man = Manifest(out, "build")
+    rec = man.read(3)
+    assert rec is not None and rec["status"] == STATUS_DEAD
+    stats = json.load(open(os.path.join(out, "stats.json")))
+    assert stats["dead_partitions"] == [3]
+    # other partitions all indexed
+    assert len(man.completed_partitions()) == 7
+
+
+def test_merge_invalidation_on_new_runs(small_corpus, tmp_path):
+    """Segments are re-merged when resume adds runs (merge fingerprint)."""
+    out = str(tmp_path / "idx")
+    with pytest.raises(Exception):
+        build_index(rd.from_arrow(small_corpus), out, tokenizer="code",
+                    num_partitions=8, num_shards=4, fail_pids=[0])
+    build_index(rd.from_arrow(small_corpus), out, tokenizer="code",
+                num_partitions=8, num_shards=4)
+    clean = str(tmp_path / "clean")
+    build_index(rd.from_arrow(small_corpus), clean, tokenizer="code",
+                num_partitions=8, num_shards=4)
+    import numpy as np
+    ra, rb = IndexReader(out), IndexReader(clean)
+    for term in ("import", "return"):
+        da, ta = ra.postings(term)
+        db, tb = rb.postings(term)
+        assert np.array_equal(da, db) and np.array_equal(ta, tb)
+
+
+def test_manifest_atomic_commit(tmp_path):
+    man = Manifest(str(tmp_path), "build")
+    man.commit(1, status=STATUS_INDEXED, docs_seen=10, attempt=1)
+    assert man.read(1)["docs_seen"] == 10
+    assert man.completed_partitions() == [1]
+    assert man.attempt_of(1) == 1
+    assert man.read(99) is None
+    # no temp files left behind
+    leftover = [f for f in os.listdir(man.dir) if f.startswith(".tmp")]
+    assert leftover == []
