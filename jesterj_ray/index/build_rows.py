@@ -1,0 +1,170 @@
+"""Shuffle-free index build: partitions = parquet row-group ranges.
+
+The ``build.build_index`` path shuffles every document once (hash of the
+content sha) to co-locate exact duplicates and assign sha-partitioned
+docIDs.  When dedup is not fused into the build (or was done upstream by
+``stages.dedup.exact_dedup``), that shuffle is pure cost: document text is
+the dominant bytes and it crosses the object store once for nothing.
+
+This module is the scale path:
+
+- partitions are planned DRIVER-SIDE from parquet METADATA only (file,
+  row-group ranges, ~``docs_per_partition`` rows each) — deterministic for
+  a given input regardless of parallelism;
+- stage 1 is ``from_items(partitions) -> map_batches(indexer)``: each task
+  opens ONLY its row groups (parquet range read — "prune at the read"),
+  tokenizes, aggregates (term, tf) per doc, writes its run + doc table via
+  atomic rename, commits its manifest row.  ZERO all-to-all for the text;
+- resume filters the partition list BEFORE reading: committed partitions
+  cost nothing, not even input IO;
+- stage 2 (tiny): merge runs into term-sharded segments — the only
+  exchange, over per-(term, partition) aggregates, reused from ``build``.
+
+docID = pid << 32 | row_in_partition (file/row order), so docIDs ascend
+with input order and are identical at any num_cpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..state.manifest import (Manifest, MAX_ATTEMPTS, STATUS_DEAD,
+                              STATUS_INDEXED, atomic_write_bytes)
+from ..tokenize.tokenizer import TOKENIZERS
+from .build import DOC_BITS, _index_partition_tables, merge_runs
+
+
+def plan_row_partitions(paths: List[str], docs_per_partition: int = 50_000
+                        ) -> List[Dict]:
+    """Partition descriptors from parquet metadata (no data read)."""
+    parts: List[Dict] = []
+    pid = 0
+    for path in sorted(paths):
+        md = pq.ParquetFile(path).metadata
+        groups: List[int] = []
+        rows = 0
+        for rg in range(md.num_row_groups):
+            groups.append(rg)
+            rows += md.row_group(rg).num_rows
+            if rows >= docs_per_partition:
+                parts.append({"pid": pid, "path": path,
+                              "row_groups": list(groups), "rows": rows})
+                pid += 1
+                groups, rows = [], 0
+        if groups:
+            parts.append({"pid": pid, "path": path,
+                          "row_groups": list(groups), "rows": rows})
+            pid += 1
+    return parts
+
+
+def make_row_indexer(out_dir: str, *, tokenizer: str, text_col: str,
+                     key_col: Optional[str], num_shards: int = 8,
+                     fail_pids: Optional[List[int]] = None):
+    tok = TOKENIZERS[tokenizer]
+    fail = set(fail_pids or [])
+
+    def row_indexer(batch: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        man = Manifest(out_dir, "build")
+        for _, part in batch.iterrows():
+            pid = int(part["pid"])
+            prior = man.read(pid)
+            if prior and prior.get("status") == STATUS_INDEXED:
+                out_rows.append({"partition_id": pid,
+                                 "docs_seen": prior["docs_seen"],
+                                 "terms_emitted": prior["terms_emitted"],
+                                 "bytes_written": prior["bytes_written"],
+                                 "dl_sum": prior.get("dl_sum", 0),
+                                 "status": STATUS_INDEXED})
+                continue
+            attempt = (prior.get("attempt", 0) if prior else 0) + 1
+            try:
+                if pid in fail:
+                    raise RuntimeError(f"injected failure for pid {pid}")
+                if attempt > MAX_ATTEMPTS:
+                    raise RuntimeError("max attempts exceeded")
+                cols = [text_col] + ([key_col] if key_col else [])
+                t = pq.ParquetFile(part["path"]).read_row_groups(
+                    list(part["row_groups"]), columns=cols)
+                g = t.to_pandas()
+                if key_col:
+                    g["doc_key"] = g[key_col].astype(str).str.zfill(12)
+                else:
+                    g["doc_key"] = [f"{os.path.basename(part['path'])}"
+                                    f":{part['row_groups'][0]}:{i}"
+                                    for i in range(len(g))]
+                g["content_sha256"] = [
+                    hashlib.sha256((x or "").encode()).hexdigest()
+                    for x in g[text_col]]
+                fingerprint = hashlib.sha256(
+                    f"{part['path']}|{list(part['row_groups'])}|{len(g)}"
+                    .encode()).hexdigest()
+                rec = _index_partition_tables(
+                    g, pid, out_dir, tok, text_col,
+                    sort_rows=False, fingerprint=fingerprint,
+                    attempt=attempt, manifest=man, num_shards=num_shards)
+                out_rows.append(rec)
+            except Exception as e:
+                status = STATUS_DEAD if attempt >= MAX_ATTEMPTS else "ERROR"
+                man.commit(pid, status=status, attempt=attempt,
+                           message=str(e)[:500])
+                if status == STATUS_DEAD:
+                    out_rows.append({"partition_id": pid, "docs_seen": 0,
+                                     "terms_emitted": 0, "bytes_written": 0,
+                                     "dl_sum": 0, "status": STATUS_DEAD})
+                    continue
+                raise
+        return pd.DataFrame(out_rows)
+
+    return row_indexer
+
+
+def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
+                     key_col: Optional[str] = None, tokenizer: str = "simple",
+                     docs_per_partition: int = 50_000, num_shards: int = 8,
+                     resume: bool = True,
+                     fail_pids: Optional[List[int]] = None,
+                     concurrency: Optional[int] = None) -> Dict:
+    """Shuffle-free build over parquet ``paths``.  Returns build stats."""
+    if isinstance(paths, str):
+        paths = [paths]
+    parts = plan_row_partitions(paths, docs_per_partition)
+    man = Manifest(out_dir, "build")
+    done = set(man.completed_partitions()) if resume else set()
+    todo = [p for p in parts if p["pid"] not in done]
+
+    if todo:
+        items = ray.data.from_items(todo, override_num_blocks=len(todo))
+        indexer = make_row_indexer(out_dir, tokenizer=tokenizer,
+                                   text_col=text_col, key_col=key_col,
+                                   num_shards=num_shards, fail_pids=fail_pids)
+        items.map_batches(indexer, batch_format="pandas",
+                          batch_size=1).materialize()
+
+    merge_runs(out_dir, num_shards)
+
+    recs = Manifest(out_dir, "build").all()
+    n_docs = sum(r["docs_seen"] for r in recs.values()
+                 if r["status"] == STATUS_INDEXED)
+    dl_sum = sum(r.get("dl_sum", 0) for r in recs.values()
+                 if r["status"] == STATUS_INDEXED)
+    stats = {"n_docs": int(n_docs), "dl_sum": int(dl_sum),
+             "avgdl": (dl_sum / n_docs) if n_docs else 0.0,
+             "tokenizer": tokenizer, "num_partitions": len(parts),
+             "num_shards": num_shards,
+             "dead_partitions": sorted(p for p, r in recs.items()
+                                       if r["status"] == STATUS_DEAD)}
+    atomic_write_bytes(os.path.join(out_dir, "stats.json"),
+                       json.dumps(stats).encode())
+    return stats

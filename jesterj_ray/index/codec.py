@@ -79,10 +79,26 @@ def varbyte_decode(buf: bytes, count: int) -> np.ndarray:
     return out
 
 
-def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> Tuple[bytes, bytes, np.ndarray, np.ndarray]:
+def varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte length (same formula as varbyte_encode)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nz = v > 0
+    with np.errstate(divide="ignore"):
+        nbits = np.where(nz, np.floor(np.log2(v.astype(np.float64) + 0.5))
+                         .astype(np.int64) + 1, 1)
+    return (nbits + 6) // 7
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray
+                    ) -> Tuple[bytes, bytes, np.ndarray, np.ndarray,
+                               np.ndarray, np.ndarray]:
     """Encode one posting list.
 
-    Returns (doc_blob, tf_blob, block_last_doc, block_max_tf).
+    Returns (doc_blob, tf_blob, block_last_doc, block_max_tf,
+    block_doc_off, block_tf_off).  The off arrays give the byte offset of
+    each block's first value inside the blob (one extra trailing entry =
+    blob length), enabling per-block decode without touching earlier
+    bytes: block b's deltas cumsum from base block_last[b-1].
     ``doc_ids`` must be strictly ascending int64; ``tfs`` positive int64.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
@@ -101,7 +117,13 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> Tuple[bytes, bytes,
         lo, hi = bi * BLOCK_SIZE, min(n, (bi + 1) * BLOCK_SIZE)
         block_last[bi] = doc_ids[hi - 1]
         block_max_tf[bi] = tfs[lo:hi].max()
-    return doc_blob, tf_blob, block_last, block_max_tf
+    dlen = varbyte_lengths(deltas.astype(np.uint64))
+    tlen = varbyte_lengths(tfs.astype(np.uint64))
+    bounds = np.arange(0, n + BLOCK_SIZE, BLOCK_SIZE)[:nblocks + 1]
+    bounds[-1] = n
+    doc_off = np.concatenate([[0], np.cumsum(dlen)])[bounds]
+    tf_off = np.concatenate([[0], np.cumsum(tlen)])[bounds]
+    return doc_blob, tf_blob, block_last, block_max_tf, doc_off, tf_off
 
 
 def decode_postings(doc_blob: bytes, tf_blob: bytes, count: int) -> Tuple[np.ndarray, np.ndarray]:

@@ -51,10 +51,18 @@ class IndexReader:
         self.avgdl = self.stats["avgdl"]
         self.num_shards = self.stats["num_shards"]
         self.tokenizer = TOKENIZERS[self.stats["tokenizer"]]
-        self._shard_cache: Dict[int, Dict[str, dict]] = {}
-        # doc lengths + doc_key per partition (dl lookup is array indexing)
+        self._shard_cache: Dict[int, tuple] = {}
+        # bounded cache of fully-decoded posting lists (hot query terms are
+        # re-queried constantly; decode once per actor, not per query)
+        from collections import OrderedDict
+        self._postings_cache: "OrderedDict[str, Tuple[np.ndarray, np.ndarray]]" = \
+            OrderedDict()
+        self._entry_cache: "OrderedDict[str, dict]" = OrderedDict()
+        self._postings_cache_max = 512
+        # doc lengths (numpy per partition: dl lookup is array indexing)
+        # and doc_key kept as Arrow arrays — NEVER to_pylist'd wholesale
         self._dl: Dict[int, np.ndarray] = {}
-        self._doc_key: Dict[int, np.ndarray] = {}
+        self._doc_key: Dict[int, pa.Array] = {}
         docs_dir = os.path.join(index_dir, "docs")
         for name in sorted(os.listdir(docs_dir)):
             if not name.endswith(".parquet"):
@@ -65,40 +73,92 @@ class IndexReader:
                 continue
             pid = int(t["doc_id"][0].as_py()) >> DOC_BITS
             self._dl[pid] = t["dl"].to_numpy().astype(np.int64)
-            self._doc_key[pid] = np.asarray(t["doc_key"].to_pylist(), dtype=object)
+            self._doc_key[pid] = t["doc_key"].combine_chunks()
+        # dense docID space: doc_id = pid<<32|rank maps to base[pid]+rank.
+        # Scoring uses a dense float64 accumulator over this space (classic
+        # term-at-a-time score array; vectorized adds, no sort-merge).  On a
+        # multi-node deployment each query actor holds one doc-range slice,
+        # so the accumulator stays node-sized.
+        self._pids = np.array(sorted(self._dl), dtype=np.int64)
+        sizes = np.array([self._dl[p].size for p in self._pids], dtype=np.int64)
+        self._base = np.concatenate([[0], np.cumsum(sizes)])
+        self.n_dense = int(self._base[-1])
+        self._dl_dense = np.concatenate(
+            [self._dl[p] for p in self._pids]) if self._pids.size else \
+            np.empty(0, dtype=np.int64)
+        self._scores_buf = np.zeros(self.n_dense, dtype=np.float64)
+        self._seen_buf = np.zeros(self.n_dense, dtype=np.uint8)
+
+    def dense_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        pids = doc_ids >> DOC_BITS
+        ranks = doc_ids & ((1 << DOC_BITS) - 1)
+        pos = np.searchsorted(self._pids, pids)
+        return self._base[pos] + ranks
+
+    def doc_id_of_dense(self, dense: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self._base, dense, side="right") - 1
+        return (self._pids[pos] << DOC_BITS) | (dense - self._base[pos])
 
     # ---- postings access ----
 
     def _shard_of(self, term: str) -> int:
         return int(hashlib.sha256(term.encode()).hexdigest()[:8], 16) % self.num_shards
 
-    def _load_shard(self, shard: int) -> Dict[str, dict]:
+    def _load_shard(self, shard: int):
+        """(term -> row index dict, arrow table); blobs stay in Arrow until
+        a term is actually queried."""
         if shard not in self._shard_cache:
             path = os.path.join(self.dir, "segments", f"shard-{shard:04d}.parquet")
-            entries: Dict[str, dict] = {}
             if os.path.exists(path):
                 t = pq.read_table(path)
-                d = t.to_pydict()
-                for i, term in enumerate(d["term"]):
-                    entries[term] = {
-                        "df": d["df"][i], "cf": d["cf"][i], "count": d["count"][i],
-                        "doc_blob": d["doc_blob"][i], "tf_blob": d["tf_blob"][i],
-                        "block_last": np.asarray(d["block_last"][i], dtype=np.int64),
-                        "block_max_tf": np.asarray(d["block_max_tf"][i], dtype=np.int64),
-                    }
-            self._shard_cache[shard] = entries
+                lookup = {term: i for i, term in enumerate(t["term"].to_pylist())}
+                self._shard_cache[shard] = (lookup, t)
+            else:
+                self._shard_cache[shard] = ({}, None)
         return self._shard_cache[shard]
 
     def term_entry(self, term: str) -> Optional[dict]:
-        return self._load_shard(self._shard_of(term)).get(term)
+        cached = self._entry_cache.get(term)
+        if cached is not None:
+            self._entry_cache.move_to_end(term)
+            return cached
+        e = self._term_entry_uncached(term)
+        if e is not None:
+            self._entry_cache[term] = e
+            if len(self._entry_cache) > self._postings_cache_max:
+                self._entry_cache.popitem(last=False)
+        return e
+
+    def _term_entry_uncached(self, term: str) -> Optional[dict]:
+        lookup, t = self._load_shard(self._shard_of(term))
+        i = lookup.get(term)
+        if i is None:
+            return None
+        return {
+            "df": t["df"][i].as_py(), "cf": t["cf"][i].as_py(),
+            "count": t["count"][i].as_py(),
+            "doc_blob": t["doc_blob"][i].as_py(),
+            "tf_blob": t["tf_blob"][i].as_py(),
+            "block_last": np.asarray(t["block_last"][i].as_py(), dtype=np.int64),
+            "block_max_tf": np.asarray(t["block_max_tf"][i].as_py(), dtype=np.int64),
+            "block_doc_off": np.asarray(t["block_doc_off"][i].as_py(), dtype=np.int64),
+            "block_tf_off": np.asarray(t["block_tf_off"][i].as_py(), dtype=np.int64),
+        }
 
     def postings(self, term: str) -> Tuple[np.ndarray, np.ndarray]:
+        cached = self._postings_cache.get(term)
+        if cached is not None:
+            self._postings_cache.move_to_end(term)
+            return cached
         e = self.term_entry(term)
         if e is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         n = e["count"]
         docs = np.cumsum(varbyte_decode(e["doc_blob"], n).astype(np.int64))
         tfs = varbyte_decode(e["tf_blob"], n).astype(np.int64)
+        self._postings_cache[term] = (docs, tfs)
+        if len(self._postings_cache) > self._postings_cache_max:
+            self._postings_cache.popitem(last=False)
         return docs, tfs
 
     def doc_len(self, doc_ids: np.ndarray) -> np.ndarray:
@@ -115,7 +175,7 @@ class IndexReader:
         pids = doc_ids >> DOC_BITS
         ranks = doc_ids & ((1 << DOC_BITS) - 1)
         for i in range(doc_ids.size):
-            out[i] = str(self._doc_key[int(pids[i])][ranks[i]])
+            out[i] = self._doc_key[int(pids[i])][int(ranks[i])].as_py()
         return out
 
     # ---- scoring ----
@@ -126,102 +186,155 @@ class IndexReader:
         tff = tfs.astype(np.float64)
         return w * tff * (K1 + 1.0) / (tff + K1 * (1.0 - B + B * dls / self.avgdl))
 
+    def _topk_from_dense(self, scores: np.ndarray, touched: np.ndarray,
+                         k: int) -> List[Tuple[int, float]]:
+        """Extract top-k (doc_id, score) from the dense accumulator over the
+        touched positions, tie-break ascending doc_id (= ascending dense),
+        then zero the touched entries (buffer reuse)."""
+        if touched.size == 0:
+            return []
+        vals = scores[touched]
+        if touched.size > k:
+            # boundary value of the top-k, then ALL candidates >= it so
+            # doc_id tie-breaks at the boundary are exact
+            kth = vals[np.argpartition(-vals, k - 1)[k - 1]]
+            sel = np.flatnonzero(vals >= kth)
+            cand_idx, cand_val = touched[sel], vals[sel]
+        else:
+            cand_idx, cand_val = touched, vals
+        order = np.lexsort((cand_idx, -cand_val))[:k]
+        ids = self.doc_id_of_dense(cand_idx[order])
+        out = [(int(d), float(cand_val[i])) for d, i in zip(ids, order)]
+        scores[touched] = 0.0
+        return out
+
     def topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
-        """Exhaustive scoring. Summation in first-occurrence term order
-        (pinned so ties/precision match the brute-force oracle)."""
+        """Exhaustive term-at-a-time scoring into the dense accumulator.
+        Summation in first-occurrence term order (pinned so ties/precision
+        match the brute-force oracle)."""
         terms = dedup_keep_order(self.tokenizer(query))
-        all_docs: List[np.ndarray] = []
-        all_contrib: List[np.ndarray] = []
+        scores = self._scores_buf
+        seen = self._seen_buf
+        touched_parts: List[np.ndarray] = []
         for t in terms:
             docs, tfs = self.postings(t)
             if docs.size == 0:
                 continue
             e = self.term_entry(t)
-            all_docs.append(docs)
-            all_contrib.append(self._term_contrib(docs, tfs, e["df"]))
-        if not all_docs:
+            dense = self.dense_of(docs)
+            # docs unique within a term -> fancy-index add is safe & fast
+            scores[dense] += self._term_contrib_dense(dense, tfs, e["df"])
+            new = dense[seen[dense] == 0]
+            seen[new] = 1
+            touched_parts.append(new)
+        if not touched_parts:
             return []
-        cand = np.concatenate(all_docs)
-        contrib = np.concatenate(all_contrib)
-        uniq, inv = np.unique(cand, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(scores, inv, contrib)
-        order = np.lexsort((uniq, -scores))[:k]
-        return [(int(uniq[i]), float(scores[i])) for i in order]
+        touched = np.concatenate(touched_parts)  # unique by construction
+        seen[touched] = 0
+        return self._topk_from_dense(scores, touched, k)
+
+    def _term_contrib_dense(self, dense: np.ndarray, tfs: np.ndarray,
+                            df: int) -> np.ndarray:
+        w = idf(self.n_docs, df)
+        dls = self._dl_dense[dense].astype(np.float64)
+        tff = tfs.astype(np.float64)
+        return w * tff * (K1 + 1.0) / (tff + K1 * (1.0 - B + B * dls / self.avgdl))
 
     def topk_pruned(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
-        """Block-max pruned scoring (MaxScore with block-range skipping)."""
+        """Block-max pruned scoring (MaxScore family, term-at-a-time):
+        terms processed in descending upper-bound order into the dense
+        accumulator; once the running k-th score >= the sum of remaining
+        term upper bounds, later terms cannot introduce NEW top-k docs, so
+        they only rescore existing candidates, decoding just the posting
+        blocks whose doc range covers a candidate (block-max skip).  Safe
+        because a term's per-posting contribution is strictly below its
+        upper bound (dl > 0 forces the denominator above tf)."""
         terms = dedup_keep_order(self.tokenizer(query))
         entries = []
         for t in terms:
             e = self.term_entry(t)
             if e is not None:
                 w = idf(self.n_docs, e["df"])
-                ub = w * (K1 + 1.0)  # tf->inf, dl->0 upper bound
-                entries.append((t, e, w, ub))
+                entries.append((t, e, w * (K1 + 1.0)))
         if not entries:
             return []
-        # descending upper bound
-        entries.sort(key=lambda x: -x[3])
+        entries.sort(key=lambda x: -x[2])  # descending upper bound
         rem_ub = np.cumsum([ub for *_, ub in entries][::-1])[::-1]
 
-        cand_docs = np.empty(0, dtype=np.int64)
-        cand_scores = np.empty(0, dtype=np.float64)
-        for i, (t, e, w, ub) in enumerate(entries):
-            threshold = 0.0
-            if cand_scores.size >= k:
-                threshold = float(np.partition(cand_scores, -k)[-k])
-            if cand_scores.size >= k and threshold >= rem_ub[i]:
-                # no new doc can reach top-k: intersect against candidates only,
-                # decoding only blocks whose doc range covers a candidate
-                bl = e["block_last"]
-                n = e["count"]
-                docs, tfs = self._decode_blocks_covering(e, cand_docs)
+        scores = self._scores_buf
+        seen = self._seen_buf
+        touched_parts: List[np.ndarray] = []
+        n_touched = 0
+        for i, (t, e, ub) in enumerate(entries):
+            threshold = -1.0
+            if n_touched >= k:
+                allv = scores[np.concatenate(touched_parts)] if \
+                    len(touched_parts) > 1 else scores[touched_parts[0]]
+                threshold = float(allv[np.argpartition(-allv, k - 1)[k - 1]])
+            if threshold >= rem_ub[i]:
+                # pruned phase: candidates only + block-max skip decode
+                touched = np.concatenate(touched_parts)
+                touched_parts = [touched]
+                targets = self.doc_id_of_dense(np.sort(touched))
+                docs, tfs = self._decode_blocks_covering(e, targets)
                 if docs.size == 0:
                     continue
-                pos = np.searchsorted(docs, cand_docs)
-                pos_c = np.clip(pos, 0, docs.size - 1)
-                hit = docs[pos_c] == cand_docs
+                dense = self.dense_of(docs)
+                hit = seen[dense] == 1
                 if not hit.any():
                     continue
-                sub_docs = cand_docs[hit]
-                sub_tfs = tfs[pos_c[hit]]
-                contrib = self._term_contrib(sub_docs, sub_tfs, e["df"])
-                cand_scores[hit] += contrib
+                dh = dense[hit]
+                scores[dh] += self._term_contrib_dense(dh, tfs[hit], e["df"])
             else:
                 docs, tfs = self.postings(t)
                 if docs.size == 0:
                     continue
-                contrib = self._term_contrib(docs, tfs, e["df"])
-                merged = np.concatenate([cand_docs, docs])
-                merged_scores = np.concatenate([cand_scores, contrib])
-                uniq, inv = np.unique(merged, return_inverse=True)
-                acc = np.zeros(uniq.size, dtype=np.float64)
-                np.add.at(acc, inv, merged_scores)
-                cand_docs, cand_scores = uniq, acc
-        order = np.lexsort((cand_docs, -cand_scores))[:k]
-        return [(int(cand_docs[i]), float(cand_scores[i])) for i in order]
+                dense = self.dense_of(docs)
+                scores[dense] += self._term_contrib_dense(dense, tfs, e["df"])
+                new = dense[seen[dense] == 0]
+                seen[new] = 1
+                touched_parts.append(new)
+                n_touched += new.size
+        if not touched_parts:
+            return []
+        touched = np.concatenate(touched_parts)
+        seen[touched] = 0
+        return self._topk_from_dense(scores, touched, k)
 
     def _decode_blocks_covering(self, e: dict, targets: np.ndarray
                                 ) -> Tuple[np.ndarray, np.ndarray]:
-        """Decode only posting blocks whose doc range may contain ``targets``.
-
-        Current implementation decodes the full list then masks to covering
-        blocks — the skip saves scoring work; true sub-blob decoding would
-        need per-block byte offsets in the segment (future work, noted)."""
-        n = e["count"]
-        docs = np.cumsum(varbyte_decode(e["doc_blob"], n).astype(np.int64))
-        tfs = varbyte_decode(e["tf_blob"], n).astype(np.int64)
+        """Decode ONLY the posting blocks whose doc range may contain
+        ``targets`` — per-block byte offsets (block_doc_off/block_tf_off)
+        let us slice the varbyte blob without touching skipped bytes; a
+        block's deltas cumsum from block_last[b-1]."""
         bl = e["block_last"]
+        n = e["count"]
         # block index each target would land in
         bidx = np.unique(np.searchsorted(bl, targets))
         bidx = bidx[bidx < bl.size]
-        if bidx.size == bl.size:
-            return docs, tfs
-        keep = np.zeros(docs.size, dtype=bool)
+        if bidx.size >= max(1, bl.size // 2):
+            # most blocks needed: full decode is cheaper (and cacheable)
+            docs = np.cumsum(varbyte_decode(e["doc_blob"], n).astype(np.int64))
+            tfs = varbyte_decode(e["tf_blob"], n).astype(np.int64)
+            if bidx.size == bl.size:
+                return docs, tfs
+            keep = np.zeros(docs.size, dtype=bool)
+            for b in bidx:
+                keep[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE] = True
+            return docs[keep], tfs[keep]
+        doff, toff = e["block_doc_off"], e["block_tf_off"]
+        doc_parts, tf_parts = [], []
         for b in bidx:
-            keep[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE] = True
-        return docs[keep], tfs[keep]
+            cnt = min(n, (b + 1) * BLOCK_SIZE) - b * BLOCK_SIZE
+            deltas = varbyte_decode(e["doc_blob"][doff[b]:doff[b + 1]],
+                                    cnt).astype(np.int64)
+            base = int(bl[b - 1]) if b > 0 else 0
+            doc_parts.append(np.cumsum(deltas) + base)
+            tf_parts.append(varbyte_decode(e["tf_blob"][toff[b]:toff[b + 1]],
+                                           cnt).astype(np.int64))
+        if not doc_parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.concatenate(doc_parts), np.concatenate(tf_parts)
 
 
 class QueryActor:

@@ -29,7 +29,8 @@ def test_postings_roundtrip_and_blockmax():
     rng = np.random.default_rng(7)
     docs = np.unique(rng.integers(0, 10**12, size=5000)).astype(np.int64)
     tfs = rng.integers(1, 1000, size=docs.size).astype(np.int64)
-    doc_blob, tf_blob, block_last, block_max_tf = encode_postings(docs, tfs)
+    doc_blob, tf_blob, block_last, block_max_tf, doc_off, tf_off = \
+        encode_postings(docs, tfs)
     d2, t2 = decode_postings(doc_blob, tf_blob, docs.size)
     assert np.array_equal(docs, d2)
     assert np.array_equal(tfs, t2)
@@ -40,6 +41,19 @@ def test_postings_roundtrip_and_blockmax():
         lo, hi = b * BLOCK_SIZE, min(docs.size, (b + 1) * BLOCK_SIZE)
         assert block_last[b] == docs[hi - 1]
         assert block_max_tf[b] == tfs[lo:hi].max()
+    # per-block byte offsets let a block decode independently
+    assert doc_off.size == nblocks + 1 and doc_off[-1] == len(doc_blob)
+    assert tf_off[-1] == len(tf_blob)
+    from jesterj_ray.index.codec import varbyte_decode
+    for b in (0, nblocks // 2, nblocks - 1):
+        lo, hi = b * BLOCK_SIZE, min(docs.size, (b + 1) * BLOCK_SIZE)
+        deltas = varbyte_decode(doc_blob[doc_off[b]:doc_off[b + 1]], hi - lo)
+        base = int(block_last[b - 1]) if b > 0 else 0
+        assert np.array_equal(np.cumsum(deltas.astype(np.int64)) + base,
+                              docs[lo:hi])
+        assert np.array_equal(
+            varbyte_decode(tf_blob[tf_off[b]:tf_off[b + 1]], hi - lo)
+            .astype(np.int64), tfs[lo:hi])
 
 
 def test_delta_compression_is_compact():

@@ -24,8 +24,10 @@ def test_resume_after_injected_failure(small_corpus, tmp_path):
     done_first = set(man.completed_partitions())
     assert 2 not in done_first and 5 not in done_first
     assert len(done_first) >= 1  # some partitions committed before the kill
-    mtimes = {p: os.path.getmtime(os.path.join(out, "runs", f"part-{p:05d}.parquet"))
-              for p in done_first}
+    def run_file(p):
+        return os.path.join(out, "runs", "shard-0000", f"part-{p:05d}.parquet")
+
+    mtimes = {p: os.path.getmtime(run_file(p)) for p in done_first}
 
     # resume without the failure: only missing partitions run
     stats = build_index(rd.from_arrow(small_corpus), out, tokenizer="code",
@@ -33,8 +35,7 @@ def test_resume_after_injected_failure(small_corpus, tmp_path):
     man2 = Manifest(out, "build")
     assert len(man2.completed_partitions()) == 8
     for p in done_first:  # committed run files were NOT rewritten
-        assert os.path.getmtime(
-            os.path.join(out, "runs", f"part-{p:05d}.parquet")) == mtimes[p]
+        assert os.path.getmtime(run_file(p)) == mtimes[p]
 
     # final index identical to a clean one-shot build
     clean = str(tmp_path / "clean")
