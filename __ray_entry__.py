@@ -290,6 +290,90 @@ def _knn_lsh(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+# ---------- extraction / scanners / sinks ----------
+
+def _json_extract(sf_dir: str):
+    import ray.data as rd
+    from jesterj_ray.stages.extract import extract_json_field
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "props"])
+    return ds.map_batches(extract_json_field, batch_format="pyarrow",
+                          fn_kwargs={"json_field": "props", "key": "k",
+                                     "out_field": "k", "as_type": "int64"}) \
+        .select_columns(["event_id", "k"])
+
+
+def _sql_scanner(sf_dir: str):
+    from jesterj_ray.sources.scanners import scan_sql
+    sql = (f"SELECT doc_id, lang FROM "
+           f"read_parquet('{sf_dir}/documents.parquet') WHERE lang = 'en'")
+    return scan_sql(sql, table="documents", pk_column="doc_id") \
+        .select_columns(["doc_id", "lang"])
+
+
+def _status_sink(sf_dir: str):
+    import glob
+    import shutil
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from jesterj_ray.stages.dedup import add_sha256
+    from jesterj_ray.stages.senders import StatusSink
+    out = "/tmp/jjray_cache/status_sink"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(add_sha256, batch_format="pyarrow",
+                        fn_kwargs={"field": "text"})
+    ds.map_batches(StatusSink, fn_constructor_kwargs={
+        "out_dir": out, "destination": "index"},
+        batch_format="pyarrow", concurrency=2).materialize()
+    t = pa.concat_tables([pq.read_table(f) for f in
+                          sorted(glob.glob(out + "/*.parquet"))])
+    df = t.select(["doc_id", "content_sha256", "destination", "status"]) \
+        .to_pandas()
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _children_explode(sf_dir: str):
+    import ray.data as rd
+    from jesterj_ray.sources.scanners import make_children
+    from jesterj_ray.stages.fields import split_field
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"])
+    ds = ds.map_batches(split_field, batch_format="pyarrow",
+                        fn_kwargs={"field": "p_name", "delimiter": " ",
+                                   "into": "parts"})
+    return ds.map_batches(make_children, batch_format="pyarrow",
+                          fn_kwargs={"parent_id_field": "p_partkey",
+                                     "items_field": "parts",
+                                     "child_field": "word"}) \
+        .select_columns(["doc_id", "parent_id", "word"])
+
+
+def _pre_analyze(sf_dir: str):
+    from jesterj_ray.tokenize.preanalyze import pre_analyze_field
+    return _doc(sf_dir, ["doc_id", "text"]).map_batches(
+        pre_analyze_field, batch_format="pyarrow",
+        fn_kwargs={"field": "text", "tokenizer": "simple",
+                   "out_field": "preanalyzed"}) \
+        .select_columns(["doc_id", "preanalyzed"])
+
+
+def _doc_per_line(sf_dir: str):
+    import ray.data as rd
+    from jesterj_ray.stages.fields import doc_per_line, regex_value_replace
+    ds = _doc(sf_dir, ["doc_id", "text"])
+    # documents text is single-line; break at each 'the' so the line-doc
+    # expansion (SimpleFileScanner doc-per-line mode) has real work
+    ds = ds.map_batches(regex_value_replace, batch_format="pyarrow",
+                        fn_kwargs={"field": "text", "regex": " the ",
+                                   "replacement": "\n"})
+    return ds.map_batches(doc_per_line, batch_format="pyarrow",
+                          fn_kwargs={"text_field": "text",
+                                     "keep_cols": ["doc_id"]})
+
+
 # ---------- driver contract ----------
 
 def entry() -> Any:
@@ -339,6 +423,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _simhash_pairs,
         "knn_cosine_top10": _knn,
         "knn_lsh_top10": _knn_lsh,
+        "json_extract_props": _json_extract,
+        "sql_scanner": _sql_scanner,
+        "status_sink": _status_sink,
+        "children_explode": _children_explode,
+        "pre_analyze": _pre_analyze,
+        "doc_per_line": _doc_per_line,
     }
 
 
@@ -501,8 +591,33 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e,
                    (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
             ORDER BY score DESC, vec_id LIMIT 10""",
+        "json_extract_props": """
+            SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events""",
+        "sql_scanner": """
+            SELECT 'duckdb://:memory:/documents/' || CAST(doc_id AS VARCHAR)
+                       AS doc_id, lang
+            FROM documents WHERE lang = 'en'""",
+        "status_sink": """
+            SELECT doc_id, sha256(text) AS content_sha256,
+                   'index' AS destination, 'INDEXED' AS status
+            FROM documents ORDER BY doc_id""",
+        "children_explode": """
+            SELECT CAST(p_partkey AS VARCHAR) || '⇛' || CAST(i - 1 AS VARCHAR)
+                       AS doc_id,
+                   CAST(p_partkey AS VARCHAR) AS parent_id,
+                   string_split(p_name, ' ')[i] AS word
+            FROM part, (SELECT unnest(range(1, 9)) AS i)
+            WHERE i <= length(string_split(p_name, ' '))""",
+        "doc_per_line": """
+            SELECT doc_id,
+                   string_split(regexp_replace(text, ' the ', chr(10), 'g'),
+                                chr(10))[i] AS line,
+                   CAST(i AS BIGINT) AS line_number
+            FROM documents, (SELECT unnest(range(1, 64)) AS i)
+            WHERE i <= length(string_split(
+                regexp_replace(text, ' the ', chr(10), 'g'), chr(10)))""",
         # url_encode / lang_id / fingerprint / minhash_lsh_pairs /
-        # simhash_pairs / knn_lsh_top10: no faithful ANSI-SQL equivalent
-        # (urlencode, heuristic models, signature hashing, approximate
-        # search) -> rows-only checks.
+        # simhash_pairs / knn_lsh_top10 / pre_analyze: no faithful ANSI-SQL
+        # equivalent (urlencode, heuristic models, signature hashing,
+        # approximate search, analyzer JSON) -> rows-only checks.
     }

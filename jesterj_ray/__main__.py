@@ -1,0 +1,119 @@
+"""CLI entry point — the ``java -jar jesterj.jar <plan> ...`` analog
+(reference ``ingest/Main.java:87-127``; docopt usage in
+``usage.docopts.txt``).
+
+    python -m jesterj_ray run PLAN.json [--out DIR] [--num-cpus N]
+    python -m jesterj_ray visualize PLAN.json          # -z analog: print DAG
+    python -m jesterj_ray build-index SRC.parquet OUT_DIR
+        [--text-col C] [--key-col C] [--tokenizer simple|code]
+    python -m jesterj_ray query INDEX_DIR "terms..." [-k N]
+
+Owns its Ray session (guarded init) — library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args) -> int:
+    from jesterj_ray.model.registry import load_plan_file
+    import ray
+    import ray.data as rd
+    plan = load_plan_file(args.plan)
+    _ray_init(args.num_cpus)
+    with open(args.plan) as f:
+        spec = json.load(f)
+    src = spec["source"]
+    ds = rd.read_parquet(src["parquet"], columns=src.get("columns"))
+    results = plan.execute(ds)
+    for leaf, out_ds in results.items():
+        out_path = f"{args.out}/{leaf}"
+        out_ds.write_parquet(out_path)
+        print(f"{leaf}: wrote {out_path}")
+    ray.shutdown()
+    return 0
+
+
+def cmd_visualize(args) -> int:
+    """-z analog: print the DAG instead of running it (Main.java:151-177
+    prints DOT every 5s; we print once)."""
+    from jesterj_ray.model.registry import load_plan_file
+    plan = load_plan_file(args.plan)
+    print(f"digraph {plan.name} {{")
+    for pred, succs in plan.edges.items():
+        for s in succs:
+            print(f'  "{pred}" -> "{s}";')
+    for root in plan.roots():
+        print(f'  "SOURCE" -> "{root}";')
+    print("}")
+    return 0
+
+
+def cmd_build_index(args) -> int:
+    import ray
+    from jesterj_ray.index.build_rows import build_index_rows
+    _ray_init(args.num_cpus)
+    stats = build_index_rows(args.src, args.out, text_col=args.text_col,
+                             key_col=args.key_col, tokenizer=args.tokenizer,
+                             docs_per_partition=args.docs_per_partition)
+    print(json.dumps(stats))
+    ray.shutdown()
+    return 0
+
+
+def cmd_query(args) -> int:
+    from jesterj_ray.index.query import IndexReader
+    reader = IndexReader(args.index_dir)
+    hits = reader.topk_pruned(args.query, args.k)
+    keys = reader.doc_keys(__import__("numpy").array([h[0] for h in hits]))
+    for rank, ((doc, score), key) in enumerate(zip(hits, keys), 1):
+        print(f"{rank}\t{key}\t{score:.6f}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="jesterj_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run")
+    r.add_argument("plan")
+    r.add_argument("--out", default="/tmp/jjray_out")
+    r.add_argument("--num-cpus", type=int, default=8)
+
+    v = sub.add_parser("visualize")
+    v.add_argument("plan")
+
+    b = sub.add_parser("build-index")
+    b.add_argument("src")
+    b.add_argument("out")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--key-col", default=None)
+    b.add_argument("--tokenizer", default="simple",
+                   choices=["simple", "code"])
+    b.add_argument("--docs-per-partition", type=int, default=50_000)
+    b.add_argument("--num-cpus", type=int, default=8)
+
+    q = sub.add_parser("query")
+    q.add_argument("index_dir")
+    q.add_argument("query")
+    q.add_argument("-k", type=int, default=10)
+
+    args = p.parse_args(argv)
+    return {"run": cmd_run, "visualize": cmd_visualize,
+            "build-index": cmd_build_index, "query": cmd_query}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

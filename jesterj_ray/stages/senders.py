@@ -1,0 +1,180 @@
+"""Sink/sender stages: status sink, batch sender shape, throttled fetcher.
+
+Reference analogs:
+- ``BatchProcessor`` (``ingest/processors/BatchProcessor.java:77-170``):
+  accumulate converted docs, flush by size/timer, bisect to per-doc
+  fallback on batch failure, BATCHED->INDEXING->INDEXED/ERROR statuses.
+  Ray's ``map_batches(batch_size=B)`` IS the accumulator; :class:`BatchSender`
+  keeps the convert/flush/per-doc-fallback hook shape for custom sinks.
+- Per-doc status rows (Cassandra ``jj_output_step_status``,
+  ``ScannerImpl.java:117-130``) -> :func:`write_doc_status` parquet sink
+  (FIXTURES.md F4 schema).
+- ``FetchUrl`` (``ingest/processors/FetchUrl.java:55-110``): GET the URL in
+  ``linkField`` with a per-host politeness throttle held in an LRU cache
+  (``visitedSiteCache``, ``:47``).  :class:`ThrottledFetcher` keeps the
+  real throttle state machine per actor; the network call itself is
+  injectable and stubbed here (no network in this environment).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import urllib.parse
+from collections import OrderedDict
+from typing import Callable, List, Optional, Sequence
+
+import pyarrow as pa
+
+from ..state.manifest import atomic_write_table
+
+STATUS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("content_sha256", pa.string()),
+    ("destination", pa.string()),
+    ("status", pa.string()),
+    ("message", pa.string()),
+    ("created", pa.timestamp("us")),
+])
+
+
+class StatusSink:
+    """map_batches sink stage: append per-doc status rows to a parquet
+    directory (one file per task call, content-addressed name -> idempotent
+    under Ray task retry, the potent-step discipline)."""
+
+    def __init__(self, out_dir: str, destination: str, status: str = "INDEXED",
+                 id_field: str = "doc_id", sha_field: str = "content_sha256"):
+        self.out_dir = out_dir
+        self.destination = destination
+        self.status = status
+        self.id_field = id_field
+        self.sha_field = sha_field
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        n = batch.num_rows
+        ids = batch[self.id_field].cast(pa.string())
+        shas = batch[self.sha_field].cast(pa.string()) \
+            if self.sha_field in batch.column_names \
+            else pa.array([""] * n, pa.string())
+        now = pa.array([int(time.time() * 1e6)] * n, pa.timestamp("us"))
+        t = pa.table({
+            "doc_id": ids, "content_sha256": shas,
+            "destination": pa.array([self.destination] * n, pa.string()),
+            "status": pa.array([self.status] * n, pa.string()),
+            "message": pa.array([""] * n, pa.string()),
+            "created": now,
+        })
+        # content-addressed filename: a retried task overwrites identically
+        key = hashlib.sha256(("|".join(ids.to_pylist())).encode()).hexdigest()[:16]
+        atomic_write_table(os.path.join(self.out_dir, f"status-{key}.parquet"), t)
+        return batch
+
+
+class BatchSender:
+    """The BatchProcessor hook shape: subclass and override.
+
+    - ``convert(batch) -> payloads``  (convertDoc analog)
+    - ``send(payloads)``              (batchOperation; raise on failure)
+    - ``send_one(payload)``           (individualFallbackOperation)
+
+    On ``send`` failure every payload retries individually; rows whose
+    individual send also fails are reported in the ``send_error`` column
+    instead of poisoning the batch (BatchProcessor.java:132-170).
+    """
+
+    def convert(self, batch: pa.Table) -> List:
+        return batch.to_pylist()
+
+    def send(self, payloads: List) -> None:
+        raise NotImplementedError
+
+    def send_one(self, payload) -> None:
+        self.send([payload])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = self.convert(batch)
+        errors: List[str] = [""] * len(payloads)
+        try:
+            self.send(payloads)
+        except Exception:
+            for i, p in enumerate(payloads):
+                try:
+                    self.send_one(p)
+                except Exception as e:  # per-doc fallback records the error
+                    errors[i] = str(e)[:200]
+        return batch.append_column("send_error", pa.array(errors, pa.string()))
+
+
+class ThrottledFetcher:
+    """Actor-pool stage: fetch ``link_field`` with per-host politeness.
+
+    State per actor: LRU {host: last_access_monotonic}; a fetch to a host
+    seen less than ``min_interval_s`` ago sleeps the remainder (FetchUrl's
+    visitedSiteCache throttle).  ``fetch_fn(url) -> (status:int,
+    body:bytes)`` is injectable; the default stub raises (no network in
+    this environment) unless ``fake=True`` (deterministic fake bodies).
+    """
+
+    def __init__(self, link_field: str = "url", min_interval_s: float = 0.1,
+                 cache_size: int = 50_000, fake: bool = True,
+                 fetch_fn: Optional[Callable] = None):
+        self.link_field = link_field
+        self.min_interval_s = min_interval_s
+        self.cache: "OrderedDict[str, float]" = OrderedDict()
+        self.cache_size = cache_size
+        if fetch_fn is not None:
+            self.fetch_fn = fetch_fn
+        elif fake:
+            self.fetch_fn = self._fake_fetch
+        else:
+            self.fetch_fn = self._no_network
+        self.sleeps = 0  # instrumentation for tests
+
+    @staticmethod
+    def _no_network(url: str):
+        raise NotImplementedError("no network access in this environment; "
+                                  "pass fetch_fn or fake=True")
+
+    @staticmethod
+    def _fake_fetch(url: str):
+        import hashlib
+        return 200, hashlib.blake2b(url.encode(), digest_size=16).hexdigest().encode()
+
+    def _throttle(self, host: str) -> None:
+        now = time.monotonic()
+        last = self.cache.get(host)
+        if last is not None:
+            wait = self.min_interval_s - (now - last)
+            if wait > 0:
+                self.sleeps += 1
+                time.sleep(wait)
+        self.cache[host] = time.monotonic()
+        self.cache.move_to_end(host)
+        if len(self.cache) > self.cache_size:
+            self.cache.popitem(last=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        statuses: List[int] = []
+        bodies: List[Optional[bytes]] = []
+        errors: List[str] = []
+        for url in batch[self.link_field].to_pylist():
+            host = urllib.parse.urlsplit(url or "").netloc
+            try:
+                self._throttle(host)
+                code, body = self.fetch_fn(url)
+                statuses.append(code)
+                bodies.append(body)
+                errors.append("")
+            except Exception as e:
+                statuses.append(-1)
+                bodies.append(None)
+                errors.append(str(e)[:200])
+        return (batch.append_column("http_status",
+                                    pa.array(statuses, pa.int32()))
+                     .append_column("raw_data",
+                                    pa.array(bodies, pa.large_binary()))
+                     .append_column("fetch_error",
+                                    pa.array(errors, pa.string())))
