@@ -230,6 +230,44 @@ def _sessionize(sf_dir: str):
     return sessionize_events(sf_dir)
 
 
+def _sliding_window(sf_dir: str):
+    from jesterj_ray.pipelines.relational import events_sliding_window
+    return events_sliding_window(sf_dir)
+
+
+def _top_docs(sf_dir: str):
+    from jesterj_ray.pipelines.relational import top_n_largest_docs
+    return top_n_largest_docs(sf_dir)
+
+
+def _distinct_langs(sf_dir: str):
+    from jesterj_ray.pipelines.relational import distinct_langs
+    return distinct_langs(sf_dir)
+
+
+def _top_terms_per_lang(sf_dir: str):
+    from jesterj_ray.pipelines.relational import top_terms_per_lang
+    return top_terms_per_lang(sf_dir)
+
+
+def _ngram_jaccard(sf_dir: str):
+    import pyarrow.parquet as pq
+    from jesterj_ray.stages.dedup import minhash_lsh_pairs, verify_jaccard_pairs
+    pairs = minhash_lsh_pairs(_doc(sf_dir, ["doc_id", "text"]),
+                              text_field="text", id_field="doc_id",
+                              threshold=0.5).to_pandas()
+    texts = dict(zip(*[pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])[c].to_pylist()
+        for c in ("doc_id", "text")]))
+    v = verify_jaccard_pairs(pairs, texts)
+    v = v[v["jaccard"] >= 0.5]
+    v["id_a"] = v["id_a"].astype(np.int64)
+    v["id_b"] = v["id_b"].astype(np.int64)
+    v["jaccard"] = v["jaccard"].round(6)
+    return v.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # ---------- dedup / ANN ----------
 
 def _minhash_pairs(sf_dir: str):
@@ -423,6 +461,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _simhash_pairs,
         "knn_cosine_top10": _knn,
         "knn_lsh_top10": _knn_lsh,
+        "events_sliding_window": _sliding_window,
+        "top_n_largest_docs": _top_docs,
+        "distinct_langs": _distinct_langs,
+        "top_terms_per_lang": _top_terms_per_lang,
+        "ngram_jaccard_pairs": _ngram_jaccard,
         "json_extract_props": _json_extract,
         "sql_scanner": _sql_scanner,
         "status_sink": _status_sink,
@@ -591,6 +634,29 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e,
                    (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
             ORDER BY score DESC, vec_id LIMIT 10""",
+        "events_sliding_window": """
+            SELECT event_type,
+                   to_timestamp(CAST(floor((epoch(ts) * 1000000 - off)
+                                           / 3600000000.0) AS BIGINT)
+                                * 3600 + off // 1000000)::TIMESTAMP
+                       AS window_start,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events, (SELECT unnest([CAST(0 AS BIGINT),
+                                         CAST(1800000000 AS BIGINT)]) AS off)
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start""",
+        "top_n_largest_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 15""",
+        "distinct_langs": "SELECT DISTINCT lang FROM documents ORDER BY lang",
+        "top_terms_per_lang": f"""
+            SELECT lang, term, tf FROM (
+              SELECT lang, term, count(*) AS tf,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY count(*) DESC, term) AS rn
+              FROM (SELECT lang, unnest({_TOKS}) AS term FROM documents)
+              GROUP BY lang, term)
+            WHERE rn <= 3 ORDER BY lang, term""",
         "json_extract_props": """
             SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events""",
         "sql_scanner": """

@@ -95,6 +95,90 @@ def events_tumbling_window(sf_dir: str):
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
+def events_sliding_window(sf_dir: str, width_s: int = 3600, hop_s: int = 1800):
+    """Sliding (hopping) window: width 1h, hop 30min — every event lands in
+    width/hop windows.  Implemented as a vectorized window-assignment
+    expansion inside map_batches (no per-row flat_map) + groupby."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "value"],
+                         override_num_blocks=16)
+    n_offsets = width_s // hop_s
+
+    def assign(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())  # microseconds
+        parts = []
+        for j in range(n_offsets):
+            off = j * hop_s * 1_000_000
+            ws = pc.multiply(pc.floor(pc.divide(
+                pc.cast(pc.subtract(epoch, off), pa.float64()),
+                float(width_s * 1_000_000))), float(width_s * 1_000_000))
+            ws = pc.add(pc.cast(ws, pa.int64()), off)
+            parts.append(pa.table({
+                "window_start": pc.cast(ws, pa.timestamp("us")),
+                "event_type": t["event_type"],
+                "value": t["value"]}))
+        return pa.concat_tables(parts)
+
+    out = ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]).aggregate(
+            Count(alias_name="n"),
+            Sum("value", alias_name="sum_value")).to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def top_n_largest_docs(sf_dir: str, n: int = 15):
+    """Global sort + limit (top-k by n_chars, doc_id tie-break)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"], override_num_blocks=8)
+    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]) \
+        .limit(n).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out
+
+
+def distinct_langs(sf_dir: str):
+    """Distinct values (Dataset.unique — a shuffle)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang"], override_num_blocks=8)
+    vals = sorted(ds.unique("lang"))
+    return pd.DataFrame({"lang": vals})
+
+
+def top_terms_per_lang(sf_dir: str, n: int = 3):
+    """Per-group top-N terms by total frequency: partial counts inside
+    map_batches (one row per (lang, term) per batch), a small groupby over
+    the partials, then per-lang head(n) — the pre-aggregate-then-shuffle
+    pattern."""
+    from jesterj_ray.tokenize.tokenizer import simple_tokenize
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "text"], override_num_blocks=8)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        langs, terms = [], []
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for term in simple_tokenize(text or ""):
+                langs.append(lang)
+                terms.append(term)
+        df = pd.DataFrame({"lang": langs, "term": terms})
+        agg = df.groupby(["lang", "term"], sort=False).size() \
+            .reset_index(name="tf_part")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow")
+    totals = partials.groupby(["lang", "term"]).aggregate(
+        Sum("tf_part", alias_name="tf")).to_pandas()
+
+    def topn(g):
+        return g.sort_values(["tf", "term"], ascending=[False, True]).head(n)
+
+    out = totals.groupby("lang", group_keys=False)[
+        ["lang", "term", "tf"]].apply(topn)
+    out["tf"] = out["tf"].astype(np.int64)
+    return out.sort_values(["lang", "term"]).reset_index(drop=True)
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user: a new session starts when the gap from the
     previous event exceeds ``gap_minutes``.  Implemented as

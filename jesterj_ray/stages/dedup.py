@@ -97,36 +97,101 @@ def exact_dedup(ds: "ray.data.Dataset", *, field: str, order_col: str,
 # ---- MinHash + LSH ----
 
 def _hash_params(seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
+    # multiply-shift permutations: x -> a*x + b (mod 2^64) with a ODD is a
+    # BIJECTION of the u64 key space, so min over it is a true minhash
+    # permutation — no mod-p needed, fully vectorizable with wrapping u64
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=NUM_HASHES, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=NUM_HASHES, dtype=np.int64).astype(np.uint64)
+    a = (rng.integers(1, 2**62, size=NUM_HASHES, dtype=np.int64)
+         .astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**62, size=NUM_HASHES, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
 _A, _B = _hash_params()
+_EMPTY_SIG_VAL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _shingles(text: str, k: int) -> np.ndarray:
-    """Word k-shingles hashed to u64 (stable: blake2b of the joined shingle)."""
-    words = text.split()
-    if len(words) < k:
-        shards = [" ".join(words)] if words else []
+def _token_hashes(tokens: List[str]) -> np.ndarray:
+    """Stable u64 hash per token (blake2b), computed once per UNIQUE token."""
+    codes, uniques = pd.factorize(np.asarray(tokens, dtype=object), sort=False)
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8).digest(),
+                        "little") for u in uniques),
+        dtype=np.uint64, count=len(uniques))
+    return uh[codes]
+
+
+def _batch_signatures(texts: List[str], k: int) -> np.ndarray:
+    """Vectorized minhash for a whole batch: shingle hashes are combined
+    from consecutive token hashes on ONE flat array (boundary-masked), and
+    per-doc minima come from ``np.minimum.reduceat`` — no per-doc loop."""
+    n = len(texts)
+    sigs = np.full((n, NUM_HASHES), _EMPTY_SIG_VAL, dtype=np.uint64)
+    toks_per_doc = [(t or "").split() for t in texts]
+    lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=n)
+    flat_tokens = [tok for doc in toks_per_doc for tok in doc]
+    if not flat_tokens:
+        return sigs
+    th = _token_hashes(flat_tokens)
+    # shingle hash over k consecutive token hashes (order-sensitive mix)
+    mix = np.array([(0x9E3779B97F4A7C15 * (i + 1) | 1) & 0xFFFFFFFFFFFFFFFF
+                    for i in range(k)], dtype=np.uint64)
+    m = th.size
+    if m >= k:
+        sh = th[: m - k + 1] * mix[0]
+        for j in range(1, k):
+            sh = sh ^ (th[j: m - k + 1 + j] * mix[j])
     else:
-        shards = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    out = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-         for s in set(shards)), dtype=np.uint64, count=len(set(shards)))
-    return out
+        sh = np.empty(0, dtype=np.uint64)
+    # mask shingles that cross doc boundaries; docs shorter than k use the
+    # whole-doc token-hash mix of what they have
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    doc_of = np.repeat(np.arange(n), lens)
+    valid_doc, shingle_vals = [], []
+    for d in range(n):
+        lo, hi = starts[d], ends[d]
+        if lens[d] >= k:
+            seg = sh[lo: hi - k + 1]
+        elif lens[d] > 0:
+            v = th[lo] * mix[0]
+            for j in range(1, lens[d]):
+                v = v ^ (th[lo + j] * mix[j])
+            seg = np.array([v], dtype=np.uint64)
+        else:
+            continue
+        valid_doc.append(np.full(seg.size, d, dtype=np.int64))
+        shingle_vals.append(seg)
+    if not shingle_vals:
+        return sigs
+    flat_sh = np.concatenate(shingle_vals)
+    flat_doc = np.concatenate(valid_doc)
+    # docs are contiguous in flat order -> reduceat over doc starts
+    doc_ids_present, first_idx = np.unique(flat_doc, return_index=True)
+    for i in range(NUM_HASHES):
+        perm = flat_sh * _A[i] + _B[i]          # u64 wraparound = bijection
+        mins = np.minimum.reduceat(perm, first_idx)
+        sigs[doc_ids_present, i] = mins
+    return sigs
 
 
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
     """NUM_HASHES-wide minhash signature (u64) of the word-k-shingle set."""
-    sh = _shingles(text, k)
-    if sh.size == 0:
-        return np.full(NUM_HASHES, np.uint64(_MERSENNE), dtype=np.uint64)
-    # universal hash h_i(x) = (a_i * x + b_i) mod p, vectorized over shingles
-    prod = (sh[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_MERSENNE)
-    return prod.min(axis=1)
+    return _batch_signatures([text], k)[0]
+
+
+def _band_hashes(sigs: np.ndarray) -> np.ndarray:
+    """Hash each band's rows to one u64 (vectorized mix, not per-row)."""
+    n = sigs.shape[0]
+    out = np.zeros((n, NUM_BANDS), dtype=np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    for bi in range(NUM_BANDS):
+        band = sigs[:, bi * ROWS_PER_BAND:(bi + 1) * ROWS_PER_BAND]
+        acc = np.zeros(n, dtype=np.uint64)
+        for ri in range(ROWS_PER_BAND):
+            acc = (acc ^ band[:, ri]) * mult
+        out[:, bi] = acc
+    return out
 
 
 class MinHasher:
@@ -139,16 +204,8 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_field].to_pylist()
-        sigs = np.stack([minhash_signature(t or "", self.k) for t in texts]) \
-            if texts else np.empty((0, NUM_HASHES), dtype=np.uint64)
-        # band hash = blake2b over the band's row values
-        band_hashes = np.empty((len(texts), NUM_BANDS), dtype=np.uint64)
-        for bi in range(NUM_BANDS):
-            band = sigs[:, bi * ROWS_PER_BAND:(bi + 1) * ROWS_PER_BAND]
-            for ri in range(band.shape[0]):
-                band_hashes[ri, bi] = int.from_bytes(
-                    hashlib.blake2b(band[ri].tobytes(), digest_size=8).digest(),
-                    "little")
+        sigs = _batch_signatures(texts, self.k)
+        band_hashes = _band_hashes(sigs)
         return pa.table({
             self.id_field: batch[self.id_field],
             "sig": pa.array(list(sigs), pa.list_(pa.uint64(), NUM_HASHES)),
