@@ -239,10 +239,16 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
             "status": STATUS_INDEXED}
 
 
-def make_shard_writer(out_dir: str):
+def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
     """Stage 2 fn: merge one shard's runs (already on disk, one file per
     partition under runs/shard-<s>/) into a segment file.  No shuffle: the
-    stage-1 tasks partitioned the runs by term shard at write time."""
+    stage-1 tasks partitioned the runs by term shard at write time.
+
+    A term whose postings exceed ``chunk_target`` is emitted as MULTIPLE
+    segment rows (term, chunk) in ascending doc order, so the merge never
+    materializes a hot term's full posting list (at 10^12 docs ``import``
+    would be tens of GB) — the bounded-memory answer to term skew on the
+    merge side; the query engine concatenates chunks at read time."""
     from .codec import encode_postings, varbyte_decode
 
     def shard_writer(batch: pd.DataFrame) -> pd.DataFrame:
@@ -269,27 +275,16 @@ def make_shard_writer(out_dir: str):
         else:
             g = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
         g = g.sort_values(["term", "first_doc"], kind="mergesort")
-        out = {"term": [], "df": [], "cf": [], "count": [], "doc_blob": [],
-               "tf_blob": [], "block_last": [], "block_max_tf": [],
-               "block_doc_off": [], "block_tf_off": []}
-        terms = g["term"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1]]) \
-            if terms.size else np.empty(0, dtype=np.int64)
-        ends = np.r_[starts[1:], terms.size] if terms.size else starts
-        for s, e in zip(starts, ends):
-            sub = g.iloc[s:e]
-            doc_parts, tf_parts = [], []
-            for _, r in sub.iterrows():
-                n = int(r["count"])
-                d = np.cumsum(varbyte_decode(r["doc_blob"], n).astype(np.int64))
-                t = varbyte_decode(r["tf_blob"], n).astype(np.int64)
-                doc_parts.append(d)
-                tf_parts.append(t)
+        out = {"term": [], "chunk": [], "df": [], "cf": [], "count": [],
+               "doc_blob": [], "tf_blob": [], "block_last": [],
+               "block_max_tf": [], "block_doc_off": [], "block_tf_off": []}
+
+        def emit(term, chunk_id, doc_parts, tf_parts):
             docs = np.concatenate(doc_parts)
             tfs = np.concatenate(tf_parts)
-            # partitions hold disjoint doc ranges in ascending pid order
             doc_blob, tf_blob, bl, bm, doff, toff = encode_postings(docs, tfs)
-            out["term"].append(terms[s])
+            out["term"].append(term)
+            out["chunk"].append(chunk_id)
             out["df"].append(docs.size)
             out["cf"].append(int(tfs.sum()))
             out["count"].append(docs.size)
@@ -299,8 +294,33 @@ def make_shard_writer(out_dir: str):
             out["block_max_tf"].append(bm.tolist())
             out["block_doc_off"].append(doff.tolist())
             out["block_tf_off"].append(toff.tolist())
+
+        terms = g["term"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1]]) \
+            if terms.size else np.empty(0, dtype=np.int64)
+        ends = np.r_[starts[1:], terms.size] if terms.size else starts
+        for s, e in zip(starts, ends):
+            sub = g.iloc[s:e]
+            doc_parts, tf_parts = [], []
+            acc = 0
+            chunk_id = 0
+            for _, r in sub.iterrows():
+                n = int(r["count"])
+                d = np.cumsum(varbyte_decode(r["doc_blob"], n).astype(np.int64))
+                t = varbyte_decode(r["tf_blob"], n).astype(np.int64)
+                doc_parts.append(d)
+                tf_parts.append(t)
+                acc += n
+                if acc >= chunk_target:
+                    emit(terms[s], chunk_id, doc_parts, tf_parts)
+                    doc_parts, tf_parts = [], []
+                    acc = 0
+                    chunk_id += 1
+            if doc_parts:
+                emit(terms[s], chunk_id, doc_parts, tf_parts)
         seg = pa.table({
             "term": pa.array(out["term"], pa.string()),
+            "chunk": pa.array(out["chunk"], pa.int32()),
             "df": pa.array(out["df"], pa.int64()),
             "cf": pa.array(out["cf"], pa.int64()),
             "count": pa.array(out["count"], pa.int64()),
@@ -320,7 +340,8 @@ def make_shard_writer(out_dir: str):
     return shard_writer
 
 
-def merge_runs(out_dir: str, num_shards: int) -> None:
+def merge_runs(out_dir: str, num_shards: int,
+               chunk_target: int = 1 << 20) -> None:
     """Stage 2: merge per-partition runs into term-sharded segments — one
     task per shard, each reading only its pre-partitioned run files (no
     shuffle).  The merge manifest is valid only for the exact run-set it
@@ -348,7 +369,7 @@ def merge_runs(out_dir: str, num_shards: int) -> None:
         if os.path.isdir(merge_dir):
             for name in os.listdir(merge_dir):
                 os.unlink(os.path.join(merge_dir, name))
-    writer = make_shard_writer(out_dir)
+    writer = make_shard_writer(out_dir, chunk_target)
     shards = ray.data.from_items([{"shard": s} for s in range(num_shards)],
                                  override_num_blocks=num_shards)
     shards.map_batches(writer, batch_format="pandas",

@@ -68,6 +68,15 @@ def plan_row_partitions(paths: List[str], docs_per_partition: int = 50_000
     return parts
 
 
+def _part_fingerprint(part: Dict) -> str:
+    """Input fingerprint of one partition: path + row groups + planned rows
+    + file size/mtime, so a changed input slice invalidates its commit."""
+    st = os.stat(part["path"])
+    return hashlib.sha256(
+        f"{part['path']}|{list(part['row_groups'])}|{part['rows']}"
+        f"|{st.st_size}|{int(st.st_mtime)}".encode()).hexdigest()
+
+
 def make_row_indexer(out_dir: str, *, tokenizer: str, text_col: str,
                      key_col: Optional[str], num_shards: int = 8,
                      fail_pids: Optional[List[int]] = None):
@@ -107,9 +116,7 @@ def make_row_indexer(out_dir: str, *, tokenizer: str, text_col: str,
                 g["content_sha256"] = [
                     hashlib.sha256((x or "").encode()).hexdigest()
                     for x in g[text_col]]
-                fingerprint = hashlib.sha256(
-                    f"{part['path']}|{list(part['row_groups'])}|{len(g)}"
-                    .encode()).hexdigest()
+                fingerprint = _part_fingerprint(part)
                 rec = _index_partition_tables(
                     g, pid, out_dir, tok, text_col,
                     sort_rows=False, fingerprint=fingerprint,
@@ -141,8 +148,18 @@ def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
         paths = [paths]
     parts = plan_row_partitions(paths, docs_per_partition)
     man = Manifest(out_dir, "build")
-    done = set(man.completed_partitions()) if resume else set()
-    todo = [p for p in parts if p["pid"] not in done]
+    recs = man.all() if resume else {}
+    todo = []
+    for p in parts:
+        rec = recs.get(p["pid"])
+        if rec and rec.get("status") == STATUS_INDEXED and \
+                rec.get("input_fingerprint") == _part_fingerprint(p):
+            continue  # committed AND the input slice is unchanged
+        if rec and rec.get("status") == STATUS_INDEXED:
+            # input changed under a committed partition: invalidate so the
+            # indexer rebuilds it (incremental re-index of changed slices)
+            os.unlink(os.path.join(man.dir, f"part-{p['pid']:05d}.json"))
+        todo.append(p)
 
     if todo:
         items = ray.data.from_items(todo, override_num_blocks=len(todo))

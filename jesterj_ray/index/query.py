@@ -105,13 +105,21 @@ class IndexReader:
         return int(hashlib.sha256(term.encode()).hexdigest()[:8], 16) % self.num_shards
 
     def _load_shard(self, shard: int):
-        """(term -> row index dict, arrow table); blobs stay in Arrow until
-        a term is actually queried."""
+        """(term -> [row indices by chunk] dict, arrow table); blobs stay in
+        Arrow until a term is actually queried.  Hot terms can span multiple
+        (term, chunk) rows — chunks are in ascending doc order."""
         if shard not in self._shard_cache:
             path = os.path.join(self.dir, "segments", f"shard-{shard:04d}.parquet")
             if os.path.exists(path):
                 t = pq.read_table(path)
-                lookup = {term: i for i, term in enumerate(t["term"].to_pylist())}
+                lookup: Dict[str, list] = {}
+                chunks = t["chunk"].to_pylist() if "chunk" in t.column_names \
+                    else [0] * t.num_rows
+                for i, (term, ch) in enumerate(zip(t["term"].to_pylist(),
+                                                   chunks)):
+                    lookup.setdefault(term, []).append((ch, i))
+                for term in lookup:
+                    lookup[term] = [i for _, i in sorted(lookup[term])]
                 self._shard_cache[shard] = (lookup, t)
             else:
                 self._shard_cache[shard] = ({}, None)
@@ -131,11 +139,10 @@ class IndexReader:
 
     def _term_entry_uncached(self, term: str) -> Optional[dict]:
         lookup, t = self._load_shard(self._shard_of(term))
-        i = lookup.get(term)
-        if i is None:
+        rows = lookup.get(term)
+        if rows is None:
             return None
-        return {
-            "df": t["df"][i].as_py(), "cf": t["cf"][i].as_py(),
+        chunks = [{
             "count": t["count"][i].as_py(),
             "doc_blob": t["doc_blob"][i].as_py(),
             "tf_blob": t["tf_blob"][i].as_py(),
@@ -143,6 +150,12 @@ class IndexReader:
             "block_max_tf": np.asarray(t["block_max_tf"][i].as_py(), dtype=np.int64),
             "block_doc_off": np.asarray(t["block_doc_off"][i].as_py(), dtype=np.int64),
             "block_tf_off": np.asarray(t["block_tf_off"][i].as_py(), dtype=np.int64),
+        } for i in rows]
+        return {
+            "df": sum(t["df"][i].as_py() for i in rows),
+            "cf": sum(t["cf"][i].as_py() for i in rows),
+            "count": sum(c["count"] for c in chunks),
+            "chunks": chunks,
         }
 
     def postings(self, term: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -153,9 +166,14 @@ class IndexReader:
         e = self.term_entry(term)
         if e is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        n = e["count"]
-        docs = np.cumsum(varbyte_decode(e["doc_blob"], n).astype(np.int64))
-        tfs = varbyte_decode(e["tf_blob"], n).astype(np.int64)
+        doc_parts, tf_parts = [], []
+        for c in e["chunks"]:  # chunks ascend in doc order
+            n = c["count"]
+            doc_parts.append(np.cumsum(varbyte_decode(c["doc_blob"], n)
+                                       .astype(np.int64)))
+            tf_parts.append(varbyte_decode(c["tf_blob"], n).astype(np.int64))
+        docs = np.concatenate(doc_parts)
+        tfs = np.concatenate(tf_parts)
         self._postings_cache[term] = (docs, tfs)
         if len(self._postings_cache) > self._postings_cache_max:
             self._postings_cache.popitem(last=False)
@@ -304,7 +322,20 @@ class IndexReader:
     def _decode_blocks_covering(self, e: dict, targets: np.ndarray
                                 ) -> Tuple[np.ndarray, np.ndarray]:
         """Decode ONLY the posting blocks whose doc range may contain
-        ``targets`` — per-block byte offsets (block_doc_off/block_tf_off)
+        ``targets`` across all of the term's chunks."""
+        doc_parts, tf_parts = [], []
+        for c in e["chunks"]:
+            d, t = self._decode_chunk_blocks(c, targets)
+            if d.size:
+                doc_parts.append(d)
+                tf_parts.append(t)
+        if not doc_parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.concatenate(doc_parts), np.concatenate(tf_parts)
+
+    def _decode_chunk_blocks(self, e: dict, targets: np.ndarray
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+        """One chunk: per-block byte offsets (block_doc_off/block_tf_off)
         let us slice the varbyte blob without touching skipped bytes; a
         block's deltas cumsum from block_last[b-1]."""
         bl = e["block_last"]

@@ -134,3 +134,47 @@ def test_empty_and_comment_docs_counted(built, oracle):
     reader = IndexReader(out)
     dls = reader.doc_len(np.array(zero_dl, dtype=np.int64))
     assert (dls == 0).all()
+
+
+def test_chunked_hot_term_merge(small_corpus, tmp_path):
+    """A tiny chunk_target forces hot terms into multiple (term, chunk)
+    segment rows; queries must be identical to the single-chunk index
+    (bounded-memory merge for 10^12-doc hot terms)."""
+    import os
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from jesterj_ray.index.build import (make_partition_indexer, merge_runs,
+                                         add_sha_and_partition)
+    from jesterj_ray.index.build_rows import build_index_rows
+    import pyarrow as _pa
+
+    src = str(tmp_path / "corpus.parquet")
+    pq.write_table(small_corpus, src, row_group_size=64)
+    a, b = str(tmp_path / "one"), str(tmp_path / "many")
+    build_index_rows(src, a, text_col="content", tokenizer="code",
+                     docs_per_partition=64, num_shards=4)
+    # second build with a 50-posting chunk target
+    from jesterj_ray.index import build as build_mod
+    build_index_rows(src, b, text_col="content", tokenizer="code",
+                     docs_per_partition=64, num_shards=4)
+    # re-merge b with tiny chunks
+    for f in os.listdir(os.path.join(b, "manifest", "merge")):
+        os.unlink(os.path.join(b, "manifest", "merge", f))
+    os.unlink(os.path.join(b, "merge_fingerprint.json"))
+    merge_runs(b, 4, chunk_target=50)
+
+    ra, rb = IndexReader(a), IndexReader(b)
+    # 'import' is hot: must be chunked in b
+    eb = rb.term_entry("import")
+    assert eb is not None and len(eb["chunks"]) > 1
+    ea = ra.term_entry("import")
+    assert ea["df"] == eb["df"] and ea["count"] == eb["count"]
+    da, ta = ra.postings("import")
+    db, tb = rb.postings("import")
+    assert np.array_equal(da, db) and np.array_equal(ta, tb)
+    for q in REFERENCE_QUERIES:
+        ha = ra.topk(q["query"], q["k"])
+        hb = rb.topk(q["query"], q["k"])
+        hbp = rb.topk_pruned(q["query"], q["k"])
+        assert ha == hb
+        assert [x[0] for x in hb] == [x[0] for x in hbp]

@@ -96,3 +96,40 @@ def test_manifest_atomic_commit(tmp_path):
     # no temp files left behind
     leftover = [f for f in os.listdir(man.dir) if f.startswith(".tmp")]
     assert leftover == []
+
+
+def test_rows_resume_invalidates_on_input_change(tmp_path, small_corpus):
+    """Fingerprint-validated resume: a committed partition whose input
+    slice changed is rebuilt; unchanged partitions are skipped."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import time
+    from jesterj_ray.index.build_rows import build_index_rows
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(small_corpus, src, row_group_size=64)
+    out = str(tmp_path / "idx")
+    s1 = build_index_rows(src, out, text_col="content", tokenizer="code",
+                          docs_per_partition=64, num_shards=4)
+    # no-op resume: nothing rebuilt
+    man = Manifest(out, "build")
+    before = {p: man.read(p)["input_fingerprint"]
+              for p in man.completed_partitions()}
+    build_index_rows(src, out, text_col="content", tokenizer="code",
+                     docs_per_partition=64, num_shards=4)
+    # rewrite the source with one changed row (same shape/row count)
+    df = small_corpus.to_pandas()
+    df.loc[0, "content"] = "changed_token_xyz only"
+    time.sleep(1.1)  # ensure mtime advances at 1s resolution
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src,
+                   row_group_size=64)
+    s2 = build_index_rows(src, out, text_col="content", tokenizer="code",
+                          docs_per_partition=64, num_shards=4)
+    man2 = Manifest(out, "build")
+    after = {p: man2.read(p)["input_fingerprint"]
+             for p in man2.completed_partitions()}
+    assert before != after            # fingerprints rotated with the input
+    # the changed token is now searchable
+    from jesterj_ray.index.query import IndexReader
+    r = IndexReader(out)
+    docs, _ = r.postings("xyz")
+    assert docs.size == 1
