@@ -208,6 +208,11 @@ def _bm25_topk_exhaustive(sf_dir: str):
     return bm25_topk_documents(sf_dir, pruned=False)
 
 
+def _phrase_topk(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import phrase_topk_documents
+    return phrase_topk_documents(sf_dir, "merge sort", 10)
+
+
 # ---------- relational / streaming ----------
 
 def _q1(sf_dir: str):
@@ -457,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_postings_merge": _term_postings,
         "bm25_topk": _bm25_topk,
         "bm25_topk_exhaustive": _bm25_topk_exhaustive,
+        "phrase_topk": _phrase_topk,
         "minhash_lsh_pairs": _minhash_pairs,
         "simhash_pairs": _simhash_pairs,
         "knn_cosine_top10": _knn,
@@ -624,6 +630,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE term = 'merge' GROUP BY doc_id ORDER BY doc_id""",
         "bm25_topk": _bm25_sql(),
         "bm25_topk_exhaustive": _bm25_sql(),
+        "phrase_topk": f"""
+WITH dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+matched AS (
+  SELECT doc_id FROM documents
+  WHERE regexp_matches(lower(text),
+        '(^|[^a-z0-9])merge[^a-z0-9]+sort($|[^a-z0-9])')
+),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT t.term, t.doc_id, count(*) AS tf FROM toks t
+  WHERE t.term IN ('merge', 'sort') GROUP BY t.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ('merge', 'sort') GROUP BY term
+),
+scores AS (
+  SELECT m.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM matched m
+  JOIN tf ON tf.doc_id = m.doc_id
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
         "knn_cosine_top10": """
             SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT)
                        AS rank, vec_id, score FROM (

@@ -81,6 +81,28 @@ class BruteForceIndex:
         scores = self.score_all(query)
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def phrase_topk(self, query: str, k: int = 10,
+                    token_streams: Dict[int, List[str]] = None
+                    ) -> List[Tuple[int, float]]:
+        """Exact-phrase oracle: docs whose token stream contains the query
+        tokens consecutively, ranked by BM25 over the phrase's distinct
+        terms (ascending docID ties).  ``token_streams`` maps docID ->
+        token list (callers keep it; the index itself stores only tf)."""
+        terms = self.tokenizer(query)
+        if not terms:
+            return []
+        if len(terms) == 1:
+            return self.topk(query, k)
+        matched = []
+        for did, toks in token_streams.items():
+            for i in range(len(toks) - len(terms) + 1):
+                if toks[i:i + len(terms)] == terms:
+                    matched.append(did)
+                    break
+        scores = self.score_all(" ".join(dedup_keep_order(terms)))
+        hits = [(d, scores.get(d, 0.0)) for d in matched]
+        return sorted(hits, key=lambda kv: (-kv[1], kv[0]))[:k]
+
 
 def bm25_term_scores(tfs: np.ndarray, dls: np.ndarray, n_docs: int, df: int,
                      avgdl: float) -> np.ndarray:

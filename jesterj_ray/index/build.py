@@ -88,6 +88,7 @@ def add_sha_and_partition(batch: pa.Table, *, num_partitions: int,
 
 def make_partition_indexer(out_dir: str, *, tokenizer: str, text_col: str,
                            dedup: bool, num_shards: int = 8,
+                           positions: bool = False,
                            fail_pids: Optional[List[int]] = None):
     """Returns the map_groups fn for stage 1 (one call per pid group).
 
@@ -113,7 +114,7 @@ def make_partition_indexer(out_dir: str, *, tokenizer: str, text_col: str,
             if attempt > MAX_ATTEMPTS:
                 raise RuntimeError("max attempts exceeded")
             return _index_partition(g, pid, man, out_dir, tok, text_col,
-                                    dedup, num_shards, attempt)
+                                    dedup, num_shards, attempt, positions)
         except Exception as e:  # quarantine: record ERROR/DEAD, re-raise unless DEAD
             status = STATUS_DEAD if attempt >= MAX_ATTEMPTS else "ERROR"
             man.commit(pid, status=status, attempt=attempt, message=str(e)[:500])
@@ -129,7 +130,7 @@ def make_partition_indexer(out_dir: str, *, tokenizer: str, text_col: str,
 
 def _index_partition(g: pd.DataFrame, pid: int, man: Manifest, out_dir: str,
                      tok, text_col: str, dedup: bool, num_shards: int,
-                     attempt: int) -> pd.DataFrame:
+                     attempt: int, positions: bool = False) -> pd.DataFrame:
     fingerprint = hashlib.sha256(
         ("|".join(sorted(g["doc_key"])) + f"#{len(g)}").encode()).hexdigest()
     if dedup:
@@ -140,14 +141,15 @@ def _index_partition(g: pd.DataFrame, pid: int, man: Manifest, out_dir: str,
     rec = _index_partition_tables(g, pid, out_dir, tok, text_col,
                                   sort_rows=True, fingerprint=fingerprint,
                                   attempt=attempt, manifest=man,
-                                  num_shards=num_shards)
+                                  num_shards=num_shards, positions=positions)
     return pd.DataFrame([rec])
 
 
 def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
                             tok, text_col: str, *, sort_rows: bool,
                             fingerprint: str, attempt: int,
-                            manifest: Manifest, num_shards: int = 8) -> Dict:
+                            manifest: Manifest, num_shards: int = 8,
+                            positions: bool = False) -> Dict:
     """Tokenize one partition's docs, write its run + doc table atomically,
     commit the manifest row.  ``g`` must carry doc_key and content_sha256
     columns.  Returns the metrics record."""
@@ -169,7 +171,7 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
 
     from .codec import varbyte_encode
     rows = {"term": [], "count": [], "cf": [], "first_doc": [], "last_doc": [],
-            "doc_blob": [], "tf_blob": []}
+            "doc_blob": [], "tf_blob": [], "pos_blob": []}
     if flat:
         codes, uniques = pd.factorize(np.asarray(flat, dtype=object),
                                       sort=False)
@@ -179,8 +181,23 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
         t_idx = uk // n_g
         docs_arr = doc_ids[uk % n_g]  # ascending within each term run
         uniques = np.asarray(uniques, dtype=object)
+        if positions:
+            # token position within its doc, grouped by (term, doc) pair in
+            # the same order as uk: delta-encoded per pair (restarting), so
+            # blobs concatenate across runs/chunks without re-encoding
+            doc_starts_flat = np.repeat(np.cumsum(dls) - dls, dls)
+            pos_in_doc = np.arange(local.size, dtype=np.int64) - doc_starts_flat
+            order = np.argsort(key, kind="stable")
+            pos_sorted = pos_in_doc[order]
+            pair_starts = np.cumsum(tfs_arr) - tfs_arr
+            pos_deltas = pos_sorted.copy()
+            inner = np.ones(pos_sorted.size, dtype=bool)
+            inner[pair_starts] = False
+            pos_deltas[inner] = pos_sorted[inner] - pos_sorted[
+                np.flatnonzero(inner) - 1]
         starts = np.flatnonzero(np.r_[True, t_idx[1:] != t_idx[:-1]])
         ends = np.r_[starts[1:], t_idx.size]
+        pair_ends = np.cumsum(tfs_arr)
         for s, e in zip(starts, ends):
             d = docs_arr[s:e]
             t = tfs_arr[s:e]
@@ -194,8 +211,13 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
             rows["last_doc"].append(int(d[-1]))
             rows["doc_blob"].append(varbyte_encode(deltas.astype(np.uint64)))
             rows["tf_blob"].append(varbyte_encode(t.astype(np.uint64)))
+            if positions:
+                lo = pair_ends[s] - tfs_arr[s]
+                hi = pair_ends[e - 1]
+                rows["pos_blob"].append(
+                    varbyte_encode(pos_deltas[lo:hi].astype(np.uint64)))
 
-    run_table = pa.table({
+    run_cols = {
         "term": pa.array(rows["term"], pa.string()),
         "pid": pa.array([pid] * len(rows["term"]), pa.int64()),
         "count": pa.array(rows["count"], pa.int64()),
@@ -204,7 +226,10 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
         "last_doc": pa.array(rows["last_doc"], pa.int64()),
         "doc_blob": pa.array(rows["doc_blob"], pa.binary()),
         "tf_blob": pa.array(rows["tf_blob"], pa.binary()),
-    })
+    }
+    if positions:
+        run_cols["pos_blob"] = pa.array(rows["pos_blob"], pa.binary())
+    run_table = pa.table(run_cols)
     meta_cols = [c for c in ("repo", "path", "commit", "lang", "source")
                  if c in g.columns]
     doc_table = pa.table(
@@ -275,11 +300,14 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
         else:
             g = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
         g = g.sort_values(["term", "first_doc"], kind="mergesort")
+        has_pos = "pos_blob" in g.columns
         out = {"term": [], "chunk": [], "df": [], "cf": [], "count": [],
                "doc_blob": [], "tf_blob": [], "block_last": [],
                "block_max_tf": [], "block_doc_off": [], "block_tf_off": []}
+        if has_pos:
+            out["pos_blob"] = []
 
-        def emit(term, chunk_id, doc_parts, tf_parts):
+        def emit(term, chunk_id, doc_parts, tf_parts, pos_parts=()):
             docs = np.concatenate(doc_parts)
             tfs = np.concatenate(tf_parts)
             doc_blob, tf_blob, bl, bm, doff, toff = encode_postings(docs, tfs)
@@ -294,6 +322,10 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
             out["block_max_tf"].append(bm.tolist())
             out["block_doc_off"].append(doff.tolist())
             out["block_tf_off"].append(toff.tolist())
+            if has_pos:
+                # per-(term,doc) position deltas restart, so run blobs
+                # concatenate in doc order without re-encoding
+                out["pos_blob"].append(b"".join(pos_parts))
 
         terms = g["term"].to_numpy()
         starts = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1]]) \
@@ -301,7 +333,7 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
         ends = np.r_[starts[1:], terms.size] if terms.size else starts
         for s, e in zip(starts, ends):
             sub = g.iloc[s:e]
-            doc_parts, tf_parts = [], []
+            doc_parts, tf_parts, pos_parts = [], [], []
             acc = 0
             chunk_id = 0
             for _, r in sub.iterrows():
@@ -310,15 +342,17 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
                 t = varbyte_decode(r["tf_blob"], n).astype(np.int64)
                 doc_parts.append(d)
                 tf_parts.append(t)
+                if has_pos:
+                    pos_parts.append(r["pos_blob"])
                 acc += n
                 if acc >= chunk_target:
-                    emit(terms[s], chunk_id, doc_parts, tf_parts)
-                    doc_parts, tf_parts = [], []
+                    emit(terms[s], chunk_id, doc_parts, tf_parts, pos_parts)
+                    doc_parts, tf_parts, pos_parts = [], [], []
                     acc = 0
                     chunk_id += 1
             if doc_parts:
-                emit(terms[s], chunk_id, doc_parts, tf_parts)
-        seg = pa.table({
+                emit(terms[s], chunk_id, doc_parts, tf_parts, pos_parts)
+        seg_cols = {
             "term": pa.array(out["term"], pa.string()),
             "chunk": pa.array(out["chunk"], pa.int32()),
             "df": pa.array(out["df"], pa.int64()),
@@ -330,7 +364,10 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
             "block_max_tf": pa.array(out["block_max_tf"], pa.list_(pa.int64())),
             "block_doc_off": pa.array(out["block_doc_off"], pa.list_(pa.int64())),
             "block_tf_off": pa.array(out["block_tf_off"], pa.list_(pa.int64())),
-        })
+        }
+        if has_pos:
+            seg_cols["pos_blob"] = pa.array(out["pos_blob"], pa.binary())
+        seg = pa.table(seg_cols)
         path = os.path.join(out_dir, "segments", f"shard-{shard:04d}.parquet")
         nbytes = atomic_write_table(path, seg)
         man.commit(shard, status=STATUS_INDEXED, terms_emitted=seg.num_rows,
@@ -391,6 +428,7 @@ def build_index(ds: "ray.data.Dataset", out_dir: str, *,
                 num_shards: int = 8,
                 dedup: bool = True,
                 resume: bool = True,
+                positions: bool = False,
                 fail_pids: Optional[List[int]] = None) -> Dict:
     """Build the inverted index for ``ds`` under ``out_dir``.
 
@@ -414,6 +452,7 @@ def build_index(ds: "ray.data.Dataset", out_dir: str, *,
     indexer = make_partition_indexer(out_dir, tokenizer=tokenizer,
                                      text_col=text_col, dedup=dedup,
                                      num_shards=num_shards,
+                                     positions=positions,
                                      fail_pids=fail_pids)
     metrics = prepared.groupby("pid").map_groups(indexer, batch_format="pandas")
     mdf = metrics.to_pandas()  # small: one row per partition
@@ -426,7 +465,7 @@ def build_index(ds: "ray.data.Dataset", out_dir: str, *,
     dl_sum = sum(r.get("dl_sum", 0) for r in recs.values() if r["status"] == STATUS_INDEXED)
     stats = {"n_docs": int(n_docs), "dl_sum": int(dl_sum),
              "avgdl": (dl_sum / n_docs) if n_docs else 0.0,
-             "tokenizer": tokenizer,
+             "tokenizer": tokenizer, "positions": positions,
              "num_partitions": num_partitions, "num_shards": num_shards,
              "dead_partitions": sorted(p for p, r in recs.items()
                                        if r["status"] == STATUS_DEAD)}

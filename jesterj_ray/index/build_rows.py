@@ -79,6 +79,7 @@ def _part_fingerprint(part: Dict) -> str:
 
 def make_row_indexer(out_dir: str, *, tokenizer: str, text_col: str,
                      key_col: Optional[str], num_shards: int = 8,
+                     positions: bool = False,
                      fail_pids: Optional[List[int]] = None):
     tok = TOKENIZERS[tokenizer]
     fail = set(fail_pids or [])
@@ -120,7 +121,8 @@ def make_row_indexer(out_dir: str, *, tokenizer: str, text_col: str,
                 rec = _index_partition_tables(
                     g, pid, out_dir, tok, text_col,
                     sort_rows=False, fingerprint=fingerprint,
-                    attempt=attempt, manifest=man, num_shards=num_shards)
+                    attempt=attempt, manifest=man, num_shards=num_shards,
+                    positions=positions)
                 out_rows.append(rec)
             except Exception as e:
                 status = STATUS_DEAD if attempt >= MAX_ATTEMPTS else "ERROR"
@@ -140,7 +142,7 @@ def make_row_indexer(out_dir: str, *, tokenizer: str, text_col: str,
 def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
                      key_col: Optional[str] = None, tokenizer: str = "simple",
                      docs_per_partition: int = 50_000, num_shards: int = 8,
-                     resume: bool = True,
+                     resume: bool = True, positions: bool = False,
                      fail_pids: Optional[List[int]] = None,
                      concurrency: Optional[int] = None) -> Dict:
     """Shuffle-free build over parquet ``paths``.  Returns build stats."""
@@ -165,7 +167,8 @@ def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
         items = ray.data.from_items(todo, override_num_blocks=len(todo))
         indexer = make_row_indexer(out_dir, tokenizer=tokenizer,
                                    text_col=text_col, key_col=key_col,
-                                   num_shards=num_shards, fail_pids=fail_pids)
+                                   num_shards=num_shards, positions=positions,
+                                   fail_pids=fail_pids)
         items.map_batches(indexer, batch_format="pandas",
                           batch_size=1).materialize()
 
@@ -178,7 +181,8 @@ def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
                  if r["status"] == STATUS_INDEXED)
     stats = {"n_docs": int(n_docs), "dl_sum": int(dl_sum),
              "avgdl": (dl_sum / n_docs) if n_docs else 0.0,
-             "tokenizer": tokenizer, "num_partitions": len(parts),
+             "tokenizer": tokenizer, "positions": positions,
+             "num_partitions": len(parts),
              "num_shards": num_shards,
              "dead_partitions": sorted(p for p, r in recs.items()
                                        if r["status"] == STATUS_DEAD)}

@@ -142,10 +142,12 @@ class IndexReader:
         rows = lookup.get(term)
         if rows is None:
             return None
+        has_pos = "pos_blob" in t.column_names
         chunks = [{
             "count": t["count"][i].as_py(),
             "doc_blob": t["doc_blob"][i].as_py(),
             "tf_blob": t["tf_blob"][i].as_py(),
+            **({"pos_blob": t["pos_blob"][i].as_py()} if has_pos else {}),
             "block_last": np.asarray(t["block_last"][i].as_py(), dtype=np.int64),
             "block_max_tf": np.asarray(t["block_max_tf"][i].as_py(), dtype=np.int64),
             "block_doc_off": np.asarray(t["block_doc_off"][i].as_py(), dtype=np.int64),
@@ -178,6 +180,86 @@ class IndexReader:
         if len(self._postings_cache) > self._postings_cache_max:
             self._postings_cache.popitem(last=False)
         return docs, tfs
+
+    def positions(self, term: str):
+        """(docs, tfs, flat_positions, per-doc start offsets).  Positions
+        are absolute token indices within each doc, ascending per doc.
+        Requires an index built with positions=True."""
+        e = self.term_entry(term)
+        if e is None:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z, z
+        docs, tfs = self.postings(term)
+        pos_parts = []
+        for c in e["chunks"]:
+            if "pos_blob" not in c:
+                raise ValueError("index was built without positions=True")
+            n_pos = int(varbyte_decode(c["tf_blob"], c["count"]).sum())
+            pos_parts.append(varbyte_decode(c["pos_blob"], n_pos)
+                             .astype(np.int64))
+        flat = np.concatenate(pos_parts) if pos_parts else \
+            np.empty(0, dtype=np.int64)
+        # deltas restart per doc: per-doc cumsum via global prefix sums
+        # minus the prefix carried in from the previous doc's segment
+        starts = np.cumsum(tfs) - tfs
+        if flat.size:
+            seg_prefix = np.cumsum(flat)
+            prev = np.zeros(len(tfs), dtype=np.int64)
+            prev[1:] = seg_prefix[starts[1:] - 1]
+            flat = seg_prefix - np.repeat(prev, tfs)
+        return docs, tfs, flat, starts
+
+    def phrase_topk(self, query: str, k: int = 10):
+        """Exact-phrase top-k: docs containing the query tokens as a
+        CONSECUTIVE sequence, ranked by standard BM25 over the phrase's
+        distinct terms (ascending doc_id ties).  Single-token phrases
+        reduce to topk()."""
+        terms = self.tokenizer(query)
+        if not terms:
+            return []
+        if len(terms) == 1:
+            return self.topk(query, k)
+        per_term = []
+        for t in terms:
+            docs, tfs, pos, starts = self.positions(t)
+            if docs.size == 0:
+                return []
+            per_term.append((docs, tfs, pos, starts))
+        cand = per_term[0][0]
+        for docs, *_ in per_term[1:]:
+            cand = cand[np.isin(cand, docs, assume_unique=True)]
+        if cand.size == 0:
+            return []
+        matched = []
+        for did in cand:
+            pos0 = self._doc_positions(per_term[0], did)
+            ok = pos0
+            for i, pt in enumerate(per_term[1:], 1):
+                pos_i = self._doc_positions(pt, did)
+                ok = ok[np.isin(ok + i, pos_i, assume_unique=True)]
+                if ok.size == 0:
+                    break
+            if ok.size:
+                matched.append(int(did))
+        if not matched:
+            return []
+        matched_set = np.array(matched, dtype=np.int64)
+        scores = np.zeros(matched_set.size, dtype=np.float64)
+        for t in dedup_keep_order(terms):
+            docs, tfs = self.postings(t)
+            pos = np.clip(np.searchsorted(docs, matched_set), 0, docs.size - 1)
+            hit = docs[pos] == matched_set
+            e = self.term_entry(t)
+            scores[hit] += self._term_contrib(matched_set[hit],
+                                              tfs[pos[hit]], e["df"])
+        order = np.lexsort((matched_set, -scores))[:k]
+        return [(int(matched_set[i]), float(scores[i])) for i in order]
+
+    @staticmethod
+    def _doc_positions(pt, did) -> np.ndarray:
+        docs, tfs, pos, starts = pt
+        i = np.searchsorted(docs, did)
+        return pos[starts[i]: starts[i] + tfs[i]]
 
     def doc_len(self, doc_ids: np.ndarray) -> np.ndarray:
         out = np.empty(doc_ids.size, dtype=np.int64)

@@ -100,6 +100,38 @@ def bm25_topk_documents(sf_dir: str, queries: Optional[List[dict]] = None,
         .sort_values(["qid", "rank"]).reset_index(drop=True)
 
 
+def documents_index_pos(sf_dir: str) -> str:
+    """Positional variant of the documents index (phrase queries)."""
+    import pyarrow.parquet as _pq
+    out = _cache_dir(sf_dir, "docidx-pos")
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        from ..index.build_rows import build_index_rows
+        build_index_rows(os.path.join(sf_dir, "documents.parquet"), out,
+                         text_col="text", key_col="doc_id",
+                         tokenizer="simple", docs_per_partition=512,
+                         num_shards=4, positions=True)
+    return out
+
+
+def phrase_topk_documents(sf_dir: str, phrase: str = "merge sort",
+                          k: int = 10) -> pd.DataFrame:
+    """Exact-phrase top-k over documents (positional index); columns
+    (rank, doc_id, score) match the SQL oracle (regex-adjacency phrase
+    match + BM25 over the phrase's distinct terms)."""
+    from ..index.query import IndexReader
+    idx = documents_index_pos(sf_dir)
+    reader = IndexReader(idx)
+    hits = reader.phrase_topk(phrase, k)
+    ids = np.array([h[0] for h in hits], dtype=np.int64)
+    orig = np.array([int(x) for x in reader.doc_keys(ids)], dtype=np.int64) \
+        if ids.size else np.empty(0, dtype=np.int64)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+        "doc_id": orig,
+        "score": np.round([h[1] for h in hits], 6).astype(np.float64),
+    })
+
+
 def term_df_top(sf_dir: str, top_n: int = 20) -> pd.DataFrame:
     """Top-N terms by document frequency, read from the built index's
     segment dictionary (verifies the groupby-term aggregation)."""

@@ -178,3 +178,45 @@ def test_chunked_hot_term_merge(small_corpus, tmp_path):
         hbp = rb.topk_pruned(q["query"], q["k"])
         assert ha == hb
         assert [x[0] for x in hb] == [x[0] for x in hbp]
+
+
+def test_positions_and_phrase_queries(small_corpus, tmp_path):
+    """Positional index: positions round-trip exactly and phrase top-k is
+    rank-identical to the brute-force phrase oracle."""
+    import pyarrow.parquet as pq
+    from jesterj_ray.index.build_rows import build_index_rows
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(small_corpus, src, row_group_size=64)
+    out = str(tmp_path / "posidx")
+    build_index_rows(src, out, text_col="content", tokenizer="code",
+                     docs_per_partition=64, num_shards=4, positions=True)
+    reader = IndexReader(out)
+
+    # oracle with the same docID assignment (row order, 64-doc partitions)
+    df = small_corpus.to_pandas()
+    doc_ids, texts, streams = [], [], {}
+    for i, content in enumerate(df["content"]):
+        did = (np.int64(i // 64) << DOC_BITS) | np.int64(i % 64)
+        doc_ids.append(int(did))
+        texts.append(content)
+        streams[int(did)] = code_tokenize(content)
+    bf = BruteForceIndex(doc_ids, texts, code_tokenize)
+
+    # positions round-trip vs the token streams
+    for term in ("import", "return", "parse"):
+        docs, tfs, flat, starts = reader.positions(term)
+        for j in (0, docs.size // 2, docs.size - 1):
+            did = int(docs[j])
+            expect = [p for p, t in enumerate(streams[did]) if t == term]
+            got = flat[starts[j]: starts[j] + tfs[j]].tolist()
+            assert got == expect, (term, did)
+
+    # phrase rank identity (incl. a camelCase phrase and an absent phrase)
+    for phrase, k in [("import config", 10), ("return parse", 5),
+                      ("parseConfig", 10), ("zzz absent phrase", 10),
+                      ("validate schema", 10)]:
+        mine = reader.phrase_topk(phrase, k)
+        ref = bf.phrase_topk(phrase, k, token_streams=streams)
+        assert [x[0] for x in mine] == [x[0] for x in ref], phrase
+        for (d1, s1), (d2, s2) in zip(mine, ref):
+            assert s1 == pytest.approx(s2, abs=1e-9)
