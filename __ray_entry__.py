@@ -316,6 +316,14 @@ def _knn(sf_dir: str):
     return out[["rank", "vec_id", "score"]]
 
 
+def _embedding_near_dup(sf_dir: str):
+    import ray.data as rd
+    from jesterj_ray.ann.knn import embedding_near_dup_pairs
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         override_num_blocks=8)
+    return embedding_near_dup_pairs(ds, threshold=0.4)
+
+
 def _knn_lsh(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -467,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _simhash_pairs,
         "knn_cosine_top10": _knn,
         "knn_lsh_top10": _knn_lsh,
+        "embedding_near_dup": _embedding_near_dup,
         "events_sliding_window": _sliding_window,
         "top_n_largest_docs": _top_docs,
         "distinct_langs": _distinct_langs,
@@ -699,6 +708,15 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
               FROM (SELECT lang, unnest({_TOKS}) AS term FROM documents)
               GROUP BY lang, term)
             WHERE rn <= 3 ORDER BY lang, term""",
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+            ORDER BY id_a, id_b""",
         "json_extract_props": """
             SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events""",
         "sql_scanner": """

@@ -78,6 +78,45 @@ def brute_force_topk(ds: "ray.data.Dataset", query_vecs: np.ndarray, *,
     return pd.DataFrame(out)
 
 
+def embedding_near_dup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.4,
+                             vec_field: str = "embedding",
+                             id_field: str = "vec_id",
+                             dtype=np.float64) -> pd.DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold).
+
+    The normalized matrix is broadcast once (``ray.put``); each batch task
+    matmuls its rows against the full matrix and emits only qualifying
+    pairs — O(n^2) work split across tasks with O(n·d) broadcast bytes.
+    Exact all-pairs is the small/medium path; at 10^8+ vectors switch to
+    :class:`LSHIndexedSearch` buckets + within-bucket pairwise (recall<1),
+    the standard accuracy/cost trade."""
+    import pyarrow.parquet  # noqa: F401  (worker import warm)
+    all_df = ds.to_pandas()  # ids + vectors; vectors are the broadcast side
+    ids_all = all_df[id_field].to_numpy(dtype=np.int64)
+    mat = _normalize(np.asarray(all_df[vec_field].tolist(), dtype=dtype))
+    ref = ray.put((ids_all, mat))
+
+    def pairs_of(batch: pa.Table) -> pa.Table:
+        ids_a, m = ray.get(ref)
+        ids = batch[id_field].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = _normalize(np.asarray(batch[vec_field].to_pylist(), dtype=dtype))
+        sims = vecs @ m.T
+        out_a, out_b, out_s = [], [], []
+        for r in range(ids.size):
+            hit = np.flatnonzero((sims[r] >= threshold) & (ids_a > ids[r]))
+            out_a.extend([ids[r]] * hit.size)
+            out_b.extend(ids_a[hit].tolist())
+            out_s.extend(sims[r, hit].tolist())
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    out = ds.map_batches(pairs_of, batch_format="pyarrow").to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 class LSHIndexedSearch:
     """Random-hyperplane LSH bucketing for approximate cosine search."""
 
