@@ -215,12 +215,16 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def best(ncpu: int) -> dict:
-        runs = [run_once(ncpu) for _ in range(reps)]
-        return min(runs, key=lambda r: r["value"]), [r["value"] for r in runs]
-
-    lo, lo_all = best(lo_cpus)
-    hi, hi_all = best(hi_cpus)
+    # interleave lo/hi so slow host phases hit both levels equally, then
+    # take the best of each (least-interfered sample per level)
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        lo_runs.append(run_once(lo_cpus))
+        hi_runs.append(run_once(hi_cpus))
+    lo = min(lo_runs, key=lambda r: r["value"])
+    hi = min(hi_runs, key=lambda r: r["value"])
+    lo_all = [r["value"] for r in lo_runs]
+    hi_all = [r["value"] for r in hi_runs]
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
     return {
