@@ -316,6 +316,30 @@ def _knn(sf_dir: str):
     return out[["rank", "vec_id", "score"]]
 
 
+def _knn_ivf(sf_dir: str):
+    """IVF with full probe (nprobe = n_centroids) is EXACT, so it shares
+    the knn_cosine oracle while exercising the quantizer + assignment +
+    probe machinery end-to-end."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from jesterj_ray.ann.knn import IVFIndex
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(emb_path).to_pandas()
+    qvec = np.asarray(q.loc[q["vec_id"] == 0, "embedding"].iloc[0],
+                      dtype=np.float64)
+    sample = np.asarray(q["embedding"].tolist()[:256], dtype=np.float32)
+    ivf = IVFIndex(n_centroids=8).fit(sample)
+    ds = rd.read_parquet(emb_path).map_batches(ivf.add_assignments,
+                                               batch_format="pyarrow")
+    out = ivf.topk(ds, qvec, k=10, nprobe=8, dtype=np.float64)
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["score", "vec_id"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out[["rank", "vec_id", "score"]]
+
+
 def _embedding_near_dup(sf_dir: str):
     import ray.data as rd
     from jesterj_ray.ann.knn import embedding_near_dup_pairs
@@ -475,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _simhash_pairs,
         "knn_cosine_top10": _knn,
         "knn_lsh_top10": _knn_lsh,
+        "knn_ivf_fullprobe_top10": _knn_ivf,
         "embedding_near_dup": _embedding_near_dup,
         "events_sliding_window": _sliding_window,
         "top_n_largest_docs": _top_docs,
@@ -708,6 +733,16 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
               FROM (SELECT lang, unnest({_TOKS}) AS term FROM documents)
               GROUP BY lang, term)
             WHERE rn <= 3 ORDER BY lang, term""",
+        "knn_ivf_fullprobe_top10": """
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT)
+                       AS rank, vec_id, score FROM (
+              SELECT e.vec_id,
+                     round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])), 6) AS score
+              FROM embeddings e,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+            ORDER BY score DESC, vec_id LIMIT 10""",
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(

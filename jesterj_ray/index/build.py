@@ -163,7 +163,39 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
     # groupby over object-dtype (term, doc) pairs.
     from itertools import chain
     texts = g[text_col].tolist()
-    toks_per_doc = [tok(t) for t in texts]
+    # per-ROW poison quarantine (the reference's per-doc retry-then-DEAD,
+    # ScannerImpl.java:614-713): a document whose tokenization raises is
+    # excluded from the index and recorded in quarantine/part-<pid>.parquet
+    # with its error, so one poison row cannot fail the partition
+    toks_per_doc = []
+    quarantined_idx: List[int] = []
+    quarantined_err: List[str] = []
+    for i, t in enumerate(texts):
+        try:
+            toks_per_doc.append(tok(t))
+        except Exception as ex:
+            toks_per_doc.append([])
+            quarantined_idx.append(i)
+            quarantined_err.append(str(ex)[:200])
+    if quarantined_idx:
+        qt = pa.table({
+            "doc_key": pa.array([g["doc_key"].iloc[i] for i in quarantined_idx],
+                                pa.string()),
+            "content_sha256": pa.array(
+                [g["content_sha256"].iloc[i] for i in quarantined_idx],
+                pa.string()),
+            "status": pa.array(["DEAD"] * len(quarantined_idx), pa.string()),
+            "message": pa.array(quarantined_err, pa.string()),
+        })
+        atomic_write_table(os.path.join(out_dir, "quarantine",
+                                        f"part-{pid:05d}.parquet"), qt)
+        keep = np.ones(len(g), dtype=bool)
+        keep[quarantined_idx] = False
+        g = g.iloc[keep].reset_index(drop=True)
+        doc_ids = (np.int64(pid) << DOC_BITS) | np.arange(len(g),
+                                                          dtype=np.int64)
+        texts = g[text_col].tolist()
+        toks_per_doc = [tp for i, tp in enumerate(toks_per_doc) if keep[i]]
     n_g = len(toks_per_doc)
     dls = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
                       count=n_g)
@@ -257,7 +289,9 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
     manifest.commit(pid, status=STATUS_INDEXED, input_fingerprint=fingerprint,
                     docs_seen=len(g), terms_emitted=run_table.num_rows,
                     bytes_written=nbytes, dl_sum=int(dls.sum()),
-                    output_files=out_files, attempt=attempt)
+                    output_files=out_files, attempt=attempt,
+                    message=(f"quarantined={len(quarantined_idx)}"
+                             if quarantined_idx else ""))
     return {"partition_id": pid, "docs_seen": len(g),
             "terms_emitted": run_table.num_rows,
             "bytes_written": nbytes, "dl_sum": int(dls.sum()),

@@ -43,8 +43,12 @@ from .codec import BLOCK_SIZE, varbyte_decode
 class IndexReader:
     """Reads one on-disk index produced by ``build.build_index``."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, pid_filter=None):
+        """``pid_filter(pid) -> bool`` restricts which partitions' doc
+        tables load (doc-range-sharded serving skips other shards' files
+        entirely)."""
         self.dir = index_dir
+        self._pid_filter = pid_filter
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.n_docs = self.stats["n_docs"]
@@ -72,6 +76,8 @@ class IndexReader:
             if t.num_rows == 0:
                 continue
             pid = int(t["doc_id"][0].as_py()) >> DOC_BITS
+            if self._pid_filter is not None and not self._pid_filter(pid):
+                continue
             self._dl[pid] = t["dl"].to_numpy().astype(np.int64)
             self._doc_key[pid] = t["doc_key"].combine_chunks()
         # dense docID space: doc_id = pid<<32|rank maps to base[pid]+rank.

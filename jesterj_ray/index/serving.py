@@ -1,0 +1,74 @@
+"""Sharded query serving: doc-range-partitioned actor pool.
+
+The single-reader :class:`..index.query.QueryActor` holds the whole index;
+at 10^12 docs no node can.  This module demonstrates the deployment shape:
+each :class:`ShardedQueryActor` owns one slice of the PARTITION space (its
+doc tables / norms / score buffer cover only pids ≡ shard (mod n)), scores
+only its own docs with GLOBAL corpus statistics (df and avgdl in the
+segments/stats are corpus-wide, so per-shard scores equal the unsharded
+engine's exactly), and returns its local top-k; the driver (or a tiny
+reduce stage) merges k-lists.  Tested rank-identical to the full reader.
+
+Memory per actor = (n_docs / n_shards) x ~9 bytes of norms+buffer + its
+share of lazily-cached segment shards — node-sized at any corpus scale by
+raising n_shards.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Tuple
+
+import numpy as np
+
+import ray
+
+from .query import IndexReader
+
+
+class _SlicedReader(IndexReader):
+    """IndexReader restricted to pids where pid % n_slices == slice_id."""
+
+    def __init__(self, index_dir: str, slice_id: int, n_slices: int):
+        self._slice_id = slice_id
+        self._n_slices = n_slices
+        # pid_filter loads ONLY this slice's doc tables / norms / buffers;
+        # n_docs / avgdl stay GLOBAL (stats.json) so BM25 weights match the
+        # unsharded engine exactly
+        super().__init__(index_dir,
+                         pid_filter=lambda p: p % n_slices == slice_id)
+
+    def postings(self, term: str):
+        docs, tfs = super().postings(term)
+        if docs.size == 0:
+            return docs, tfs
+        mask = (docs >> 32) % self._n_slices == self._slice_id
+        return docs[mask], tfs[mask]
+
+
+@ray.remote
+class ShardedQueryActor:
+    def __init__(self, index_dir: str, slice_id: int, n_slices: int):
+        self.reader = _SlicedReader(index_dir, slice_id, n_slices)
+
+    def topk(self, query: str, k: int) -> List[Tuple[int, float]]:
+        return self.reader.topk(query, k)
+
+
+class ShardedQueryService:
+    """Driver-side handle: fan a query to all shard actors, merge top-k."""
+
+    def __init__(self, index_dir: str, n_slices: int = 4):
+        self.actors = [ShardedQueryActor.remote(index_dir, s, n_slices)
+                       for s in range(n_slices)]
+
+    def topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+        partials = ray.get([a.topk.remote(query, k) for a in self.actors])
+        merged = heapq.merge(*[iter(p) for p in partials],
+                             key=lambda h: (-h[1], h[0]))
+        return list(merged)[:k]
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -220,3 +220,21 @@ def test_positions_and_phrase_queries(small_corpus, tmp_path):
         assert [x[0] for x in mine] == [x[0] for x in ref], phrase
         for (d1, s1), (d2, s2) in zip(mine, ref):
             assert s1 == pytest.approx(s2, abs=1e-9)
+
+
+def test_sharded_serving_rank_identical(built):
+    """Doc-range-sharded actor serving == full-index reader exactly (each
+    shard scores its slice with GLOBAL stats, driver merges k-lists)."""
+    from jesterj_ray.index.serving import ShardedQueryService
+    out, _ = built
+    full = IndexReader(out)
+    svc = ShardedQueryService(out, n_slices=3)
+    try:
+        for q in REFERENCE_QUERIES:
+            a = full.topk(q["query"], q["k"])
+            b = svc.topk(q["query"], q["k"])
+            assert [x[0] for x in a] == [x[0] for x in b], q
+            for (d1, s1), (d2, s2) in zip(a, b):
+                assert s1 == pytest.approx(s2, abs=1e-12)
+    finally:
+        svc.shutdown()

@@ -119,3 +119,28 @@ def test_entry_contract():
     qs, os_ = m.queries(), m.oracle_sql()
     assert set(os_).issubset(set(qs))
     assert len(qs) >= 20
+
+
+def test_ivf_recall_and_determinism():
+    from jesterj_ray.ann.knn import IVFIndex, brute_force_topk
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((8, 32)).astype(np.float32) * 3
+    vecs = (centers[np.arange(600) % 8]
+            + 0.3 * rng.standard_normal((600, 32))).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(600), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32(), 32))})
+    ivf = IVFIndex(n_centroids=8).fit(vecs[:300])
+    ivf2 = IVFIndex(n_centroids=8).fit(vecs[:300])
+    assert np.allclose(ivf.centroids, ivf2.centroids)  # deterministic fit
+    ds = rd.from_arrow(t).map_batches(ivf.add_assignments,
+                                      batch_format="pyarrow")
+    q = vecs[11]
+    exact = brute_force_topk(rd.from_arrow(t), q[None, :], k=10)
+    approx = ivf.topk(ds, q, k=10, nprobe=2)
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 10
+    assert approx.iloc[0]["vec_id"] == 11
+    assert recall >= 0.8  # clustered data: nprobe=2 covers the true cell
+    # full probe == exact
+    everything = ivf.topk(ds, q, k=10, nprobe=8)
+    assert list(everything["vec_id"]) == list(exact["vec_id"])

@@ -133,3 +133,46 @@ def test_rows_resume_invalidates_on_input_change(tmp_path, small_corpus):
     r = IndexReader(out)
     docs, _ = r.postings("xyz")
     assert docs.size == 1
+
+
+def test_per_row_poison_quarantine(tmp_path, small_corpus):
+    """A document whose tokenization raises is quarantined (DEAD row file)
+    and excluded from the index; the partition still commits (per-doc
+    retry-then-DEAD analog at row granularity)."""
+    import glob
+    import pyarrow.parquet as pq
+    import pandas as pd
+    from jesterj_ray.index.build_rows import build_index_rows
+    from jesterj_ray.tokenize import tokenizer as tokmod
+
+    def poison_tok(text):
+        if "poison_marker_xq" in text:
+            raise ValueError("poison document")
+        return tokmod.code_tokenize(text)
+
+    df = small_corpus.to_pandas()
+    df.loc[3, "content"] = "some poison_marker_xq content"
+    df.loc[7, "content"] = "another poison_marker_xq row"
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(
+        __import__("pyarrow").Table.from_pandas(df, preserve_index=False),
+        src, row_group_size=64)
+
+    tokmod.TOKENIZERS["poison"] = poison_tok
+    try:
+        out = str(tmp_path / "idx")
+        stats = build_index_rows(src, out, text_col="content",
+                                 tokenizer="poison",
+                                 docs_per_partition=1000, num_shards=4)
+        qfiles = glob.glob(os.path.join(out, "quarantine", "*.parquet"))
+        assert qfiles
+        q = pd.concat([pq.read_table(f).to_pandas() for f in qfiles])
+        assert len(q) == 2 and set(q["status"]) == {"DEAD"}
+        assert all("poison" in m for m in q["message"])
+        assert stats["n_docs"] == len(df) - 2
+        # quarantined token never indexed
+        r = IndexReader(out)
+        docs, _ = r.postings("poison")
+        assert docs.size == 0
+    finally:
+        del tokmod.TOKENIZERS["poison"]
