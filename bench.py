@@ -165,6 +165,24 @@ def run_bench() -> dict:
                      qvecs, k=10)
     timings["knn_16q"] = time.time() - t0
 
+    from jesterj_ray.stages.dedup import minhash_lsh_pairs
+    t0 = time.time()
+    minhash_lsh_pairs(
+        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                        columns=["doc_id", "text"],
+                        override_num_blocks=NUM_CPUS),
+        text_field="text", id_field="doc_id",
+        threshold=0.6, concurrency=min(4, NUM_CPUS)).count()
+    timings["minhash_lsh_pairs"] = time.time() - t0
+
+    from jesterj_ray.index.query import IndexReader
+    t0 = time.time()
+    reader = IndexReader(out_dir)
+    for _ in range(20):
+        for q in DOC_QUERIES:
+            reader.topk_pruned(q["query"], q["k"])
+    timings["bm25_local_100q"] = time.time() - t0
+
     headline = timings["index_build"]
     result = {
         "metric": "index_build_sec_plus_query_throughput",

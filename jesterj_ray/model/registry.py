@@ -45,6 +45,7 @@ def _registry() -> Dict[str, Any]:
         "field_template": fields.field_template,
         "doc_per_line": fields.doc_per_line,
         "add_raw_size": fields.add_raw_size,
+        "parse_delimited": fields.parse_delimited,
         "noop": fields.noop,
         # extraction
         "extract_json_field": extract.extract_json_field,

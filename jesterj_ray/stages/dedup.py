@@ -218,48 +218,96 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", *, text_field: str, id_field: str,
                       k: int = 3, threshold: float = 0.7,
                       concurrency: int = 4) -> "ray.data.Dataset":
     """Candidate near-duplicate pairs with signature-estimated Jaccard >=
-    threshold.  Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
+    threshold.  Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    Shuffle discipline: the band exchange carries ONLY (band_id, band_hash,
+    id) — 16 small rows per doc, never the 128-wide signature.  Signature
+    verification happens after pair dedup against a broadcast {id: sig}
+    matrix (at 10^9+ docs swap the broadcast for a hash join of pairs
+    against the signature table — same pipeline shape)."""
+    import ray
+
     sigs = ds.map_batches(MinHasher, fn_constructor_kwargs={
         "text_field": text_field, "id_field": id_field, "k": k},
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=concurrency).materialize()
+
+    sig_pdf = sigs.select_columns([id_field, "sig"]).to_pandas()
+    sig_lookup_ref = ray.put({int(i): np.asarray(s, dtype=np.uint64)
+                              for i, s in zip(sig_pdf[id_field],
+                                              sig_pdf["sig"])})
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         ids = batch[id_field].to_numpy(zero_copy_only=False)
         bh = np.asarray(batch["band_hash"].to_pylist(), dtype=np.uint64) \
             .reshape(n, NUM_BANDS) if n else np.empty((0, NUM_BANDS), np.uint64)
-        sig = batch["sig"]
+        flat_bh = bh.ravel()
+        # coarse co-location key: equal (band_id, band_hash) always share a
+        # gkey, so a groupby on 64 gkeys co-locates every bucket while
+        # keeping group count tiny (a groupby on the raw bucket key would
+        # fire one Python map_groups call per mostly-singleton bucket)
+        gkey = (flat_bh % np.uint64(64)).astype(np.int64)
         return pa.table({
+            "gkey": pa.array(gkey, pa.int64()),
             "band_id": pa.array(np.tile(np.arange(NUM_BANDS), n), pa.int32()),
-            "band_hash": pa.array(bh.ravel(), pa.uint64()),
+            "band_hash": pa.array(flat_bh, pa.uint64()),
             id_field: pa.array(np.repeat(ids, NUM_BANDS)),
-            "sig": pa.array([sig[i // NUM_BANDS] for i in range(n * NUM_BANDS)],
-                            pa.list_(pa.uint64(), NUM_HASHES)),
         })
 
+    # hash-repartition co-locates equal (band_id, band_hash) keys; then ONE
+    # vectorized pass per block finds buckets of size >= 2 — no per-group
+    # Python call (a groupby.map_groups here would fire once per tiny
+    # bucket: 16n buckets of mostly size 1)
     bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.sort_values(id_field).drop_duplicates(subset=id_field)
-        ids = g[id_field].to_numpy()
-        sigm = np.asarray(g["sig"].tolist(), dtype=np.uint64)
-        rows = {"id_a": [], "id_b": [], "est_jaccard": []}
-        for i in range(len(ids)):
-            agree = (sigm[i + 1:] == sigm[i]).mean(axis=1)
-            hit = np.flatnonzero(agree >= threshold)
-            for j in hit:
-                rows["id_a"].append(ids[i])
-                rows["id_b"].append(ids[i + 1 + j])
-                rows["est_jaccard"].append(float(agree[j]))
-        return pd.DataFrame(rows)
+    def emit_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        bid = batch["band_id"].to_numpy().astype(np.int64)
+        bh = batch["band_hash"].to_numpy().astype(np.uint64)
+        ids = batch[id_field].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids = bid[order], bh[order], ids[order]
+        boundary = np.r_[True, (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])]
+        starts = np.flatnonzero(boundary)
+        ends = np.r_[starts[1:], bid.size]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            bucket = np.unique(ids[s:e])
+            ia, ib = np.triu_indices(bucket.size, 1)
+            out_a.append(bucket[ia])
+            out_b.append(bucket[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    # same pair can surface from several bands -> dedup on (id_a, id_b)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    cand = bands.groupby("gkey").map_groups(
+        emit_pairs, batch_format="pandas").to_pandas()
+    # candidate pairs are near-dup-density-bounded (<< corpus): dedup and
+    # verify driver-side, vectorized; at extreme scale this tail becomes a
+    # distributed join of pairs against the signature table
+    if len(cand) == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"id_a": pd.Series([], dtype=np.int64),
+             "id_b": pd.Series([], dtype=np.int64),
+             "est_jaccard": pd.Series([], dtype=np.float64)}))
+    cand = cand.drop_duplicates(subset=["id_a", "id_b"])
+    lk = ray.get(sig_lookup_ref)
+    ia = cand["id_a"].to_numpy(dtype=np.int64)
+    ib = cand["id_b"].to_numpy(dtype=np.int64)
+    sa = np.stack([lk[int(i)] for i in ia])
+    sb = np.stack([lk[int(i)] for i in ib])
+    est = (sa == sb).mean(axis=1)
+    keep = est >= threshold
+    out = pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep],
+                        "est_jaccard": est[keep]})
+    return ray.data.from_pandas(out.sort_values(["id_a", "id_b"])
+                                .reset_index(drop=True))
 
 
 def minhash_dedup_ids(ds: "ray.data.Dataset", *, text_field: str, id_field: str,

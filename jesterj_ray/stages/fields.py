@@ -202,6 +202,72 @@ def add_raw_size(batch: pa.Table, *, field: str,
         batch[field].cast(pa.large_binary())).cast(pa.int64()))
 
 
+def parse_delimited(batch: pa.Table, *, field: str, delimiter: str,
+                    column_names: Sequence[str], drop_field: bool = True,
+                    skip_malformed: bool = False) -> pa.Table:
+    """ParseWikidoc analog (examples/wikidocs/.../ParseWikidoc.java:33-58):
+    split a delimited line into named columns.  Rows with fewer parts get
+    nulls (or are dropped with ``skip_malformed=True``); extra parts fold
+    into the last column."""
+    parts = pc.split_pattern(batch[field], pattern=delimiter,
+                             max_splits=len(column_names) - 1)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    if skip_malformed:
+        keep = pc.equal(pc.list_value_length(parts), len(column_names))
+        batch = batch.filter(keep)
+        parts = parts.filter(keep)
+    rows = parts.to_pylist()
+    for i, name in enumerate(column_names):
+        col = pa.array([r[i] if r is not None and len(r) > i else None
+                        for r in rows], pa.string())
+        batch = _set(batch, name, col)
+    if drop_field:
+        batch = batch.drop_columns([field])
+    return batch
+
+
+def route_by_value(ds, *, field: str, routes: dict,
+                   default_drop: bool = True) -> dict:
+    """RouteByStepName with a value->step alias map
+    (routers/RouteByStepName.java:58-76): the first value of the routing
+    field selects exactly one branch; values with no mapping are DROPPED
+    (or collected under '__unrouted__' when ``default_drop=False``).
+    Returns {step_name: Dataset}; each branch is a vectorized filter over
+    the shared parent (blocks are immutable - no copies)."""
+    out = {}
+    for value, step_name in routes.items():
+        out[step_name] = ds.map_batches(
+            lambda t, v=value: t.filter(pc.equal(t[field], v)),
+            batch_format="pyarrow")
+    if not default_drop:
+        vals = pa.array(list(routes.keys()))
+        out["__unrouted__"] = ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t[field], value_set=vals))),
+            batch_format="pyarrow")
+    return out
+
+
+def filter_seen(ds, *, key_field: str, seen_keys) -> "object":
+    """Scanner 'remembering' analog (ScannerImpl.seenPreviously,
+    ScannerImpl.java:365-378): drop rows whose key was already processed in
+    a prior run.  The seen set is broadcast once via ray.put and applied as
+    a vectorized anti-join filter per batch (at extreme cardinality swap
+    the set for a Bloom filter — same shape)."""
+    import ray
+    ref = ray.put(frozenset(seen_keys))
+
+    def drop_seen(t: pa.Table) -> pa.Table:
+        import numpy as np
+        seen = ray.get(ref)
+        keys = t[key_field].to_pylist()
+        mask = np.fromiter((k not in seen for k in keys), dtype=bool,
+                           count=len(keys))
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(drop_seen, batch_format="pyarrow")
+
+
 def noop(batch: pa.Table) -> pa.Table:
     """NoOpProcessor (processors/NoOpProcessor.java:44-49)."""
     return batch

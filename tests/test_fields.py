@@ -122,3 +122,40 @@ def test_wrapping_swallows_error(batch):
     wrapped = F.wrapping(bad, on_error=lambda b, e: b, always=lambda: calls.append(1))
     out = wrapped(batch)
     assert out is batch and calls == [1]
+
+
+def test_parse_delimited():
+    b = pa.table({"line": pa.array(["t1\t2024\tbody text here",
+                                    "t2\t2025", "bare"])})
+    out = F.parse_delimited(b, field="line", delimiter="\t",
+                            column_names=["title", "year", "body"])
+    assert out["title"].to_pylist() == ["t1", "t2", "bare"]
+    assert out["year"].to_pylist() == ["2024", "2025", None]
+    assert out["body"].to_pylist() == ["body text here", None, None]
+    assert "line" not in out.column_names
+    strict = F.parse_delimited(b, field="line", delimiter="\t",
+                               column_names=["title", "year", "body"],
+                               skip_malformed=True)
+    assert strict.num_rows == 1
+    # extra parts fold into the last column (max_splits)
+    b2 = pa.table({"line": pa.array(["a\tb\tc\td"])})
+    out2 = F.parse_delimited(b2, field="line", delimiter="\t",
+                             column_names=["x", "y", "rest"])
+    assert out2["rest"].to_pylist() == ["c\td"]
+
+
+def test_route_by_value_and_filter_seen():
+    import ray.data as rd
+    src = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "kind": pa.array(["solr", "os", "solr", "nope"])}))
+    routes = F.route_by_value(src, field="kind",
+                              routes={"solr": "send_solr", "os": "send_os"},
+                              default_drop=False)
+    assert sorted(routes) == ["__unrouted__", "send_os", "send_solr"]
+    assert routes["send_solr"].to_pandas()["doc_id"].tolist() == [1, 3]
+    assert routes["send_os"].to_pandas()["doc_id"].tolist() == [2]
+    assert routes["__unrouted__"].to_pandas()["doc_id"].tolist() == [4]
+
+    kept = F.filter_seen(src, key_field="doc_id", seen_keys={1, 3})
+    assert kept.to_pandas()["doc_id"].tolist() == [2, 4]
