@@ -94,6 +94,22 @@ class IndexReader:
             np.empty(0, dtype=np.int64)
         self._scores_buf = np.zeros(self.n_dense, dtype=np.float64)
         self._seen_buf = np.zeros(self.n_dense, dtype=np.uint8)
+        # tombstones (Document.Operation DELETE analog — the reference
+        # senders' deleteById, SendToSolrProcessor.java:102-142): deleted
+        # docs are masked at query time; corpus stats stay as-built until
+        # a re-build compacts them (standard segment-tombstone semantics)
+        self._tombstone = np.zeros(self.n_dense, dtype=bool)
+        tomb_path = os.path.join(index_dir, "tombstones.json")
+        if os.path.exists(tomb_path):
+            with open(tomb_path) as f:
+                dead_ids = np.array(json.load(f).get("doc_ids", []),
+                                    dtype=np.int64)
+            if dead_ids.size:
+                if self._pid_filter is not None:
+                    dead_ids = dead_ids[[self._pid_filter(int(d) >> DOC_BITS)
+                                         for d in dead_ids]]
+                if dead_ids.size:
+                    self._tombstone[self.dense_of(dead_ids)] = True
 
     def dense_of(self, doc_ids: np.ndarray) -> np.ndarray:
         pids = doc_ids >> DOC_BITS
@@ -250,6 +266,11 @@ class IndexReader:
         if not matched:
             return []
         matched_set = np.array(matched, dtype=np.int64)
+        if self._tombstone.any():
+            matched_set = matched_set[~self._tombstone[
+                self.dense_of(matched_set)]]
+            if matched_set.size == 0:
+                return []
         scores = np.zeros(matched_set.size, dtype=np.float64)
         for t in dedup_keep_order(terms):
             docs, tfs = self.postings(t)
@@ -299,6 +320,12 @@ class IndexReader:
         then zero the touched entries (buffer reuse)."""
         if touched.size == 0:
             return []
+        if self._tombstone.any():
+            alive = ~self._tombstone[touched]
+            scores[touched[~alive]] = 0.0
+            touched = touched[alive]
+            if touched.size == 0:
+                return []
         vals = scores[touched]
         if touched.size > k:
             # boundary value of the top-k, then ALL candidates >= it so
@@ -454,6 +481,33 @@ class IndexReader:
         if not doc_parts:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         return np.concatenate(doc_parts), np.concatenate(tf_parts)
+
+
+def delete_docs(index_dir: str, doc_keys) -> int:
+    """Tombstone documents by doc_key (the Operation.DELETE /
+    sender-deleteById analog).  Deletes are visible to any reader opened
+    after the atomic tombstones.json rewrite; physical removal happens at
+    the next full rebuild.  Returns how many keys matched."""
+    from ..state.manifest import atomic_write_bytes
+    keys = set(doc_keys)
+    dead: List[int] = []
+    docs_dir = os.path.join(index_dir, "docs")
+    for name in sorted(os.listdir(docs_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(docs_dir, name),
+                          columns=["doc_id", "doc_key"])
+        for did, key in zip(t["doc_id"].to_pylist(), t["doc_key"].to_pylist()):
+            if key in keys:
+                dead.append(int(did))
+    tomb_path = os.path.join(index_dir, "tombstones.json")
+    existing: List[int] = []
+    if os.path.exists(tomb_path):
+        with open(tomb_path) as f:
+            existing = json.load(f).get("doc_ids", [])
+    merged = sorted(set(existing) | set(dead))
+    atomic_write_bytes(tomb_path, json.dumps({"doc_ids": merged}).encode())
+    return len(dead)
 
 
 class QueryActor:

@@ -238,3 +238,33 @@ def test_sharded_serving_rank_identical(built):
                 assert s1 == pytest.approx(s2, abs=1e-12)
     finally:
         svc.shutdown()
+
+
+def test_tombstone_delete(small_corpus, tmp_path):
+    """Operation.DELETE analog: tombstoned docs vanish from top-k (and
+    phrase results); surviving docs keep their exact as-built scores until
+    the next rebuild compacts (segment-tombstone semantics)."""
+    import pyarrow.parquet as pq
+    from jesterj_ray.index.build_rows import build_index_rows
+    from jesterj_ray.index.query import delete_docs
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(small_corpus, src, row_group_size=64)
+    out = str(tmp_path / "idx")
+    build_index_rows(src, out, text_col="content", tokenizer="code",
+                     docs_per_partition=64, num_shards=4, positions=True)
+    before = IndexReader(out)
+    top = before.topk("import", 5)
+    assert top
+    victim_id = top[0][0]
+    victim_key = before.doc_keys(np.array([victim_id], dtype=np.int64))[0]
+
+    assert delete_docs(out, [victim_key]) == 1
+    after = IndexReader(out)  # new reader sees the tombstone
+    got = after.topk("import", 5)
+    assert victim_id not in [d for d, _ in got]
+    # survivors keep identical scores, just shifted up one rank
+    assert got[:4] == [h for h in top[1:5]]
+    pruned = after.topk_pruned("import", 5)
+    assert [d for d, _ in pruned] == [d for d, _ in got]
+    # deleting an unknown key is a no-op
+    assert delete_docs(out, ["no-such-key"]) == 0
