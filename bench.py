@@ -88,9 +88,11 @@ def run_bench() -> dict:
     from jesterj_ray.index.build_rows import build_index_rows
     headline_tok = os.environ.get("GRAFT_BENCH_TOKENIZER", "simple")
     t0 = time.time()
+    # ~128 partitions: fine enough for balanced waves at any CPU level,
+    # coarse enough that per-task overhead stays negligible
     build_index_rows(doc_path, out_dir, text_col="text", key_col="doc_id",
                      tokenizer=headline_tok,
-                     docs_per_partition=max(2048, n_docs // 32),
+                     docs_per_partition=max(2048, n_docs // 128),
                      num_shards=8)
     timings["index_build"] = time.time() - t0
 

@@ -308,7 +308,8 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
     materializes a hot term's full posting list (at 10^12 docs ``import``
     would be tens of GB) — the bounded-memory answer to term skew on the
     merge side; the query engine concatenates chunks at read time."""
-    from .codec import encode_postings, varbyte_decode
+    from .codec import varbyte_decode, varbyte_encode, varbyte_lengths
+    from .codec import BLOCK_SIZE
 
     def shard_writer(batch: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.parquet as pq
@@ -341,15 +342,56 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
         if has_pos:
             out["pos_blob"] = []
 
-        def emit(term, chunk_id, doc_parts, tf_parts, pos_parts=()):
-            docs = np.concatenate(doc_parts)
-            tfs = np.concatenate(tf_parts)
-            doc_blob, tf_blob, bl, bm, doff, toff = encode_postings(docs, tfs)
-            out["term"].append(term)
+        def emit(term, chunk_id, run_rows):
+            """Stitch one chunk's runs WITHOUT re-encoding the blobs: a
+            run's doc blob is correct except its first value (an absolute
+            doc id); splice in a re-encoded first DELTA per run and keep
+            the rest of the bytes verbatim.  Block metadata comes from one
+            vectorized decode of the stitched deltas."""
+            counts = np.array([int(r.count) for r in run_rows], dtype=np.int64)
+            last_docs = np.array([int(r.last_doc) for r in run_rows],
+                                 dtype=np.int64)
+            total = int(counts.sum())
+            # stitched doc blob with patched boundary deltas
+            doc_parts = []
+            prev_last = 0
+            first_lens = []
+            for i, r in enumerate(run_rows):
+                blob = r.doc_blob
+                # byte length of the encoded first value (scan continuation bits)
+                fl = 1
+                while blob[fl - 1] & 0x80:
+                    fl += 1
+                first_lens.append(fl)
+                first_abs = int(varbyte_decode(blob[:fl], 1)[0])
+                if i == 0:
+                    doc_parts.append(blob)
+                else:
+                    delta = first_abs - prev_last
+                    doc_parts.append(varbyte_encode(
+                        np.array([delta], dtype=np.uint64)) + blob[fl:])
+                prev_last = int(last_docs[i])
+            doc_blob = b"".join(doc_parts)
+            tf_blob = b"".join(r.tf_blob for r in run_rows)
+            # ONE decode for block metadata (no re-encode of the blobs)
+            deltas = varbyte_decode(doc_blob, total).astype(np.int64)
+            docs = np.cumsum(deltas)
+            tfs = varbyte_decode(tf_blob, total).astype(np.int64)
+            nblocks = (total + BLOCK_SIZE - 1) // BLOCK_SIZE
+            bounds = np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, total)
+            bl = docs[bounds - 1]
+            bm = np.maximum.reduceat(tfs, np.arange(0, total, BLOCK_SIZE))
+            dlen = varbyte_lengths(deltas.astype(np.uint64))
+            tlen = varbyte_lengths(tfs.astype(np.uint64))
+            obounds = np.arange(0, total + BLOCK_SIZE, BLOCK_SIZE)[:nblocks + 1]
+            obounds[-1] = total
+            doff = np.concatenate([[0], np.cumsum(dlen)])[obounds]
+            toff = np.concatenate([[0], np.cumsum(tlen)])[obounds]
+            out["term"].append(run_rows[0].term)
             out["chunk"].append(chunk_id)
-            out["df"].append(docs.size)
+            out["df"].append(total)
             out["cf"].append(int(tfs.sum()))
-            out["count"].append(docs.size)
+            out["count"].append(total)
             out["doc_blob"].append(doc_blob)
             out["tf_blob"].append(tf_blob)
             out["block_last"].append(bl.tolist())
@@ -359,33 +401,27 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
             if has_pos:
                 # per-(term,doc) position deltas restart, so run blobs
                 # concatenate in doc order without re-encoding
-                out["pos_blob"].append(b"".join(pos_parts))
+                out["pos_blob"].append(b"".join(r.pos_blob for r in run_rows))
 
         terms = g["term"].to_numpy()
         starts = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1]]) \
             if terms.size else np.empty(0, dtype=np.int64)
         ends = np.r_[starts[1:], terms.size] if terms.size else starts
+        row_tuples = list(g.itertuples(index=False))
         for s, e in zip(starts, ends):
-            sub = g.iloc[s:e]
-            doc_parts, tf_parts, pos_parts = [], [], []
+            run_rows = []
             acc = 0
             chunk_id = 0
-            for _, r in sub.iterrows():
-                n = int(r["count"])
-                d = np.cumsum(varbyte_decode(r["doc_blob"], n).astype(np.int64))
-                t = varbyte_decode(r["tf_blob"], n).astype(np.int64)
-                doc_parts.append(d)
-                tf_parts.append(t)
-                if has_pos:
-                    pos_parts.append(r["pos_blob"])
-                acc += n
+            for r in row_tuples[s:e]:
+                run_rows.append(r)
+                acc += int(r.count)
                 if acc >= chunk_target:
-                    emit(terms[s], chunk_id, doc_parts, tf_parts, pos_parts)
-                    doc_parts, tf_parts, pos_parts = [], [], []
+                    emit(terms[s], chunk_id, run_rows)
+                    run_rows = []
                     acc = 0
                     chunk_id += 1
-            if doc_parts:
-                emit(terms[s], chunk_id, doc_parts, tf_parts, pos_parts)
+            if run_rows:
+                emit(terms[s], chunk_id, run_rows)
         seg_cols = {
             "term": pa.array(out["term"], pa.string()),
             "chunk": pa.array(out["chunk"], pa.int32()),

@@ -85,6 +85,10 @@ def make_row_indexer(out_dir: str, *, tokenizer: str, text_col: str,
     fail = set(fail_pids or [])
 
     def row_indexer(batch: pd.DataFrame) -> pd.DataFrame:
+        # one Arrow compute thread per task: Ray already schedules one task
+        # per CPU slot, so Arrow's own pool would oversubscribe the node
+        # (and silently break CPU accounting between parallelism levels)
+        pa.set_cpu_count(1)
         out_rows = []
         man = Manifest(out_dir, "build")
         for _, part in batch.iterrows():
