@@ -201,9 +201,11 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
                       count=n_g)
     flat = list(chain.from_iterable(toks_per_doc))
 
-    from .codec import varbyte_encode
+    from .codec import BLOCK_SIZE, varbyte_encode, varbyte_lengths
     rows = {"term": [], "count": [], "cf": [], "first_doc": [], "last_doc": [],
-            "doc_blob": [], "tf_blob": [], "pos_blob": []}
+            "doc_blob": [], "tf_blob": [], "pos_blob": [],
+            "block_last": [], "block_max_tf": [], "block_counts": [],
+            "block_doc_off": [], "block_tf_off": []}
     if flat:
         codes, uniques = pd.factorize(np.asarray(flat, dtype=object),
                                       sort=False)
@@ -243,6 +245,24 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
             rows["last_doc"].append(int(d[-1]))
             rows["doc_blob"].append(varbyte_encode(deltas.astype(np.uint64)))
             rows["tf_blob"].append(varbyte_encode(t.astype(np.uint64)))
+            # per-run block metadata so the MERGE never decodes postings:
+            # blocks of <= BLOCK_SIZE postings with last-doc / max-tf /
+            # byte-offset arrays that concatenate across runs (the first
+            # run byte offset shifts by the respliced first-delta length)
+            n = d.size
+            nb = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+            bounds = np.minimum(np.arange(1, nb + 1) * BLOCK_SIZE, n)
+            rows["block_last"].append(d[bounds - 1].tolist())
+            rows["block_max_tf"].append(np.maximum.reduceat(
+                t, np.arange(0, n, BLOCK_SIZE)).tolist())
+            obounds = np.concatenate([[0], bounds])
+            rows["block_counts"].append(np.diff(obounds).tolist())
+            dlen = np.concatenate([[0], np.cumsum(
+                varbyte_lengths(deltas.astype(np.uint64)))])
+            tlen = np.concatenate([[0], np.cumsum(
+                varbyte_lengths(t.astype(np.uint64)))])
+            rows["block_doc_off"].append(dlen[obounds].tolist())
+            rows["block_tf_off"].append(tlen[obounds].tolist())
             if positions:
                 lo = pair_ends[s] - tfs_arr[s]
                 hi = pair_ends[e - 1]
@@ -258,6 +278,11 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
         "last_doc": pa.array(rows["last_doc"], pa.int64()),
         "doc_blob": pa.array(rows["doc_blob"], pa.binary()),
         "tf_blob": pa.array(rows["tf_blob"], pa.binary()),
+        "block_last": pa.array(rows["block_last"], pa.list_(pa.int64())),
+        "block_max_tf": pa.array(rows["block_max_tf"], pa.list_(pa.int64())),
+        "block_counts": pa.array(rows["block_counts"], pa.list_(pa.int64())),
+        "block_doc_off": pa.array(rows["block_doc_off"], pa.list_(pa.int64())),
+        "block_tf_off": pa.array(rows["block_tf_off"], pa.list_(pa.int64())),
     }
     if positions:
         run_cols["pos_blob"] = pa.array(rows["pos_blob"], pa.binary())
@@ -338,64 +363,68 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
         has_pos = "pos_blob" in g.columns
         out = {"term": [], "chunk": [], "df": [], "cf": [], "count": [],
                "doc_blob": [], "tf_blob": [], "block_last": [],
-               "block_max_tf": [], "block_doc_off": [], "block_tf_off": []}
+               "block_max_tf": [], "block_counts": [],
+               "block_doc_off": [], "block_tf_off": []}
         if has_pos:
             out["pos_blob"] = []
 
         def emit(term, chunk_id, run_rows):
-            """Stitch one chunk's runs WITHOUT re-encoding the blobs: a
+            """Stitch one chunk's runs with NO posting decode at all: a
             run's doc blob is correct except its first value (an absolute
-            doc id); splice in a re-encoded first DELTA per run and keep
-            the rest of the bytes verbatim.  Block metadata comes from one
-            vectorized decode of the stitched deltas."""
-            counts = np.array([int(r.count) for r in run_rows], dtype=np.int64)
-            last_docs = np.array([int(r.last_doc) for r in run_rows],
-                                 dtype=np.int64)
-            total = int(counts.sum())
-            # stitched doc blob with patched boundary deltas
+            doc id) — splice in a re-encoded first DELTA and keep the rest
+            verbatim; tf/pos blobs concatenate as-is; block metadata was
+            computed at run-write time and concatenates with byte-offset
+            shifts.  Merge cost is O(runs + bytes), independent of posting
+            count — blocks at run boundaries are simply shorter than
+            BLOCK_SIZE (block_counts records each block's size)."""
             doc_parts = []
+            shifts = []
             prev_last = 0
-            first_lens = []
             for i, r in enumerate(run_rows):
                 blob = r.doc_blob
-                # byte length of the encoded first value (scan continuation bits)
                 fl = 1
                 while blob[fl - 1] & 0x80:
                     fl += 1
-                first_lens.append(fl)
-                first_abs = int(varbyte_decode(blob[:fl], 1)[0])
                 if i == 0:
                     doc_parts.append(blob)
+                    shifts.append(0)
                 else:
-                    delta = first_abs - prev_last
-                    doc_parts.append(varbyte_encode(
-                        np.array([delta], dtype=np.uint64)) + blob[fl:])
-                prev_last = int(last_docs[i])
+                    nd = varbyte_encode(np.array(
+                        [int(r.first_doc) - prev_last], dtype=np.uint64))
+                    doc_parts.append(nd + blob[fl:])
+                    shifts.append(len(nd) - fl)
+                prev_last = int(r.last_doc)
             doc_blob = b"".join(doc_parts)
             tf_blob = b"".join(r.tf_blob for r in run_rows)
-            # ONE decode for block metadata (no re-encode of the blobs)
-            deltas = varbyte_decode(doc_blob, total).astype(np.int64)
-            docs = np.cumsum(deltas)
-            tfs = varbyte_decode(tf_blob, total).astype(np.int64)
-            nblocks = (total + BLOCK_SIZE - 1) // BLOCK_SIZE
-            bounds = np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, total)
-            bl = docs[bounds - 1]
-            bm = np.maximum.reduceat(tfs, np.arange(0, total, BLOCK_SIZE))
-            dlen = varbyte_lengths(deltas.astype(np.uint64))
-            tlen = varbyte_lengths(tfs.astype(np.uint64))
-            obounds = np.arange(0, total + BLOCK_SIZE, BLOCK_SIZE)[:nblocks + 1]
-            obounds[-1] = total
-            doff = np.concatenate([[0], np.cumsum(dlen)])[obounds]
-            toff = np.concatenate([[0], np.cumsum(tlen)])[obounds]
+            bl = np.concatenate([np.asarray(r.block_last, dtype=np.int64)
+                                 for r in run_rows])
+            bm = np.concatenate([np.asarray(r.block_max_tf, dtype=np.int64)
+                                 for r in run_rows])
+            bc = np.concatenate([np.asarray(r.block_counts, dtype=np.int64)
+                                 for r in run_rows])
+            doffs, toffs = [], []
+            dbase = tbase = 0
+            for i, r in enumerate(run_rows):
+                off = np.asarray(r.block_doc_off, dtype=np.int64).copy()
+                off[1:] += shifts[i]
+                doffs.append(off[:-1] + dbase)
+                dbase += int(off[-1])
+                toff = np.asarray(r.block_tf_off, dtype=np.int64)
+                toffs.append(toff[:-1] + tbase)
+                tbase += int(toff[-1])
+            doff = np.concatenate(doffs + [np.array([dbase], dtype=np.int64)])
+            toff = np.concatenate(toffs + [np.array([tbase], dtype=np.int64)])
+            total = int(bc.sum())
             out["term"].append(run_rows[0].term)
             out["chunk"].append(chunk_id)
             out["df"].append(total)
-            out["cf"].append(int(tfs.sum()))
+            out["cf"].append(sum(int(r.cf) for r in run_rows))
             out["count"].append(total)
             out["doc_blob"].append(doc_blob)
             out["tf_blob"].append(tf_blob)
             out["block_last"].append(bl.tolist())
             out["block_max_tf"].append(bm.tolist())
+            out["block_counts"].append(bc.tolist())
             out["block_doc_off"].append(doff.tolist())
             out["block_tf_off"].append(toff.tolist())
             if has_pos:
@@ -432,6 +461,7 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
             "tf_blob": pa.array(out["tf_blob"], pa.binary()),
             "block_last": pa.array(out["block_last"], pa.list_(pa.int64())),
             "block_max_tf": pa.array(out["block_max_tf"], pa.list_(pa.int64())),
+            "block_counts": pa.array(out["block_counts"], pa.list_(pa.int64())),
             "block_doc_off": pa.array(out["block_doc_off"], pa.list_(pa.int64())),
             "block_tf_off": pa.array(out["block_tf_off"], pa.list_(pa.int64())),
         }

@@ -165,16 +165,34 @@ class IndexReader:
         if rows is None:
             return None
         has_pos = "pos_blob" in t.column_names
-        chunks = [{
-            "count": t["count"][i].as_py(),
-            "doc_blob": t["doc_blob"][i].as_py(),
-            "tf_blob": t["tf_blob"][i].as_py(),
-            **({"pos_blob": t["pos_blob"][i].as_py()} if has_pos else {}),
-            "block_last": np.asarray(t["block_last"][i].as_py(), dtype=np.int64),
-            "block_max_tf": np.asarray(t["block_max_tf"][i].as_py(), dtype=np.int64),
-            "block_doc_off": np.asarray(t["block_doc_off"][i].as_py(), dtype=np.int64),
-            "block_tf_off": np.asarray(t["block_tf_off"][i].as_py(), dtype=np.int64),
-        } for i in rows]
+        has_counts = "block_counts" in t.column_names
+        chunks = []
+        for i in rows:
+            c = {
+                "count": t["count"][i].as_py(),
+                "doc_blob": t["doc_blob"][i].as_py(),
+                "tf_blob": t["tf_blob"][i].as_py(),
+                "block_last": np.asarray(t["block_last"][i].as_py(),
+                                         dtype=np.int64),
+                "block_max_tf": np.asarray(t["block_max_tf"][i].as_py(),
+                                           dtype=np.int64),
+                "block_doc_off": np.asarray(t["block_doc_off"][i].as_py(),
+                                            dtype=np.int64),
+                "block_tf_off": np.asarray(t["block_tf_off"][i].as_py(),
+                                           dtype=np.int64),
+            }
+            if has_pos:
+                c["pos_blob"] = t["pos_blob"][i].as_py()
+            if has_counts:
+                c["block_counts"] = np.asarray(
+                    t["block_counts"][i].as_py(), dtype=np.int64)
+            else:  # legacy uniform blocks
+                n = c["count"]
+                nb = c["block_last"].size
+                c["block_counts"] = np.full(nb, BLOCK_SIZE, dtype=np.int64)
+                if nb:
+                    c["block_counts"][-1] = n - BLOCK_SIZE * (nb - 1)
+            chunks.append(c)
         return {
             "df": sum(t["df"][i].as_py() for i in rows),
             "cf": sum(t["cf"][i].as_py() for i in rows),
@@ -452,12 +470,15 @@ class IndexReader:
                              ) -> Tuple[np.ndarray, np.ndarray]:
         """One chunk: per-block byte offsets (block_doc_off/block_tf_off)
         let us slice the varbyte blob without touching skipped bytes; a
-        block's deltas cumsum from block_last[b-1]."""
+        block's deltas cumsum from block_last[b-1].  Blocks are variable
+        size (block_counts) — run boundaries produce short blocks."""
         bl = e["block_last"]
+        bc = e["block_counts"]
         n = e["count"]
         # block index each target would land in
         bidx = np.unique(np.searchsorted(bl, targets))
         bidx = bidx[bidx < bl.size]
+        starts = np.concatenate([[0], np.cumsum(bc)])
         if bidx.size >= max(1, bl.size // 2):
             # most blocks needed: full decode is cheaper (and cacheable)
             docs = np.cumsum(varbyte_decode(e["doc_blob"], n).astype(np.int64))
@@ -466,12 +487,12 @@ class IndexReader:
                 return docs, tfs
             keep = np.zeros(docs.size, dtype=bool)
             for b in bidx:
-                keep[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE] = True
+                keep[starts[b]:starts[b + 1]] = True
             return docs[keep], tfs[keep]
         doff, toff = e["block_doc_off"], e["block_tf_off"]
         doc_parts, tf_parts = [], []
         for b in bidx:
-            cnt = min(n, (b + 1) * BLOCK_SIZE) - b * BLOCK_SIZE
+            cnt = int(bc[b])
             deltas = varbyte_decode(e["doc_blob"][doff[b]:doff[b + 1]],
                                     cnt).astype(np.int64)
             base = int(bl[b - 1]) if b > 0 else 0
