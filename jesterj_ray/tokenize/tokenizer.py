@@ -33,6 +33,7 @@ _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+")
 # camelCase boundaries: ABCDef -> ABC_Def ; abC -> ab_C
 _ACRONYM_RE = re.compile(r"([A-Z]+)([A-Z][a-z])")
 _CAMEL_RE = re.compile(r"([a-z0-9])([A-Z])")
+_ASCII_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 
 
 def simple_tokenize(text: str) -> List[str]:
@@ -47,8 +48,9 @@ def split_identifier(ident: str) -> List[str]:
     return [p.lower() for p in s.split("_") if p]
 
 
-def code_tokenize(text: str) -> List[str]:
-    """Identifier-aware tokenization for source code."""
+def code_tokenize_reference(text: str) -> List[str]:
+    """Identifier-aware tokenization, reference implementation (per-ident
+    Python loop).  Kept as the equivalence oracle for the fast path."""
     out: List[str] = []
     for ident in _IDENT_RE.findall(text):
         if "_" in ident or not ident.islower():
@@ -56,6 +58,37 @@ def code_tokenize(text: str) -> List[str]:
         else:
             out.append(ident)
     return out
+
+
+# digit-run at an identifier START followed by letters splits ("123abc" ->
+# 123, abc — identifiers cannot start with digits) while a digit INSIDE an
+# identifier does not ("var2sort" stays whole): fixed-width lookbehind
+# blocks the in-identifier case
+_LEADING_NUM_RE = re.compile(r"(?<![A-Za-z0-9_])([0-9]+)([A-Za-z])")
+
+
+# cheap superset test for "anything that might force identifier
+# splitting": an uppercase letter, an underscore, or any digit-letter
+# adjacency (a lookbehind-free over-approximation — false positives just
+# take the slower exact path)
+_NEEDS_SPLIT_RE = re.compile(r"[A-Z_]|[0-9][A-Za-z]")
+
+
+def code_tokenize(text: str) -> List[str]:
+    """Identifier-aware tokenization for source code — whole-text fast
+    path: if one scan finds nothing to split, tokens are a plain findall;
+    otherwise three C-level regex substitutions insert boundaries
+    (acronym, camelCase, leading-number) before the findall.  Proven
+    token-identical to :func:`code_tokenize_reference` (pytest property
+    test + corpus sweep)."""
+    if _NEEDS_SPLIT_RE.search(text) is None:
+        return _SIMPLE_RE.findall(text)  # already all-lowercase tokens
+    s = _ACRONYM_RE.sub(r"\1_\2", text)
+    s = _CAMEL_RE.sub(r"\1_\2", s)
+    s = _LEADING_NUM_RE.sub(r"\1_\2", s)
+    # per-token lower (tokens are pure ASCII): whole-text .lower() would
+    # manufacture ASCII letters from exotic codepoints ('İ' -> 'i̇')
+    return [t.lower() for t in _ASCII_TOKEN_RE.findall(s)]
 
 
 TOKENIZERS = {"simple": simple_tokenize, "code": code_tokenize}
