@@ -100,6 +100,10 @@ def generate_corpus(n_rows: int, seed: int = 42) -> pa.Table:
             content = ""  # planted empty
         elif i % 173 == 0:
             content = "# only a comment line\n# and another\n"
+        elif i == 137:
+            # planted wide record (>1 MB) — FIXTURES.md F1 wide-record
+            # handling: must index without blowing batch/block budgets
+            content = _make_content(rng, lang, 40) * 1200
         else:
             content = _make_content(rng, lang, nlines)
         repos.append(repo)

@@ -268,3 +268,14 @@ def test_tombstone_delete(small_corpus, tmp_path):
     assert [d for d, _ in pruned] == [d for d, _ in got]
     # deleting an unknown key is a no-op
     assert delete_docs(out, ["no-such-key"]) == 0
+
+
+def test_wide_record_indexed(built, small_corpus, oracle):
+    """The planted >1MB document (FIXTURES.md F1) is indexed and scored
+    like any other (wide-record handling)."""
+    _, bf = oracle
+    big = max(bf.dl.items(), key=lambda kv: kv[1])
+    assert big[1] > 100_000  # ~1MB of code ~ hundreds of thousands of tokens
+    out, _ = built
+    reader = IndexReader(out)
+    assert reader.doc_len(np.array([big[0]], dtype=np.int64))[0] == big[1]
