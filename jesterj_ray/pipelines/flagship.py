@@ -164,7 +164,7 @@ def corpus_index_pipeline(n_rows: int = 500, *, out_dir: Optional[str] = None,
     code-tokenizer index with sha256 dedup, answer the reference query set.
     Returns (qid, rank, doc_key, score)."""
     from ..sources.corpus import REFERENCE_QUERIES, generate_corpus
-    out = out_dir or f"/tmp/jjray_cache/corpus-{n_rows}"
+    out = out_dir or f"/tmp/jjray_cache/corpus-v2-{n_rows}"
     ds = rd.from_arrow(generate_corpus(n_rows, seed=42))
     if not os.path.exists(os.path.join(out, "stats.json")):
         build_index(ds, out, text_col="content", tokenizer="code",
