@@ -4,10 +4,11 @@ Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in jesterj_ray) calls ray.init()/ray.shutdown().
 
 Every entry in ``queries()`` is an implemented operator/pipeline from
-SURVEY.md §2 (JesterJ processor analogs, the inverted-index/BM25 flagship,
-plus the training-data operators: dedup, ANN, text analysis).  Column
-names match the paired ``oracle_sql()`` exactly; float columns are rounded
-identically on both sides.
+SURVEY.md §2 (JesterJ processor analogs, the inverted-index/BM25/phrase
+flagship, plus the training-data operators: dedup, ANN, text analysis) —
+43 entries, 35 with DuckDB oracles.  Column names match the paired
+``oracle_sql()`` exactly; float columns are rounded identically on both
+sides.
 """
 
 from __future__ import annotations

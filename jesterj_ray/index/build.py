@@ -1,45 +1,43 @@
-"""Distributed inverted-index build — the Ray-Data-native core pipeline.
+"""Distributed inverted-index build — the sha-partitioned (fused-dedup) path.
 
 Replaces JesterJ's terminal Solr/OpenSearch senders
 (``ingest/processors/SendToSolrProcessor.java``,
 ``SendToOpenSearchProcessor.java`` — which batch documents to an external
 search engine) with a from-scratch index build, per the north_rule.
 
-Architecture (SURVEY.md §7.1), one all-to-all shuffle end to end:
+Two build paths share this module's partition indexer and merge:
 
-    read corpus (Parquet)
-      -> map_batches: content_sha256 + doc_key + pid          [stateless, Arrow]
-         pid = hash(content_sha256) % P   (duplicates co-locate by design,
-         so exact dedup needs no extra shuffle)
-      -> filter out partitions already committed (resume)     [stateless]
-      -> groupby(pid).map_groups(partition_indexer)           [shuffle #1]
-           dedup keep-first (min doc_key) within the partition
-           sort by doc_key; doc_id = pid << 32 | local_rank   (deterministic,
-           independent of execution order / parallelism level)
-           tokenize (module-level compiled lexers), count (term, tf) per doc
-           write run file  runs/part-<pid>.parquet  (term-sorted, postings
-           delta+varbyte encoded) + docs/part-<pid>.parquet  via atomic
-           rename; commit manifest row  -> emits one metrics row
-      -> merge: read runs -> map_batches(shard=hash(term)%S)
-      -> groupby(shard).map_groups(shard_writer)              [shuffle #2,
-           over the ALREADY-AGGREGATED runs: at most one row per (term,
-           partition), so hot terms like ``import`` contribute P rows of
-           encoded blobs, not one row per posting — the partial-aggregation
-           answer to term skew; groups additionally bounded by ``bucket``
-           (= pid // bucket_width) so a single group never holds more than
-           ``bucket_width`` runs of a hot term's blob bytes]
-           within shard: per (term, bucket) stitch runs in ascending doc
-           order, re-encode with block-max metadata; write
-           segments/shard-<s>.parquet via atomic rename
+- THIS path (``build_index``): ONE all-to-all shuffle keyed on
+  pid = hash(content_sha256) % P, so exact duplicates co-locate and
+  dedup keep-first (min doc_key) is fused into the build; docID =
+  pid << 32 | rank-within-sorted-doc_keys (deterministic at any
+  parallelism).
+- ``build_rows.build_index_rows``: ZERO-shuffle row-range partitions
+  planned from parquet metadata (the scale path; dedup runs upstream).
 
-Determinism: doc_ids derive only from (sha-hash partition, sorted doc_key),
-never from execution order, so an index built at num_cpus=8 and num_cpus=32
-is identical (FIXTURES.md test 8).
+Both write per-partition RUNS PRE-PARTITIONED BY TERM SHARD (a map-side
+partitioned spill): one file per (shard, partition) carrying term rows
+with delta+varbyte doc blobs, tf blobs, optional position blobs, and
+per-block metadata (last doc / max tf / counts / byte offsets per
+<=BLOCK_SIZE postings).  The merge (``merge_runs``) is then one task per
+term shard reading only its own files — no Ray shuffle — and stitches
+runs byte-wise: only each run's first doc value is re-encoded as a delta
+against the previous run's last doc; tf/pos blobs and block metadata
+concatenate with offset shifts.  Merge cost is O(runs + bytes), NEVER
+decoding postings; hot terms beyond ``chunk_target`` postings split into
+multiple (term, chunk) segment rows, bounding memory (the answer to term
+skew — a hot term contributes P small pre-aggregated rows, not 10^10
+postings, and is never materialized whole).
 
-Scale notes (100 TB / 10^12 files): P is the unit of resume and should be
-sized so a partition is a few GB (P ~ 30k at 100 TB); S sized so a shard
-file is ~100-500 MB; ``content`` never leaves stage 1 (dropped right after
-tokenize); runs/segments live on shared storage in a real cluster.
+Fault tolerance: per-partition manifest rows committed by atomic rename
+after the partition's outputs; per-row poison quarantine at tokenize;
+resume skips committed partitions; merge invalidates when the run-set
+fingerprint changes (SURVEY.md §3.3).
+
+Scale notes (100 TB / 10^12 files): P sized so a partition is a few GB
+(P ~ 30k at 100 TB); S sized so a shard file is ~100-500 MB; ``content``
+never leaves stage 1; runs/segments live on shared storage in a real
+cluster.
 """
 
 from __future__ import annotations
