@@ -492,8 +492,12 @@ def merge_runs(out_dir: str, num_shards: int,
                                     if f.endswith(".parquet"))
     if not run_files:
         return
+    # path+size+mtime_ns: an in-place rewrite of a run (incremental
+    # re-index) can produce a same-size file, so size alone could silently
+    # skip the merge and serve stale segments (ADVICE r01)
     merge_fp = hashlib.sha256("|".join(
-        f"{p}:{os.path.getsize(p)}" for p in run_files).encode()).hexdigest()
+        f"{p}:{os.path.getsize(p)}:{os.stat(p).st_mtime_ns}"
+        for p in run_files).encode()).hexdigest()
     fp_path = os.path.join(out_dir, "merge_fingerprint.json")
     prior_fp = None
     if os.path.exists(fp_path):

@@ -77,6 +77,25 @@ def _part_fingerprint(part: Dict) -> str:
         f"|{st.st_size}|{int(st.st_mtime)}".encode()).hexdigest()
 
 
+def _drop_stale_partitions(out_dir: str, man: Manifest, stale) -> None:
+    """Delete every artifact of partitions no longer in the current plan:
+    manifest row, doc table, and the pid's slice of every run shard."""
+    runs_dir = os.path.join(out_dir, "runs")
+    shard_dirs = [os.path.join(runs_dir, d) for d in os.listdir(runs_dir)] \
+        if os.path.isdir(runs_dir) else []
+    for pid in sorted(stale):
+        for path in ([os.path.join(man.dir, f"part-{pid:05d}.json"),
+                      os.path.join(out_dir, "docs", f"part-{pid:05d}.parquet"),
+                      os.path.join(out_dir, "quarantine",
+                                   f"part-{pid:05d}.parquet")] +
+                     [os.path.join(d, f"part-{pid:05d}.parquet")
+                      for d in shard_dirs]):
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+
+
 def make_row_indexer(out_dir: str, *, tokenizer: str, text_col: str,
                      key_col: Optional[str], num_shards: int = 8,
                      positions: bool = False,
@@ -155,6 +174,13 @@ def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
     parts = plan_row_partitions(paths, docs_per_partition)
     man = Manifest(out_dir, "build")
     recs = man.all() if resume else {}
+    # partitions dropped from a re-plan (input shrank) would otherwise
+    # leave stale manifest/docs/runs artifacts that still count in stats
+    # and load into the reader (ADVICE r01)
+    _drop_stale_partitions(out_dir, man,
+                           stale=set(recs) - {p["pid"] for p in parts})
+    recs = {pid: r for pid, r in recs.items()
+            if pid in {p["pid"] for p in parts}}
     todo = []
     for p in parts:
         rec = recs.get(p["pid"])

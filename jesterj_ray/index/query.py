@@ -419,9 +419,18 @@ class IndexReader:
         for i, (t, e, ub) in enumerate(entries):
             threshold = -1.0
             if n_touched >= k:
-                allv = scores[np.concatenate(touched_parts)] if \
-                    len(touched_parts) > 1 else scores[touched_parts[0]]
-                threshold = float(allv[np.argpartition(-allv, k - 1)[k - 1]])
+                allv_idx = np.concatenate(touched_parts) if \
+                    len(touched_parts) > 1 else touched_parts[0]
+                # the k-th threshold must reflect only ALIVE candidates:
+                # tombstoned docs are dropped at extraction, so including
+                # their (often high) scores here would inflate the bound and
+                # prune terms that still matter for live docs
+                if self._tombstone.any():
+                    allv_idx = allv_idx[~self._tombstone[allv_idx]]
+                if allv_idx.size >= k:
+                    allv = scores[allv_idx]
+                    threshold = float(
+                        allv[np.argpartition(-allv, k - 1)[k - 1]])
             if threshold >= rem_ub[i]:
                 # pruned phase: candidates only + block-max skip decode
                 touched = np.concatenate(touched_parts)

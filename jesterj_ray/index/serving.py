@@ -45,6 +45,36 @@ class _SlicedReader(IndexReader):
         mask = (docs >> 32) % self._n_slices == self._slice_id
         return docs[mask], tfs[mask]
 
+    def dense_of(self, doc_ids):
+        """Slice-safe mapping: a pid outside this slice would silently
+        searchsorted-mismap onto a neighbour, corrupting scores."""
+        pids = doc_ids >> 32
+        pos = np.clip(np.searchsorted(self._pids, pids), 0,
+                      max(0, self._pids.size - 1))
+        if doc_ids.size and not np.array_equal(self._pids[pos], pids):
+            raise ValueError("doc_id outside this reader's pid slice")
+        return super().dense_of(doc_ids)
+
+    # Only topk() applies the slice filter (it goes through the overridden
+    # postings()).  The pruned / phrase / positions paths read raw blobs
+    # via _decode_blocks_covering or stitch pos blobs against UNfiltered
+    # tf runs — running them against a slice would silently misalign, so
+    # they are explicitly unsupported here (ADVICE r01).
+    def topk_pruned(self, query: str, k: int = 10):
+        raise NotImplementedError(
+            "_SlicedReader supports exhaustive topk() only; block-max "
+            "pruning reads raw blobs that bypass the slice mask")
+
+    def phrase_topk(self, query: str, k: int = 10):
+        raise NotImplementedError(
+            "_SlicedReader supports exhaustive topk() only; position blobs "
+            "would misalign against slice-masked tf runs")
+
+    def positions(self, term: str):
+        raise NotImplementedError(
+            "_SlicedReader supports exhaustive topk() only; position blobs "
+            "would misalign against slice-masked tf runs")
+
 
 @ray.remote
 class ShardedQueryActor:
