@@ -156,15 +156,29 @@ def top_terms_per_lang(sf_dir: str, n: int = 3):
                          columns=["lang", "text"], override_num_blocks=8)
 
     def partial_counts(t: pa.Table) -> pa.Table:
-        langs, terms = [], []
-        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
-            for term in simple_tokenize(text or ""):
-                langs.append(lang)
-                terms.append(term)
-        df = pd.DataFrame({"lang": langs, "term": terms})
-        agg = df.groupby(["lang", "term"], sort=False).size() \
-            .reset_index(name="tf_part")
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        # factorize + integer-key np.unique (the index-build counting
+        # pattern, build.py _index_partition_tables) — no per-token append
+        toks_per_doc = [simple_tokenize(x or "")
+                        for x in t["text"].to_pylist()]
+        lens = np.fromiter((len(x) for x in toks_per_doc), dtype=np.int64,
+                           count=len(toks_per_doc))
+        flat = [tok for doc in toks_per_doc for tok in doc]
+        if not flat:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "tf_part": pa.array([], pa.int64())})
+        tcodes, tuniq = pd.factorize(np.asarray(flat, dtype=object),
+                                     sort=False)
+        lcodes, luniq = pd.factorize(
+            np.asarray(t["lang"].to_pylist(), dtype=object), sort=False)
+        key = tcodes.astype(np.int64) * len(luniq) + np.repeat(lcodes, lens)
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array(np.asarray(luniq, object)[uk % len(luniq)],
+                             pa.string()),
+            "term": pa.array(np.asarray(tuniq, object)[uk // len(luniq)],
+                             pa.string()),
+            "tf_part": pa.array(counts, pa.int64())})
 
     partials = ds.map_batches(partial_counts, batch_format="pyarrow")
     totals = partials.groupby(["lang", "term"]).aggregate(

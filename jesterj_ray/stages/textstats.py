@@ -10,7 +10,6 @@ the ``PreAnalyzeFields`` load-analyzer-once pattern, reference
 
 from __future__ import annotations
 
-import hashlib
 import re
 from typing import List, Optional
 
@@ -124,20 +123,55 @@ def bpe_ish_token_count(batch: pa.Table, *, field: str,
     return batch.append_column(out_field, counts.cast(pa.int64()))
 
 
+_FP_EMPTY = np.uint64(14695981039346656037)  # FNV offset basis
+_FP_MIX_CHUNK = 4096
+_fp_mix_cache = np.empty(0, dtype=np.uint64)
+
+
+def _fp_mix(n: int) -> np.ndarray:
+    """Deterministic per-position odd multipliers (u64), grown in fixed
+    4096-value chunks so any prefix is stable regardless of how far the
+    cache has grown."""
+    global _fp_mix_cache
+    if _fp_mix_cache.size < n:
+        chunks = [_fp_mix_cache]
+        have = _fp_mix_cache.size
+        while have < n:
+            rng = np.random.default_rng(917 + have // _FP_MIX_CHUNK)
+            c = rng.integers(0, 2**63, size=_FP_MIX_CHUNK,
+                             dtype=np.int64).astype(np.uint64)
+            chunks.append((c << np.uint64(1)) | np.uint64(1))
+            have += _FP_MIX_CHUNK
+        _fp_mix_cache = np.concatenate(chunks)
+    return _fp_mix_cache
+
+
 def fingerprint(batch: pa.Table, *, field: str,
                 out_field: str = "fingerprint") -> pa.Table:
-    """Document fingerprint: 64-bit rolling (polynomial) hash over the
-    normalized token stream — equal for docs that differ only in
-    whitespace/case (the change-detection hash generalized from the
-    reference's MD5-of-toString, ``DocumentImpl.java:299-325``)."""
+    """Document fingerprint: 64-bit position-mixed hash over the normalized
+    token stream — equal for docs that differ only in whitespace/case,
+    sensitive to token order and content (the change-detection hash
+    generalized from the reference's MD5-of-toString,
+    ``DocumentImpl.java:299-325``).
+
+    h(doc) = XOR_i (blake2b64(token_i) * MIX[i]) with u64 wraparound and
+    per-position odd multipliers — an order-sensitive fold that, unlike
+    the previous sequential multiply-xor chain, is fully vectorizable:
+    unique tokens hash once per batch (factorize) and the fold is one
+    ``np.bitwise_xor.reduceat`` (r01 VERDICT fix)."""
+    from .dedup import _token_hashes
     texts = batch[field].to_pylist()
-    out = np.empty(len(texts), dtype=np.uint64)
-    MASK = (1 << 64) - 1
-    for i, t in enumerate(texts):
-        h = 14695981039346656037
-        for tok in simple_tokenize(t or ""):
-            th = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8)
-                                .digest(), "little")
-            h = ((h * 1099511628211) ^ th) & MASK
-        out[i] = h
+    toks_per_doc = [simple_tokenize(t or "") for t in texts]
+    n = len(texts)
+    out = np.full(n, _FP_EMPTY, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
+                       count=n)
+    flat = [tok for doc in toks_per_doc for tok in doc]
+    if flat:
+        th = _token_hashes(flat)
+        doc_starts = np.cumsum(lens) - lens
+        pos = np.arange(th.size, dtype=np.int64) - np.repeat(doc_starts, lens)
+        mixed = th * _fp_mix(int(lens.max()))[pos]
+        nonempty = np.flatnonzero(lens > 0)
+        out[nonempty] = np.bitwise_xor.reduceat(mixed, doc_starts[nonempty])
     return batch.append_column(out_field, pa.array(out, pa.uint64()))
