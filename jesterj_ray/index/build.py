@@ -296,7 +296,11 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
 
     # write the run PRE-PARTITIONED by term shard: the merge stage then
     # reads shard s's slice of every partition directly from shared storage
-    # — a map-side partitioned spill, so the merge needs NO Ray shuffle
+    # — a map-side partitioned spill, so the merge needs NO Ray shuffle.
+    # Runs are TERM-SORTED and written in small row groups so the merge can
+    # k-way-stream them (one row-group slab per file in memory, never the
+    # whole shard)
+    run_table = run_table.sort_by("term")
     shard_ids = term_shard(run_table["term"], num_shards)
     out_files = []
     nbytes = 0
@@ -304,7 +308,7 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
         sub = run_table.filter(pa.array(shard_ids == s_))
         run_path = os.path.join(out_dir, "runs", f"shard-{s_:04d}",
                                 f"part-{pid:05d}.parquet")
-        nbytes += atomic_write_table(run_path, sub)
+        nbytes += atomic_write_table(run_path, sub, row_group_size=4096)
         out_files.append(run_path)
     doc_path = os.path.join(out_dir, "docs", f"part-{pid:05d}.parquet")
     nbytes += atomic_write_table(doc_path, doc_table)
@@ -321,50 +325,98 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
             "status": STATUS_INDEXED}
 
 
+# segment rows buffered before each incremental parquet flush; patchable
+# in tests to force many tiny flushes
+MERGE_FLUSH_TERMS = 1024
+# rows decoded per run-file iterator step (memory bound = this slab x runs)
+MERGE_READ_BATCH = 512
+
+
+def _segment_schema(has_pos: bool) -> pa.Schema:
+    fields = [("term", pa.string()), ("chunk", pa.int32()),
+              ("df", pa.int64()), ("cf", pa.int64()), ("count", pa.int64()),
+              ("doc_blob", pa.binary()), ("tf_blob", pa.binary()),
+              ("block_last", pa.list_(pa.int64())),
+              ("block_max_tf", pa.list_(pa.int64())),
+              ("block_counts", pa.list_(pa.int64())),
+              ("block_doc_off", pa.list_(pa.int64())),
+              ("block_tf_off", pa.list_(pa.int64()))]
+    if has_pos:
+        fields.append(("pos_blob", pa.binary()))
+    return pa.schema(fields)
+
+
+def _iter_run_rows(path: str):
+    """Stream one run file's rows as dicts, one small record batch at a
+    time (runs are written with row_group_size=4096 so a slab, not the
+    file, is the memory unit)."""
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(path)
+    for batch in pf.iter_batches(batch_size=MERGE_READ_BATCH):
+        yield from batch.to_pylist()
+
+
 def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
     """Stage 2 fn: merge one shard's runs (already on disk, one file per
     partition under runs/shard-<s>/) into a segment file.  No shuffle: the
     stage-1 tasks partitioned the runs by term shard at write time.
+
+    STREAMING k-way merge (r01 VERDICT fix — the old path concat'd every
+    run file into one in-memory table, capping shard size by worker
+    memory): runs are term-sorted at write time, so a ``heapq.merge`` over
+    per-file row iterators yields rows in global (term, first_doc) order;
+    chunks are stitched and flushed to an incremental parquet writer every
+    ``MERGE_FLUSH_TERMS`` rows.  Peak memory = runs x one read slab + one
+    in-flight chunk + the flush buffer — independent of shard size.
 
     A term whose postings exceed ``chunk_target`` is emitted as MULTIPLE
     segment rows (term, chunk) in ascending doc order, so the merge never
     materializes a hot term's full posting list (at 10^12 docs ``import``
     would be tens of GB) — the bounded-memory answer to term skew on the
     merge side; the query engine concatenates chunks at read time."""
-    from .codec import varbyte_decode, varbyte_encode, varbyte_lengths
-    from .codec import BLOCK_SIZE
+    import heapq
+
+    from .codec import varbyte_encode
 
     def shard_writer(batch: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow.parquet as pq
         out_rows = []
         for shard in batch["shard"].astype(int):
             out_rows.append(_merge_one_shard(int(shard)))
         return pd.DataFrame(out_rows)
 
     def _merge_one_shard(shard: int) -> dict:
+        import pyarrow.parquet as pq
         man = Manifest(out_dir, "merge")
         prior = man.read(shard)
         if prior and prior.get("status") == STATUS_INDEXED:
             return {"shard": shard, "terms": prior["terms_emitted"],
                     "bytes_written": prior["bytes_written"]}
-        import pyarrow.parquet as pq
         shard_dir = os.path.join(out_dir, "runs", f"shard-{shard:04d}")
         files = sorted(os.path.join(shard_dir, f)
                        for f in os.listdir(shard_dir)
                        if f.endswith(".parquet")) if os.path.isdir(shard_dir) else []
-        if not files:
-            g = pd.DataFrame({"term": [], "count": [], "cf": [],
-                              "first_doc": [], "doc_blob": [], "tf_blob": []})
-        else:
-            g = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
-        g = g.sort_values(["term", "first_doc"], kind="mergesort")
-        has_pos = "pos_blob" in g.columns
-        out = {"term": [], "chunk": [], "df": [], "cf": [], "count": [],
-               "doc_blob": [], "tf_blob": [], "block_last": [],
-               "block_max_tf": [], "block_counts": [],
-               "block_doc_off": [], "block_tf_off": []}
-        if has_pos:
-            out["pos_blob"] = []
+        has_pos = bool(files) and "pos_blob" in pq.ParquetFile(
+            files[0]).schema_arrow.names
+        schema = _segment_schema(has_pos)
+        out = {name: [] for name in schema.names}
+        state = {"writer": None, "terms": 0}
+        seg_dir = os.path.join(out_dir, "segments")
+        os.makedirs(seg_dir, exist_ok=True)
+        path = os.path.join(seg_dir, f"shard-{shard:04d}.parquet")
+        import uuid as _uuid
+        tmp = os.path.join(seg_dir, f".tmp-{_uuid.uuid4().hex[:8]}.parquet")
+
+        def flush(force: bool = False):
+            if not out["term"] and (state["writer"] or not force):
+                return
+            if state["writer"] is None:
+                state["writer"] = pq.ParquetWriter(tmp, schema)
+            t = pa.table({n: pa.array(out[n], schema.field(n).type)
+                          for n in schema.names})
+            state["writer"].write_table(t)
+            state["terms"] += t.num_rows
+            for n in schema.names:
+                out[n].clear()
 
         def emit(term, chunk_id, run_rows):
             """Stitch one chunk's runs with NO posting decode at all: a
@@ -379,7 +431,7 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
             shifts = []
             prev_last = 0
             for i, r in enumerate(run_rows):
-                blob = r.doc_blob
+                blob = r["doc_blob"]
                 fl = 1
                 while blob[fl - 1] & 0x80:
                     fl += 1
@@ -388,35 +440,35 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
                     shifts.append(0)
                 else:
                     nd = varbyte_encode(np.array(
-                        [int(r.first_doc) - prev_last], dtype=np.uint64))
+                        [int(r["first_doc"]) - prev_last], dtype=np.uint64))
                     doc_parts.append(nd + blob[fl:])
                     shifts.append(len(nd) - fl)
-                prev_last = int(r.last_doc)
+                prev_last = int(r["last_doc"])
             doc_blob = b"".join(doc_parts)
-            tf_blob = b"".join(r.tf_blob for r in run_rows)
-            bl = np.concatenate([np.asarray(r.block_last, dtype=np.int64)
+            tf_blob = b"".join(r["tf_blob"] for r in run_rows)
+            bl = np.concatenate([np.asarray(r["block_last"], dtype=np.int64)
                                  for r in run_rows])
-            bm = np.concatenate([np.asarray(r.block_max_tf, dtype=np.int64)
+            bm = np.concatenate([np.asarray(r["block_max_tf"], dtype=np.int64)
                                  for r in run_rows])
-            bc = np.concatenate([np.asarray(r.block_counts, dtype=np.int64)
+            bc = np.concatenate([np.asarray(r["block_counts"], dtype=np.int64)
                                  for r in run_rows])
             doffs, toffs = [], []
             dbase = tbase = 0
             for i, r in enumerate(run_rows):
-                off = np.asarray(r.block_doc_off, dtype=np.int64).copy()
+                off = np.asarray(r["block_doc_off"], dtype=np.int64).copy()
                 off[1:] += shifts[i]
                 doffs.append(off[:-1] + dbase)
                 dbase += int(off[-1])
-                toff = np.asarray(r.block_tf_off, dtype=np.int64)
+                toff = np.asarray(r["block_tf_off"], dtype=np.int64)
                 toffs.append(toff[:-1] + tbase)
                 tbase += int(toff[-1])
             doff = np.concatenate(doffs + [np.array([dbase], dtype=np.int64)])
             toff = np.concatenate(toffs + [np.array([tbase], dtype=np.int64)])
             total = int(bc.sum())
-            out["term"].append(run_rows[0].term)
+            out["term"].append(term)
             out["chunk"].append(chunk_id)
             out["df"].append(total)
-            out["cf"].append(sum(int(r.cf) for r in run_rows))
+            out["cf"].append(sum(int(r["cf"]) for r in run_rows))
             out["count"].append(total)
             out["doc_blob"].append(doc_blob)
             out["tf_blob"].append(tf_blob)
@@ -428,49 +480,50 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
             if has_pos:
                 # per-(term,doc) position deltas restart, so run blobs
                 # concatenate in doc order without re-encoding
-                out["pos_blob"].append(b"".join(r.pos_blob for r in run_rows))
+                out["pos_blob"].append(b"".join(r["pos_blob"]
+                                                for r in run_rows))
+            if len(out["term"]) >= MERGE_FLUSH_TERMS:
+                flush()
 
-        terms = g["term"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1]]) \
-            if terms.size else np.empty(0, dtype=np.int64)
-        ends = np.r_[starts[1:], terms.size] if terms.size else starts
-        row_tuples = list(g.itertuples(index=False))
-        for s, e in zip(starts, ends):
-            run_rows = []
+        try:
+            merged = heapq.merge(*[_iter_run_rows(f) for f in files],
+                                 key=lambda r: (r["term"], r["first_doc"]))
+            cur_term = None
+            run_rows: list = []
             acc = 0
             chunk_id = 0
-            for r in row_tuples[s:e]:
+            for r in merged:
+                if r["term"] != cur_term:
+                    if run_rows:
+                        emit(cur_term, chunk_id, run_rows)
+                    cur_term = r["term"]
+                    run_rows, acc, chunk_id = [], 0, 0
                 run_rows.append(r)
-                acc += int(r.count)
+                acc += int(r["count"])
                 if acc >= chunk_target:
-                    emit(terms[s], chunk_id, run_rows)
-                    run_rows = []
-                    acc = 0
+                    emit(cur_term, chunk_id, run_rows)
+                    run_rows, acc = [], 0
                     chunk_id += 1
             if run_rows:
-                emit(terms[s], chunk_id, run_rows)
-        seg_cols = {
-            "term": pa.array(out["term"], pa.string()),
-            "chunk": pa.array(out["chunk"], pa.int32()),
-            "df": pa.array(out["df"], pa.int64()),
-            "cf": pa.array(out["cf"], pa.int64()),
-            "count": pa.array(out["count"], pa.int64()),
-            "doc_blob": pa.array(out["doc_blob"], pa.binary()),
-            "tf_blob": pa.array(out["tf_blob"], pa.binary()),
-            "block_last": pa.array(out["block_last"], pa.list_(pa.int64())),
-            "block_max_tf": pa.array(out["block_max_tf"], pa.list_(pa.int64())),
-            "block_counts": pa.array(out["block_counts"], pa.list_(pa.int64())),
-            "block_doc_off": pa.array(out["block_doc_off"], pa.list_(pa.int64())),
-            "block_tf_off": pa.array(out["block_tf_off"], pa.list_(pa.int64())),
-        }
-        if has_pos:
-            seg_cols["pos_blob"] = pa.array(out["pos_blob"], pa.binary())
-        seg = pa.table(seg_cols)
-        path = os.path.join(out_dir, "segments", f"shard-{shard:04d}.parquet")
-        nbytes = atomic_write_table(path, seg)
-        man.commit(shard, status=STATUS_INDEXED, terms_emitted=seg.num_rows,
+                emit(cur_term, chunk_id, run_rows)
+            flush(force=True)
+            if state["writer"] is not None:
+                state["writer"].close()
+            nbytes = os.path.getsize(tmp)
+            os.replace(tmp, path)
+        except BaseException:
+            if state["writer"] is not None:
+                state["writer"].close()
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        man.commit(shard, status=STATUS_INDEXED,
+                   terms_emitted=state["terms"],
                    bytes_written=nbytes, output_files=[path])
-        return {"shard": shard, "terms": seg.num_rows, "bytes_written": nbytes}
+        return {"shard": shard, "terms": state["terms"],
+                "bytes_written": nbytes}
 
     return shard_writer
 

@@ -51,7 +51,7 @@ def documents_index(sf_dir: str, *, rebuild: bool = False) -> str:
     dedup=False because the SQL oracle scores the raw table.  doc_key is
     the zero-padded doc_id so engine order == numeric doc_id order.
     Returns the index directory."""
-    out = _cache_dir(sf_dir, "docidx")
+    out = _cache_dir(sf_dir, "docidx3")
     marker = os.path.join(out, "stats.json")
     if rebuild and os.path.isdir(out):
         shutil.rmtree(out)
@@ -103,7 +103,7 @@ def bm25_topk_documents(sf_dir: str, queries: Optional[List[dict]] = None,
 def documents_index_pos(sf_dir: str) -> str:
     """Positional variant of the documents index (phrase queries)."""
     import pyarrow.parquet as _pq
-    out = _cache_dir(sf_dir, "docidx-pos")
+    out = _cache_dir(sf_dir, "docidx3-pos")
     if not os.path.exists(os.path.join(out, "stats.json")):
         from ..index.build_rows import build_index_rows
         build_index_rows(os.path.join(sf_dir, "documents.parquet"), out,
@@ -164,7 +164,7 @@ def corpus_index_pipeline(n_rows: int = 500, *, out_dir: Optional[str] = None,
     code-tokenizer index with sha256 dedup, answer the reference query set.
     Returns (qid, rank, doc_key, score)."""
     from ..sources.corpus import REFERENCE_QUERIES, generate_corpus
-    out = out_dir or f"/tmp/jjray_cache/corpus-v2-{n_rows}"
+    out = out_dir or f"/tmp/jjray_cache/corpus-v3-{n_rows}"
     ds = rd.from_arrow(generate_corpus(n_rows, seed=42))
     if not os.path.exists(os.path.join(out, "stats.json")):
         build_index(ds, out, text_col="content", tokenizer="code",

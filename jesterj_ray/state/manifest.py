@@ -50,14 +50,16 @@ def atomic_write_bytes(path: str, data: bytes) -> None:
         raise
 
 
-def atomic_write_table(path: str, table) -> int:
-    """Write a pyarrow table to parquet atomically; returns bytes written."""
+def atomic_write_table(path: str, table, row_group_size: int = None) -> int:
+    """Write a pyarrow table to parquet atomically; returns bytes written.
+    ``row_group_size`` bounds reader memory for files consumed by
+    streaming iterators (the k-way run merge)."""
     import pyarrow.parquet as pq
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}.parquet")
     try:
-        pq.write_table(table, tmp)
+        pq.write_table(table, tmp, row_group_size=row_group_size)
         nbytes = os.path.getsize(tmp)
         os.replace(tmp, path)
         return nbytes
