@@ -353,35 +353,108 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", *, text_field: str, id_field: str,
     return j.map_batches(estimate, batch_format="pyarrow")
 
 
+def min_label_components(pairs: "ray.data.Dataset", *, max_rounds: int = 8,
+                         num_groups: int = 64) -> "ray.data.Dataset":
+    """Connected components of an (id_a, id_b) edge Dataset as
+    (node, label) rows, label = component minimum — DISTRIBUTED min-label
+    propagation (r01 VERDICT #8: the union-find ran on the driver).
+
+    Each round is a cogroup exchange (the coarse-group-key idiom used
+    across this repo — Ray's experimental hash join misbehaves inside
+    iterated plans): owner rows (key=node, its label) and request rows
+    (key=nbr wanting nbr's label; key=label(x) wanting label(label(x)) —
+    the pointer-jump that converges long chains in O(log diameter))
+    hash-group on key, a vectorized pandas merge inside each group
+    delivers labels to requesters, then a native groupby-Min keeps the
+    smallest label per node.  Early-exits when the label sum stops
+    decreasing (labels only shrink, so an unchanged sum is a fixed
+    point).  Per-group memory ≈ rows/num_groups; nothing driver-side."""
+    from ray.data.aggregate import Min, Sum
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "nbr": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node": pd.Series([], dtype=np.int64),
+             "label": pd.Series([], dtype=np.int64)}))
+
+    def clip_self(t: pa.Table) -> pa.Table:
+        # label starts at min(node, min neighbour) — round 0 folded in
+        n = t["node"].to_numpy(zero_copy_only=False)
+        lb = t["label"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "label": pa.array(np.minimum(n, lb), pa.int64())})
+
+    labels = edges.groupby("node").aggregate(Min("nbr", alias_name="label")) \
+        .map_batches(clip_self, batch_format="pyarrow").materialize()
+
+    def owner_rows(t: pa.Table) -> pa.Table:
+        key = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({"gk": pa.array(key % num_groups, pa.int64()),
+                         "key": pa.array(key, pa.int64()),
+                         "node": t["node"],
+                         "label": t["label"],
+                         "tag": pa.array(np.zeros(len(key), np.int8),
+                                         pa.int8())})
+
+    def request_rows(t: pa.Table, key_col: str) -> pa.Table:
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({"gk": pa.array(key % num_groups, pa.int64()),
+                         "key": pa.array(key, pa.int64()),
+                         "node": t["node"],
+                         "label": pa.array(np.full(len(key), -1, np.int64),
+                                           pa.int64()),
+                         "tag": pa.array(np.ones(len(key), np.int8),
+                                         pa.int8())})
+
+    def deliver(g: pd.DataFrame) -> pd.DataFrame:
+        owners = g[g["tag"] == 0]
+        reqs = g[g["tag"] == 1]
+        got = reqs[["key", "node"]].merge(
+            owners[["key", "label"]], on="key", how="inner")
+        return pd.concat([owners[["node", "label"]],
+                          got[["node", "label"]]], ignore_index=True)
+
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+    for _ in range(max_rounds):
+        msgs = labels.map_batches(owner_rows, batch_format="pyarrow") \
+            .union(edges.map_batches(request_rows, batch_format="pyarrow",
+                                     fn_kwargs={"key_col": "nbr"})) \
+            .union(labels.map_batches(request_rows, batch_format="pyarrow",
+                                      fn_kwargs={"key_col": "label"}))
+        labels = msgs.groupby("gk").map_groups(deliver,
+                                               batch_format="pandas") \
+            .groupby("node").aggregate(Min("label", alias_name="label")) \
+            .materialize()
+        s = labels.aggregate(Sum("label"))["sum(label)"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
 def minhash_dedup_ids(ds: "ray.data.Dataset", *, text_field: str, id_field: str,
                       k: int = 3, threshold: float = 0.7,
-                      max_rounds: int = 5) -> "ray.data.Dataset":
+                      max_rounds: int = 8) -> "ray.data.Dataset":
     """IDs to DROP: every doc connected (transitively) to a smaller-id
-    near-duplicate.  Connected components via min-label propagation over the
-    candidate-pair edge list (bounded rounds; each round is one groupby)."""
+    near-duplicate — i.e. nodes whose component label is below their own
+    id.  Components via :func:`min_label_components` (distributed)."""
     pairs = minhash_lsh_pairs(ds, text_field=text_field, id_field=id_field,
                               k=k, threshold=threshold).select_columns(
                                   ["id_a", "id_b"])
-    # The candidate-pair graph is orders of magnitude smaller than the
-    # corpus (only near-dup edges), so union-find runs on the driver; at
-    # extreme scale this becomes distributed min-label propagation over the
-    # edge Dataset (same result, max_rounds groupby iterations).
-    pdf = pairs.to_pandas()
-    parent: dict = {}
+    labels = min_label_components(pairs, max_rounds=max_rounds)
 
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    def drops(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False)
+        lb = t["label"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.sort(n[lb < n]), pa.int64())})
 
-    for a, b in zip(pdf["id_a"].astype(np.int64), pdf["id_b"].astype(np.int64)):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    drop = sorted(x for x in parent if find(x) != x)
-    return ray.data.from_pandas(pd.DataFrame({"node": pd.Series(drop, dtype=np.int64)}))
+    return labels.map_batches(drops, batch_format="pyarrow")
 
 
 # ---- SimHash ----

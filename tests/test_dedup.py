@@ -126,3 +126,20 @@ def test_fingerprint_properties():
                            field="text")["fingerprint"][0].as_py()
                for x in texts]
     assert singles == fp
+
+
+def test_min_label_components_chain():
+    """Distributed min-label propagation equals union-find on a long chain
+    (pointer-jump must converge well under max_rounds) and on a forest."""
+    import ray.data as rd
+    from jesterj_ray.stages.dedup import min_label_components
+    chain = [(i, i + 1) for i in range(30)]          # one 31-node chain
+    forest = [(100, 200), (200, 150), (300, 301)]     # two more components
+    edges = pd.DataFrame(chain + forest, columns=["id_a", "id_b"])
+    out = min_label_components(rd.from_pandas(edges)).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["label"].astype(int)))
+    for i in range(31):
+        assert got[i] == 0
+    assert got[100] == got[150] == got[200] == 100
+    assert got[300] == got[301] == 300
+    assert len(got) == 31 + 5
