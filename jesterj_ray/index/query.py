@@ -110,6 +110,21 @@ class IndexReader:
                                          for d in dead_ids]]
                 if dead_ids.size:
                     self._tombstone[self.dense_of(dead_ids)] = True
+        # exact-stats mode (set by delta_reindex): corpus statistics count
+        # ALIVE docs only — n_docs/avgdl here, df per term at query time —
+        # so a delta-built index scores EXACTLY like a full rebuild.  The
+        # default (False) keeps standard segment-tombstone semantics:
+        # as-built stats until the next rebuild compacts (Lucene-style).
+        self._exact_stats = bool(self.stats.get("exact_stats", False))
+        if self._exact_stats and self._tombstone.any():
+            if self._pid_filter is not None:
+                raise ValueError("exact_stats requires the full pid space "
+                                 "(alive stats are corpus-global)")
+            alive = ~self._tombstone
+            n_alive = int(alive.sum())
+            self.n_docs = n_alive
+            self.avgdl = (int(self._dl_dense[alive].sum()) / n_alive) \
+                if n_alive else 0.0
 
     def dense_of(self, doc_ids: np.ndarray) -> np.ndarray:
         pids = doc_ids >> DOC_BITS
@@ -295,8 +310,9 @@ class IndexReader:
             pos = np.clip(np.searchsorted(docs, matched_set), 0, docs.size - 1)
             hit = docs[pos] == matched_set
             e = self.term_entry(t)
+            df = self._df_alive(e, self.dense_of(docs))
             scores[hit] += self._term_contrib(matched_set[hit],
-                                              tfs[pos[hit]], e["df"])
+                                              tfs[pos[hit]], df)
         order = np.lexsort((matched_set, -scores))[:k]
         return [(int(matched_set[i]), float(scores[i])) for i in order]
 
@@ -374,7 +390,8 @@ class IndexReader:
             e = self.term_entry(t)
             dense = self.dense_of(docs)
             # docs unique within a term -> fancy-index add is safe & fast
-            scores[dense] += self._term_contrib_dense(dense, tfs, e["df"])
+            scores[dense] += self._term_contrib_dense(
+                dense, tfs, self._df_alive(e, dense))
             new = dense[seen[dense] == 0]
             seen[new] = 1
             touched_parts.append(new)
@@ -383,6 +400,13 @@ class IndexReader:
         touched = np.concatenate(touched_parts)  # unique by construction
         seen[touched] = 0
         return self._topk_from_dense(scores, touched, k)
+
+    def _df_alive(self, e: dict, dense: np.ndarray) -> int:
+        """df over alive docs in exact-stats mode (dense = the term's full
+        decoded posting positions); as-built df otherwise."""
+        if self._exact_stats and self._tombstone.any():
+            return e["df"] - int(self._tombstone[dense].sum())
+        return e["df"]
 
     def _term_contrib_dense(self, dense: np.ndarray, tfs: np.ndarray,
                             df: int) -> np.ndarray:
@@ -400,6 +424,10 @@ class IndexReader:
         blocks whose doc range covers a candidate (block-max skip).  Safe
         because a term's per-posting contribution is strictly below its
         upper bound (dl > 0 forces the denominator above tf)."""
+        if self._exact_stats and self._tombstone.any():
+            # pruned bounds assume as-built df; alive-df weights are only
+            # known after decoding full postings, so score exhaustively
+            return self.topk(query, k)
         terms = dedup_keep_order(self.tokenizer(query))
         entries = []
         for t in terms:

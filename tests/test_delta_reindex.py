@@ -1,0 +1,127 @@
+"""Per-document incremental re-index (delta_reindex): only changed docs
+re-tokenize; queries on the delta index score EXACTLY like a full rebuild
+(exact-stats reader).  r01 VERDICT #5."""
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from jesterj_ray.index.build_rows import build_index_rows, delta_reindex
+from jesterj_ray.index.query import IndexReader
+
+QUERIES = ["alpha beta", "gamma", "delta epsilon zeta", "changedword",
+           "omega alpha"]
+
+
+def make_docs(n=300, seed=9):
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "omega",
+             "kappa", "sigma", "tau"] + [f"w{i}" for i in range(80)]
+    texts = [" ".join(rng.choice(vocab, size=int(L)))
+             for L in rng.integers(5, 60, size=n)]
+    return pd.DataFrame({"rid": np.arange(n, dtype=np.int64), "text": texts})
+
+
+def write_docs(df, path):
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path,
+                   row_group_size=64)
+
+
+def score_map(index_dir, queries=QUERIES, k=10000):
+    # k exceeds every match count: doc_id tie-breaks at a k-cutoff differ
+    # between delta and rebuild (delta docs get fresh doc_ids), but the
+    # full (doc_key -> score) map must be identical
+    r = IndexReader(index_dir)
+    out = {}
+    for q in queries:
+        hits = r.topk(q, k)
+        keys = r.doc_keys(np.array([d for d, _ in hits], dtype=np.int64))
+        out[q] = {key: round(s, 9) for key, (_, s) in zip(keys, hits)}
+    return out
+
+
+def build(df, tmp_path, name):
+    src = str(tmp_path / f"{name}.parquet")
+    write_docs(df, src)
+    out = str(tmp_path / f"idx_{name}")
+    build_index_rows(src, out, text_col="text", key_col="rid",
+                     tokenizer="simple", docs_per_partition=64,
+                     num_shards=4, positions=True)
+    return src, out
+
+
+def test_modify_one_doc(tmp_path):
+    df = make_docs()
+    src, out = build(df, tmp_path, "base")
+    run_mtimes = {f: os.stat(f).st_mtime_ns
+                  for f in glob.glob(out + "/runs/*/*.parquet")}
+
+    df2 = df.copy()
+    df2.loc[57, "text"] = "changedword alpha beta changedword"
+    write_docs(df2, src)
+    d = delta_reindex(src, out, text_col="text", key_col="rid",
+                      tokenizer="simple", docs_per_partition=64,
+                      num_shards=4, positions=True)
+    assert d["reindexed_docs"] == 1       # ONLY the changed doc tokenized
+    assert d["tombstoned"] == 1
+    assert d["n_docs"] == 300
+    # base partitions' runs untouched (no re-tokenize, no rewrite)
+    for f, m in run_mtimes.items():
+        assert os.stat(f).st_mtime_ns == m, f
+
+    _, full = build(df2, tmp_path, "full")
+    assert score_map(out) == score_map(full)
+    # the changed doc is findable, the old content is not
+    r = IndexReader(out)
+    hits = r.topk("changedword", 10)
+    assert len(hits) == 1
+    assert r.doc_keys(np.array([hits[0][0]]))[0] == f"{57:012d}"
+    # phrase + pruned paths agree with exhaustive on the delta index
+    assert [h[0] for h in r.topk_pruned("alpha beta", 10)] == \
+        [h[0] for h in r.topk("alpha beta", 10)]
+    ph = r.phrase_topk("changedword alpha", 5)
+    assert len(ph) == 1
+
+    # idempotence: a second delta over unchanged input does nothing
+    d2 = delta_reindex(src, out, text_col="text", key_col="rid",
+                       tokenizer="simple", docs_per_partition=64,
+                       num_shards=4, positions=True)
+    assert d2["reindexed_docs"] == 0 and d2["tombstoned"] == 0
+
+
+def test_append_docs(tmp_path):
+    df = make_docs(n=200)
+    src, out = build(df, tmp_path, "base")
+    extra = make_docs(n=90, seed=77)
+    extra["rid"] += 200
+    df2 = pd.concat([df, extra], ignore_index=True)
+    write_docs(df2, src)
+    d = delta_reindex(src, out, text_col="text", key_col="rid",
+                      tokenizer="simple", docs_per_partition=64,
+                      num_shards=4, positions=True)
+    assert d["n_docs"] == 290
+    # appended docs tokenize; the unchanged 192 docs of full base
+    # partitions do not (the tail partition's survivors diff as unchanged)
+    assert d["reindexed_docs"] <= 90 + 64
+    _, full = build(df2, tmp_path, "full")
+    assert score_map(out) == score_map(full)
+
+
+def test_delete_docs_rowshift(tmp_path):
+    df = make_docs(n=300)
+    src, out = build(df, tmp_path, "base")
+    df2 = df.drop(index=[123]).reset_index(drop=True)  # one doc gone
+    write_docs(df2, src)
+    d = delta_reindex(src, out, text_col="text", key_col="rid",
+                      tokenizer="simple", docs_per_partition=64,
+                      num_shards=4, positions=True)
+    assert d["n_docs"] == 299
+    # within-partition shifts keep (key, sha) pairs -> only docs that
+    # crossed a 64-row partition boundary re-tokenize (4 boundaries)
+    assert d["reindexed_docs"] <= 4
+    _, full = build(df2, tmp_path, "full")
+    assert score_map(out) == score_map(full)
