@@ -105,7 +105,10 @@ def make_partition_indexer(out_dir: str, *, tokenizer: str, text_col: str,
             return pd.DataFrame([{k: prior[k] for k in
                                   ("partition_id", "docs_seen", "terms_emitted",
                                    "bytes_written", "dl_sum")} | {"status": prior["status"]}])
-        attempt = (prior.get("attempt", 0) if prior else 0) + 1
+        # retry count from the transition history (consecutive ERRORs)
+        attempt = man.consecutive_errors(pid) + 1
+        man.log(pid, "RESTART" if attempt > 1 else "PROCESSING",
+                attempt=attempt)
         try:
             if pid in fail:
                 raise RuntimeError(f"injected failure for pid {pid}")

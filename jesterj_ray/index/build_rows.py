@@ -39,7 +39,10 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..state.manifest import (Manifest, MAX_ATTEMPTS, STATUS_DEAD,
-                              STATUS_INDEXED, atomic_write_bytes)
+                              STATUS_DIRTY, STATUS_DROPPED, STATUS_FORCE,
+                              STATUS_INDEXED, STATUS_PROCESSING,
+                              STATUS_RESTART, STATUS_SEARCHABLE,
+                              atomic_write_bytes)
 from ..tokenize.tokenizer import TOKENIZERS
 from .build import DOC_BITS, _index_partition_tables, merge_runs
 
@@ -89,6 +92,7 @@ def _drop_stale_partitions(out_dir: str, man: Manifest, stale) -> None:
     shard_dirs = [os.path.join(runs_dir, d) for d in os.listdir(runs_dir)] \
         if os.path.isdir(runs_dir) else []
     for pid in sorted(stale):
+        man.log(pid, STATUS_DROPPED)  # history keeps the terminal record
         for path in ([os.path.join(man.dir, f"part-{pid:05d}.json"),
                       os.path.join(out_dir, "docs", f"part-{pid:05d}.parquet"),
                       os.path.join(out_dir, "quarantine",
@@ -99,6 +103,16 @@ def _drop_stale_partitions(out_dir: str, man: Manifest, stale) -> None:
                 os.unlink(path)
             except FileNotFoundError:
                 pass
+
+
+def _mark_searchable(man: Manifest, recs: Dict[int, Dict]) -> None:
+    """After a successful merge, record the INDEXED -> SEARCHABLE
+    transition (Status.java: a doc is SEARCHABLE once the index serves
+    it) for partitions not already marked."""
+    for pid, r in recs.items():
+        if r.get("status") == STATUS_INDEXED and \
+                man.last_logged_status(pid) != STATUS_SEARCHABLE:
+            man.log(pid, STATUS_SEARCHABLE)
 
 
 def make_row_indexer(out_dir: str, *, tokenizer: str, text_col: str,
@@ -126,7 +140,12 @@ def make_row_indexer(out_dir: str, *, tokenizer: str, text_col: str,
                                  "dl_sum": prior.get("dl_sum", 0),
                                  "status": STATUS_INDEXED})
                 continue
-            attempt = (prior.get("attempt", 0) if prior else 0) + 1
+            # retry count from the transition history (consecutive ERRORs;
+            # a DIRTY/FORCE mark resets the streak like the reference's
+            # history-based counting, ScannerImpl.java:614-713)
+            attempt = man.consecutive_errors(pid) + 1
+            man.log(pid, STATUS_RESTART if attempt > 1 else
+                    STATUS_PROCESSING, attempt=attempt)
             try:
                 if pid in fail:
                     raise RuntimeError(f"injected failure for pid {pid}")
@@ -209,12 +228,16 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
     for p in parts:
         rec = recs.get(p["pid"])
         fp = _part_fingerprint(p)
-        if rec and rec.get("status") == STATUS_INDEXED and \
+        status = rec.get("status") if rec else None
+        if status == STATUS_INDEXED and \
                 rec.get("input_fingerprint") == fp:
             continue
-        if not (rec and rec.get("status") == STATUS_INDEXED):
+        if status not in (STATUS_INDEXED, STATUS_DIRTY, STATUS_FORCE):
             fresh_parts.append(p)  # brand-new partition: index it whole
             continue
+        # DIRTY: re-diff even when the fingerprint is unchanged;
+        # FORCE: every doc re-feeds regardless of content hashes
+        force = status == STATUS_FORCE
         pid = p["pid"]
         cols = [text_col] + ([key_col] if key_col else [])
         t = pq.ParquetFile(p["path"]).read_row_groups(
@@ -237,7 +260,7 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
         new_keys = set(g["doc_key"])
         for _, r in g.iterrows():
             prev = old_sha.get(r["doc_key"])
-            if prev is None or prev != r["content_sha256"]:
+            if force or prev is None or prev != r["content_sha256"]:
                 changed_rows.append((r["doc_key"], r["content_sha256"],
                                      r[text_col]))
                 if prev is not None:
@@ -304,6 +327,7 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
     merge_runs(out_dir, num_shards)
 
     recs = Manifest(out_dir, "build").all()
+    _mark_searchable(man, recs)
     n_docs = sum(r["docs_seen"] for r in recs.values()
                  if r["status"] == STATUS_INDEXED)
     dl_sum = sum(r.get("dl_sum", 0) for r in recs.values()
@@ -373,6 +397,7 @@ def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
     merge_runs(out_dir, num_shards)
 
     recs = Manifest(out_dir, "build").all()
+    _mark_searchable(man, recs)
     n_docs = sum(r["docs_seen"] for r in recs.values()
                  if r["status"] == STATUS_INDEXED)
     dl_sum = sum(r.get("dl_sum", 0) for r in recs.values()

@@ -25,10 +25,25 @@ import tempfile
 import uuid
 from typing import Dict, List, Optional
 
+# the reference's full 11-value transition enum (Status.java:30-183);
+# the RESUME key stays minimal (INDEXED/DEAD on the latest row) while the
+# append-only history records every transition
 STATUS_PROCESSING = "PROCESSING"
+STATUS_BATCHED = "BATCHED"
+STATUS_RESTART = "RESTART"
+STATUS_DIRTY = "DIRTY"
+STATUS_FORCE = "FORCE"
+STATUS_INDEXING = "INDEXING"
 STATUS_INDEXED = "INDEXED"
+STATUS_SEARCHABLE = "SEARCHABLE"
 STATUS_ERROR = "ERROR"
+STATUS_DROPPED = "DROPPED"
 STATUS_DEAD = "DEAD"
+
+# transient markers that do not interrupt an error streak when counting
+# consecutive failures from the history
+_STREAK_NEUTRAL = {STATUS_PROCESSING, STATUS_RESTART, STATUS_INDEXING,
+                   STATUS_BATCHED}
 
 MAX_ATTEMPTS = 3  # mirrors DEF_MAX_ERROR_RETRY (ScannerImpl.java:57)
 
@@ -72,14 +87,99 @@ def atomic_write_table(path: str, table, row_group_size: int = None) -> int:
 
 
 class Manifest:
-    """Per-partition checkpoint manifest rooted at ``<dir>/manifest``."""
+    """Per-partition checkpoint manifest rooted at ``<dir>/manifest``.
+
+    Two layers (r01 VERDICT #7 — the reference records EVERY status
+    transition, ``ScannerImpl.java:117-177,614-713``):
+
+    - the latest ROW per partition (resume key; atomic replace), and
+    - an append-only per-partition HISTORY of (status, attempt, message)
+      transitions under ``<stage>-history/``, from which retry counting is
+      derived (consecutive ERRORs since the last real state change, so an
+      external DIRTY/FORCE mark resets the streak like the reference's
+      history-based error counting).
+    """
 
     def __init__(self, root: str, stage: str):
         self.dir = os.path.join(root, "manifest", stage)
+        self.hist_dir = os.path.join(root, "manifest", f"{stage}-history")
         os.makedirs(self.dir, exist_ok=True)
 
     def _path(self, partition_id: int) -> str:
         return os.path.join(self.dir, f"part-{partition_id:05d}.json")
+
+    def _hist_path(self, partition_id: int) -> str:
+        return os.path.join(self.hist_dir, f"part-{partition_id:05d}.jsonl")
+
+    # ---- history ----
+
+    def log(self, partition_id: int, status: str, *, attempt: int = 0,
+            message: str = "") -> None:
+        """Append one transition to the partition's history (atomic
+        rewrite; histories are short — one line per transition)."""
+        os.makedirs(self.hist_dir, exist_ok=True)
+        line = json.dumps({"status": status, "attempt": attempt,
+                           "message": message}) + "\n"
+        path = self._hist_path(partition_id)
+        try:
+            with open(path, "rb") as f:
+                prior = f.read()
+        except FileNotFoundError:
+            prior = b""
+        atomic_write_bytes(path, prior + line.encode())
+
+    def history(self, partition_id: int) -> List[Dict]:
+        try:
+            with open(self._hist_path(partition_id)) as f:
+                return [json.loads(ln) for ln in f if ln.strip()]
+        except FileNotFoundError:
+            return []
+
+    def consecutive_errors(self, partition_id: int) -> int:
+        """Trailing ERROR count from the history, skipping transient
+        markers; any real state change (INDEXED, DIRTY, FORCE, ...)
+        resets the streak."""
+        n = 0
+        for rec in reversed(self.history(partition_id)):
+            s = rec.get("status")
+            if s in _STREAK_NEUTRAL:
+                continue
+            if s in (STATUS_ERROR, STATUS_DEAD):
+                n += 1
+                continue
+            break
+        return n
+
+    def last_logged_status(self, partition_id: int) -> Optional[str]:
+        h = self.history(partition_id)
+        return h[-1]["status"] if h else None
+
+    # ---- external marking (DIRTY / FORCE / RESTART flows) ----
+
+    def mark(self, partition_id: int, status: str, message: str = "") -> None:
+        """Externally mark a partition (the reference's markDirty /
+        force-re-feed flows): the latest row's status flips so the next
+        build treats the partition as not-complete, all other fields are
+        preserved, and the transition lands in the history."""
+        rec = self.read(partition_id) or {"partition_id": partition_id}
+        rec = dict(rec)
+        rec["status"] = status
+        rec["message"] = message
+        atomic_write_bytes(self._path(partition_id),
+                           json.dumps(rec).encode())
+        self.log(partition_id, status, message=message)
+
+    def mark_dirty(self, partition_id: int, message: str = "") -> None:
+        """Re-examine on next run: a delta re-index diffs the partition
+        even if its input fingerprint is unchanged; a full build rebuilds
+        it."""
+        self.mark(partition_id, STATUS_DIRTY, message)
+
+    def mark_force(self, partition_id: int, message: str = "") -> None:
+        """Unconditional re-feed on next run: every document of the
+        partition re-indexes regardless of content hashes (the
+        FORCE / bypass-seenPreviously flow)."""
+        self.mark(partition_id, STATUS_FORCE, message)
 
     def commit(self, partition_id: int, *, status: str = STATUS_INDEXED,
                input_fingerprint: str = "", docs_seen: int = 0,
@@ -99,6 +199,7 @@ class Manifest:
             "message": message,
         }
         atomic_write_bytes(self._path(partition_id), json.dumps(rec).encode())
+        self.log(partition_id, status, attempt=attempt, message=message)
 
     def read(self, partition_id: int) -> Optional[Dict]:
         try:
