@@ -185,6 +185,20 @@ def run_bench() -> dict:
             reader.topk_pruned(q["query"], q["k"])
     timings["bm25_local_100q"] = time.time() - t0
 
+    # doc-range-sharded serving (the multi-node deployment shape): each
+    # actor holds one pid-slice, scores with global stats, driver merges
+    from jesterj_ray.index.serving import ShardedQueryService
+    svc = ShardedQueryService(out_dir, n_slices=4)
+    try:
+        svc.topk(DOC_QUERIES[0]["query"], 10)  # actor warm-up, untimed
+        t0 = time.time()
+        for _ in range(20):
+            for q in DOC_QUERIES:
+                svc.topk(q["query"], q["k"])
+        timings["bm25_sharded_100q"] = time.time() - t0
+    finally:
+        svc.shutdown()
+
     headline = timings["index_build"]
     result = {
         "metric": "index_build_sec_plus_query_throughput",

@@ -67,8 +67,14 @@ class StatusSink:
             "message": pa.array([""] * n, pa.string()),
             "created": now,
         })
-        # content-addressed filename: a retried task overwrites identically
-        key = hashlib.sha256(("|".join(ids.to_pylist())).encode()).hexdigest()[:16]
+        # content-addressed filename: a retried task overwrites identically.
+        # Hash the id column's raw Arrow buffers (zero-copy, C-level) —
+        # no per-row to_pylist/join (r01 VERDICT minor)
+        h = hashlib.sha256()
+        for buf in ids.combine_chunks().buffers():
+            if buf is not None:
+                h.update(buf)
+        key = h.hexdigest()[:16]
         atomic_write_table(os.path.join(self.out_dir, f"status-{key}.parquet"), t)
         return batch
 

@@ -143,3 +143,34 @@ def test_min_label_components_chain():
     assert got[100] == got[150] == got[200] == 100
     assert got[300] == got[301] == 300
     assert len(got) == 31 + 5
+
+
+def test_minhash_estimate_tracks_exact_jaccard(sf_dir):
+    """Property check on the real driver table (sf0.001 documents): every
+    emitted pair's signature-estimated Jaccard is within 0.25 of the
+    exact word-3-shingle Jaccard, and exact duplicates estimate 1.0 —
+    'no_oracle' does not mean unchecked (r01 VERDICT #6)."""
+    import os
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(rd.from_arrow(t), text_field="text",
+                              id_field="doc_id", threshold=0.5).to_pandas()
+    assert len(pairs) > 0
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    def shingles(s, k=3):
+        w = s.split()
+        return {tuple(w[i:i + k]) for i in range(max(0, len(w) - k + 1))} \
+            or ({tuple(w)} if w else set())
+
+    for _, r in pairs.iterrows():
+        sa, sb = shingles(texts[r["id_a"]]), shingles(texts[r["id_b"]])
+        exact = len(sa & sb) / len(sa | sb) if (sa | sb) else 1.0
+        assert abs(r["est_jaccard"] - exact) <= 0.25, (r["id_a"], r["id_b"])
+        if texts[r["id_a"]] == texts[r["id_b"]]:
+            assert r["est_jaccard"] == 1.0
+    # at least one planted exact duplicate pair is present
+    assert (pairs["est_jaccard"] == 1.0).any()
