@@ -6,9 +6,11 @@ here (or in jesterj_ray) calls ray.init()/ray.shutdown().
 Every entry in ``queries()`` is an implemented operator/pipeline from
 SURVEY.md §2 (JesterJ processor analogs, the inverted-index/BM25/phrase
 flagship, plus the training-data operators: dedup, ANN, text analysis) —
-43 entries, 35 with DuckDB oracles.  Column names match the paired
+45 entries, 35 with DuckDB oracles.  Column names match the paired
 ``oracle_sql()`` exactly; float columns are rounded identically on both
-sides.
+sides.  Rows-only entries (no faithful ANSI-SQL analog) are each pinned
+by in-repo property/golden tests instead (see tests/test_dedup.py,
+test_ann_pairs.py, test_misc.py).
 """
 
 from __future__ import annotations
@@ -349,6 +351,30 @@ def _embedding_near_dup(sf_dir: str):
     return embedding_near_dup_pairs(ds, threshold=0.4)
 
 
+def _minhash_dedup_drops(sf_dir: str):
+    """IDs dropped by transitive minhash dedup — exercises the
+    distributed min-label-propagation components end to end."""
+    from jesterj_ray.stages.dedup import minhash_dedup_ids
+    out = minhash_dedup_ids(_doc(sf_dir, ["doc_id", "text"]),
+                            text_field="text", id_field="doc_id",
+                            threshold=0.6).to_pandas()
+    out["node"] = out["node"].astype(np.int64)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _lsh_embedding_near_dup(sf_dir: str):
+    """Approximate (LSH-bucketed) embedding near-dup pairs — the 10^8+
+    scale path; deterministic seeds, exact cosines on emitted pairs."""
+    import ray.data as rd
+    from jesterj_ray.ann.knn import lsh_embedding_near_dup_pairs
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         override_num_blocks=8)
+    out = lsh_embedding_near_dup_pairs(ds, threshold=0.4)
+    out["id_a"] = out["id_a"].astype(np.int64)
+    out["id_b"] = out["id_b"].astype(np.int64)
+    return out
+
+
 def _knn_lsh(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -497,7 +523,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_exhaustive": _bm25_topk_exhaustive,
         "phrase_topk": _phrase_topk,
         "minhash_lsh_pairs": _minhash_pairs,
+        "minhash_dedup_drops": _minhash_dedup_drops,
         "simhash_pairs": _simhash_pairs,
+        "lsh_embedding_near_dup": _lsh_embedding_near_dup,
         "knn_cosine_top10": _knn,
         "knn_lsh_top10": _knn_lsh,
         "knn_ivf_fullprobe_top10": _knn_ivf,
@@ -779,7 +807,9 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             WHERE i <= length(string_split(
                 regexp_replace(text, ' the ', chr(10), 'g'), chr(10)))""",
         # url_encode / lang_id / fingerprint / minhash_lsh_pairs /
-        # simhash_pairs / knn_lsh_top10 / pre_analyze: no faithful ANSI-SQL
+        # minhash_dedup_drops / simhash_pairs / knn_lsh_top10 /
+        # lsh_embedding_near_dup / pre_analyze: no faithful ANSI-SQL
         # equivalent (urlencode, heuristic models, signature hashing,
-        # approximate search, analyzer JSON) -> rows-only checks.
+        # approximate search, analyzer JSON) -> rows-only checks, each
+        # pinned by in-repo property tests.
     }
