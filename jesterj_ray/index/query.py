@@ -285,20 +285,24 @@ class IndexReader:
             cand = cand[np.isin(cand, docs, assume_unique=True)]
         if cand.size == 0:
             return []
-        matched = []
-        for did in cand:
-            pos0 = self._doc_positions(per_term[0], did)
-            ok = pos0
-            for i, pt in enumerate(per_term[1:], 1):
-                pos_i = self._doc_positions(pt, did)
-                ok = ok[np.isin(ok + i, pos_i, assume_unique=True)]
-                if ok.size == 0:
-                    break
-            if ok.size:
-                matched.append(int(did))
-        if not matched:
-            return []
-        matched_set = np.array(matched, dtype=np.int64)
+        # vectorized adjacency across ALL candidates at once (no
+        # per-candidate Python loop): encode each term's candidate
+        # positions as cand_idx * M + (pos - term_offset + L); a phrase
+        # start survives iff its key appears in every term's key set
+        L = len(terms)
+        M = max(int(p[2].max()) if p[2].size else 0 for p in per_term) \
+            + 2 * L + 2
+        keys = None
+        for i, pt in enumerate(per_term):
+            c_of, pos_f = self._candidate_positions(pt, cand)
+            term_keys = c_of * M + (pos_f - i + L)
+            if i == 0:
+                keys = term_keys
+            else:
+                keys = keys[np.isin(keys, term_keys, assume_unique=True)]
+            if keys.size == 0:
+                return []
+        matched_set = cand[np.unique(keys // M)]
         if self._tombstone.any():
             matched_set = matched_set[~self._tombstone[
                 self.dense_of(matched_set)]]
@@ -321,6 +325,21 @@ class IndexReader:
         docs, tfs, pos, starts = pt
         i = np.searchsorted(docs, did)
         return pos[starts[i]: starts[i] + tfs[i]]
+
+    @staticmethod
+    def _candidate_positions(pt, cand: np.ndarray):
+        """All (candidate_index, position) pairs for the docs in ``cand``
+        (cand ⊆ pt docs), gathered with the arange/repeat trick — no
+        per-doc slicing loop."""
+        docs, tfs, pos, starts = pt
+        idx = np.searchsorted(docs, cand)
+        lens = tfs[idx]
+        total = int(lens.sum())
+        cum = np.cumsum(lens) - lens
+        flat = np.arange(total, dtype=np.int64) - np.repeat(cum, lens) \
+            + np.repeat(starts[idx], lens)
+        return np.repeat(np.arange(cand.size, dtype=np.int64), lens), \
+            pos[flat]
 
     def doc_len(self, doc_ids: np.ndarray) -> np.ndarray:
         out = np.empty(doc_ids.size, dtype=np.int64)
