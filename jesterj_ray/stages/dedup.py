@@ -230,7 +230,8 @@ def _sigs_of(col: pa.ChunkedArray) -> np.ndarray:
 def minhash_lsh_pairs(ds: "ray.data.Dataset", *, text_field: str, id_field: str,
                       k: int = 3, threshold: float = 0.7,
                       concurrency: int = 4, num_groups: int = 64,
-                      join_partitions: int = 8) -> "ray.data.Dataset":
+                      join_partitions: Optional[int] = None
+                      ) -> "ray.data.Dataset":
     """Candidate near-duplicate pairs with signature-estimated Jaccard >=
     threshold.  Returns (id_a, id_b, est_jaccard) with id_a < id_b.
 
@@ -244,6 +245,13 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", *, text_field: str, id_field: str,
     batches.  Candidate pairs are near-dup-density-bounded (<< corpus), so
     the join's pair side is small; the signature side shuffles (id, 1 KB
     blob) rows only — content never moves."""
+
+    import ray as _ray
+    if join_partitions is None:
+        # each join partition spins an aggregator actor: scale with the
+        # cluster, floor of 2 so tiny runs don't serialize
+        join_partitions = max(2, int(_ray.cluster_resources()
+                                     .get("CPU", 8)) // 8)
 
     sigs = ds.map_batches(MinHasher, fn_constructor_kwargs={
         "text_field": text_field, "id_field": id_field, "k": k},
