@@ -347,6 +347,44 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
             "delta_partitions": delta_pids}
 
 
+def watch_and_reindex(pattern: str, out_dir: str, *, interval_s: float = 5.0,
+                      max_cycles: Optional[int] = None, text_col: str = "text",
+                      key_col: Optional[str] = None, tokenizer: str = "simple",
+                      docs_per_partition: int = 50_000, num_shards: int = 8,
+                      positions: bool = False):
+    """Continuous rescan loop (the reference's interval scanner,
+    ``ScannerImpl.java:219-258``): every cycle globs ``pattern``, builds
+    the base index on the first cycle, then per-document delta re-indexes
+    (only changed docs tokenize) — a generator yielding each cycle's
+    stats so callers drive or cancel it (``max_cycles`` bounds it for
+    tests/batch use).  Sleeps ``interval_s`` between cycles."""
+    import glob as _glob
+    import time as _time
+    cycle = 0
+    while max_cycles is None or cycle < max_cycles:
+        if cycle:
+            _time.sleep(interval_s)
+        paths = sorted(_glob.glob(pattern))
+        kw = dict(text_col=text_col, key_col=key_col, tokenizer=tokenizer,
+                  docs_per_partition=docs_per_partition,
+                  num_shards=num_shards, positions=positions)
+        if not paths:
+            yield {"cycle": cycle, "n_docs": 0, "paths": 0}
+            cycle += 1
+            continue
+        man = Manifest(out_dir, "build")
+        if not man.completed_partitions():
+            stats = build_index_rows(paths, out_dir, **kw)
+            stats = {"cycle": cycle, "mode": "base",
+                     "paths": len(paths)} | stats
+        else:
+            stats = delta_reindex(paths, out_dir, **kw)
+            stats = {"cycle": cycle, "mode": "delta",
+                     "paths": len(paths)} | stats
+        yield stats
+        cycle += 1
+
+
 def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
                      key_col: Optional[str] = None, tokenizer: str = "simple",
                      docs_per_partition: int = 50_000, num_shards: int = 8,

@@ -125,3 +125,30 @@ def test_delete_docs_rowshift(tmp_path):
     assert d["reindexed_docs"] <= 4
     _, full = build(df2, tmp_path, "full")
     assert score_map(out) == score_map(full)
+
+
+def test_watch_and_reindex_cycles(tmp_path):
+    """Continuous rescan loop: base build on cycle 0, per-doc delta on
+    later cycles (only the changed doc tokenizes), unchanged cycles
+    no-op."""
+    from jesterj_ray.index.build_rows import watch_and_reindex
+    df = make_docs(n=150)
+    src = str(tmp_path / "w.parquet")
+    write_docs(df, src)
+    out = str(tmp_path / "idx")
+    loop = watch_and_reindex(str(tmp_path / "*.parquet"), out,
+                             interval_s=0.01, max_cycles=3,
+                             key_col="rid", docs_per_partition=64,
+                             num_shards=2)
+    s0 = next(loop)
+    assert s0["mode"] == "base" and s0["n_docs"] == 150
+    df.loc[10, "text"] = "freshword omega"
+    write_docs(df, src)
+    s1 = next(loop)
+    assert s1["mode"] == "delta" and s1["reindexed_docs"] == 1
+    s2 = next(loop)          # nothing changed
+    assert s2["mode"] == "delta" and s2["reindexed_docs"] == 0
+    assert next(loop, None) is None      # max_cycles respected
+    r = IndexReader(out)
+    docs, _ = r.postings("freshword")
+    assert docs.size == 1
