@@ -268,6 +268,35 @@ def filter_seen(ds, *, key_field: str, seen_keys) -> "object":
     return ds.map_batches(drop_seen, batch_format="pyarrow")
 
 
+def filter_seen_ds(ds, *, key_field: str, seen, seen_key_field: str = None,
+                   num_partitions: int = None) -> "object":
+    """Distributed 'remembering' (r01 VERDICT: membership state must not
+    live in one process — the reference's whole point with its Cassandra
+    point-lookup anti-join, ScannerImpl.java:365-417): ``seen`` is a
+    DATASET of already-processed keys; rows drop via a hash-partitioned
+    left-outer join + null filter.  Only (key, marker) rows shuffle on
+    the seen side; use :func:`filter_seen` when the seen set comfortably
+    fits one process."""
+    import ray
+    from ray.data.aggregate import Count
+    skf = seen_key_field or key_field
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources()
+                                    .get("CPU", 8)) // 8)
+    # distinct seen keys (a duplicate key would fan out big-side rows in
+    # the outer join), marker column for the null test
+    marked = seen.groupby(skf).aggregate(Count(alias_name="__seen"))
+    j = ds.join(marked, join_type="left_outer",
+                num_partitions=num_partitions,
+                on=(key_field,), right_on=(skf,))
+
+    def drop_matched(t: pa.Table) -> pa.Table:
+        keep = pc.is_null(t["__seen"])
+        return t.filter(keep).drop_columns(["__seen"])
+
+    return j.map_batches(drop_matched, batch_format="pyarrow")
+
+
 def noop(batch: pa.Table) -> pa.Table:
     """NoOpProcessor (processors/NoOpProcessor.java:44-49)."""
     return batch
