@@ -259,16 +259,14 @@ def _top_terms_per_lang(sf_dir: str):
 
 
 def _ngram_jaccard(sf_dir: str):
-    import pyarrow.parquet as pq
-    from jesterj_ray.stages.dedup import minhash_lsh_pairs, verify_jaccard_pairs
+    from jesterj_ray.stages.dedup import (minhash_lsh_pairs,
+                                          verify_jaccard_pairs_ds)
     pairs = minhash_lsh_pairs(_doc(sf_dir, ["doc_id", "text"]),
                               text_field="text", id_field="doc_id",
-                              threshold=0.5).to_pandas()
-    texts = dict(zip(*[pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"])[c].to_pylist()
-        for c in ("doc_id", "text")]))
-    v = verify_jaccard_pairs(pairs, texts)
+                              threshold=0.5)
+    v = verify_jaccard_pairs_ds(pairs, _doc(sf_dir, ["doc_id", "text"]),
+                                id_field="doc_id",
+                                text_field="text").to_pandas()
     v = v[v["jaccard"] >= 0.5]
     v["id_a"] = v["id_a"].astype(np.int64)
     v["id_b"] = v["id_b"].astype(np.int64)

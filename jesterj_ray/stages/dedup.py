@@ -581,11 +581,47 @@ def verify_jaccard_pairs(pairs_df: pd.DataFrame, texts_by_id: dict, *,
     """Exact n-gram Jaccard for candidate pairs (driver-side small set, or
     inside map_groups with a broadcast text lookup)."""
     out = {"id_a": [], "id_b": [], "jaccard": []}
-    for _, r in pairs_df.iterrows():
-        a, b = r["id_a"], r["id_b"]
+    for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
         sa, sb = ngram_set(texts_by_id[a], n), ngram_set(texts_by_id[b], n)
         u = len(sa | sb)
         out["id_a"].append(a)
         out["id_b"].append(b)
         out["jaccard"].append(len(sa & sb) / u if u else 1.0)
     return pd.DataFrame(out)
+
+
+def verify_jaccard_pairs_ds(pairs: "ray.data.Dataset",
+                            docs: "ray.data.Dataset", *, id_field: str,
+                            text_field: str, n: int = 3,
+                            join_partitions: Optional[int] = None
+                            ) -> "ray.data.Dataset":
+    """Distributed exact n-gram Jaccard: candidate pairs hash-join the
+    document table on each side (only candidate texts move), then the
+    Jaccard computes inside the joined batches.  Returns
+    (id_a, id_b, jaccard).  Pair count is near-dup-density-bounded, so
+    the joins' pair side is small; texts ship once per candidate id."""
+    import ray as _ray
+    if join_partitions is None:
+        join_partitions = max(2, int(_ray.cluster_resources()
+                                     .get("CPU", 8)) // 8)
+    txt = docs.select_columns([id_field, text_field])
+    j = pairs.select_columns(["id_a", "id_b"]) \
+        .join(txt, join_type="inner", num_partitions=join_partitions,
+              on=("id_a",), right_on=(id_field,)) \
+        .rename_columns({text_field: "__text_a"})
+    j = j.join(txt, join_type="inner", num_partitions=join_partitions,
+               on=("id_b",), right_on=(id_field,)) \
+        .rename_columns({text_field: "__text_b"})
+
+    def compute(batch: pa.Table) -> pa.Table:
+        ta = batch["__text_a"].to_pylist()
+        tb = batch["__text_b"].to_pylist()
+        jac = np.empty(len(ta), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(ta, tb)):
+            sa, sb = ngram_set(a or "", n), ngram_set(b or "", n)
+            u = len(sa | sb)
+            jac[i] = len(sa & sb) / u if u else 1.0
+        return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                         "jaccard": pa.array(jac, pa.float64())})
+
+    return j.map_batches(compute, batch_format="pyarrow")

@@ -174,3 +174,33 @@ def test_minhash_estimate_tracks_exact_jaccard(sf_dir):
             assert r["est_jaccard"] == 1.0
     # at least one planted exact duplicate pair is present
     assert (pairs["est_jaccard"] == 1.0).any()
+
+
+def test_verify_jaccard_pairs_ds_matches_local(docs):
+    """Distributed n-gram Jaccard verify (pair-text join) equals the
+    driver-side reference implementation."""
+    from jesterj_ray.stages.dedup import verify_jaccard_pairs_ds
+    pairs = pd.DataFrame({"id_a": [0, 1, 0], "id_b": [100, 101, 102]})
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    want = verify_jaccard_pairs(pairs, texts)
+    got = verify_jaccard_pairs_ds(
+        rd.from_pandas(pairs), rd.from_pandas(docs[["doc_id", "text"]]),
+        id_field="doc_id", text_field="text").to_pandas()
+    got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    want = want.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert np.allclose(got["jaccard"], want["jaccard"])
+    assert got["id_a"].tolist() == want["id_a"].tolist()
+
+
+def test_filter_seen_ds():
+    """Distributed seenPreviously: anti-join against a seen-keys Dataset
+    (duplicate seen keys must not fan out rows)."""
+    from jesterj_ray.stages.fields import filter_seen_ds
+    big = pd.DataFrame({"k": list(range(20)), "v": list(range(100, 120))})
+    seen = pd.DataFrame({"key": [3, 7, 7, 7, 11, 99]})
+    out = filter_seen_ds(rd.from_pandas(big), key_field="k",
+                         seen=rd.from_pandas(seen),
+                         seen_key_field="key").to_pandas()
+    assert sorted(out["k"]) == [i for i in range(20) if i not in (3, 7, 11)]
+    assert len(out) == 17
+    assert set(out.columns) == {"k", "v"}
