@@ -331,6 +331,9 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
 # segment rows buffered before each incremental parquet flush; patchable
 # in tests to force many tiny flushes
 MERGE_FLUSH_TERMS = 1024
+# segment parquet row-group size: small so readers can fetch one term's
+# blobs with a targeted row-group read instead of the whole shard file
+SEG_ROW_GROUP_ROWS = 64
 # rows decoded per run-file iterator step (memory bound = this slab x runs)
 MERGE_READ_BATCH = 512
 
@@ -416,7 +419,7 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
                 state["writer"] = pq.ParquetWriter(tmp, schema)
             t = pa.table({n: pa.array(out[n], schema.field(n).type)
                           for n in schema.names})
-            state["writer"].write_table(t)
+            state["writer"].write_table(t, row_group_size=SEG_ROW_GROUP_ROWS)
             state["terms"] += t.num_rows
             for n in schema.names:
                 out[n].clear()

@@ -142,25 +142,62 @@ class IndexReader:
         return int(hashlib.sha256(term.encode()).hexdigest()[:8], 16) % self.num_shards
 
     def _load_shard(self, shard: int):
-        """(term -> [row indices by chunk] dict, arrow table); blobs stay in
-        Arrow until a term is actually queried.  Hot terms can span multiple
-        (term, chunk) rows — chunks are in ascending doc order."""
+        """Shard state with LAZY blob access: only the light term-index
+        columns (term/chunk/df/cf/count) load eagerly; posting blobs are
+        fetched per term by TARGETED row-group reads (segments are written
+        in small row groups), so an actor's memory is the term index plus
+        a bounded LRU of touched row groups — not the whole shard file
+        (at 10^12 docs a shard is far larger than one node).  Hot terms
+        span multiple (term, chunk) rows, adjacent because the merge
+        emits in term order."""
         if shard not in self._shard_cache:
-            path = os.path.join(self.dir, "segments", f"shard-{shard:04d}.parquet")
+            from collections import OrderedDict
+            path = os.path.join(self.dir, "segments",
+                                f"shard-{shard:04d}.parquet")
             if os.path.exists(path):
-                t = pq.read_table(path)
+                pf = pq.ParquetFile(path)
+                names = pf.schema_arrow.names
+                light_cols = [c for c in ("term", "chunk", "df", "cf",
+                                          "count") if c in names]
+                light = pf.read(columns=light_cols)
                 lookup: Dict[str, list] = {}
-                chunks = t["chunk"].to_pylist() if "chunk" in t.column_names \
-                    else [0] * t.num_rows
-                for i, (term, ch) in enumerate(zip(t["term"].to_pylist(),
-                                                   chunks)):
+                chunks = light["chunk"].to_pylist() \
+                    if "chunk" in light.column_names \
+                    else [0] * light.num_rows
+                for i, (term, ch) in enumerate(zip(
+                        light["term"].to_pylist(), chunks)):
                     lookup.setdefault(term, []).append((ch, i))
                 for term in lookup:
                     lookup[term] = [i for _, i in sorted(lookup[term])]
-                self._shard_cache[shard] = (lookup, t)
+                nrg = pf.metadata.num_row_groups
+                rg_starts = np.concatenate([[0], np.cumsum(
+                    [pf.metadata.row_group(i).num_rows
+                     for i in range(nrg)])]).astype(np.int64)
+                self._shard_cache[shard] = {
+                    "lookup": lookup, "light": light, "pf": pf,
+                    "rg_starts": rg_starts, "names": names,
+                    "rg_cache": OrderedDict()}
             else:
-                self._shard_cache[shard] = ({}, None)
+                self._shard_cache[shard] = None
         return self._shard_cache[shard]
+
+    _RG_CACHE_MAX = 8  # touched row groups kept per shard (bounds memory)
+
+    def _shard_row(self, state: dict, i: int) -> dict:
+        """One segment row's heavy columns via a targeted row-group read
+        (LRU-cached per shard)."""
+        rg = int(np.searchsorted(state["rg_starts"], i, side="right") - 1)
+        cache = state["rg_cache"]
+        t = cache.get(rg)
+        if t is None:
+            t = state["pf"].read_row_group(rg)
+            cache[rg] = t
+            if len(cache) > self._RG_CACHE_MAX:
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(rg)
+        local = i - int(state["rg_starts"][rg])
+        return {c: t[c][local] for c in t.column_names}
 
     def term_entry(self, term: str) -> Optional[dict]:
         cached = self._entry_cache.get(term)
@@ -175,32 +212,36 @@ class IndexReader:
         return e
 
     def _term_entry_uncached(self, term: str) -> Optional[dict]:
-        lookup, t = self._load_shard(self._shard_of(term))
-        rows = lookup.get(term)
+        state = self._load_shard(self._shard_of(term))
+        if state is None:
+            return None
+        rows = state["lookup"].get(term)
         if rows is None:
             return None
-        has_pos = "pos_blob" in t.column_names
-        has_counts = "block_counts" in t.column_names
+        has_pos = "pos_blob" in state["names"]
+        has_counts = "block_counts" in state["names"]
+        light = state["light"]
         chunks = []
         for i in rows:
+            r = self._shard_row(state, i)
             c = {
-                "count": t["count"][i].as_py(),
-                "doc_blob": t["doc_blob"][i].as_py(),
-                "tf_blob": t["tf_blob"][i].as_py(),
-                "block_last": np.asarray(t["block_last"][i].as_py(),
+                "count": r["count"].as_py(),
+                "doc_blob": r["doc_blob"].as_py(),
+                "tf_blob": r["tf_blob"].as_py(),
+                "block_last": np.asarray(r["block_last"].as_py(),
                                          dtype=np.int64),
-                "block_max_tf": np.asarray(t["block_max_tf"][i].as_py(),
+                "block_max_tf": np.asarray(r["block_max_tf"].as_py(),
                                            dtype=np.int64),
-                "block_doc_off": np.asarray(t["block_doc_off"][i].as_py(),
+                "block_doc_off": np.asarray(r["block_doc_off"].as_py(),
                                             dtype=np.int64),
-                "block_tf_off": np.asarray(t["block_tf_off"][i].as_py(),
+                "block_tf_off": np.asarray(r["block_tf_off"].as_py(),
                                            dtype=np.int64),
             }
             if has_pos:
-                c["pos_blob"] = t["pos_blob"][i].as_py()
+                c["pos_blob"] = r["pos_blob"].as_py()
             if has_counts:
                 c["block_counts"] = np.asarray(
-                    t["block_counts"][i].as_py(), dtype=np.int64)
+                    r["block_counts"].as_py(), dtype=np.int64)
             else:  # legacy uniform blocks
                 n = c["count"]
                 nb = c["block_last"].size
@@ -209,8 +250,8 @@ class IndexReader:
                     c["block_counts"][-1] = n - BLOCK_SIZE * (nb - 1)
             chunks.append(c)
         return {
-            "df": sum(t["df"][i].as_py() for i in rows),
-            "cf": sum(t["cf"][i].as_py() for i in rows),
+            "df": sum(light["df"][i].as_py() for i in rows),
+            "cf": sum(light["cf"][i].as_py() for i in rows),
             "count": sum(c["count"] for c in chunks),
             "chunks": chunks,
         }
@@ -354,8 +395,12 @@ class IndexReader:
         out: List[str] = [""] * doc_ids.size
         pids = doc_ids >> DOC_BITS
         ranks = doc_ids & ((1 << DOC_BITS) - 1)
-        for i in range(doc_ids.size):
-            out[i] = self._doc_key[int(pids[i])][int(ranks[i])].as_py()
+        for pid in np.unique(pids):
+            m = np.flatnonzero(pids == pid)
+            vals = self._doc_key[int(pid)].take(
+                pa.array(ranks[m], pa.int64())).to_pylist()
+            for j, v in zip(m, vals):
+                out[int(j)] = v
         return out
 
     # ---- scoring ----
