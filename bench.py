@@ -185,6 +185,31 @@ def run_bench() -> dict:
             reader.topk_pruned(q["query"], q["k"])
     timings["bm25_local_100q"] = time.time() - t0
 
+    # per-doc incremental re-index: modify ONE doc of the corpus copy and
+    # delta-build — only that doc re-tokenizes (vs the full rebuild above)
+    from jesterj_ray.index.build_rows import build_index_rows, delta_reindex
+    delta_src = "/tmp/jjray_bench/delta-src.parquet"
+    delta_dir = "/tmp/jjray_bench/delta-idx"
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    base_t = pq.read_table(doc_path, columns=["doc_id", "text"])
+    pq.write_table(base_t, delta_src, row_group_size=4096)
+    build_index_rows(delta_src, delta_dir, text_col="text", key_col="doc_id",
+                     tokenizer="simple",
+                     docs_per_partition=max(2048, n_docs // 128),
+                     num_shards=8)
+    texts = base_t["text"].to_pylist()
+    texts[0] = (texts[0] or "") + " benchdeltatoken"
+    pq.write_table(pa.table({"doc_id": base_t["doc_id"],
+                             "text": pa.array(texts, pa.string())}),
+                   delta_src, row_group_size=4096)
+    t0 = time.time()
+    d = delta_reindex(delta_src, delta_dir, text_col="text",
+                      key_col="doc_id", tokenizer="simple",
+                      docs_per_partition=max(2048, n_docs // 128),
+                      num_shards=8)
+    timings["delta_reindex_1doc"] = time.time() - t0
+    assert d["reindexed_docs"] == 1, d
+
     # doc-range-sharded serving (the multi-node deployment shape): each
     # actor holds one pid-slice, scores with global stats, driver merges
     from jesterj_ray.index.serving import ShardedQueryService
