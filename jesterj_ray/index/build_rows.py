@@ -210,6 +210,22 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
 
     if isinstance(paths, str):
         paths = [paths]
+    # the delta MUST tokenize exactly like the base build: mixed
+    # tokenizers would give changed docs different postings, and mixed
+    # positions flags would give runs inconsistent schemas
+    stats_path = os.path.join(out_dir, "stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            base_stats = json.load(f)
+        if base_stats.get("tokenizer") != tokenizer or \
+                bool(base_stats.get("positions")) != bool(positions):
+            raise ValueError(
+                f"delta_reindex config mismatch: base build used "
+                f"tokenizer={base_stats.get('tokenizer')!r} "
+                f"positions={base_stats.get('positions')}, got "
+                f"tokenizer={tokenizer!r} positions={positions}")
+        if base_stats.get("num_shards") != num_shards:
+            raise ValueError("delta_reindex num_shards must match the base")
     parts = plan_row_partitions(paths, docs_per_partition)
     man = Manifest(out_dir, "build")
     recs = man.all()
@@ -255,19 +271,19 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
         old = pq.read_table(
             os.path.join(out_dir, "docs", f"part-{pid:05d}.parquet"),
             columns=["doc_id", "doc_key", "content_sha256"]).to_pandas()
-        old_sha = dict(zip(old["doc_key"], old["content_sha256"]))
-        old_id = dict(zip(old["doc_key"], old["doc_id"]))
-        new_keys = set(g["doc_key"])
-        for _, r in g.iterrows():
-            prev = old_sha.get(r["doc_key"])
-            if force or prev is None or prev != r["content_sha256"]:
-                changed_rows.append((r["doc_key"], r["content_sha256"],
-                                     r[text_col]))
-                if prev is not None:
-                    dead_ids.append(int(old_id[r["doc_key"]]))
-        for k in old["doc_key"]:
-            if k not in new_keys:
-                dead_ids.append(int(old_id[k]))
+        # vectorized per-doc diff: one merge instead of a per-row loop
+        m = g[["doc_key", "content_sha256", text_col]].merge(
+            old.rename(columns={"content_sha256": "__old_sha"}),
+            on="doc_key", how="left")
+        known = m["__old_sha"].notna()
+        changed = force | ~known | (m["__old_sha"] != m["content_sha256"])
+        for t_ in m.loc[changed, ["doc_key", "content_sha256", text_col]
+                        ].itertuples(index=False):
+            changed_rows.append(tuple(t_))
+        dead_ids.extend(int(x) for x in
+                        m.loc[changed & known, "doc_id"])
+        gone = old.loc[~old["doc_key"].isin(m["doc_key"]), "doc_id"]
+        dead_ids.extend(int(x) for x in gone)
         # the partition's surviving runs/docs stay valid: refresh its
         # fingerprint so future resumes don't re-index it wholesale
         rec = dict(rec)
