@@ -349,6 +349,29 @@ def _embedding_near_dup(sf_dir: str):
     return embedding_near_dup_pairs(ds, threshold=0.4)
 
 
+def _llm_data_prep(sf_dir: str):
+    """Composite training-data pipeline: quality-score -> threshold filter
+    -> exact dedup keep-first -> token count -> per-language corpus budget
+    (docs + total tokens).  One streamed pipeline, oracle-checked."""
+    from ray.data.aggregate import Count, Sum
+    from jesterj_ray.stages.dedup import exact_dedup
+    from jesterj_ray.stages.textstats import quality_score
+
+    ds = _doc(sf_dir, ["doc_id", "lang", "text"])
+    ds = ds.map_batches(quality_score, batch_format="pyarrow",
+                        fn_kwargs={"field": "text"})  # emits n_tokens too
+    ds = ds.map_batches(lambda t: t.filter(
+        pc.greater_equal(t["quality"], 0.05)), batch_format="pyarrow")
+    ds = exact_dedup(ds, field="text", order_col="doc_id")
+    ds = ds.select_columns(["lang", "n_tokens"])
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="total_tokens")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_tokens"] = out["total_tokens"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def _minhash_dedup_drops(sf_dir: str):
     """IDs dropped by transitive minhash dedup — exercises the
     distributed min-label-propagation components end to end."""
@@ -510,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_by_lang": _route_by_lang,
         "field_match_count": _field_match_count,
         "sha256_dedup": _sha256_dedup,
+        "llm_data_prep": _llm_data_prep,
         "token_count": _token_count,
         "quality_score": _quality,
         "bpe_token_count": _bpe_count,
@@ -662,6 +686,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY sha256(text) ORDER BY doc_id""",
         "token_count": f"""
             SELECT doc_id, length({_TOKS}) AS n_tokens FROM documents""",
+        "llm_data_prep": f"""
+            WITH q AS (
+              SELECT doc_id, lang, text,
+                     least(length({_TOKS}) / 400.0, 1.0)
+                     * (1 - length(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                          / greatest(length(text), 1))
+                     * (0.5 + 0.5 * least(
+                         (length(regexp_extract_all(lower(text), '{stop}'))
+                          / greatest(length({_TOKS}), 1)) * 5, 1.0))
+                         AS quality
+              FROM documents
+            ),
+            filt AS (SELECT * FROM q WHERE quality >= 0.05),
+            dedup AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY text
+                                             ORDER BY doc_id) AS rn
+                FROM filt) WHERE rn = 1
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length({_TOKS})) AS BIGINT) AS total_tokens
+            FROM dedup GROUP BY lang ORDER BY lang""",
         "quality_score": f"""
             SELECT doc_id,
                    length({_TOKS}) AS n_tokens,
