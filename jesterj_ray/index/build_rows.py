@@ -230,17 +230,35 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
     man = Manifest(out_dir, "build")
     recs = man.all()
     # stale = planned-range pids no longer planned; delta pids persist
-    _drop_stale_partitions(
-        out_dir, man,
-        stale={pid for pid in recs if pid < DELTA_PID_BASE} -
-              {p["pid"] for p in parts})
+    stale_pids = {pid for pid in recs if pid < DELTA_PID_BASE} - \
+        {p["pid"] for p in parts}
+    _drop_stale_partitions(out_dir, man, stale=stale_pids)
     recs = {pid: r for pid, r in recs.items()
             if pid >= DELTA_PID_BASE or pid in {p["pid"] for p in parts}}
     tok = TOKENIZERS[tokenizer]
 
+    # OVERLAY CATALOG of alive delta copies from earlier rounds — the
+    # source of truth for "what content does this doc currently serve":
+    # a doc changed twice must tombstone its round-1 delta copy; a doc
+    # whose current content matches its delta copy must NOT re-index; a
+    # delta-served doc deleted from (or moved within) the input must be
+    # detected even though it no longer appears in any BASE doc table.
+    # Entries: doc_key -> {id, sha, home} where home is the planned pid
+    # whose input slice last contained the doc (kept current every round
+    # so deletions are detected by "home partition diffed, key unseen").
+    cat_path = os.path.join(out_dir, "delta_overlay.json")
+    tomb_path = os.path.join(out_dir, "tombstones.json")
+    catalog: Dict[str, Dict] = {}
+    if os.path.exists(cat_path):
+        with open(cat_path) as f:
+            catalog = _json.load(f)
+
     changed_rows = []       # (doc_key, content_sha256, text) to re-index
     dead_ids: List[int] = []
     fresh_parts = []        # appended input: whole new planned partitions
+    sighted: Dict[str, int] = {}   # overlay key -> pid where seen now
+    home_of: Dict[str, int] = {}   # changed key -> its current partition
+    diffed_pids: set = set(stale_pids)  # dropped pids count as diffed-empty
     for p in parts:
         rec = recs.get(p["pid"])
         fp = _part_fingerprint(p)
@@ -271,19 +289,34 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
         old = pq.read_table(
             os.path.join(out_dir, "docs", f"part-{pid:05d}.parquet"),
             columns=["doc_id", "doc_key", "content_sha256"]).to_pandas()
-        # vectorized per-doc diff: one merge instead of a per-row loop
+        diffed_pids.add(pid)
+        # vectorized per-doc diff: one merge instead of a per-row loop;
+        # the EFFECTIVE previous content is the alive delta copy when one
+        # exists, else the base table's row
         m = g[["doc_key", "content_sha256", text_col]].merge(
-            old.rename(columns={"content_sha256": "__old_sha"}),
+            old.rename(columns={"content_sha256": "__base_sha"}),
             on="doc_key", how="left")
-        known = m["__old_sha"].notna()
-        changed = force | ~known | (m["__old_sha"] != m["content_sha256"])
+        ov = m["doc_key"].map(lambda k: (catalog.get(k) or {}).get("sha"))
+        for k in m.loc[ov.notna(), "doc_key"]:
+            sighted[k] = pid
+        eff_sha = ov.where(ov.notna(), m["__base_sha"])
+        known = eff_sha.notna()
+        changed = force | ~known | (eff_sha != m["content_sha256"])
         for t_ in m.loc[changed, ["doc_key", "content_sha256", text_col]
                         ].itertuples(index=False):
             changed_rows.append(tuple(t_))
+            home_of[t_[0]] = pid
         dead_ids.extend(int(x) for x in
-                        m.loc[changed & known, "doc_id"])
-        gone = old.loc[~old["doc_key"].isin(m["doc_key"]), "doc_id"]
-        dead_ids.extend(int(x) for x in gone)
+                        m.loc[changed & m["__base_sha"].notna(), "doc_id"])
+        dead_ids.extend(catalog[k]["id"] for k in
+                        m.loc[changed & ov.notna(), "doc_key"])
+        for k in m.loc[changed & ov.notna(), "doc_key"]:
+            del catalog[k]
+        # base rows whose key left this partition (deleted OR moved):
+        # the base row is stale either way; any delta copy is resolved
+        # globally after the loop (a moved doc's copy must survive)
+        gone_ids = old.loc[~old["doc_key"].isin(m["doc_key"]), "doc_id"]
+        dead_ids.extend(int(x) for x in gone_ids)
         # the partition's surviving runs/docs stay valid: refresh its
         # fingerprint so future resumes don't re-index it wholesale
         rec = dict(rec)
@@ -296,10 +329,22 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
                    attempt=rec.get("attempt", 1),
                    message="delta-diffed")
 
+    # resolve overlay copies of keys that vanished: if a copy's home
+    # partition was diffed this round and the key was seen nowhere, the
+    # doc is deleted (a MOVED doc is sighted in its new partition and
+    # survives); refresh sighted homes
+    for key in list(catalog):
+        ent = catalog[key]
+        if ent.get("home") in diffed_pids and key not in sighted:
+            dead_ids.append(int(ent["id"]))
+            del catalog[key]
+    for key, pid in sighted.items():
+        if key in catalog:
+            catalog[key]["home"] = pid
+
     # tombstone changed+deleted old ids (atomic merge, same file the
     # Operation.DELETE path uses)
     if dead_ids:
-        tomb_path = os.path.join(out_dir, "tombstones.json")
         existing: List[int] = []
         if os.path.exists(tomb_path):
             with open(tomb_path) as f:
@@ -339,6 +384,12 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
                                     num_shards=num_shards,
                                     positions=positions)
             delta_pids.append(pid)
+            for rank, (key, sha, _t) in enumerate(chunk):
+                catalog[key] = {"id": int((pid << DOC_BITS) | rank),
+                                "sha": sha,
+                                "home": home_of.get(key, -1)}
+
+    atomic_write_bytes(cat_path, _json.dumps(catalog).encode())
 
     merge_runs(out_dir, num_shards)
 
@@ -357,7 +408,12 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
                                        if r["status"] == STATUS_DEAD)}
     atomic_write_bytes(os.path.join(out_dir, "stats.json"),
                        _json.dumps(stats).encode())
-    return {"n_docs": int(n_docs) - len(set(dead_ids)),
+    # alive docs = every indexed row minus the CUMULATIVE tombstone set
+    all_tombs: List[int] = []
+    if os.path.exists(tomb_path):
+        with open(tomb_path) as f:
+            all_tombs = _json.load(f).get("doc_ids", [])
+    return {"n_docs": int(n_docs) - len(all_tombs),
             "reindexed_docs": len(changed_rows),
             "tombstoned": len(set(dead_ids)),
             "delta_partitions": delta_pids}
@@ -421,10 +477,11 @@ def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
     stale = set(recs) - {p["pid"] for p in parts}
     _drop_stale_partitions(out_dir, man, stale=stale)
     if stale:
-        try:
-            os.unlink(os.path.join(out_dir, "tombstones.json"))
-        except FileNotFoundError:
-            pass
+        for f in ("tombstones.json", "delta_overlay.json"):
+            try:
+                os.unlink(os.path.join(out_dir, f))
+            except FileNotFoundError:
+                pass
     recs = {pid: r for pid, r in recs.items()
             if pid in {p["pid"] for p in parts}}
     todo = []

@@ -152,3 +152,52 @@ def test_watch_and_reindex_cycles(tmp_path):
     r = IndexReader(out)
     docs, _ = r.postings("freshword")
     assert docs.size == 1
+
+
+def test_multi_round_delta(tmp_path):
+    """Repeated deltas: a doc changed in round 1 and AGAIN in round 2 must
+    leave exactly one alive copy (the round-1 delta copy tombstones); a
+    doc whose content reverts also resolves to one copy; scores match a
+    full rebuild after every round."""
+    df = make_docs(n=200)
+    src, out = build(df, tmp_path, "base")
+
+    def delta(df2):
+        write_docs(df2, src)
+        return delta_reindex(src, out, text_col="text", key_col="rid",
+                             tokenizer="simple", docs_per_partition=64,
+                             num_shards=4, positions=True)
+
+    df1 = df.copy(); df1.loc[8, "text"] = "roundone alpha"
+    d1 = delta(df1)
+    assert d1["reindexed_docs"] == 1
+    df2 = df1.copy(); df2.loc[8, "text"] = "roundtwo beta"
+    d2 = delta(df2)
+    assert d2["reindexed_docs"] == 1
+    r = IndexReader(out)
+    assert len(r.topk("roundtwo", 10)) == 1
+    assert len(r.topk("roundone", 10)) == 0      # round-1 copy tombstoned
+    _, full = build(df2, tmp_path, "full2")
+    assert score_map(out, ["alpha beta", "roundtwo beta"]) == \
+        score_map(full, ["alpha beta", "roundtwo beta"])
+
+    # revert to the ORIGINAL content: still exactly one alive copy
+    df3 = df2.copy(); df3.loc[8, "text"] = df.loc[8, "text"]
+    d3 = delta(df3)
+    assert d3["reindexed_docs"] == 1
+    r = IndexReader(out)
+    assert len(r.topk("roundtwo", 10)) == 0
+    _, full3 = build(df3, tmp_path, "full3")
+    assert score_map(out) == score_map(full3)
+
+    # unchanged round over a delta-served doc: nothing re-indexes
+    d4 = delta(df3.assign())  # rewrite same content (new mtime)
+    assert d4["reindexed_docs"] == 0 and d4["tombstoned"] == 0
+
+    # delete the delta-served doc entirely (row shift): its delta copy
+    # must tombstone even though it never existed in any base table
+    df5 = df3.drop(index=[8]).reset_index(drop=True)
+    d5 = delta(df5)
+    assert d5["n_docs"] == 199
+    _, full5 = build(df5, tmp_path, "full5")
+    assert score_map(out) == score_map(full5)
