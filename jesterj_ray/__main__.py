@@ -6,6 +6,12 @@
     python -m jesterj_ray visualize PLAN.json          # -z analog: print DAG
     python -m jesterj_ray build-index SRC.parquet OUT_DIR
         [--text-col C] [--key-col C] [--tokenizer simple|code]
+    python -m jesterj_ray delta-index SRC.parquet OUT_DIR ...
+                                                       # per-doc re-feed
+    python -m jesterj_ray watch 'GLOB' OUT_DIR [--interval S] [--cycles N]
+    python -m jesterj_ray mark OUT_DIR PID dirty|force  # external re-feed
+    python -m jesterj_ray delete-docs INDEX_DIR KEY...  # tombstone by key
+    python -m jesterj_ray status OUT_DIR [PID]          # manifest + history
     python -m jesterj_ray query INDEX_DIR "terms..." [-k N]
 
 Owns its Ray session (guarded init) — library code never calls ray.init.
@@ -18,13 +24,24 @@ import json
 import sys
 
 
-def _ray_init(num_cpus):
+def _ray_init(num_cpus) -> bool:
+    """Init Ray if nobody else owns a session; returns True when WE did
+    (callers shut down only then — never kill a host session, e.g. the
+    pytest fixture's)."""
     import ray
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
+    return owned
+
+
+def _ray_done(owned: bool) -> None:
+    if owned:
+        import ray
+        ray.shutdown()
 
 
 def cmd_run(args) -> int:
@@ -32,7 +49,7 @@ def cmd_run(args) -> int:
     import ray
     import ray.data as rd
     plan = load_plan_file(args.plan)
-    _ray_init(args.num_cpus)
+    owned = _ray_init(args.num_cpus)
     with open(args.plan) as f:
         spec = json.load(f)
     src = spec["source"]
@@ -42,7 +59,7 @@ def cmd_run(args) -> int:
         out_path = f"{args.out}/{leaf}"
         out_ds.write_parquet(out_path)
         print(f"{leaf}: wrote {out_path}")
-    ray.shutdown()
+    _ray_done(owned)
     return 0
 
 
@@ -64,12 +81,75 @@ def cmd_visualize(args) -> int:
 def cmd_build_index(args) -> int:
     import ray
     from jesterj_ray.index.build_rows import build_index_rows
-    _ray_init(args.num_cpus)
+    owned = _ray_init(args.num_cpus)
     stats = build_index_rows(args.src, args.out, text_col=args.text_col,
                              key_col=args.key_col, tokenizer=args.tokenizer,
                              docs_per_partition=args.docs_per_partition)
     print(json.dumps(stats))
-    ray.shutdown()
+    _ray_done(owned)
+    return 0
+
+
+def cmd_delta_index(args) -> int:
+    import ray
+    from jesterj_ray.index.build_rows import delta_reindex
+    owned = _ray_init(args.num_cpus)
+    stats = delta_reindex(args.src, args.out, text_col=args.text_col,
+                          key_col=args.key_col, tokenizer=args.tokenizer,
+                          docs_per_partition=args.docs_per_partition)
+    print(json.dumps(stats))
+    _ray_done(owned)
+    return 0
+
+
+def cmd_watch(args) -> int:
+    import ray
+    from jesterj_ray.index.build_rows import watch_and_reindex
+    owned = _ray_init(args.num_cpus)
+    for stats in watch_and_reindex(args.pattern, args.out,
+                                   interval_s=args.interval,
+                                   max_cycles=args.cycles,
+                                   text_col=args.text_col,
+                                   key_col=args.key_col,
+                                   tokenizer=args.tokenizer,
+                                   docs_per_partition=args.docs_per_partition):
+        print(json.dumps(stats), flush=True)
+    _ray_done(owned)
+    return 0
+
+
+def cmd_mark(args) -> int:
+    from jesterj_ray.state.manifest import Manifest
+    man = Manifest(args.out, "build")
+    if args.status == "dirty":
+        man.mark_dirty(args.pid, "cli")
+    else:
+        man.mark_force(args.pid, "cli")
+    print(json.dumps(man.read(args.pid)))
+    return 0
+
+
+def cmd_delete_docs(args) -> int:
+    from jesterj_ray.index.query import delete_docs
+    n = delete_docs(args.index_dir, args.keys)
+    print(json.dumps({"tombstoned": n}))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from jesterj_ray.state.manifest import Manifest
+    man = Manifest(args.out, "build")
+    if args.pid is not None:
+        print(json.dumps({"record": man.read(args.pid),
+                          "history": man.history(args.pid)}, indent=2))
+    else:
+        recs = man.all()
+        by_status: dict = {}
+        for r in recs.values():
+            by_status[r["status"]] = by_status.get(r["status"], 0) + 1
+        print(json.dumps({"partitions": len(recs), "by_status": by_status,
+                          "docs": sum(r.get("docs_seen", 0)
+                                      for r in recs.values())}))
     return 0
 
 
@@ -105,6 +185,41 @@ def main(argv=None) -> int:
     b.add_argument("--docs-per-partition", type=int, default=50_000)
     b.add_argument("--num-cpus", type=int, default=8)
 
+    d = sub.add_parser("delta-index")
+    d.add_argument("src")
+    d.add_argument("out")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--key-col", default=None)
+    d.add_argument("--tokenizer", default="simple",
+                   choices=["simple", "code"])
+    d.add_argument("--docs-per-partition", type=int, default=50_000)
+    d.add_argument("--num-cpus", type=int, default=8)
+
+    w = sub.add_parser("watch")
+    w.add_argument("pattern")
+    w.add_argument("out")
+    w.add_argument("--interval", type=float, default=5.0)
+    w.add_argument("--cycles", type=int, default=None)
+    w.add_argument("--text-col", default="text")
+    w.add_argument("--key-col", default=None)
+    w.add_argument("--tokenizer", default="simple",
+                   choices=["simple", "code"])
+    w.add_argument("--docs-per-partition", type=int, default=50_000)
+    w.add_argument("--num-cpus", type=int, default=8)
+
+    m = sub.add_parser("mark")
+    m.add_argument("out")
+    m.add_argument("pid", type=int)
+    m.add_argument("status", choices=["dirty", "force"])
+
+    dd = sub.add_parser("delete-docs")
+    dd.add_argument("index_dir")
+    dd.add_argument("keys", nargs="+")
+
+    st = sub.add_parser("status")
+    st.add_argument("out")
+    st.add_argument("pid", type=int, nargs="?", default=None)
+
     q = sub.add_parser("query")
     q.add_argument("index_dir")
     q.add_argument("query")
@@ -112,7 +227,10 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
     return {"run": cmd_run, "visualize": cmd_visualize,
-            "build-index": cmd_build_index, "query": cmd_query}[args.cmd](args)
+            "build-index": cmd_build_index, "delta-index": cmd_delta_index,
+            "watch": cmd_watch, "mark": cmd_mark,
+            "delete-docs": cmd_delete_docs, "status": cmd_status,
+            "query": cmd_query}[args.cmd](args)
 
 
 if __name__ == "__main__":

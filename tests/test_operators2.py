@@ -192,3 +192,46 @@ def test_cli_visualize_and_query(tmp_path, capsys, sf_dir):
     assert main(["query", idx, "merge sort", "-k", "3"]) == 0
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 3 and lines[0].startswith("1\t")
+
+
+def test_cli_delta_and_status(tmp_path, capsys):
+    """CLI round-trip: build-index -> delta-index -> mark -> status ->
+    delete-docs -> query."""
+    import json as _json
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from jesterj_ray.__main__ import main
+
+    df = pd.DataFrame({"rid": np.arange(120, dtype=np.int64),
+                       "text": [f"alpha beta tok{i}" for i in range(120)]})
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src,
+                   row_group_size=64)
+    out = str(tmp_path / "idx")
+    assert main(["build-index", src, out, "--key-col", "rid",
+                 "--docs-per-partition", "64", "--num-cpus", "4"]) == 0
+    df.loc[5, "text"] = "gammafresh delta"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src,
+                   row_group_size=64)
+    assert main(["delta-index", src, out, "--key-col", "rid",
+                 "--docs-per-partition", "64", "--num-cpus", "4"]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["reindexed_docs"] == 1
+    assert main(["mark", out, "0", "dirty"]) == 0
+    rec = _json.loads(capsys.readouterr().out.strip())
+    assert rec["status"] == "DIRTY"
+    assert main(["status", out]) == 0
+    s = _json.loads(capsys.readouterr().out.strip())
+    assert s["by_status"].get("DIRTY") == 1
+    assert main(["status", out, "0"]) == 0
+    h = _json.loads(capsys.readouterr().out.strip())
+    assert any(e["status"] == "DIRTY" for e in h["history"])
+    assert main(["query", out, "gammafresh", "-k", "3"]) == 0
+    q = capsys.readouterr().out.strip()
+    assert f"{5:012d}" in q
+    assert main(["delete-docs", out, f"{5:012d}"]) == 0
+    # the key matches both the stale base row (already tombstoned by the
+    # delta) and its delta copy — both tombstone
+    assert _json.loads(capsys.readouterr().out)["tombstoned"] == 2
