@@ -1,0 +1,182 @@
+"""Serving repartition: split one global index into N self-contained
+doc-range slice indexes.
+
+The mask-based :class:`..serving._SlicedReader` decodes GLOBAL posting
+lists and filters them per query — correct for exhaustive topk but wasted
+decode, and the pruned / phrase / positions paths cannot be slice-masked
+at all (r01 ADVICE).  This module does the split ONCE at rest instead:
+each (term, chunk) posting list is decoded, partitioned by
+``pid % n_slices``, and re-encoded into a per-slice segment set that keeps
+the GLOBAL df/cf columns and global stats.json — so a plain
+:class:`..query.IndexReader` opened on a slice dir scores its docs exactly
+like the global reader (BM25 weights are corpus-wide) while decoding ONLY
+its own postings, with the FULL feature set (block-max pruning, phrase,
+positions).  One Ray task per (shard, slice); no shuffle — tasks read only
+their shard's segment file.
+
+At 10^12 docs this is the serving deployment step: slices sized to a
+node, each node opens its slice dir, a fan-out service merges k-lists
+(``ShardedQueryService(slice_dirs=...)``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..state.manifest import atomic_write_bytes, atomic_write_table
+from .build import DOC_BITS, SEG_ROW_GROUP_ROWS, _segment_schema
+from .codec import BLOCK_SIZE, varbyte_decode, varbyte_encode, varbyte_lengths
+
+
+def _encode_rows(term, chunk, df, cf, docs, tfs, pos_deltas, has_pos):
+    """Re-encode one slice's postings for one (term, chunk) into a
+    segment-row dict (same block metadata scheme as the build)."""
+    n = docs.size
+    deltas = np.empty_like(docs)
+    deltas[0] = docs[0]
+    np.subtract(docs[1:], docs[:-1], out=deltas[1:])
+    nb = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    bounds = np.minimum(np.arange(1, nb + 1) * BLOCK_SIZE, n)
+    obounds = np.concatenate([[0], bounds])
+    dlen = np.concatenate([[0], np.cumsum(
+        varbyte_lengths(deltas.astype(np.uint64)))])
+    tlen = np.concatenate([[0], np.cumsum(
+        varbyte_lengths(tfs.astype(np.uint64)))])
+    row = {
+        "term": term, "chunk": chunk, "df": df, "cf": cf, "count": n,
+        "doc_blob": varbyte_encode(deltas.astype(np.uint64)),
+        "tf_blob": varbyte_encode(tfs.astype(np.uint64)),
+        "block_last": docs[bounds - 1].tolist(),
+        "block_max_tf": np.maximum.reduceat(
+            tfs, np.arange(0, n, BLOCK_SIZE)).tolist(),
+        "block_counts": np.diff(obounds).tolist(),
+        "block_doc_off": dlen[obounds].tolist(),
+        "block_tf_off": tlen[obounds].tolist(),
+    }
+    if has_pos:
+        row["pos_blob"] = varbyte_encode(pos_deltas.astype(np.uint64))
+    return row
+
+
+def _split_shard(index_dir: str, out_root: str, shard: int,
+                 n_slices: int) -> Dict:
+    """Split one shard's segment file into n_slices per-slice segment
+    files (df/cf stay GLOBAL)."""
+    path = os.path.join(index_dir, "segments", f"shard-{shard:04d}.parquet")
+    if not os.path.exists(path):
+        return {"shard": shard, "rows": 0}
+    pf = pq.ParquetFile(path)
+    has_pos = "pos_blob" in pf.schema_arrow.names
+    schema = _segment_schema(has_pos)
+    outs: List[Dict[str, list]] = [
+        {name: [] for name in schema.names} for _ in range(n_slices)]
+    total = 0
+    for batch in pf.iter_batches(batch_size=256):
+        rows = batch.to_pylist()
+        for r in rows:
+            n = r["count"]
+            docs = np.cumsum(varbyte_decode(r["doc_blob"], n)
+                             .astype(np.int64))
+            tfs = varbyte_decode(r["tf_blob"], n).astype(np.int64)
+            if has_pos:
+                npos = int(tfs.sum())
+                pos = varbyte_decode(r["pos_blob"], npos).astype(np.int64)
+                starts = np.cumsum(tfs) - tfs
+            sl = (docs >> DOC_BITS) % n_slices
+            for s in range(n_slices):
+                m = sl == s
+                if not m.any():
+                    continue
+                if has_pos:
+                    # gather each kept doc's contiguous delta run (deltas
+                    # restart per doc, so runs concatenate verbatim)
+                    keep_idx = np.flatnonzero(m)
+                    lens = tfs[keep_idx]
+                    tot = int(lens.sum())
+                    cum = np.cumsum(lens) - lens
+                    flat = np.arange(tot, dtype=np.int64) - \
+                        np.repeat(cum, lens) + np.repeat(starts[keep_idx],
+                                                         lens)
+                    pd_slice = pos[flat]
+                else:
+                    pd_slice = None
+                row = _encode_rows(r["term"], r["chunk"], r["df"], r["cf"],
+                                   docs[m], tfs[m], pd_slice, has_pos)
+                for k, v in row.items():
+                    outs[s][k].append(v)
+                total += 1
+    for s in range(n_slices):
+        t = pa.table({nm: pa.array(outs[s][nm], schema.field(nm).type)
+                      for nm in schema.names})
+        atomic_write_table(
+            os.path.join(out_root, f"slice-{s:03d}", "segments",
+                         f"shard-{shard:04d}.parquet"),
+            t, row_group_size=SEG_ROW_GROUP_ROWS)
+    return {"shard": shard, "rows": total}
+
+
+def repartition_for_serving(index_dir: str, out_root: str, *,
+                            n_slices: int = 4) -> List[str]:
+    """Split ``index_dir`` into ``n_slices`` self-contained slice indexes
+    under ``out_root/slice-XXX``; returns the slice dirs.  Each slice is
+    a fully-featured index over its doc range whose df/cf/stats are
+    GLOBAL, so per-slice scores equal the global reader's exactly."""
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    num_shards = stats["num_shards"]
+
+    # doc tables + tombstones per slice (pid % n_slices routing)
+    docs_dir = os.path.join(index_dir, "docs")
+    slice_tombs: List[List[int]] = [[] for _ in range(n_slices)]
+    tomb_path = os.path.join(index_dir, "tombstones.json")
+    if os.path.exists(tomb_path):
+        with open(tomb_path) as f:
+            for did in json.load(f).get("doc_ids", []):
+                slice_tombs[(int(did) >> DOC_BITS) % n_slices].append(did)
+    for s in range(n_slices):
+        sdir = os.path.join(out_root, f"slice-{s:03d}")
+        os.makedirs(os.path.join(sdir, "docs"), exist_ok=True)
+        atomic_write_bytes(
+            os.path.join(sdir, "stats.json"),
+            json.dumps(stats | {"slice_id": s,
+                                "n_slices": n_slices}).encode())
+        if slice_tombs[s]:
+            atomic_write_bytes(
+                os.path.join(sdir, "tombstones.json"),
+                json.dumps({"doc_ids": sorted(slice_tombs[s])}).encode())
+    for name in sorted(os.listdir(docs_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(docs_dir, name), columns=["doc_id"])
+        if t.num_rows == 0:
+            continue
+        pid = int(t["doc_id"][0].as_py()) >> DOC_BITS
+        shutil.copy2(os.path.join(docs_dir, name),
+                     os.path.join(out_root, f"slice-{pid % n_slices:03d}",
+                                  "docs", name))
+
+    # segment split: one Ray task per shard (reads only its shard file)
+    tasks = ray.data.from_items(
+        [{"shard": sh} for sh in range(num_shards)],
+        override_num_blocks=num_shards)
+
+    def split(batch: pd.DataFrame) -> pd.DataFrame:
+        pa.set_cpu_count(1)
+        return pd.DataFrame([
+            _split_shard(index_dir, out_root, int(sh), n_slices)
+            for sh in batch["shard"]])
+
+    tasks.map_batches(split, batch_format="pandas",
+                      batch_size=1).materialize()
+    return [os.path.join(out_root, f"slice-{s:03d}")
+            for s in range(n_slices)]

@@ -17,7 +17,7 @@ raising n_shards.
 from __future__ import annotations
 
 import heapq
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -85,15 +85,54 @@ class ShardedQueryActor:
         return self.reader.topk(query, k)
 
 
-class ShardedQueryService:
-    """Driver-side handle: fan a query to all shard actors, merge top-k."""
+@ray.remote
+class SliceQueryActor:
+    """Actor over a REPARTITIONED slice index
+    (:func:`..repartition.repartition_for_serving`): a plain IndexReader —
+    the slice's segments hold only its docs but GLOBAL df/stats, so every
+    query mode (pruned, phrase, positions) works per slice with scores
+    identical to the global reader."""
 
-    def __init__(self, index_dir: str, n_slices: int = 4):
-        self.actors = [ShardedQueryActor.remote(index_dir, s, n_slices)
-                       for s in range(n_slices)]
+    def __init__(self, slice_dir: str):
+        from .query import IndexReader
+        self.reader = IndexReader(slice_dir)
+
+    def topk(self, query: str, k: int) -> List[Tuple[int, float]]:
+        return self.reader.topk_pruned(query, k)
+
+    def phrase_topk(self, query: str, k: int) -> List[Tuple[int, float]]:
+        return self.reader.phrase_topk(query, k)
+
+
+class ShardedQueryService:
+    """Driver-side handle: fan a query to all slice actors, merge top-k.
+
+    Two modes: ``index_dir`` (mask-based slices over one global index —
+    exhaustive topk only) or ``slice_dirs`` (repartitioned per-slice
+    indexes — full feature set incl. block-max pruning and phrase)."""
+
+    def __init__(self, index_dir: str = None, n_slices: int = 4,
+                 slice_dirs: Optional[List[str]] = None):
+        if slice_dirs is not None:
+            self.actors = [SliceQueryActor.remote(d) for d in slice_dirs]
+            self._phrase_ok = True
+        else:
+            self.actors = [ShardedQueryActor.remote(index_dir, s, n_slices)
+                           for s in range(n_slices)]
+            self._phrase_ok = False
 
     def topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
         partials = ray.get([a.topk.remote(query, k) for a in self.actors])
+        merged = heapq.merge(*[iter(p) for p in partials],
+                             key=lambda h: (-h[1], h[0]))
+        return list(merged)[:k]
+
+    def phrase_topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+        if not self._phrase_ok:
+            raise NotImplementedError(
+                "phrase serving needs repartitioned slice dirs")
+        partials = ray.get([a.phrase_topk.remote(query, k)
+                            for a in self.actors])
         merged = heapq.merge(*[iter(p) for p in partials],
                              key=lambda h: (-h[1], h[0]))
         return list(merged)[:k]

@@ -1,0 +1,95 @@
+"""Serving repartition: per-slice self-contained indexes equal the global
+reader exactly — every mode (exhaustive, pruned, phrase), since slices
+keep global df/cf/stats."""
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from jesterj_ray.index.build_rows import build_index_rows
+from jesterj_ray.index.query import IndexReader, delete_docs
+from jesterj_ray.index.repartition import repartition_for_serving
+from jesterj_ray.sources.corpus import REFERENCE_QUERIES
+
+
+@pytest.fixture(scope="module")
+def split_index(small_corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("repart")
+    src = str(d / "c.parquet")
+    pq.write_table(small_corpus, src, row_group_size=64)
+    out = str(d / "idx")
+    build_index_rows(src, out, text_col="content", tokenizer="code",
+                     docs_per_partition=64, num_shards=4, positions=True)
+    slice_dirs = repartition_for_serving(out, str(d / "slices"), n_slices=3)
+    return out, slice_dirs
+
+
+def merged_topk(readers, fn_name, query, k):
+    hits = []
+    for r in readers:
+        hits.extend(getattr(r, fn_name)(query, k))
+    hits.sort(key=lambda h: (-h[1], h[0]))
+    return hits[:k]
+
+
+def test_slices_equal_global_all_modes(split_index):
+    out, slice_dirs = split_index
+    g = IndexReader(out)
+    readers = [IndexReader(d) for d in slice_dirs]
+    # every slice doc belongs to its slice; doc spaces partition exactly
+    assert sum(r.n_dense for r in readers) == g.n_dense
+    for r in readers:
+        assert r.n_docs == g.n_docs and r.avgdl == g.avgdl  # GLOBAL stats
+    for q in REFERENCE_QUERIES:
+        want = g.topk(q["query"], q["k"])
+        got = merged_topk(readers, "topk", q["query"], q["k"])
+        assert [x[0] for x in want] == [x[0] for x in got], q
+        for (_, a), (_, b) in zip(want, got):
+            assert a == pytest.approx(b, abs=1e-12)
+        gotp = merged_topk(readers, "topk_pruned", q["query"], q["k"])
+        assert [x[0] for x in want] == [x[0] for x in gotp], q
+    # phrase queries work per slice (impossible with mask-based slicing)
+    want = g.phrase_topk("import config", 10)
+    got = merged_topk(readers, "phrase_topk", "import config", 10)
+    assert [x[0] for x in want] == [x[0] for x in got]
+    # df stays global in every slice
+    for term in ("import", "return"):
+        ge = g.term_entry(term)
+        for r in readers:
+            e = r.term_entry(term)
+            if e is not None:
+                assert e["df"] == ge["df"]
+
+
+def test_slice_service_end_to_end(split_index):
+    from jesterj_ray.index.serving import ShardedQueryService
+    out, slice_dirs = split_index
+    g = IndexReader(out)
+    svc = ShardedQueryService(slice_dirs=slice_dirs)
+    try:
+        for q in REFERENCE_QUERIES:
+            want = g.topk(q["query"], q["k"])
+            got = svc.topk(q["query"], q["k"])
+            assert [x[0] for x in want] == [x[0] for x in got], q
+        assert [x[0] for x in svc.phrase_topk("import config", 5)] == \
+            [x[0] for x in g.phrase_topk("import config", 5)]
+    finally:
+        svc.shutdown()
+
+
+def test_repartition_carries_tombstones(small_corpus, tmp_path):
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(small_corpus, src, row_group_size=64)
+    out = str(tmp_path / "idx")
+    build_index_rows(src, out, text_col="content", tokenizer="code",
+                     docs_per_partition=64, num_shards=4)
+    g0 = IndexReader(out)
+    victim = g0.doc_keys(np.array([g0.topk("import", 1)[0][0]],
+                                  dtype=np.int64))[0]
+    delete_docs(out, [victim])
+    slice_dirs = repartition_for_serving(out, str(tmp_path / "sl"),
+                                         n_slices=2)
+    g = IndexReader(out)
+    readers = [IndexReader(d) for d in slice_dirs]
+    want = g.topk("import", 10)
+    got = merged_topk(readers, "topk", "import", 10)
+    assert [x[0] for x in want] == [x[0] for x in got]
