@@ -210,10 +210,16 @@ def run_bench() -> dict:
     timings["delta_reindex_1doc"] = time.time() - t0
     assert d["reindexed_docs"] == 1, d
 
-    # doc-range-sharded serving (the multi-node deployment shape): each
-    # actor holds one pid-slice, scores with global stats, driver merges
+    # doc-range-sharded serving (the multi-node deployment shape): the
+    # index repartitions into self-contained slice indexes (global
+    # df/stats), each actor opens one slice, driver merges k-lists
+    from jesterj_ray.index.repartition import repartition_for_serving
     from jesterj_ray.index.serving import ShardedQueryService
-    svc = ShardedQueryService(out_dir, n_slices=4)
+    t0 = time.time()
+    slice_dirs = repartition_for_serving(
+        out_dir, out_dir + "-slices", n_slices=4)
+    timings["serving_repartition"] = time.time() - t0
+    svc = ShardedQueryService(slice_dirs=slice_dirs)
     try:
         svc.topk(DOC_QUERIES[0]["query"], 10)  # actor warm-up, untimed
         t0 = time.time()

@@ -153,6 +153,17 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_repartition(args) -> int:
+    import ray
+    from jesterj_ray.index.repartition import repartition_for_serving
+    owned = _ray_init(args.num_cpus)
+    dirs = repartition_for_serving(args.index_dir, args.out,
+                                   n_slices=args.slices)
+    print(json.dumps({"slice_dirs": dirs}))
+    _ray_done(owned)
+    return 0
+
+
 def cmd_query(args) -> int:
     from jesterj_ray.index.query import IndexReader
     reader = IndexReader(args.index_dir)
@@ -220,6 +231,12 @@ def main(argv=None) -> int:
     st.add_argument("out")
     st.add_argument("pid", type=int, nargs="?", default=None)
 
+    rp = sub.add_parser("repartition")
+    rp.add_argument("index_dir")
+    rp.add_argument("out")
+    rp.add_argument("--slices", type=int, default=4)
+    rp.add_argument("--num-cpus", type=int, default=8)
+
     q = sub.add_parser("query")
     q.add_argument("index_dir")
     q.add_argument("query")
@@ -230,6 +247,7 @@ def main(argv=None) -> int:
             "build-index": cmd_build_index, "delta-index": cmd_delta_index,
             "watch": cmd_watch, "mark": cmd_mark,
             "delete-docs": cmd_delete_docs, "status": cmd_status,
+            "repartition": cmd_repartition,
             "query": cmd_query}[args.cmd](args)
 
 
