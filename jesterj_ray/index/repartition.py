@@ -68,10 +68,17 @@ def _encode_rows(term, chunk, df, cf, docs, tfs, pos_deltas, has_pos):
     return row
 
 
+REPART_FLUSH_ROWS = 1024  # per-slice buffered rows before a writer flush
+
+
 def _split_shard(index_dir: str, out_root: str, shard: int,
                  n_slices: int) -> Dict:
     """Split one shard's segment file into n_slices per-slice segment
-    files (df/cf stay GLOBAL)."""
+    files (df/cf stay GLOBAL).  Streams: reads one row-group slab at a
+    time and flushes each slice's rows to an incremental parquet writer,
+    so task memory is bounded regardless of shard size."""
+    import uuid
+
     path = os.path.join(index_dir, "segments", f"shard-{shard:04d}.parquet")
     if not os.path.exists(path):
         return {"shard": shard, "rows": 0}
@@ -80,6 +87,27 @@ def _split_shard(index_dir: str, out_root: str, shard: int,
     schema = _segment_schema(has_pos)
     outs: List[Dict[str, list]] = [
         {name: [] for name in schema.names} for _ in range(n_slices)]
+    writers: List = [None] * n_slices
+    finals: List[str] = []
+    tmps: List[str] = []
+    for s in range(n_slices):
+        seg_dir = os.path.join(out_root, f"slice-{s:03d}", "segments")
+        os.makedirs(seg_dir, exist_ok=True)
+        finals.append(os.path.join(seg_dir, f"shard-{shard:04d}.parquet"))
+        tmps.append(os.path.join(
+            seg_dir, f".tmp-{uuid.uuid4().hex[:8]}.parquet"))
+
+    def flush(s: int, force: bool = False):
+        if not outs[s]["term"] and (writers[s] or not force):
+            return
+        if writers[s] is None:
+            writers[s] = pq.ParquetWriter(tmps[s], schema)
+        t = pa.table({nm: pa.array(outs[s][nm], schema.field(nm).type)
+                      for nm in schema.names})
+        writers[s].write_table(t, row_group_size=SEG_ROW_GROUP_ROWS)
+        for nm in schema.names:
+            outs[s][nm].clear()
+
     total = 0
     for batch in pf.iter_batches(batch_size=256):
         rows = batch.to_pylist()
@@ -115,13 +143,13 @@ def _split_shard(index_dir: str, out_root: str, shard: int,
                 for k, v in row.items():
                     outs[s][k].append(v)
                 total += 1
+                if len(outs[s]["term"]) >= REPART_FLUSH_ROWS:
+                    flush(s)
     for s in range(n_slices):
-        t = pa.table({nm: pa.array(outs[s][nm], schema.field(nm).type)
-                      for nm in schema.names})
-        atomic_write_table(
-            os.path.join(out_root, f"slice-{s:03d}", "segments",
-                         f"shard-{shard:04d}.parquet"),
-            t, row_group_size=SEG_ROW_GROUP_ROWS)
+        flush(s, force=True)
+        if writers[s] is not None:
+            writers[s].close()
+        os.replace(tmps[s], finals[s])
     return {"shard": shard, "rows": total}
 
 
@@ -133,6 +161,13 @@ def repartition_for_serving(index_dir: str, out_root: str, *,
     GLOBAL, so per-slice scores equal the global reader's exactly."""
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
+    if stats.get("exact_stats"):
+        # an exact-stats (delta-built) index computes alive-only n/avgdl/df
+        # over the WHOLE corpus at query time; a slice reader would compute
+        # them over its slice and silently mis-weight.  Compact first.
+        raise ValueError(
+            "cannot repartition an exact_stats (delta-built) index: run a "
+            "full rebuild to compact tombstones, then repartition")
     num_shards = stats["num_shards"]
 
     # doc tables + tombstones per slice (pid % n_slices routing)

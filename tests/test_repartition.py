@@ -93,3 +93,32 @@ def test_repartition_carries_tombstones(small_corpus, tmp_path):
     want = g.topk("import", 10)
     got = merged_topk(readers, "topk", "import", 10)
     assert [x[0] for x in want] == [x[0] for x in got]
+
+
+def test_repartition_streams_with_tiny_flush(split_index, monkeypatch):
+    """Forcing 1-row flush buffers must produce identical slice segments
+    (bounded-memory split, like the merge's streaming test)."""
+    import pyarrow.parquet as pq2
+    from jesterj_ray.index import repartition as rp
+    out, slice_dirs = split_index
+    import tempfile
+    d2 = tempfile.mkdtemp()
+    monkeypatch.setattr(rp, "REPART_FLUSH_ROWS", 1)
+    dirs2 = rp.repartition_for_serving(out, d2, n_slices=3)
+    for a, b in zip(slice_dirs, dirs2):
+        for s in range(4):
+            ta = pq2.read_table(f"{a}/segments/shard-{s:04d}.parquet")
+            tb = pq2.read_table(f"{b}/segments/shard-{s:04d}.parquet")
+            assert ta.sort_by("term").equals(tb.sort_by("term"))
+
+
+def test_repartition_refuses_exact_stats(tmp_path):
+    import json as _json
+    import os as _os
+    from jesterj_ray.index.repartition import repartition_for_serving
+    idx = str(tmp_path / "idx")
+    _os.makedirs(idx)
+    with open(_os.path.join(idx, "stats.json"), "w") as f:
+        _json.dump({"exact_stats": True, "num_shards": 2}, f)
+    with pytest.raises(ValueError, match="exact_stats"):
+        repartition_for_serving(idx, str(tmp_path / "s"), n_slices=2)
