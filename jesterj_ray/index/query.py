@@ -160,26 +160,43 @@ class IndexReader:
                 light_cols = [c for c in ("term", "chunk", "df", "cf",
                                           "count") if c in names]
                 light = pf.read(columns=light_cols)
-                lookup: Dict[str, list] = {}
-                chunks = light["chunk"].to_pylist() \
-                    if "chunk" in light.column_names \
-                    else [0] * light.num_rows
-                for i, (term, ch) in enumerate(zip(
-                        light["term"].to_pylist(), chunks)):
-                    lookup.setdefault(term, []).append((ch, i))
-                for term in lookup:
-                    lookup[term] = [i for _, i in sorted(lookup[term])]
                 nrg = pf.metadata.num_row_groups
                 rg_starts = np.concatenate([[0], np.cumsum(
                     [pf.metadata.row_group(i).num_rows
                      for i in range(nrg)])]).astype(np.int64)
+                # NO per-term dict: segments are term-sorted (chunks of a
+                # term adjacent in ascending chunk order), so term lookup
+                # is binary search over the zero-copy Arrow column —
+                # per-actor memory stays the Arrow buffers, not a Python
+                # dict of the whole vocabulary
                 self._shard_cache[shard] = {
-                    "lookup": lookup, "light": light, "pf": pf,
+                    "term_col": light["term"].combine_chunks(),
+                    "light": light, "pf": pf,
                     "rg_starts": rg_starts, "names": names,
                     "rg_cache": OrderedDict()}
             else:
                 self._shard_cache[shard] = None
         return self._shard_cache[shard]
+
+    @staticmethod
+    def _term_rows(state: dict, term: str) -> Optional[range]:
+        """Row range [lo, hi) of ``term`` in the term-sorted segment, via
+        bisection on the Arrow column (O(log n) as_py probes)."""
+        col = state["term_col"]
+        n = len(col)
+        lo, hi = 0, n
+        while lo < hi:                       # leftmost occurrence
+            mid = (lo + hi) // 2
+            if col[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo == n or col[lo].as_py() != term:
+            return None
+        hi = lo + 1
+        while hi < n and col[hi].as_py() == term:
+            hi += 1
+        return range(lo, hi)
 
     _RG_CACHE_MAX = 8  # touched row groups kept per shard (bounds memory)
 
@@ -215,7 +232,7 @@ class IndexReader:
         state = self._load_shard(self._shard_of(term))
         if state is None:
             return None
-        rows = state["lookup"].get(term)
+        rows = self._term_rows(state, term)
         if rows is None:
             return None
         has_pos = "pos_blob" in state["names"]
