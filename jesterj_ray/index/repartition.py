@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from ..state.manifest import atomic_write_bytes, atomic_write_table
+from ..state.manifest import atomic_write_bytes
 from .build import DOC_BITS, SEG_ROW_GROUP_ROWS, _segment_schema
 from .codec import BLOCK_SIZE, varbyte_decode, varbyte_encode, varbyte_lengths
 

@@ -102,7 +102,6 @@ def bm25_topk_documents(sf_dir: str, queries: Optional[List[dict]] = None,
 
 def documents_index_pos(sf_dir: str) -> str:
     """Positional variant of the documents index (phrase queries)."""
-    import pyarrow.parquet as _pq
     out = _cache_dir(sf_dir, "docidx3-pos")
     if not os.path.exists(os.path.join(out, "stats.json")):
         from ..index.build_rows import build_index_rows

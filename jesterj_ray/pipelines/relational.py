@@ -9,7 +9,6 @@ oracles for the driver's correctness gate.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 import pandas as pd

@@ -25,7 +25,7 @@ from __future__ import annotations
 import fnmatch
 import hashlib
 import os
-from typing import Callable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import pyarrow as pa
 

@@ -31,7 +31,6 @@ from typing import List, Optional, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 

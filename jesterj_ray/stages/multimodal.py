@@ -16,7 +16,6 @@ payload enters, typed columns come out.
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
 
 import numpy as np
 import pyarrow as pa

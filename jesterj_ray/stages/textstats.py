@@ -11,10 +11,9 @@ the ``PreAnalyzeFields`` load-analyzer-once pattern, reference
 from __future__ import annotations
 
 import re
-from typing import List, Optional
+from typing import List
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
