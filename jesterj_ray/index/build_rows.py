@@ -73,11 +73,13 @@ def plan_row_partitions(paths: List[str], docs_per_partition: int = 50_000
 
 def _part_fingerprint(part: Dict) -> str:
     """Input fingerprint of one partition: path + row groups + planned rows
-    + file size/mtime, so a changed input slice invalidates its commit."""
+    + file size/mtime_ns, so a changed input slice invalidates its commit
+    (nanosecond mtime: second-resolution missed same-second rewrites, e.g.
+    fast watch_and_reindex cycles)."""
     st = os.stat(part["path"])
     return hashlib.sha256(
         f"{part['path']}|{list(part['row_groups'])}|{part['rows']}"
-        f"|{st.st_size}|{int(st.st_mtime)}".encode()).hexdigest()
+        f"|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()
 
 
 # delta partitions (per-doc incremental re-index) live above this pid so
