@@ -128,11 +128,41 @@ class Plan:
     def leaves(self) -> List[str]:
         return [n for n in self.steps if not self.edges.get(n)]
 
-    def execute(self, source: "ray.data.Dataset") -> Dict[str, "ray.data.Dataset"]:
+    def execute(self, source: "ray.data.Dataset", *,
+                dropped_dir: Optional[str] = None,
+                id_field: str = "doc_id") -> Dict[str, "ray.data.Dataset"]:
+        """Compile the DAG onto ``source``.
+
+        ``dropped_dir`` opts into the reference's RouterBase
+        excluded-destination bookkeeping
+        (``RouterBase.updateExcludedDestinations``): for every branch step
+        whose ``route_when`` excludes rows, the excluded rows are recorded
+        as (doc_id, destination=<step>, status=DROPPED) parquet under
+        ``dropped_dir`` — one potent sink per branch, content-addressed
+        filenames so Ray task retries overwrite idempotently."""
         results: Dict[str, "ray.data.Dataset"] = {}
 
+        def record_dropped(name: str, upstream: "ray.data.Dataset",
+                           expr) -> None:
+            from ..stages.senders import StatusSink
+            if isinstance(expr, str):
+                return  # string predicates are not invertible here
+            excluded = upstream.map_batches(
+                lambda t, e=expr: t.filter(pa.compute.invert(e))
+                if not isinstance(e, pa.compute.Expression)
+                else t.filter(~e),
+                batch_format="pyarrow")
+            excluded.map_batches(
+                StatusSink, fn_constructor_kwargs={
+                    "out_dir": dropped_dir, "destination": name,
+                    "status": "DROPPED", "id_field": id_field},
+                batch_format="pyarrow", concurrency=1).materialize()
+
         def run_chain(name: str, upstream: "ray.data.Dataset") -> None:
-            ds = self.steps[name].apply(upstream)
+            step = self.steps[name]
+            if dropped_dir is not None and step.route_when is not None:
+                record_dropped(name, upstream, step.route_when)
+            ds = step.apply(upstream)
             succs = self.edges.get(name, [])
             if not succs:
                 results[name] = ds

@@ -144,3 +144,35 @@ def test_ivf_recall_and_determinism():
     # full probe == exact
     everything = ivf.topk(ds, q, k=10, nprobe=8)
     assert list(everything["vec_id"]) == list(exact["vec_id"])
+
+
+def test_route_dropped_bookkeeping(tmp_path):
+    """RouterBase.updateExcludedDestinations analog: rows excluded by a
+    branch's route_when are recorded as DROPPED status rows for that
+    destination (r01 VERDICT partial -> full)."""
+    import glob
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from jesterj_ray.model.plan import Step
+    src = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lang": pa.array(["en", "fr", "en", "de"])}))
+    b = PlanBuilder()
+    b.add_step(Step("root", lambda t: t))
+    b.add_step(Step("en_only", lambda t: t,
+                    route_when=pc.equal(pc.field("lang"), "en")), "root")
+    b.add_step(Step("fr_only", lambda t: t,
+                    route_when=pc.equal(pc.field("lang"), "fr")), "root")
+    d = str(tmp_path / "dropped")
+    out = b.build().execute(src, dropped_dir=d)
+    assert sorted(out["en_only"].to_pandas()["doc_id"]) == [1, 3]
+    t = pa.concat_tables([pq.read_table(f)
+                          for f in glob.glob(d + "/*.parquet")])
+    df = t.to_pandas()
+    assert set(df["status"]) == {"DROPPED"}
+    en_dropped = sorted(df.loc[df["destination"] == "en_only", "doc_id"]
+                        .astype(int))
+    fr_dropped = sorted(df.loc[df["destination"] == "fr_only", "doc_id"]
+                        .astype(int))
+    assert en_dropped == [2, 4]       # fr + de never reach en_only
+    assert fr_dropped == [1, 3, 4]
