@@ -40,8 +40,22 @@ from .codec import BLOCK_SIZE, varbyte_decode, varbyte_encode, varbyte_lengths
 
 def _encode_rows(term, chunk, df, cf, docs, tfs, pos_deltas, has_pos):
     """Re-encode one slice's postings for one (term, chunk) into a
-    segment-row dict (same block metadata scheme as the build)."""
+    segment-row dict (same block metadata scheme as the build).
+
+    n == 0 emits a metadata-only row: the reader reconstructs a term's
+    GLOBAL df by summing its chunk rows' df, so every slice must carry a
+    row for EVERY source chunk (a slice holding no docs of some chunk
+    would otherwise under-count df for multi-chunk hot terms and
+    mis-weight BM25)."""
     n = docs.size
+    if n == 0:
+        row = {"term": term, "chunk": chunk, "df": df, "cf": cf,
+               "count": 0, "doc_blob": b"", "tf_blob": b"",
+               "block_last": [], "block_max_tf": [], "block_counts": [],
+               "block_doc_off": [0], "block_tf_off": [0]}
+        if has_pos:
+            row["pos_blob"] = b""
+        return row
     deltas = np.empty_like(docs)
     deltas[0] = docs[0]
     np.subtract(docs[1:], docs[:-1], out=deltas[1:])
@@ -123,9 +137,7 @@ def _split_shard(index_dir: str, out_root: str, shard: int,
             sl = (docs >> DOC_BITS) % n_slices
             for s in range(n_slices):
                 m = sl == s
-                if not m.any():
-                    continue
-                if has_pos:
+                if has_pos and m.any():
                     # gather each kept doc's contiguous delta run (deltas
                     # restart per doc, so runs concatenate verbatim)
                     keep_idx = np.flatnonzero(m)

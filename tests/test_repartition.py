@@ -122,3 +122,42 @@ def test_repartition_refuses_exact_stats(tmp_path):
         _json.dump({"exact_stats": True, "num_shards": 2}, f)
     with pytest.raises(ValueError, match="exact_stats"):
         repartition_for_serving(idx, str(tmp_path / "s"), n_slices=2)
+
+
+def test_repartition_chunked_hot_terms_keep_global_df(small_corpus,
+                                                      tmp_path):
+    """Multi-chunk hot terms: a slice holding docs in only SOME chunks
+    must still reconstruct the GLOBAL df (metadata-only rows for its
+    empty chunks) — scores must equal the global reader exactly."""
+    import os
+    from jesterj_ray.index.build import merge_runs
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(small_corpus, src, row_group_size=32)
+    out = str(tmp_path / "idx")
+    build_index_rows(src, out, text_col="content", tokenizer="code",
+                     docs_per_partition=32, num_shards=4, positions=True)
+    # re-merge with a tiny chunk target to force multi-chunk hot terms
+    for f in os.listdir(os.path.join(out, "manifest", "merge")):
+        os.unlink(os.path.join(out, "manifest", "merge", f))
+    os.unlink(os.path.join(out, "merge_fingerprint.json"))
+    merge_runs(out, 4, chunk_target=50)
+    g = IndexReader(out)
+    assert len(g.term_entry("import")["chunks"]) > 1  # chunked for real
+    slice_dirs = repartition_for_serving(out, str(tmp_path / "sl"),
+                                         n_slices=3)
+    readers = [IndexReader(d) for d in slice_dirs]
+    ge = g.term_entry("import")
+    for r in readers:
+        e = r.term_entry("import")
+        assert e is not None and e["df"] == ge["df"]
+    for q in REFERENCE_QUERIES + [{"query": "import return", "k": 20}]:
+        want = g.topk(q["query"], q["k"])
+        got = merged_topk(readers, "topk", q["query"], q["k"])
+        assert [x[0] for x in want] == [x[0] for x in got], q
+        for (_, a), (_, b) in zip(want, got):
+            assert a == pytest.approx(b, abs=1e-12)
+        gotp = merged_topk(readers, "topk_pruned", q["query"], q["k"])
+        assert [x[0] for x in want] == [x[0] for x in gotp], q
+    want = g.phrase_topk("import config", 10)
+    got = merged_topk(readers, "phrase_topk", "import config", 10)
+    assert [x[0] for x in want] == [x[0] for x in got]
