@@ -309,6 +309,11 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
     nbytes = 0
     for s_ in range(num_shards):
         sub = run_table.filter(pa.array(shard_ids == s_))
+        if sub.num_rows == 0:
+            # no file at all: an empty run would still rotate the shard's
+            # run-set fingerprint and force a pointless re-merge (a 1-doc
+            # delta must touch only the shards holding its terms)
+            continue
         run_path = os.path.join(out_dir, "runs", f"shard-{s_:04d}",
                                 f"part-{pid:05d}.parquet")
         nbytes += atomic_write_table(run_path, sub, row_group_size=4096)
@@ -394,13 +399,20 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
         import pyarrow.parquet as pq
         man = Manifest(out_dir, "merge")
         prior = man.read(shard)
-        if prior and prior.get("status") == STATUS_INDEXED:
-            return {"shard": shard, "terms": prior["terms_emitted"],
-                    "bytes_written": prior["bytes_written"]}
         shard_dir = os.path.join(out_dir, "runs", f"shard-{shard:04d}")
         files = sorted(os.path.join(shard_dir, f)
                        for f in os.listdir(shard_dir)
                        if f.endswith(".parquet")) if os.path.isdir(shard_dir) else []
+        # PER-SHARD invalidation: this shard re-merges only when ITS run
+        # set changed (path+size+mtime_ns) — a delta touching few term
+        # shards leaves the others' segments untouched
+        shard_fp = hashlib.sha256("|".join(
+            f"{p}:{os.path.getsize(p)}:{os.stat(p).st_mtime_ns}"
+            for p in files).encode()).hexdigest()
+        if prior and prior.get("status") == STATUS_INDEXED and \
+                prior.get("input_fingerprint") == shard_fp:
+            return {"shard": shard, "terms": prior["terms_emitted"],
+                    "bytes_written": prior["bytes_written"]}
         has_pos = bool(files) and "pos_blob" in pq.ParquetFile(
             files[0]).schema_arrow.names
         schema = _segment_schema(has_pos)
@@ -526,6 +538,7 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
                 pass
             raise
         man.commit(shard, status=STATUS_INDEXED,
+                   input_fingerprint=shard_fp,
                    terms_emitted=state["terms"],
                    bytes_written=nbytes, output_files=[path])
         return {"shard": shard, "terms": state["terms"],
@@ -538,41 +551,18 @@ def merge_runs(out_dir: str, num_shards: int,
                chunk_target: int = 1 << 20) -> None:
     """Stage 2: merge per-partition runs into term-sharded segments — one
     task per shard, each reading only its pre-partitioned run files (no
-    shuffle).  The merge manifest is valid only for the exact run-set it
-    was built from: if resume added new runs, invalidate it so every shard
-    re-merges."""
+    shuffle).  Invalidation is PER SHARD: each merge-manifest row stores a
+    fingerprint of exactly its run set (path+size+mtime_ns — same-size
+    in-place rewrites still invalidate, ADVICE r01), so a resume or delta
+    that touched few term shards re-merges only those."""
     runs_dir = os.path.join(out_dir, "runs")
-    run_files = []
-    if os.path.isdir(runs_dir):
-        for sub in sorted(os.listdir(runs_dir)):
-            d = os.path.join(runs_dir, sub)
-            if os.path.isdir(d):
-                run_files += sorted(os.path.join(d, f) for f in os.listdir(d)
-                                    if f.endswith(".parquet"))
-    if not run_files:
+    if not os.path.isdir(runs_dir):
         return
-    # path+size+mtime_ns: an in-place rewrite of a run (incremental
-    # re-index) can produce a same-size file, so size alone could silently
-    # skip the merge and serve stale segments (ADVICE r01)
-    merge_fp = hashlib.sha256("|".join(
-        f"{p}:{os.path.getsize(p)}:{os.stat(p).st_mtime_ns}"
-        for p in run_files).encode()).hexdigest()
-    fp_path = os.path.join(out_dir, "merge_fingerprint.json")
-    prior_fp = None
-    if os.path.exists(fp_path):
-        with open(fp_path) as f:
-            prior_fp = json.load(f).get("fingerprint")
-    if prior_fp != merge_fp:
-        merge_dir = os.path.join(out_dir, "manifest", "merge")
-        if os.path.isdir(merge_dir):
-            for name in os.listdir(merge_dir):
-                os.unlink(os.path.join(merge_dir, name))
     writer = make_shard_writer(out_dir, chunk_target)
     shards = ray.data.from_items([{"shard": s} for s in range(num_shards)],
                                  override_num_blocks=num_shards)
     shards.map_batches(writer, batch_format="pandas",
                        batch_size=1).materialize()
-    atomic_write_bytes(fp_path, json.dumps({"fingerprint": merge_fp}).encode())
 
 
 def term_shard(terms: pa.ChunkedArray, num_shards: int) -> np.ndarray:

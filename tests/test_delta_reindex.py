@@ -201,3 +201,29 @@ def test_multi_round_delta(tmp_path):
     assert d5["n_docs"] == 199
     _, full5 = build(df5, tmp_path, "full5")
     assert score_map(out) == score_map(full5)
+
+
+def test_delta_remerges_only_touched_shards(tmp_path):
+    """Per-shard merge invalidation: a 1-doc delta re-merges ONLY the term
+    shards holding the changed doc's terms; other segments are untouched
+    byte-for-byte (no rewrite)."""
+    df = make_docs(n=300)
+    src, out = build(df, tmp_path, "base")
+    seg_mtimes = {s: os.stat(f"{out}/segments/shard-{s:04d}.parquet")
+                  .st_mtime_ns for s in range(4)}
+    df2 = df.copy()
+    df2.loc[57, "text"] = "changedword"
+    write_docs(df2, src)
+    delta_reindex(src, out, text_col="text", key_col="rid",
+                  tokenizer="simple", docs_per_partition=64,
+                  num_shards=4, positions=True)
+    changed = [s for s in range(4)
+               if os.stat(f"{out}/segments/shard-{s:04d}.parquet")
+               .st_mtime_ns != seg_mtimes[s]]
+    # "changedword" hashes to exactly one shard; the old doc's terms add
+    # none (its runs were not rewritten) -> exactly one shard re-merged
+    assert len(changed) == 1, changed
+    # queries still correct vs full rebuild
+    _, full = build(df2, tmp_path, "full")
+    assert score_map(out, ["changedword", "alpha beta"]) == \
+        score_map(full, ["changedword", "alpha beta"])

@@ -160,7 +160,7 @@ def test_chunked_hot_term_merge(small_corpus, tmp_path):
     # re-merge b with tiny chunks
     for f in os.listdir(os.path.join(b, "manifest", "merge")):
         os.unlink(os.path.join(b, "manifest", "merge", f))
-    os.unlink(os.path.join(b, "merge_fingerprint.json"))
+
     merge_runs(b, 4, chunk_target=50)
 
     ra, rb = IndexReader(a), IndexReader(b)

@@ -139,7 +139,7 @@ def test_repartition_chunked_hot_terms_keep_global_df(small_corpus,
     # re-merge with a tiny chunk target to force multi-chunk hot terms
     for f in os.listdir(os.path.join(out, "manifest", "merge")):
         os.unlink(os.path.join(out, "manifest", "merge", f))
-    os.unlink(os.path.join(out, "merge_fingerprint.json"))
+
     merge_runs(out, 4, chunk_target=50)
     g = IndexReader(out)
     assert len(g.term_entry("import")["chunks"]) > 1  # chunked for real
