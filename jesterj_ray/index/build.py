@@ -61,6 +61,10 @@ from ..tokenize.tokenizer import TOKENIZERS
 
 DOC_BITS = 32  # doc_id = pid << DOC_BITS | local_rank
 
+# delta partitions (per-doc incremental re-index) live above this pid so
+# they can never collide with planned row-range pids; build_rows re-exports
+DELTA_PID_BASE = 1 << 20
+
 
 def _sha256_hex(arr: Iterable[bytes]) -> List[str]:
     return [hashlib.sha256(x).hexdigest() for x in arr]
@@ -396,31 +400,65 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
         return pd.DataFrame(out_rows)
 
     def _merge_one_shard(shard: int) -> dict:
+        import glob as _glob
         import pyarrow.parquet as pq
         man = Manifest(out_dir, "merge")
         prior = man.read(shard)
         shard_dir = os.path.join(out_dir, "runs", f"shard-{shard:04d}")
-        files = sorted(os.path.join(shard_dir, f)
-                       for f in os.listdir(shard_dir)
-                       if f.endswith(".parquet")) if os.path.isdir(shard_dir) else []
-        # PER-SHARD invalidation: this shard re-merges only when ITS run
-        # set changed (path+size+mtime_ns) — a delta touching few term
-        # shards leaves the others' segments untouched
-        shard_fp = hashlib.sha256("|".join(
-            f"{p}:{os.path.getsize(p)}:{os.stat(p).st_mtime_ns}"
-            for p in files).encode()).hexdigest()
-        if prior and prior.get("status") == STATUS_INDEXED and \
-                prior.get("input_fingerprint") == shard_fp:
+        all_files = sorted(os.path.join(shard_dir, f)
+                           for f in os.listdir(shard_dir)
+                           if f.endswith(".parquet")) \
+            if os.path.isdir(shard_dir) else []
+        # PER-SHARD, PER-FILE fingerprints (path+size+mtime_ns): unchanged
+        # shards skip entirely; a shard whose run set only GREW (per-doc
+        # delta) merges just the NEW runs into an append-only GENERATION
+        # segment — delta merge cost is O(delta), not O(shard).  Any
+        # changed/removed run forces a full re-merge (compaction).
+        cur_fp = {p: f"{os.path.getsize(p)}:{os.stat(p).st_mtime_ns}"
+                  for p in all_files}
+        shard_fp = hashlib.sha256(
+            "|".join(f"{p}:{v}" for p, v in cur_fp.items()).encode()
+        ).hexdigest()
+        prev_fp = (prior or {}).get("runs_merged") or {}
+        prior_ok = bool(prior) and prior.get("status") == STATUS_INDEXED
+        if prior_ok and prior.get("input_fingerprint") == shard_fp:
             return {"shard": shard, "terms": prior["terms_emitted"],
                     "bytes_written": prior["bytes_written"]}
+        seg_dir = os.path.join(out_dir, "segments")
+        os.makedirs(seg_dir, exist_ok=True)
+        base_path = os.path.join(seg_dir, f"shard-{shard:04d}.parquet")
+        gen_glob = os.path.join(seg_dir, f"shard-{shard:04d}-gen-*.parquet")
+        def _pid_of(p: str) -> int:
+            return int(os.path.basename(p).split("-")[1].split(".")[0])
+
+        new_files = [p for p in all_files if p not in prev_fp]
+        prev_max_pid = max((_pid_of(p) for p in prev_fp), default=-1)
+        # append-only is doc-order-safe ONLY for delta runs: their pids
+        # strictly exceed everything already merged, so a generation's
+        # postings follow the previous generations' in doc order.  A
+        # resumed/rebuilt BASE partition interleaves doc ranges and must
+        # full-re-merge.
+        append_only = prior_ok and prev_fp and \
+            all(cur_fp.get(p) == v for p, v in prev_fp.items()) and \
+            os.path.exists(base_path) and new_files and \
+            all(_pid_of(p) >= DELTA_PID_BASE and _pid_of(p) > prev_max_pid
+                for p in new_files)
+        if append_only:
+            files = new_files
+            generation = int(prior.get("generations", 1))
+            path = os.path.join(
+                seg_dir, f"shard-{shard:04d}-gen-{generation:03d}.parquet")
+        else:
+            files = all_files
+            generation = 0
+            path = base_path
+            for stale in _glob.glob(gen_glob):
+                os.unlink(stale)  # full re-merge subsumes old generations
         has_pos = bool(files) and "pos_blob" in pq.ParquetFile(
             files[0]).schema_arrow.names
         schema = _segment_schema(has_pos)
         out = {name: [] for name in schema.names}
         state = {"writer": None, "terms": 0}
-        seg_dir = os.path.join(out_dir, "segments")
-        os.makedirs(seg_dir, exist_ok=True)
-        path = os.path.join(seg_dir, f"shard-{shard:04d}.parquet")
         import uuid as _uuid
         tmp = os.path.join(seg_dir, f".tmp-{_uuid.uuid4().hex[:8]}.parquet")
 
@@ -537,12 +575,20 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
             except OSError:
                 pass
             raise
+        terms_total = state["terms"] + \
+            (int(prior.get("terms_emitted", 0)) if append_only else 0)
+        bytes_total = nbytes + \
+            (int(prior.get("bytes_written", 0)) if append_only else 0)
         man.commit(shard, status=STATUS_INDEXED,
                    input_fingerprint=shard_fp,
-                   terms_emitted=state["terms"],
-                   bytes_written=nbytes, output_files=[path])
-        return {"shard": shard, "terms": state["terms"],
-                "bytes_written": nbytes}
+                   terms_emitted=terms_total,
+                   bytes_written=bytes_total,
+                   output_files=(prior.get("output_files", [])
+                                 if append_only else []) + [path],
+                   extra={"runs_merged": cur_fp,
+                          "generations": generation + 1})
+        return {"shard": shard, "terms": terms_total,
+                "bytes_written": bytes_total}
 
     return shard_writer
 

@@ -82,9 +82,8 @@ def _part_fingerprint(part: Dict) -> str:
         f"|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()
 
 
-# delta partitions (per-doc incremental re-index) live above this pid so
-# they can never collide with planned row-range pids
-DELTA_PID_BASE = 1 << 20
+# re-exported for callers; defined beside the merge that depends on it
+from .build import DELTA_PID_BASE  # noqa: E402
 
 
 def _drop_stale_partitions(out_dir: str, man: Manifest, stale) -> None:

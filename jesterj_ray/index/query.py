@@ -142,19 +142,32 @@ class IndexReader:
         return int(hashlib.sha256(term.encode()).hexdigest()[:8], 16) % self.num_shards
 
     def _load_shard(self, shard: int):
-        """Shard state with LAZY blob access: only the light term-index
-        columns (term/chunk/df/cf/count) load eagerly; posting blobs are
-        fetched per term by TARGETED row-group reads (segments are written
-        in small row groups), so an actor's memory is the term index plus
-        a bounded LRU of touched row groups — not the whole shard file
-        (at 10^12 docs a shard is far larger than one node).  Hot terms
-        span multiple (term, chunk) rows, adjacent because the merge
-        emits in term order."""
+        """List of per-GENERATION shard states (gen 0 = the base segment
+        ``shard-XXXX.parquet``; delta rounds append
+        ``shard-XXXX-gen-NNN.parquet`` merged from only their new runs).
+        Each state has LAZY blob access: only the light term-index columns
+        (term/chunk/df/cf/count) load eagerly; posting blobs are fetched
+        per term by TARGETED row-group reads (segments are written in
+        small row groups), so an actor's memory is the term indexes plus
+        a bounded LRU of touched row groups — not the shard files (at
+        10^12 docs a shard is far larger than one node).  Hot terms span
+        multiple (term, chunk) rows, adjacent within a generation because
+        each merge emits in term order; generations ascend in doc order
+        (delta pids exceed base pids)."""
         if shard not in self._shard_cache:
             from collections import OrderedDict
-            path = os.path.join(self.dir, "segments",
-                                f"shard-{shard:04d}.parquet")
-            if os.path.exists(path):
+            seg_dir = os.path.join(self.dir, "segments")
+            base = f"shard-{shard:04d}"
+            paths = []
+            if os.path.isdir(seg_dir):
+                if os.path.exists(os.path.join(seg_dir, base + ".parquet")):
+                    paths.append(os.path.join(seg_dir, base + ".parquet"))
+                paths += sorted(
+                    os.path.join(seg_dir, n) for n in os.listdir(seg_dir)
+                    if n.startswith(base + "-gen-") and
+                    n.endswith(".parquet"))
+            states = []
+            for path in paths:
                 pf = pq.ParquetFile(path)
                 names = pf.schema_arrow.names
                 light_cols = [c for c in ("term", "chunk", "df", "cf",
@@ -169,13 +182,12 @@ class IndexReader:
                 # is binary search over the zero-copy Arrow column —
                 # per-actor memory stays the Arrow buffers, not a Python
                 # dict of the whole vocabulary
-                self._shard_cache[shard] = {
+                states.append({
                     "term_col": light["term"].combine_chunks(),
                     "light": light, "pf": pf,
                     "rg_starts": rg_starts, "names": names,
-                    "rg_cache": OrderedDict()}
-            else:
-                self._shard_cache[shard] = None
+                    "rg_cache": OrderedDict()})
+            self._shard_cache[shard] = states or None
         return self._shard_cache[shard]
 
     @staticmethod
@@ -229,9 +241,22 @@ class IndexReader:
         return e
 
     def _term_entry_uncached(self, term: str) -> Optional[dict]:
-        state = self._load_shard(self._shard_of(term))
-        if state is None:
+        states = self._load_shard(self._shard_of(term))
+        if states is None:
             return None
+        entries = [self._gen_entry(state, term) for state in states]
+        entries = [e for e in entries if e is not None]
+        if not entries:
+            return None
+        if len(entries) == 1:
+            return entries[0]
+        # generations ascend in doc order: concatenate their chunks
+        return {"df": sum(e["df"] for e in entries),
+                "cf": sum(e["cf"] for e in entries),
+                "count": sum(e["count"] for e in entries),
+                "chunks": [c for e in entries for c in e["chunks"]]}
+
+    def _gen_entry(self, state: dict, term: str) -> Optional[dict]:
         rows = self._term_rows(state, term)
         if rows is None:
             return None

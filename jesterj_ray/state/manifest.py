@@ -185,7 +185,8 @@ class Manifest:
                input_fingerprint: str = "", docs_seen: int = 0,
                terms_emitted: int = 0, bytes_written: int = 0,
                dl_sum: int = 0, output_files: Optional[List[str]] = None,
-               attempt: int = 1, message: str = "") -> None:
+               attempt: int = 1, message: str = "",
+               extra: Optional[Dict] = None) -> None:
         rec = {
             "partition_id": partition_id,
             "status": status,
@@ -198,6 +199,8 @@ class Manifest:
             "attempt": attempt,
             "message": message,
         }
+        if extra:
+            rec.update(extra)
         atomic_write_bytes(self._path(partition_id), json.dumps(rec).encode())
         self.log(partition_id, status, attempt=attempt, message=message)
 

@@ -217,13 +217,43 @@ def test_delta_remerges_only_touched_shards(tmp_path):
     delta_reindex(src, out, text_col="text", key_col="rid",
                   tokenizer="simple", docs_per_partition=64,
                   num_shards=4, positions=True)
-    changed = [s for s in range(4)
-               if os.stat(f"{out}/segments/shard-{s:04d}.parquet")
-               .st_mtime_ns != seg_mtimes[s]]
-    # "changedword" hashes to exactly one shard; the old doc's terms add
-    # none (its runs were not rewritten) -> exactly one shard re-merged
-    assert len(changed) == 1, changed
+    # base segments are NEVER rewritten by a delta (generational merge)
+    for s in range(4):
+        assert os.stat(f"{out}/segments/shard-{s:04d}.parquet") \
+            .st_mtime_ns == seg_mtimes[s], s
+    # the delta's new runs merged into GENERATION files — only for the
+    # shards holding the changed doc's terms ("changedword" -> 1 shard)
+    gens = sorted(glob.glob(f"{out}/segments/shard-*-gen-*.parquet"))
+    assert len(gens) == 1, gens
     # queries still correct vs full rebuild
     _, full = build(df2, tmp_path, "full")
     assert score_map(out, ["changedword", "alpha beta"]) == \
         score_map(full, ["changedword", "alpha beta"])
+
+
+def test_generations_accumulate_and_compact(tmp_path):
+    """Each delta round appends generation segments (base untouched);
+    a full rebuild compacts them away and still scores identically."""
+    df = make_docs(n=200)
+    src, out = build(df, tmp_path, "base")
+    for rnd in range(1, 3):
+        df.loc[rnd, "text"] = f"genword{rnd} alpha"
+        write_docs(df, src)
+        delta_reindex(src, out, text_col="text", key_col="rid",
+                      tokenizer="simple", docs_per_partition=64,
+                      num_shards=4, positions=True)
+    gens = glob.glob(f"{out}/segments/shard-*-gen-*.parquet")
+    assert gens  # generational segments exist
+    r = IndexReader(out)
+    assert len(r.topk("genword1", 5)) == 1
+    assert len(r.topk("genword2", 5)) == 1
+    # postings of a common term span generations in ascending doc order
+    docs, _ = r.postings("alpha")
+    assert (np.diff(docs) > 0).all()
+    # full rebuild (force: invalidate all partitions) compacts generations
+    out2 = str(tmp_path / "idx_compact")
+    build_index_rows(src, out2, text_col="text", key_col="rid",
+                     tokenizer="simple", docs_per_partition=64,
+                     num_shards=4, positions=True)
+    assert not glob.glob(f"{out2}/segments/shard-*-gen-*.parquet")
+    assert score_map(out) == score_map(out2)
