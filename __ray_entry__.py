@@ -475,12 +475,29 @@ def _children_explode(sf_dir: str):
 
 
 def _pre_analyze(sf_dir: str):
+    """Runs the REAL pre-analyze operator (JSON token-stream emission),
+    then parses its own payload back into oracle-checkable columns
+    (r02 VERDICT #9: the token stream is SQL-checkable even though the
+    JSON blob is not; offsets/increments stay pinned by pytest)."""
+    import json as _json
+
     from jesterj_ray.tokenize.preanalyze import pre_analyze_field
+
+    def parse(t: pa.Table) -> pa.Table:
+        toks = [[tok["t"] for tok in
+                 _json.loads(p)["tokens"]]
+                for p in t["preanalyzed"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array([len(x) for x in toks], pa.int64()),
+            "tokens_joined": pa.array([" ".join(x) for x in toks],
+                                      pa.string())})
+
     return _doc(sf_dir, ["doc_id", "text"]).map_batches(
         pre_analyze_field, batch_format="pyarrow",
         fn_kwargs={"field": "text", "tokenizer": "simple",
                    "out_field": "preanalyzed"}) \
-        .select_columns(["doc_id", "preanalyzed"])
+        .map_batches(parse, batch_format="pyarrow")
 
 
 def _doc_per_line(sf_dir: str):
@@ -850,10 +867,27 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             FROM documents, (SELECT unnest(range(1, 64)) AS i)
             WHERE i <= length(string_split(
                 regexp_replace(text, ' the ', chr(10), 'g'), chr(10)))""",
-        # url_encode / lang_id / fingerprint / minhash_lsh_pairs /
+        # urllib.parse.quote(safe="") leaves [A-Za-z0-9_.~-] and
+        # percent-encodes the rest; documents.text is lowercase words +
+        # spaces (generator-pinned), so one replace IS the full encoding
+        # for this domain (r02 VERDICT #9)
+        "url_encode": """
+            SELECT doc_id, replace(text, ' ', '%20') AS text_enc
+            FROM documents""",
+        # the pre-analyzed JSON's token stream must equal DuckDB's
+        # regexp_extract_all token semantics (the simple_tokenize
+        # invariant); offsets/increments stay pinned by pytest
+        "pre_analyze": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS BIGINT) AS n_tokens,
+                   array_to_string(regexp_extract_all(lower(text),
+                                                      '[a-z0-9]+'),
+                                   ' ') AS tokens_joined
+            FROM documents""",
+        # lang_id / fingerprint / minhash_lsh_pairs /
         # minhash_dedup_drops / simhash_pairs / knn_lsh_top10 /
-        # lsh_embedding_near_dup / pre_analyze: no faithful ANSI-SQL
-        # equivalent (urlencode, heuristic models, signature hashing,
-        # approximate search, analyzer JSON) -> rows-only checks, each
-        # pinned by in-repo property tests.
+        # lsh_embedding_near_dup: no faithful ANSI-SQL equivalent
+        # (heuristic models, signature hashing, approximate search)
+        # -> rows-only checks, each pinned by in-repo property tests.
     }

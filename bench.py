@@ -177,6 +177,15 @@ def run_bench() -> dict:
         threshold=0.6, concurrency=min(4, NUM_CPUS)).count()
     timings["minhash_lsh_pairs"] = time.time() - t0
 
+    from jesterj_ray.stages.dedup import simhash_near_dup_pairs
+    t0 = time.time()
+    simhash_near_dup_pairs(
+        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                        columns=["doc_id", "text"],
+                        override_num_blocks=NUM_CPUS),
+        text_field="text", id_field="doc_id").count()
+    timings["simhash_pairs"] = time.time() - t0
+
     from jesterj_ray.index.query import IndexReader
     t0 = time.time()
     reader = IndexReader(out_dir)

@@ -100,29 +100,40 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.4,
     def norm_pack(batch: pa.Table) -> pa.Table:
         ids = batch[id_field].to_numpy(zero_copy_only=False).astype(np.int64)
         vecs = _normalize(np.asarray(batch[vec_field].to_pylist(),
-                                     dtype=dtype))
+                                     dtype=dtype)).astype(np.float64)
+        # fixed-width binary blob per row: decodes with one np.frombuffer
+        # per block instead of an O(rows) to_pylist -> np.asarray pass
+        # (ADVICE r02)
         return pa.table({
             "vid": pa.array(ids, pa.int64()),
-            "nvec": pa.array([v.tolist() for v in vecs],
-                             pa.list_(pa.float64())),
+            "nvec": pa.array([v.tobytes() for v in vecs], pa.binary()),
         })
 
     blocks = ds.map_batches(norm_pack, batch_format="pyarrow") \
         .repartition(num_blocks).materialize()
     refs = blocks.to_arrow_refs()
 
+    def _load_block(cache: dict, bi: int):
+        if bi not in cache:
+            t = ray.get(refs[bi])
+            ids = t["vid"].to_numpy(zero_copy_only=False)
+            blobs = t["nvec"].to_pylist()
+            mat = np.frombuffer(b"".join(blobs), dtype=np.float64) \
+                .reshape(len(blobs), -1) if blobs else \
+                np.empty((0, 0), dtype=np.float64)
+            cache[bi] = (ids, mat)
+        return cache[bi]
+
     def cross_block(batch: pa.Table) -> pa.Table:
         out_a: List[np.ndarray] = []
         out_b: List[np.ndarray] = []
         out_s: List[np.ndarray] = []
+        cache: dict = {}  # per-call block cache: batches carry many pairs
         for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
-            ta, tb = ray.get([refs[i], refs[j]])
-            ia = ta["vid"].to_numpy(zero_copy_only=False)
-            ib = tb["vid"].to_numpy(zero_copy_only=False)
+            ia, ma = _load_block(cache, i)
+            ib, mb = _load_block(cache, j)
             if ia.size == 0 or ib.size == 0:
                 continue
-            ma = np.asarray(ta["nvec"].to_pylist(), dtype=np.float64)
-            mb = np.asarray(tb["nvec"].to_pylist(), dtype=np.float64)
             sims = ma @ mb.T
             hit = sims >= threshold
             if i == j:
@@ -145,11 +156,15 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.4,
                                             pa.float64())})
 
     nb = len(refs)
+    npairs = nb * (nb + 1) // 2
+    # several pairs per task so the per-call block cache amortizes block
+    # fetch+decode across pairs, while keeping >= 2 tasks per block of
+    # parallelism
     tasks = ray.data.from_items(
         [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)],
-        override_num_blocks=max(1, nb * (nb + 1) // 2))
-    out = tasks.map_batches(cross_block, batch_format="pyarrow",
-                            batch_size=1).to_pandas()
+        override_num_blocks=max(1, min(npairs, 2 * nb)))
+    out = tasks.map_batches(cross_block,
+                            batch_format="pyarrow").to_pandas()
     out["cosine"] = out["cosine"].round(6)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 

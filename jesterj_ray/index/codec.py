@@ -59,6 +59,19 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_encode_one(v: int) -> bytes:
+    """Scalar varbyte encode (same LEB128 layout as varbyte_encode).
+    The k-way merge re-encodes exactly ONE delta per stitched run; the
+    vectorized path costs ~200us of numpy setup per call at size 1
+    (profiled r3) vs ~1us here."""
+    out = bytearray()
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
 def varbyte_decode(buf: bytes, count: int) -> np.ndarray:
     """Vectorized varbyte decode of ``count`` values.
 

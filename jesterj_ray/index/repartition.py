@@ -85,8 +85,50 @@ def _encode_rows(term, chunk, df, cf, docs, tfs, pos_deltas, has_pos):
 REPART_FLUSH_ROWS = 1024  # per-slice buffered rows before a writer flush
 
 
+def _plan_slices(docs_dir: str, n_slices: int) -> Dict[int, int]:
+    """pid -> slice assignment balanced by DOC COUNT (r02 VERDICT #8:
+    ``pid % n_slices`` skews when partition sizes vary).  Greedy
+    largest-first into the lightest slice — deterministic (ties by pid),
+    planned from parquet METADATA only (no data read), max/min slice load
+    <= ~1 + largest_partition/avg_slice."""
+    counts: Dict[int, int] = {}
+    for name in sorted(os.listdir(docs_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(docs_dir, name)).metadata
+        if md.num_rows == 0:
+            continue
+        counts[int(name.split("-")[1].split(".")[0])] = md.num_rows
+    loads = [0] * n_slices
+    assign: Dict[int, int] = {}
+    for pid, c in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0])):
+        s = min(range(n_slices), key=lambda i: (loads[i], i))
+        assign[pid] = s
+        loads[s] += c
+    return assign
+
+
+def _slice_lookup(assign: Dict[int, int]):
+    """Vectorized pid-array -> slice-array mapper over the (small,
+    broadcastable) assignment dict."""
+    keys = np.array(sorted(assign), dtype=np.int64)
+    vals = np.array([assign[k] for k in keys], dtype=np.int64)
+
+    def lookup(pids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(keys, pids)
+        bad = (idx >= keys.size) | \
+            (keys[np.minimum(idx, keys.size - 1)] != pids)
+        if bad.any():
+            missing = np.unique(pids[bad])
+            raise KeyError(f"postings reference pids with no doc table: "
+                           f"{missing[:5].tolist()}")
+        return vals[idx]
+
+    return lookup
+
+
 def _split_shard(index_dir: str, out_root: str, shard: int,
-                 n_slices: int) -> Dict:
+                 n_slices: int, assign: Dict[int, int]) -> Dict:
     """Split one shard's segment file into n_slices per-slice segment
     files (df/cf stay GLOBAL).  Streams: reads one row-group slab at a
     time and flushes each slice's rows to an incremental parquet writer,
@@ -122,6 +164,7 @@ def _split_shard(index_dir: str, out_root: str, shard: int,
         for nm in schema.names:
             outs[s][nm].clear()
 
+    lookup = _slice_lookup(assign)
     total = 0
     for batch in pf.iter_batches(batch_size=256):
         rows = batch.to_pylist()
@@ -134,7 +177,7 @@ def _split_shard(index_dir: str, out_root: str, shard: int,
                 npos = int(tfs.sum())
                 pos = varbyte_decode(r["pos_blob"], npos).astype(np.int64)
                 starts = np.cumsum(tfs) - tfs
-            sl = (docs >> DOC_BITS) % n_slices
+            sl = lookup(docs >> DOC_BITS)
             for s in range(n_slices):
                 m = sl == s
                 if has_pos and m.any():
@@ -180,16 +223,29 @@ def repartition_for_serving(index_dir: str, out_root: str, *,
         raise ValueError(
             "cannot repartition an exact_stats (delta-built) index: run a "
             "full rebuild to compact tombstones, then repartition")
+    # _split_shard reads only the base shard files; generation segments
+    # would be silently dropped.  Today every gen-producing path also sets
+    # exact_stats (refused above), but that is a cross-module coupling —
+    # guard locally so a future gen-producing path cannot lose postings
+    # (ADVICE r02).
+    import glob as _glob
+    gens = _glob.glob(os.path.join(index_dir, "segments", "*-gen-*.parquet"))
+    if gens:
+        raise ValueError(
+            f"cannot repartition an index with generation segments "
+            f"({len(gens)} found): run a full rebuild to compact first")
     num_shards = stats["num_shards"]
 
-    # doc tables + tombstones per slice (pid % n_slices routing)
+    # doc tables + tombstones per slice, routed by the doc-count-balanced
+    # pid -> slice plan (r02 VERDICT #8)
     docs_dir = os.path.join(index_dir, "docs")
+    assign = _plan_slices(docs_dir, n_slices)
     slice_tombs: List[List[int]] = [[] for _ in range(n_slices)]
     tomb_path = os.path.join(index_dir, "tombstones.json")
     if os.path.exists(tomb_path):
         with open(tomb_path) as f:
             for did in json.load(f).get("doc_ids", []):
-                slice_tombs[(int(did) >> DOC_BITS) % n_slices].append(did)
+                slice_tombs[assign[int(did) >> DOC_BITS]].append(did)
     for s in range(n_slices):
         sdir = os.path.join(out_root, f"slice-{s:03d}")
         os.makedirs(os.path.join(sdir, "docs"), exist_ok=True)
@@ -204,12 +260,11 @@ def repartition_for_serving(index_dir: str, out_root: str, *,
     for name in sorted(os.listdir(docs_dir)):
         if not name.endswith(".parquet"):
             continue
-        t = pq.read_table(os.path.join(docs_dir, name), columns=["doc_id"])
-        if t.num_rows == 0:
-            continue
-        pid = int(t["doc_id"][0].as_py()) >> DOC_BITS
+        pid = int(name.split("-")[1].split(".")[0])
+        if pid not in assign:
+            continue  # empty doc table: no postings reference it
         shutil.copy2(os.path.join(docs_dir, name),
-                     os.path.join(out_root, f"slice-{pid % n_slices:03d}",
+                     os.path.join(out_root, f"slice-{assign[pid]:03d}",
                                   "docs", name))
 
     # segment split: one Ray task per shard (reads only its shard file)
@@ -220,7 +275,7 @@ def repartition_for_serving(index_dir: str, out_root: str, *,
     def split(batch: pd.DataFrame) -> pd.DataFrame:
         pa.set_cpu_count(1)
         return pd.DataFrame([
-            _split_shard(index_dir, out_root, int(sh), n_slices)
+            _split_shard(index_dir, out_root, int(sh), n_slices, assign)
             for sh in batch["shard"]])
 
     tasks.map_batches(split, batch_format="pandas",

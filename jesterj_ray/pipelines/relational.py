@@ -54,14 +54,16 @@ def join_orders_customer(sf_dir: str):
     import pyarrow.parquet as pq
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_mktsegment"])
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
-                                  cust["c_mktsegment"].to_pylist())))
+    # ship the small side as an ARROW table (zero-copy from the object
+    # store) and probe with vectorized index_in + take — no Python dict
+    # probe per row (r02 VERDICT #7)
+    lookup_ref = ray.put(cust.combine_chunks())
 
     def attach_segment(t: pa.Table) -> pa.Table:
         lk = ray.get(lookup_ref)
-        segs = pa.array([lk.get(k) for k in t["o_custkey"].to_pylist()],
-                        pa.string())
-        return t.append_column("c_mktsegment", segs)
+        idx = pc.index_in(t["o_custkey"], value_set=lk["c_custkey"])
+        segs = pc.take(lk["c_mktsegment"], idx)  # null where unmatched
+        return t.append_column("c_mktsegment", segs.combine_chunks())
 
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_custkey", "o_totalprice"],

@@ -226,10 +226,18 @@ def _sigs_of(col: pa.ChunkedArray) -> np.ndarray:
         .reshape(len(lst), NUM_HASHES)
 
 
+# below this many candidate pairs the verify skips the two distributed
+# hash joins (whose fixed actor/exchange cost dominates at toy scale, r02
+# VERDICT #4) and instead ships ONLY the candidate ids' signatures to the
+# driver — bounded by the limit itself, never O(corpus)
+SMALL_VERIFY_PAIRS = 100_000
+
+
 def minhash_lsh_pairs(ds: "ray.data.Dataset", *, text_field: str, id_field: str,
                       k: int = 3, threshold: float = 0.7,
                       concurrency: int = 4, num_groups: int = 64,
-                      join_partitions: Optional[int] = None
+                      join_partitions: Optional[int] = None,
+                      small_verify_pairs: int = SMALL_VERIFY_PAIRS
                       ) -> "ray.data.Dataset":
     """Candidate near-duplicate pairs with signature-estimated Jaccard >=
     threshold.  Returns (id_a, id_b, est_jaccard) with id_a < id_b.
@@ -328,8 +336,42 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", *, text_field: str, id_field: str,
     empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                           "id_b": pd.Series([], dtype=np.int64),
                           "est_jaccard": pd.Series([], dtype=np.float64)})
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return ray.data.from_pandas(empty)
+
+    if n_cand <= small_verify_pairs:
+        # SMALL-CANDIDATE verify (r02 VERDICT #4): the distributed joins'
+        # fixed cost (2 exchanges + aggregator actors) dominates when the
+        # pair list is tiny.  The pair list is bounded by the threshold
+        # (16 bytes/pair), and only the candidate IDs' signature rows ship
+        # to the driver — a distributed filter scan, never the corpus.
+        import pyarrow.compute as _pc
+        pair_df = cand.to_pandas()
+        need = np.union1d(pair_df["id_a"].to_numpy(),
+                          pair_df["id_b"].to_numpy()).astype(np.int64)
+        need_arr = pa.array(need, pa.int64())
+
+        def pick(batch: pa.Table) -> pa.Table:
+            return batch.filter(_pc.is_in(
+                batch[id_field].cast(pa.int64()), value_set=need_arr))
+
+        sub = sigs.select_columns([id_field, "sig"]) \
+            .map_batches(pick, batch_format="pyarrow").to_pandas()
+        ids = sub[id_field].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.frombuffer(
+            b"".join(sub["sig"].to_numpy()[order]),
+            dtype=np.uint64).reshape(len(sub), NUM_HASHES)
+        ia = np.searchsorted(ids, pair_df["id_a"].to_numpy())
+        ib = np.searchsorted(ids, pair_df["id_b"].to_numpy())
+        est = (mat[ia] == mat[ib]).mean(axis=1)
+        keep = est >= threshold
+        return ray.data.from_pandas(pd.DataFrame({
+            "id_a": pair_df["id_a"].to_numpy()[keep],
+            "id_b": pair_df["id_b"].to_numpy()[keep],
+            "est_jaccard": est[keep]}) if keep.any() else empty)
 
     # distributed verify: join pairs against the signature table on each
     # side, then estimate Jaccard vectorized inside the joined batches
@@ -523,11 +565,34 @@ def add_simhash(batch: pa.Table, *, text_field: str,
     return batch.append_column(out_field, pa.array(hs, pa.uint64()))
 
 
+def popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR bit trick) — no per-value Python
+    (r02 VERDICT #2: the old path did ``bin(int(v)).count('1')`` per
+    candidate)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)) \
+        .astype(np.int64)
+
+
 def simhash_near_dup_pairs(ds: "ray.data.Dataset", *, text_field: str,
-                           id_field: str, max_hamming: int = 3
-                           ) -> "ray.data.Dataset":
+                           id_field: str, max_hamming: int = 3,
+                           num_groups: int = 64) -> "ray.data.Dataset":
     """Near-dup pairs by simhash hamming distance, bucketed on 16-bit bands
-    (any pair within hamming<=3 shares at least one of 4 bands)."""
+    (any pair within hamming<=3 shares at least one of 4 bands).
+
+    Same shuffle discipline as :func:`minhash_lsh_pairs` (r02 VERDICT #2 —
+    the old tail fired one Python map_groups per mostly-singleton
+    (band_id, band_val) bucket and popcounted per row): the band exchange
+    groups on a COARSE gkey (equal buckets always share a gkey), one
+    vectorized pass per group finds buckets of size >= 2 via sorted
+    boundary detection, hamming distances come from a SWAR popcount over
+    the XOR'd bucket matrices, and the same pair surfaced by different
+    bands dedups on a coarse pair key with one vectorized
+    ``drop_duplicates`` per group."""
     hashed = ds.map_batches(add_simhash, batch_format="pyarrow",
                             fn_kwargs={"text_field": text_field})
 
@@ -539,32 +604,63 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", *, text_field: str,
         band_val = np.empty(n * 4, dtype=np.uint64)
         for b in range(4):
             band_val[b::4][:] = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-        return pa.table({"band_id": pa.array(band_id, pa.int32()),
+        # coarse co-location key over (band_id, band_val): equal buckets
+        # share a gkey, group count stays tiny
+        gkey = ((band_val * np.uint64(4) + band_id.astype(np.uint64))
+                % np.uint64(num_groups)).astype(np.int64)
+        return pa.table({"gkey": pa.array(gkey, pa.int64()),
+                         "band_id": pa.array(band_id, pa.int32()),
                          "band_val": pa.array(band_val, pa.uint64()),
                          id_field: pa.array(np.repeat(ids, 4)),
                          "simhash": pa.array(np.repeat(sh, 4), pa.uint64())})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64),
+                              "hamming": pd.Series([], dtype=np.int64)})
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values(id_field).drop_duplicates(subset=id_field)
-        ids = g[id_field].to_numpy()
+            return empty
+        bid = g["band_id"].to_numpy().astype(np.int64)
+        bv = g["band_val"].to_numpy().astype(np.uint64)
+        ids = g[id_field].to_numpy().astype(np.int64)
         sh = g["simhash"].to_numpy().astype(np.uint64)
-        rows = {"id_a": [], "id_b": [], "hamming": []}
-        for i in range(len(ids)):
-            x = sh[i + 1:] ^ sh[i]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.flatnonzero(ham <= max_hamming):
-                rows["id_a"].append(ids[i])
-                rows["id_b"].append(ids[i + 1 + j])
-                rows["hamming"].append(int(ham[j]))
-        return pd.DataFrame(rows)
+        order = np.lexsort((ids, bv, bid))
+        bid, bv, ids, sh = bid[order], bv[order], ids[order], sh[order]
+        boundary = np.r_[True, (bid[1:] != bid[:-1]) | (bv[1:] != bv[:-1])]
+        starts = np.flatnonzero(boundary)
+        ends = np.r_[starts[1:], bid.size]
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            bucket_ids, uniq = np.unique(ids[s:e], return_index=True)
+            bucket_sh = sh[s:e][uniq]
+            ia, ib = np.triu_indices(bucket_ids.size, 1)
+            ham = popcount_u64(bucket_sh[ia] ^ bucket_sh[ib])
+            keep = ham <= max_hamming
+            out_a.append(bucket_ids[ia[keep]])
+            out_b.append(bucket_ids[ib[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
 
-    pairs = hashed.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["band_id", "band_val"]).map_groups(bucket_pairs,
-                                                     batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1),
-                                                      batch_format="pandas")
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        pk = ((a * np.int64(1000003)) ^ b) % num_groups
+        return batch.append_column("pkey", pa.array(pk, pa.int64()))
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"])[
+            ["id_a", "id_b", "hamming"]]
+
+    return hashed.map_batches(explode, batch_format="pyarrow") \
+        .groupby("gkey").map_groups(emit_pairs, batch_format="pandas") \
+        .map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(dedup_pairs, batch_format="pandas")
 
 
 # ---- exact n-gram Jaccard verification ----

@@ -34,20 +34,35 @@ class ImageDecoder:
     """Actor-pool stage: decode + resize images to fixed-size float features.
 
     ``fake=True`` produces a deterministic payload-hash-seeded feature
-    vector (for pipeline tests); ``fake=False`` raises NotImplementedError
-    because no image codec library exists in this environment.
+    vector (for pipeline tests); ``fake=False`` decodes REAL PNG payloads
+    via the pure-Python codec (:mod:`.png` — r02 VERDICT #10: grayscale +
+    nearest-neighbor resize to ``out_size**2`` floats in [0, 1]) and
+    raises NotImplementedError for formats the sandbox cannot decode
+    (JPEG etc. need codec libraries not present here).
     """
 
     def __init__(self, out_size: int = 32, fake: bool = True):
         self.out_size = out_size
         self.fake = fake
-        # real implementation would load the codec/resize kernels here, once
+        # real codec state loads once per actor
+        from . import png as _png
+        self._png = _png
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if not self.fake:
+            if self._png.is_png(payload or b""):
+                img = self._png.decode_png(payload)
+                gray = img[:, :, :3].mean(axis=2) if img.shape[2] >= 3 \
+                    else img[:, :, 0].astype(np.float64)
+                h, w = gray.shape
+                ys = (np.arange(self.out_size) * h) // self.out_size
+                xs = (np.arange(self.out_size) * w) // self.out_size
+                return (gray[np.ix_(ys, xs)].astype(np.float32) / 255.0) \
+                    .ravel()
             raise NotImplementedError(
-                "image decode requires an image codec library not present "
-                "in this environment; run with fake=True for pipeline tests")
+                "only PNG decodes natively here; other image codecs are "
+                "not present in this environment (fake=True for pipeline "
+                "tests)")
         seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8)
                               .digest(), "little")
         rng = np.random.default_rng(seed)

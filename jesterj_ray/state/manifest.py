@@ -47,6 +47,15 @@ _STREAK_NEUTRAL = {STATUS_PROCESSING, STATUS_RESTART, STATUS_INDEXING,
 
 MAX_ATTEMPTS = 3  # mirrors DEF_MAX_ERROR_RETRY (ScannerImpl.java:57)
 
+# History retention (the reference TTLs status rows at 90 days —
+# FTI_TTL, ``JesterJAppender.java:56``; our batch analog caps each
+# partition's transition history by line count so a continuous
+# watch_and_reindex loop keeps history files bounded).  Compaction
+# triggers when the file exceeds ~2x the cap and keeps the most recent
+# HISTORY_MAX_LINES transitions (retry counting only reads the tail).
+HISTORY_MAX_LINES = 512
+_HIST_COMPACT_BYTES = 128 * 1024
+
 
 def atomic_write_bytes(path: str, data: bytes) -> None:
     """Write bytes to ``path`` atomically (temp file + rename)."""
@@ -115,18 +124,36 @@ class Manifest:
 
     def log(self, partition_id: int, status: str, *, attempt: int = 0,
             message: str = "") -> None:
-        """Append one transition to the partition's history (atomic
-        rewrite; histories are short — one line per transition)."""
+        """Append ONE transition line via O_APPEND (ADVICE r02: the old
+        read-whole-file + atomic-rewrite was O(history) per transition and
+        lost lines under concurrent writers; small O_APPEND writes to a
+        local file are effectively atomic, so concurrent loggers interleave
+        instead of clobbering).  Files are bounded by a retention cap:
+        beyond ``_HIST_COMPACT_BYTES`` the file is compacted to its last
+        ``HISTORY_MAX_LINES`` transitions (single-writer-per-partition is
+        the normal regime — one task owns a partition — so the rewrite
+        cannot race an appender in practice)."""
         os.makedirs(self.hist_dir, exist_ok=True)
-        line = json.dumps({"status": status, "attempt": attempt,
-                           "message": message}) + "\n"
+        line = (json.dumps({"status": status, "attempt": attempt,
+                            "message": message}) + "\n").encode()
         path = self._hist_path(partition_id)
+        fd = os.open(path, os.O_APPEND | os.O_CREAT | os.O_WRONLY, 0o644)
+        try:
+            os.write(fd, line)
+            size = os.fstat(fd).st_size
+        finally:
+            os.close(fd)
+        if size > _HIST_COMPACT_BYTES:
+            self._compact_history(path)
+
+    def _compact_history(self, path: str) -> None:
         try:
             with open(path, "rb") as f:
-                prior = f.read()
+                lines = f.read().splitlines(keepends=True)
         except FileNotFoundError:
-            prior = b""
-        atomic_write_bytes(path, prior + line.encode())
+            return
+        if len(lines) > HISTORY_MAX_LINES:
+            atomic_write_bytes(path, b"".join(lines[-HISTORY_MAX_LINES:]))
 
     def history(self, partition_id: int) -> List[Dict]:
         try:

@@ -1,0 +1,366 @@
+"""Round-3 fixes: distributed delta diff (no driver-side text), history
+retention cap, generational compaction trigger, doc-count-balanced serving
+slices."""
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from jesterj_ray.index.build import COMPACT_AFTER_GENS
+from jesterj_ray.index.build_rows import build_index_rows, delta_reindex
+from jesterj_ray.index.query import IndexReader
+from jesterj_ray.state.manifest import (HISTORY_MAX_LINES, Manifest)
+
+
+def make_docs(n=300, seed=9):
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "omega",
+             "kappa", "sigma", "tau"] + [f"w{i}" for i in range(80)]
+    texts = [" ".join(rng.choice(vocab, size=int(L)))
+             for L in rng.integers(5, 60, size=n)]
+    return pd.DataFrame({"rid": np.arange(n, dtype=np.int64), "text": texts})
+
+
+def write_docs(df, path, row_group_size=64):
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path,
+                   row_group_size=row_group_size)
+
+
+def score_map(index_dir, queries, k=10000):
+    r = IndexReader(index_dir)
+    out = {}
+    for q in queries:
+        hits = r.topk(q, k)
+        keys = r.doc_keys(np.array([d for d, _ in hits], dtype=np.int64))
+        out[q] = {key: round(s, 9) for key, (_, s) in zip(keys, hits)}
+    return out
+
+
+QUERIES = ["alpha beta", "gamma", "delta epsilon zeta", "omega alpha"]
+
+
+def test_force_all_partitions_distributed(tmp_path):
+    """FORCE-marking every partition of a multi-partition corpus re-feeds
+    every doc through PER-PARTITION distributed diff tasks: each changed
+    partition writes its own delta partition (text never accumulates on
+    the driver — r02 VERDICT #1), and scores equal a full rebuild."""
+    df = make_docs(n=300)
+    src = str(tmp_path / "c.parquet")
+    write_docs(df, src)
+    out = str(tmp_path / "idx")
+    build_index_rows(src, out, text_col="text", key_col="rid",
+                     tokenizer="simple", docs_per_partition=64,
+                     num_shards=4, positions=True)
+    man = Manifest(out, "build")
+    pids = man.completed_partitions()
+    assert len(pids) >= 4  # multi-partition corpus
+    for pid in pids:
+        man.mark_force(pid)
+    d = delta_reindex(src, out, text_col="text", key_col="rid",
+                      tokenizer="simple", docs_per_partition=64,
+                      num_shards=4, positions=True)
+    assert d["reindexed_docs"] == 300       # every doc re-fed
+    # one delta partition PER diffed source partition — the diff/tokenize/
+    # write ran per-task, not as one driver-side accumulation
+    assert len(d["delta_partitions"]) == len(pids)
+    assert d["n_docs"] == 300
+    out2 = str(tmp_path / "idx_full")
+    build_index_rows(src, out2, text_col="text", key_col="rid",
+                     tokenizer="simple", docs_per_partition=64,
+                     num_shards=4, positions=True)
+    assert score_map(out, QUERIES) == score_map(out2, QUERIES)
+
+
+def test_differ_bookkeeping_has_no_text(tmp_path):
+    """The diff stage's returned rows carry only kind/key/id/sha/pid —
+    document text stays inside the tasks."""
+    import ray
+    from jesterj_ray.index.build_rows import (_make_partition_differ,
+                                              _part_fingerprint,
+                                              plan_row_partitions)
+    df = make_docs(n=100)
+    src = str(tmp_path / "c.parquet")
+    write_docs(df, src)
+    out = str(tmp_path / "idx")
+    build_index_rows(src, out, text_col="text", key_col="rid",
+                     tokenizer="simple", docs_per_partition=64,
+                     num_shards=2)
+    df.loc[5, "text"] = "changedword alpha"
+    write_docs(df, src)
+    parts = plan_row_partitions([src], 64)
+    p = parts[0] | {"fingerprint": _part_fingerprint(parts[0]),
+                    "force": False, "delta_pid": (1 << 20)}
+    differ = _make_partition_differ(
+        out, text_col="text", key_col="rid", tokenizer="simple",
+        num_shards=2, positions=False,
+        cat_sha_ref=ray.put(pd.Series(dtype=object)),
+        cat_id_ref=ray.put(pd.Series(dtype=np.int64)))
+    book = differ(pd.DataFrame([p]))
+    assert set(book.columns) == {"kind", "key", "id", "sha", "pid"}
+    assert (book["kind"] == "catadd").sum() == 1  # only the changed doc
+    assert not any("changedword" in str(v) for v in book.values.ravel())
+
+
+def test_history_bounded_append(tmp_path, monkeypatch):
+    """Manifest.log appends O(1) per transition and compacts beyond the
+    retention cap: a long watch-style loop keeps history files bounded
+    (reference FTI_TTL analog, JesterJAppender.java:56)."""
+    import jesterj_ray.state.manifest as mmod
+    monkeypatch.setattr(mmod, "_HIST_COMPACT_BYTES", 4096)
+    monkeypatch.setattr(mmod, "HISTORY_MAX_LINES", 40)
+    man = Manifest(str(tmp_path), "build")
+    for i in range(2000):
+        man.log(0, "PROCESSING", attempt=1, message=f"cycle {i}")
+    path = man._hist_path(0)
+    assert os.path.getsize(path) <= 2 * 4096  # bounded, never O(total)
+    assert len(man.history(0)) <= 4096 // 40  # compacted to the tail
+    # retry counting still reads the (retained) tail correctly
+    man.log(0, "ERROR", attempt=1)
+    man.log(0, "ERROR", attempt=2)
+    assert man.consecutive_errors(0) == 2
+
+
+def test_compaction_trigger_bounds_generations(tmp_path):
+    """A shard accumulating > COMPACT_AFTER_GENS generations compacts
+    (full re-merge into a new base) instead of appending — long delta
+    loops keep segment counts bounded, scores stay full-rebuild-exact."""
+    df = make_docs(n=200)
+    src = str(tmp_path / "c.parquet")
+    write_docs(df, src)
+    out = str(tmp_path / "idx")
+    kw = dict(text_col="text", key_col="rid", tokenizer="simple",
+              docs_per_partition=64, num_shards=4, positions=True)
+    build_index_rows(src, out, **kw)
+    rounds = 2 * COMPACT_AFTER_GENS
+    for rnd in range(1, rounds + 1):
+        # every round's change contains "alpha", so alpha's shard gains a
+        # generation each round and must hit the compaction trigger
+        df.loc[rnd, "text"] = f"genword{rnd} alpha"
+        write_docs(df, src)
+        delta_reindex(src, out, **kw)
+    gens_per_shard = {}
+    for f in glob.glob(f"{out}/segments/shard-*-gen-*.parquet"):
+        sh = os.path.basename(f).split("-")[1]
+        gens_per_shard[sh] = gens_per_shard.get(sh, 0) + 1
+    assert all(v <= COMPACT_AFTER_GENS for v in gens_per_shard.values()), \
+        gens_per_shard
+    # compaction happened at least once on alpha's shard (2N rounds, cap N)
+    out2 = str(tmp_path / "idx_full")
+    build_index_rows(src, out2, **kw)
+    qs = QUERIES + [f"genword{rounds}"]
+    assert score_map(out, qs) == score_map(out2, qs)
+
+
+def test_slice_balance_skewed_partitions(tmp_path):
+    """repartition_for_serving balances slices by DOC COUNT: with skewed
+    partitions [60,50,40,10,10,10], pid%2 routing would give 110-vs-70;
+    the greedy plan keeps max/min <= 1.2 (r02 VERDICT #8)."""
+    from jesterj_ray.index.repartition import repartition_for_serving
+    sizes = [60, 50, 40, 10, 10, 10]
+    df = make_docs(n=sum(sizes))
+    src = str(tmp_path / "c.parquet")
+    w = pq.ParquetWriter(src, pa.Table.from_pandas(
+        df, preserve_index=False).schema)
+    off = 0
+    for s in sizes:  # one row group per partition-to-be
+        w.write_table(pa.Table.from_pandas(df.iloc[off:off + s],
+                                           preserve_index=False))
+        off += s
+    w.close()
+    out = str(tmp_path / "idx")
+    build_index_rows(src, out, text_col="text", key_col="rid",
+                     tokenizer="simple", docs_per_partition=10,
+                     num_shards=4, positions=True)
+    # sanity: the plan produced the skewed partition sizes
+    man = Manifest(out, "build")
+    assert sorted((r["docs_seen"] for r in man.all().values()),
+                  reverse=True) == sizes
+    slice_dirs = repartition_for_serving(out, str(tmp_path / "slices"),
+                                         n_slices=2)
+    counts = []
+    for d in slice_dirs:
+        c = 0
+        for name in os.listdir(os.path.join(d, "docs")):
+            c += pq.ParquetFile(
+                os.path.join(d, "docs", name)).metadata.num_rows
+        counts.append(c)
+    assert max(counts) <= 1.2 * min(counts), counts
+    # slices still score exactly like the global reader
+    g = IndexReader(out)
+    readers = [IndexReader(d) for d in slice_dirs]
+    assert sum(r.n_dense for r in readers) == g.n_dense
+    want = g.topk("alpha beta", 20)
+    got = sorted((h for r in readers for h in r.topk("alpha beta", 20)),
+                 key=lambda h: (-h[1], h[0]))[:20]
+    assert [x[0] for x in want] == [x[0] for x in got]
+    for (_, a), (_, b) in zip(want, got):
+        assert a == pytest.approx(b, abs=1e-12)
+
+
+def test_repartition_refuses_generation_segments(tmp_path):
+    """Local guard (ADVICE r02): _split_shard reads only base shard
+    files, so an index with generation segments must be refused even if
+    a future path produced them without exact_stats."""
+    from jesterj_ray.index.repartition import repartition_for_serving
+    df = make_docs(n=80)
+    src = str(tmp_path / "c.parquet")
+    write_docs(df, src)
+    out = str(tmp_path / "idx")
+    build_index_rows(src, out, text_col="text", key_col="rid",
+                     tokenizer="simple", docs_per_partition=64,
+                     num_shards=2)
+    # simulate a gen-producing path that did NOT set exact_stats
+    with open(os.path.join(out, "segments", "shard-0000-gen-001.parquet"),
+              "wb") as f:
+        f.write(b"x")
+    with pytest.raises(ValueError, match="generation segments"):
+        repartition_for_serving(out, str(tmp_path / "s"), n_slices=2)
+
+
+def test_gen_unlink_after_base_install(tmp_path):
+    """Crash-safety ordering (ADVICE r02): a full re-merge must not
+    destroy committed generation segments before the replacement base is
+    atomically installed.  Simulate by failing the merge mid-flight and
+    checking gens survive."""
+    from jesterj_ray.index import build as bmod
+    df = make_docs(n=120)
+    src = str(tmp_path / "c.parquet")
+    write_docs(df, src)
+    out = str(tmp_path / "idx")
+    kw = dict(text_col="text", key_col="rid", tokenizer="simple",
+              docs_per_partition=64, num_shards=2, positions=False)
+    build_index_rows(src, out, **kw)
+    df.loc[3, "text"] = "deltaword alpha"
+    write_docs(df, src)
+    delta_reindex(src, out, **kw)
+    gens = glob.glob(f"{out}/segments/shard-*-gen-*.parquet")
+    assert gens
+    # force a full re-merge ON A SHARD THAT HAS A GENERATION by
+    # invalidating one of its base runs (touch mtime) and making the
+    # segment write fail mid-merge
+    shard = int(os.path.basename(gens[0]).split("-")[1])
+    run = glob.glob(f"{out}/runs/shard-{shard:04d}/part-00000.parquet")[0]
+    os.utime(run)
+    import pyarrow.parquet as _pq
+    real_writer = _pq.ParquetWriter
+
+    class Boom(Exception):
+        pass
+
+    def failing_writer(*a, **k):
+        raise Boom("injected")
+
+    _pq.ParquetWriter = failing_writer
+    try:
+        writer = bmod.make_shard_writer(out)
+        with pytest.raises(Boom):
+            writer(pd.DataFrame({"shard": [int(os.path.basename(
+                os.path.dirname(run)).split("-")[1])]}))
+    finally:
+        _pq.ParquetWriter = real_writer
+    # the committed artifact set (base + gens) survived the failed merge
+    for g in gens:
+        assert os.path.exists(g), g
+
+
+# ---- real PNG decode (r02 VERDICT #10) ----
+
+def _filter_scanlines(img, filt, ch):
+    """Apply a PNG filter forward (encoder side) so decode can be tested
+    against all five filter types."""
+    h, w, _ = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int64)
+    out = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        line = flat[y]
+        rec = np.empty(stride, dtype=np.int64)
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if filt == 0:
+                pred = 0
+            elif filt == 1:
+                pred = a
+            elif filt == 2:
+                pred = b
+            elif filt == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else \
+                    (b if pb <= pc else c)
+            rec[i] = (line[i] - pred) & 0xFF
+        out.append(bytes([filt]) + bytes(rec.astype(np.uint8)))
+        prev = line
+    return b"".join(out)
+
+
+def test_png_roundtrip_all_color_types():
+    from jesterj_ray.stages.png import decode_png, encode_png, is_png
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 7, ch), dtype=np.uint8)
+        data = encode_png(img)
+        assert is_png(data)
+        out = decode_png(data)
+        assert out.shape == img.shape
+        assert np.array_equal(out, img), ch
+
+
+def test_png_all_filters_decode():
+    import struct
+    import zlib
+    from jesterj_ray.stages.png import decode_png
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    for filt in range(5):
+        raw = _filter_scanlines(img, filt, 3)
+
+        def chunk(ctype, body):
+            crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+            return struct.pack(">I", len(body)) + ctype + body + \
+                struct.pack(">I", crc)
+
+        data = b"\x89PNG\r\n\x1a\n" + \
+            chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 9, 8, 2, 0, 0, 0)) + \
+            chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        out = decode_png(data)
+        assert np.array_equal(out, img), filt
+
+
+def test_image_decoder_strict_mode_png():
+    """Strict (fake=False) ImageDecoder decodes a REAL PNG fixture via the
+    actor-pool stage and emits normalized features."""
+    import ray.data as rd
+    from jesterj_ray.stages.multimodal import ImageDecoder
+    from jesterj_ray.stages.png import encode_png
+    rng = np.random.default_rng(3)
+    tables = []
+    for mid in range(6):
+        img = rng.integers(0, 256, size=(40, 24, 3), dtype=np.uint8)
+        tables.append({"media_id": mid, "payload": encode_png(img)})
+    ds = rd.from_items(tables, override_num_blocks=2)
+    out = ds.map_batches(ImageDecoder, batch_format="pyarrow",
+                         fn_constructor_kwargs={"out_size": 8,
+                                                "fake": False},
+                         concurrency=1).to_pandas()
+    assert len(out) == 6
+    feats = np.asarray(out["feature"].tolist())
+    assert feats.shape == (6, 64)
+    assert (feats >= 0).all() and (feats <= 1).all()
+    assert len({tuple(f) for f in feats}) == 6  # distinct images differ
+    # non-PNG payload in strict mode stays an honest refusal
+    bad = rd.from_items([{"media_id": 9, "payload": b"\xff\xd8JPEGish"}])
+    with pytest.raises(Exception):
+        bad.map_batches(ImageDecoder, batch_format="pyarrow",
+                        fn_constructor_kwargs={"fake": False},
+                        concurrency=1).to_pandas()
