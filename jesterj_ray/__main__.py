@@ -164,6 +164,17 @@ def cmd_repartition(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Fold tombstones + generation segments out of a delta-built index
+    (docids renumber; pause serving — see index/compact.py)."""
+    import ray
+    from jesterj_ray.index.compact import compact_index
+    owned = _ray_init(args.num_cpus)
+    print(json.dumps(compact_index(args.index_dir)))
+    _ray_done(owned)
+    return 0
+
+
 def cmd_query(args) -> int:
     from jesterj_ray.index.query import IndexReader
     reader = IndexReader(args.index_dir)
@@ -237,6 +248,10 @@ def main(argv=None) -> int:
     rp.add_argument("--slices", type=int, default=4)
     rp.add_argument("--num-cpus", type=int, default=8)
 
+    cp = sub.add_parser("compact")
+    cp.add_argument("index_dir")
+    cp.add_argument("--num-cpus", type=int, default=8)
+
     q = sub.add_parser("query")
     q.add_argument("index_dir")
     q.add_argument("query")
@@ -247,7 +262,7 @@ def main(argv=None) -> int:
             "build-index": cmd_build_index, "delta-index": cmd_delta_index,
             "watch": cmd_watch, "mark": cmd_mark,
             "delete-docs": cmd_delete_docs, "status": cmd_status,
-            "repartition": cmd_repartition,
+            "repartition": cmd_repartition, "compact": cmd_compact,
             "query": cmd_query}[args.cmd](args)
 
 

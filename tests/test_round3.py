@@ -364,3 +364,89 @@ def test_image_decoder_strict_mode_png():
         bad.map_batches(ImageDecoder, batch_format="pyarrow",
                         fn_constructor_kwargs={"fake": False},
                         concurrency=1).to_pandas()
+
+
+# ---- tombstone compaction (delta index -> plain dense index) ----
+
+def test_compact_index_equals_rebuild(tmp_path):
+    """After delta rounds (change, change-again, delete), compact_index
+    folds tombstones + generations away: scores equal a full rebuild,
+    stats drop exact_stats, and repartition_for_serving ACCEPTS the
+    compacted index (it refuses delta-built ones)."""
+    from jesterj_ray.index.compact import compact_index
+    from jesterj_ray.index.repartition import repartition_for_serving
+    df = make_docs(n=200)
+    src = str(tmp_path / "c.parquet")
+    write_docs(df, src)
+    out = str(tmp_path / "idx")
+    kw = dict(text_col="text", key_col="rid", tokenizer="simple",
+              docs_per_partition=64, num_shards=4, positions=True)
+    build_index_rows(src, out, **kw)
+    df.loc[8, "text"] = "roundone alpha"
+    write_docs(df, src)
+    delta_reindex(src, out, **kw)
+    df.loc[8, "text"] = "roundtwo beta"          # supersedes round-1 copy
+    df.loc[30, "text"] = "otherchange gamma"
+    write_docs(df, src)
+    delta_reindex(src, out, **kw)
+    df2 = df.drop(index=[77]).reset_index(drop=True)  # delete one doc
+    write_docs(df2, src)
+    delta_reindex(src, out, **kw)
+
+    r = compact_index(out)
+    assert r["n_docs"] == 199
+    # physical state: no tombstones, no generations, no exact_stats
+    assert not os.path.exists(os.path.join(out, "tombstones.json"))
+    assert not glob.glob(f"{out}/segments/*-gen-*.parquet")
+    with open(os.path.join(out, "stats.json")) as f:
+        st = json.load(f)
+    assert "exact_stats" not in st and st["n_docs"] == 199
+
+    out2 = str(tmp_path / "idx_full")
+    build_index_rows(src, out2, **kw)
+    qs = QUERIES + ["roundtwo beta", "otherchange"]
+    assert score_map(out, qs) == score_map(out2, qs)
+    # phrase + pruned survive renumbering
+    r_ = IndexReader(out)
+    assert [h[0] for h in r_.topk_pruned("alpha beta", 10)] == \
+        [h[0] for h in r_.topk("alpha beta", 10)]
+    assert len(r_.phrase_topk("roundtwo beta", 5)) == 1
+
+    # serving repartition now accepts it, rank-identical to global
+    slice_dirs = repartition_for_serving(out, str(tmp_path / "slices"),
+                                         n_slices=2)
+    readers = [IndexReader(d) for d in slice_dirs]
+    want = r_.topk("alpha beta", 15)
+    got = sorted((h for rr in readers for h in rr.topk("alpha beta", 15)),
+                 key=lambda h: (-h[1], h[0]))[:15]
+    assert [x[0] for x in want] == [x[0] for x in got]
+
+
+def test_delta_after_compact(tmp_path):
+    """Compaction preserves the overlay catalog (with remapped ids): a
+    further delta round on top of a compacted index still re-tokenizes
+    only the changed doc and matches a full rebuild."""
+    from jesterj_ray.index.compact import compact_index
+    df = make_docs(n=150)
+    src = str(tmp_path / "c.parquet")
+    write_docs(df, src)
+    out = str(tmp_path / "idx")
+    kw = dict(text_col="text", key_col="rid", tokenizer="simple",
+              docs_per_partition=64, num_shards=4, positions=True)
+    build_index_rows(src, out, **kw)
+    df.loc[5, "text"] = "firstchange alpha"
+    write_docs(df, src)
+    delta_reindex(src, out, **kw)
+    compact_index(out)
+    # unchanged round: the compacted catalog still shields doc 5
+    d = delta_reindex(src, out, **kw)
+    assert d["reindexed_docs"] == 0 and d["tombstoned"] == 0
+    # changed round: exactly one doc re-tokenizes
+    df.loc[9, "text"] = "secondchange beta"
+    write_docs(df, src)
+    d2 = delta_reindex(src, out, **kw)
+    assert d2["reindexed_docs"] == 1
+    out2 = str(tmp_path / "idx_full")
+    build_index_rows(src, out2, **kw)
+    qs = QUERIES + ["firstchange", "secondchange"]
+    assert score_map(out, qs) == score_map(out2, qs)
