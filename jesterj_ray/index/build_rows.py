@@ -431,10 +431,17 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
             tokenizer=tokenizer, num_shards=num_shards,
             positions=positions, cat_sha_ref=cat_sha_ref,
             cat_id_ref=cat_id_ref)
-        book = ray.data.from_items(
-            diff_parts, override_num_blocks=len(diff_parts)) \
-            .map_batches(differ, batch_format="pandas", batch_size=1) \
-            .to_pandas()  # O(changed + sightings + deletions) rows, no text
+        if len(diff_parts) == 1:
+            # single changed partition (the watch-loop common case): run
+            # the SAME differ inline — driver memory stays bounded by ONE
+            # partition (never O(changed corpus)), and the ~0.3 s Ray
+            # task round trip disappears from the 1-doc delta latency
+            book = differ(pd.DataFrame(diff_parts))
+        else:
+            book = ray.data.from_items(
+                diff_parts, override_num_blocks=len(diff_parts)) \
+                .map_batches(differ, batch_format="pandas", batch_size=1) \
+                .to_pandas()  # O(changed+sightings+deletions) rows, no text
         dead_ids.extend(int(x) for x in
                         book.loc[book["kind"] == "dead", "id"])
         for _, r in book[book["kind"] == "sighted"].iterrows():
