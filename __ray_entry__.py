@@ -274,6 +274,16 @@ def _ngram_jaccard(sf_dir: str):
     return v.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _ngram_jaccard_exact(sf_dir: str):
+    from jesterj_ray.stages.dedup import ngram_jaccard_exact_pairs
+    out = ngram_jaccard_exact_pairs(_doc(sf_dir, ["doc_id", "text"]),
+                                    text_field="text", id_field="doc_id",
+                                    threshold=0.5)
+    out["id_a"] = out["id_a"].astype(np.int64)
+    out["id_b"] = out["id_b"].astype(np.int64)
+    return out
+
+
 # ---------- dedup / ANN ----------
 
 def _minhash_pairs(sf_dir: str):
@@ -574,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": _distinct_langs,
         "top_terms_per_lang": _top_terms_per_lang,
         "ngram_jaccard_pairs": _ngram_jaccard,
+        "ngram_jaccard_exact_pairs": _ngram_jaccard_exact,
         "json_extract_props": _json_extract,
         "sql_scanner": _sql_scanner,
         "status_sink": _status_sink,
@@ -867,6 +878,31 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             FROM documents, (SELECT unnest(range(1, 64)) AS i)
             WHERE i <= length(string_split(
                 regexp_replace(text, ' the ', chr(10), 'g'), chr(10)))""",
+        # exact all-pairs word-3-gram Jaccard (documents.text is
+        # single-space separated with >= 10 words per doc, so the
+        # standard gram construction alone is the full set semantics)
+        "ngram_jaccard_exact_pairs": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents),
+            grams AS (SELECT DISTINCT doc_id,
+                             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                      FROM toks, (SELECT unnest(range(1, 4000)) AS i)
+                      WHERE i + 2 <= length(w)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams
+                      GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             count(*) AS c
+                      FROM grams a JOIN grams b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+            ORDER BY id_a, id_b""",
         # urllib.parse.quote(safe="") leaves [A-Za-z0-9_.~-] and
         # percent-encodes the rest; documents.text is lowercase words +
         # spaces (generator-pinned), so one replace IS the full encoding

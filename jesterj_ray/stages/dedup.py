@@ -685,6 +685,83 @@ def verify_jaccard_pairs(pairs_df: pd.DataFrame, texts_by_id: dict, *,
     return pd.DataFrame(out)
 
 
+def ngram_jaccard_exact_pairs(ds: "ray.data.Dataset", *, text_field: str,
+                              id_field: str, n: int = 3,
+                              threshold: float = 0.5,
+                              num_blocks: int = 8) -> pd.DataFrame:
+    """EXACT all-pairs n-gram Jaccard >= threshold (id_a < id_b) — the
+    oracle-checkable exact complement to the LSH path
+    (:func:`minhash_lsh_pairs` + :func:`verify_jaccard_pairs_ds`, which
+    is near-linear but recall < 1).
+
+    Same distributed shape as ``ann.knn.embedding_near_dup_pairs``: each
+    doc's gram set travels as a SORTED u64-hash blob (64-bit blake2b per
+    unique gram — collision odds ~|grams|^2 / 2^65, negligible), blocks
+    stay in the object store, and every block pair fans out as one task
+    doing sorted-array intersections.  O(corpus^2) pairs by definition —
+    use the LSH path beyond ~10^6 docs."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch[id_field].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = []
+        for t in batch[text_field].to_pylist():
+            grams = ngram_set(t or "", n)
+            h = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(
+                    g.encode(), digest_size=8).digest(), "little")
+                 for g in grams), dtype=np.uint64, count=len(grams))
+            blobs.append(np.sort(h).tobytes())
+        return pa.table({"vid": pa.array(ids, pa.int64()),
+                         "gset": pa.array(blobs, pa.binary())})
+
+    import ray as _ray
+    blocks = ds.map_batches(pack, batch_format="pyarrow") \
+        .repartition(num_blocks).materialize()
+    refs = blocks.to_arrow_refs()
+
+    def _load(cache: dict, bi: int):
+        if bi not in cache:
+            t = _ray.get(refs[bi])
+            ids = t["vid"].to_numpy(zero_copy_only=False)
+            sets = [np.frombuffer(b, dtype=np.uint64)
+                    for b in t["gset"].to_pylist()]
+            cache[bi] = (ids, sets)
+        return cache[bi]
+
+    def cross(batch: pa.Table) -> pa.Table:
+        rows = {"id_a": [], "id_b": [], "jaccard": []}
+        cache: dict = {}
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ia, sa = _load(cache, i)
+            ib, sb = _load(cache, j)
+            for x in range(ia.size):
+                y0 = x + 1 if i == j else 0
+                for y in range(y0, ib.size):
+                    inter = np.intersect1d(sa[x], sb[y],
+                                           assume_unique=True).size
+                    union = sa[x].size + sb[y].size - inter
+                    jac = inter / union if union else 1.0
+                    if jac >= threshold:
+                        a, b = int(ia[x]), int(ib[y])
+                        if a > b:
+                            a, b = b, a
+                        rows["id_a"].append(a)
+                        rows["id_b"].append(b)
+                        rows["jaccard"].append(jac)
+        return pa.table({"id_a": pa.array(rows["id_a"], pa.int64()),
+                         "id_b": pa.array(rows["id_b"], pa.int64()),
+                         "jaccard": pa.array(rows["jaccard"], pa.float64())})
+
+    nb = len(refs)
+    npairs = nb * (nb + 1) // 2
+    tasks = ray.data.from_items(
+        [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)],
+        override_num_blocks=max(1, min(npairs, 2 * nb)))
+    out = tasks.map_batches(cross, batch_format="pyarrow").to_pandas()
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def verify_jaccard_pairs_ds(pairs: "ray.data.Dataset",
                             docs: "ray.data.Dataset", *, id_field: str,
                             text_field: str, n: int = 3,

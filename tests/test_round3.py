@@ -450,3 +450,34 @@ def test_delta_after_compact(tmp_path):
     build_index_rows(src, out2, **kw)
     qs = QUERIES + ["firstchange", "secondchange"]
     assert score_map(out, qs) == score_map(out2, qs)
+
+
+def test_ngram_jaccard_exact_pairs_matches_python(tmp_path):
+    """Exact all-pairs n-gram Jaccard equals a direct per-pair python
+    computation on a planted-duplicate corpus."""
+    import itertools
+    import ray.data as rd
+    from jesterj_ray.stages.dedup import ngram_jaccard_exact_pairs, ngram_set
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(40)]
+    texts[7] = texts[3]                       # exact dup
+    texts[12] = texts[3] + " extra token"     # near dup
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)],
+                       override_num_blocks=4)
+    got = ngram_jaccard_exact_pairs(ds, text_field="text",
+                                    id_field="doc_id", threshold=0.3,
+                                    num_blocks=3)
+    want = []
+    for a, b in itertools.combinations(range(40), 2):
+        sa, sb = ngram_set(texts[a]), ngram_set(texts[b])
+        u = len(sa | sb)
+        j = len(sa & sb) / u if u else 1.0
+        if j >= 0.3:
+            want.append((a, b, round(j, 6)))
+    got_t = [(int(r.id_a), int(r.id_b), r.jaccard)
+             for r in got.itertuples(index=False)]
+    assert got_t == sorted(want)
+    assert (3, 7) in {(a, b) for a, b, _ in got_t}
+    assert (3, 12) in {(a, b) for a, b, _ in got_t}
