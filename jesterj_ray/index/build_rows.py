@@ -518,13 +518,19 @@ def watch_and_reindex(pattern: str, out_dir: str, *, interval_s: float = 5.0,
                       max_cycles: Optional[int] = None, text_col: str = "text",
                       key_col: Optional[str] = None, tokenizer: str = "simple",
                       docs_per_partition: int = 50_000, num_shards: int = 8,
-                      positions: bool = False):
+                      positions: bool = False,
+                      compact_every: Optional[int] = None):
     """Continuous rescan loop (the reference's interval scanner,
     ``ScannerImpl.java:219-258``): every cycle globs ``pattern``, builds
     the base index on the first cycle, then per-document delta re-indexes
     (only changed docs tokenize) — a generator yielding each cycle's
     stats so callers drive or cancel it (``max_cycles`` bounds it for
-    tests/batch use).  Sleeps ``interval_s`` between cycles."""
+    tests/batch use).  Sleeps ``interval_s`` between cycles.
+
+    ``compact_every=N`` runs :func:`..compact.compact_index` after every
+    N delta cycles, so an eternal loop keeps tombstones / overlay /
+    generations bounded (Cassandra-compaction analog; pause concurrent
+    serving during the compacting cycle — see index/compact.py)."""
     import glob as _glob
     import time as _time
     cycle = 0
@@ -548,6 +554,9 @@ def watch_and_reindex(pattern: str, out_dir: str, *, interval_s: float = 5.0,
             stats = delta_reindex(paths, out_dir, **kw)
             stats = {"cycle": cycle, "mode": "delta",
                      "paths": len(paths)} | stats
+            if compact_every and cycle % compact_every == 0:
+                from .compact import compact_index
+                stats["compaction"] = compact_index(out_dir)
         yield stats
         cycle += 1
 

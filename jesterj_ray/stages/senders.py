@@ -141,8 +141,17 @@ class ThrottledFetcher:
 
     @staticmethod
     def _no_network(url: str):
+        # file:// fetches for REAL via urllib (no network required) —
+        # the reference's FetchUrl accepts any URL scheme
+        # (FetchUrl.java:55-110); http(s) is honestly refused in this
+        # sandbox
+        if (url or "").startswith("file://"):
+            import urllib.request
+            with urllib.request.urlopen(url) as r:
+                return 200, r.read()
         raise NotImplementedError("no network access in this environment; "
-                                  "pass fetch_fn or fake=True")
+                                  "file:// URLs fetch for real, else pass "
+                                  "fetch_fn or fake=True")
 
     @staticmethod
     def _fake_fetch(url: str):

@@ -481,3 +481,48 @@ def test_ngram_jaccard_exact_pairs_matches_python(tmp_path):
     assert got_t == sorted(want)
     assert (3, 7) in {(a, b) for a, b, _ in got_t}
     assert (3, 12) in {(a, b) for a, b, _ in got_t}
+
+
+def test_watch_loop_auto_compaction(tmp_path):
+    """watch_and_reindex(compact_every=2) keeps tombstones bounded: after
+    compacting cycles the tombstone file is gone, and queries still match
+    a fresh full build."""
+    from jesterj_ray.index.build_rows import watch_and_reindex
+    df = make_docs(n=120)
+    src = str(tmp_path / "w.parquet")
+    write_docs(df, src)
+    out = str(tmp_path / "idx")
+    loop = watch_and_reindex(str(tmp_path / "*.parquet"), out,
+                             interval_s=0.01, max_cycles=6, key_col="rid",
+                             docs_per_partition=64, num_shards=2,
+                             compact_every=2)
+    assert next(loop)["mode"] == "base"
+    for cyc in range(1, 6):
+        df.loc[cyc, "text"] = f"watchword{cyc} alpha"
+        write_docs(df, src)
+        s = next(loop)
+        assert s["reindexed_docs"] == 1
+        if cyc % 2 == 0:
+            assert "compaction" in s
+            assert not os.path.exists(os.path.join(out, "tombstones.json"))
+    out2 = str(tmp_path / "idx_full")
+    build_index_rows(src, out2, text_col="text", key_col="rid",
+                     tokenizer="simple", docs_per_partition=64,
+                     num_shards=2)
+    qs = QUERIES + ["watchword5"]
+    assert score_map(out, qs) == score_map(out2, qs)
+
+
+def test_fetch_file_url_real(tmp_path):
+    """ThrottledFetcher strict mode fetches file:// URLs for real (the
+    sandbox-possible scheme); http stays an honest refusal."""
+    from jesterj_ray.stages.senders import ThrottledFetcher
+    p = tmp_path / "page.txt"
+    p.write_bytes(b"hello fetched body")
+    f = ThrottledFetcher(fake=False, min_interval_s=0.0)
+    t = pa.table({"url": pa.array([f"file://{p}", "http://example.com/x"])})
+    out = f(t)
+    assert out["http_status"].to_pylist() == [200, -1]
+    assert out["raw_data"].to_pylist()[0] == b"hello fetched body"
+    assert "file://" in out["fetch_error"].to_pylist()[1] or \
+        "no network" in out["fetch_error"].to_pylist()[1]
