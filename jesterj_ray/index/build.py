@@ -383,10 +383,10 @@ class _RunCursor:
 
     __slots__ = ("it", "batch", "keys", "pos", "n")
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, read_batch: int = None):
         import pyarrow.parquet as pq
         self.it = pq.ParquetFile(path).iter_batches(
-            batch_size=MERGE_READ_BATCH)
+            batch_size=read_batch or MERGE_READ_BATCH)
         self.batch = None
         self.pos = self.n = 0
         self.advance_slab()
@@ -406,7 +406,8 @@ class _RunCursor:
 
 
 
-def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
+def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20,
+                      flush_terms: int = None, read_batch: int = None):
     """Stage 2 fn: merge one shard's runs (already on disk, one file per
     partition under runs/shard-<s>/) into a segment file.  No shuffle: the
     stage-1 tasks partitioned the runs by term shard at write time.
@@ -425,6 +426,12 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
     would be tens of GB) — the bounded-memory answer to term skew on the
     merge side; the query engine concatenates chunks at read time."""
     from .codec import varbyte_encode_one
+
+    # captured at CLOSURE creation (driver) so they serialize into the
+    # Ray tasks — module-global monkeypatching would silently not reach
+    # the worker processes (r3 fix: the tiny-flush/slab test was vacuous)
+    flush_terms = flush_terms or MERGE_FLUSH_TERMS
+    read_batch = read_batch or MERGE_READ_BATCH
 
     def shard_writer(batch: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
@@ -599,7 +606,7 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
                 out["pos_blob"].append(b"".join(c["pos_blob"][x]
                                                 for c, x in run_rows))
             buf["rows"] += 1
-            if buf["rows"] >= MERGE_FLUSH_TERMS:
+            if buf["rows"] >= flush_terms:
                 flush()
 
         _BULK_FIELDS = ("doc_blob", "tf_blob", "block_last", "block_max_tf",
@@ -626,7 +633,7 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
             parts.append(pa.table(
                 [cols[n] for n in schema.names], schema=schema))
             buf["rows"] += m
-            if buf["rows"] >= MERGE_FLUSH_TERMS:
+            if buf["rows"] >= flush_terms:
                 flush()
 
         def bulk_copy_py(cols, lo, hi):
@@ -644,7 +651,7 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
             for f in _BULK_FIELDS:
                 out[f].extend(cols[f][lo:hi])
             buf["rows"] += m
-            if buf["rows"] >= MERGE_FLUSH_TERMS:
+            if buf["rows"] >= flush_terms:
                 flush()
 
         # consumer state for the (rare) terms spanning multiple run files
@@ -686,7 +693,7 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
         try:
             cursors = []
             for f in files:
-                c = _RunCursor(f)
+                c = _RunCursor(f, read_batch)
                 if c.batch is not None:
                     cursors.append(c)
             while cursors:
@@ -814,7 +821,8 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20):
 
 
 def merge_runs(out_dir: str, num_shards: int,
-               chunk_target: int = 1 << 20) -> None:
+               chunk_target: int = 1 << 20,
+               flush_terms: int = None, read_batch: int = None) -> None:
     """Stage 2: merge per-partition runs into term-sharded segments — one
     task per shard, each reading only its pre-partitioned run files (no
     shuffle).  Invalidation is PER SHARD: each merge-manifest row stores a
@@ -824,7 +832,8 @@ def merge_runs(out_dir: str, num_shards: int,
     runs_dir = os.path.join(out_dir, "runs")
     if not os.path.isdir(runs_dir):
         return
-    writer = make_shard_writer(out_dir, chunk_target)
+    writer = make_shard_writer(out_dir, chunk_target,
+                               flush_terms, read_batch)
     shards = ray.data.from_items([{"shard": s} for s in range(num_shards)],
                                  override_num_blocks=num_shards)
     shards.map_batches(writer, batch_format="pandas",

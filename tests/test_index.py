@@ -297,14 +297,15 @@ def test_streaming_merge_bounded_memory(small_corpus, tmp_path):
     a, b = str(tmp_path / "norm"), str(tmp_path / "tiny")
     build_index_rows(src, a, text_col="content", tokenizer="code",
                      docs_per_partition=32, num_shards=4, positions=True)
-    old_flush, old_batch = build_mod.MERGE_FLUSH_TERMS, build_mod.MERGE_READ_BATCH
-    build_mod.MERGE_FLUSH_TERMS, build_mod.MERGE_READ_BATCH = 1, 2
-    try:
-        build_index_rows(src, b, text_col="content", tokenizer="code",
-                         docs_per_partition=32, num_shards=4, positions=True)
-    finally:
-        build_mod.MERGE_FLUSH_TERMS, build_mod.MERGE_READ_BATCH = \
-            old_flush, old_batch
+    # knobs are CLOSURE-CAPTURED parameters (module-global patching never
+    # reached the Ray workers — r3 fix): build runs, then re-merge with a
+    # 1-row flush buffer and 2-row read slabs
+    import shutil as _sh
+    build_index_rows(src, b, text_col="content", tokenizer="code",
+                     docs_per_partition=32, num_shards=4, positions=True)
+    _sh.rmtree(os.path.join(b, "segments"))
+    _sh.rmtree(os.path.join(b, "manifest", "merge"))
+    merge_runs(b, 4, flush_terms=1, read_batch=2)
     for s in range(4):
         ta = pq.read_table(os.path.join(a, "segments", f"shard-{s:04d}.parquet"))
         tb = pq.read_table(os.path.join(b, "segments", f"shard-{s:04d}.parquet"))
