@@ -113,7 +113,7 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.4,
         .repartition(num_blocks).materialize()
     refs = blocks.to_arrow_refs()
 
-    def _load_block(cache: dict, bi: int):
+    def _load_block(cache, bi: int):
         if bi not in cache:
             t = ray.get(refs[bi])
             ids = t["vid"].to_numpy(zero_copy_only=False)
@@ -122,13 +122,21 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", *, threshold: float = 0.4,
                 .reshape(len(blobs), -1) if blobs else \
                 np.empty((0, 0), dtype=np.float64)
             cache[bi] = (ids, mat)
+            # BOUNDED LRU: pairs arrive (i, j) with i fixed and j
+            # ascending, so 4 slots amortize refetch while task memory
+            # stays O(blocks held), not O(corpus)
+            while len(cache) > 4:
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(bi)
         return cache[bi]
 
     def cross_block(batch: pa.Table) -> pa.Table:
         out_a: List[np.ndarray] = []
         out_b: List[np.ndarray] = []
         out_s: List[np.ndarray] = []
-        cache: dict = {}  # per-call block cache: batches carry many pairs
+        from collections import OrderedDict
+        cache = OrderedDict()  # bounded per-call block cache (LRU of 4)
         for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
             ia, ma = _load_block(cache, i)
             ib, mb = _load_block(cache, j)

@@ -250,7 +250,10 @@ def _index_partition_tables(g: pd.DataFrame, pid: int, out_dir: str,
             rows["last_doc"].append(int(d[-1]))
             rows["doc_blob"].append(varbyte_encode(deltas.astype(np.uint64)))
             rows["tf_blob"].append(varbyte_encode(t.astype(np.uint64)))
-            # per-run block metadata so the MERGE never decodes postings:
+            # per-run block metadata so the MERGE never decodes postings
+            # (LAYOUT CONTRACT: index/compact._encode_run_row rebuilds
+            # rows in this exact layout when re-encoding filtered runs —
+            # change both together, pinned by test_compact_index_*):
             # blocks of <= BLOCK_SIZE postings with last-doc / max-tf /
             # byte-offset arrays that concatenate across runs (the first
             # run byte offset shifts by the respliced first-delta length)
@@ -750,7 +753,6 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20,
                 sizes_l = sizes.tolist()
                 single_l = single.tolist()
                 span_at = {a: b for a, b in arrow_spans}
-                gterms = tnp[starts].tolist()
                 p = 0
                 g = 0
                 while g < G:
@@ -788,10 +790,18 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20,
             nbytes = os.path.getsize(tmp)
             os.replace(tmp, path)
             if not append_only:
-                # full re-merge subsumes old generations; safe to drop now
-                # that the new base is in place (old base was overwritten
-                # by the same os.replace, so readers opened from here see
-                # a complete artifact set either way)
+                # full re-merge subsumes old generations: drop them only
+                # AFTER the new base is atomically in place (a crash
+                # before the replace leaves the committed base+gens set
+                # intact, ADVICE r02).  A crash BETWEEN the replace and
+                # these unlinks leaves the new base (which already holds
+                # the delta postings) beside stale gens — a reader opened
+                # in that window double-counts delta postings until the
+                # next merge invocation re-runs this shard (the manifest
+                # row below never committed, so it always does).  The two
+                # failure modes are mutually exclusive; this ordering
+                # picks transient duplicates (self-healing) over silent
+                # permanent loss.
                 for stale in _glob.glob(gen_glob):
                     os.unlink(stale)
         except BaseException:

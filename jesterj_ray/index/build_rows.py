@@ -435,8 +435,14 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
             # single changed partition (the watch-loop common case): run
             # the SAME differ inline — driver memory stays bounded by ONE
             # partition (never O(changed corpus)), and the ~0.3 s Ray
-            # task round trip disappears from the 1-doc delta latency
-            book = differ(pd.DataFrame(diff_parts))
+            # task round trip disappears from the 1-doc delta latency.
+            # The differ sets pa.set_cpu_count(1) (worker hygiene);
+            # restore the driver's Arrow pool afterwards.
+            _prev_cpu = pa.cpu_count()
+            try:
+                book = differ(pd.DataFrame(diff_parts))
+            finally:
+                pa.set_cpu_count(_prev_cpu)
         else:
             book = ray.data.from_items(
                 diff_parts, override_num_blocks=len(diff_parts)) \
@@ -473,20 +479,37 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
 
     atomic_write_bytes(cat_path, _json.dumps(catalog).encode())
 
+    # STAGE the dead ids durably BEFORE the merge: the differ tasks have
+    # already refreshed the partitions' input fingerprints, so a crash
+    # from here on would never recompute this diff — without a durable
+    # record the old copies would serve forever (duplicate docs).  The
+    # serving tombstone file itself still updates only AFTER the merge so
+    # deletions and their replacement postings become visible together
+    # (ADVICE r02); a crash between the two is healed by the pending-file
+    # fold-in at the top of the next delta round.
+    pend_path = os.path.join(out_dir, "tombstones.pending.json")
+    if dead_ids:
+        prior_pend: List[int] = []
+        if os.path.exists(pend_path):
+            with open(pend_path) as f:
+                prior_pend = _json.load(f).get("doc_ids", [])
+        atomic_write_bytes(pend_path, _json.dumps(
+            {"doc_ids": sorted(set(prior_pend) | set(dead_ids))}).encode())
+
     merge_runs(out_dir, num_shards)
 
-    # tombstone changed+deleted old ids (atomic merge, same file the
-    # Operation.DELETE path uses) AFTER the merge so deletions and their
-    # replacement postings become visible together — a reader opened
-    # mid-delta must never see changed docs deleted with their
-    # replacements absent (ADVICE r02)
-    if dead_ids:
+    # fold pending deletions into the serving tombstone set (atomic
+    # merge, same file the Operation.DELETE path uses)
+    if os.path.exists(pend_path):
+        with open(pend_path) as f:
+            pend = _json.load(f).get("doc_ids", [])
         existing: List[int] = []
         if os.path.exists(tomb_path):
             with open(tomb_path) as f:
                 existing = _json.load(f).get("doc_ids", [])
         atomic_write_bytes(tomb_path, _json.dumps(
-            {"doc_ids": sorted(set(existing) | set(dead_ids))}).encode())
+            {"doc_ids": sorted(set(existing) | set(pend))}).encode())
+        os.unlink(pend_path)
 
     recs = Manifest(out_dir, "build").all()
     _mark_searchable(man, recs)
@@ -581,7 +604,8 @@ def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
     stale = set(recs) - {p["pid"] for p in parts}
     _drop_stale_partitions(out_dir, man, stale=stale)
     if stale:
-        for f in ("tombstones.json", "delta_overlay.json"):
+        for f in ("tombstones.json", "tombstones.pending.json",
+                  "delta_overlay.json"):
             try:
                 os.unlink(os.path.join(out_dir, f))
             except FileNotFoundError:

@@ -218,10 +218,17 @@ def compact_index(index_dir: str) -> Dict:
         stats = json.load(f)
     num_shards = int(stats["num_shards"])
     tomb_path = os.path.join(index_dir, "tombstones.json")
+    pend_path = os.path.join(index_dir, "tombstones.pending.json")
     tombs: List[int] = []
     if os.path.exists(tomb_path):
         with open(tomb_path) as f:
             tombs = json.load(f).get("doc_ids", [])
+    # fold in deletions staged by a crashed delta round (durable pending
+    # set written before that round's merge) — compaction must not
+    # resurrect them
+    if os.path.exists(pend_path):
+        with open(pend_path) as f:
+            tombs = sorted(set(tombs) | set(json.load(f).get("doc_ids", [])))
 
     man = Manifest(index_dir, "build")
     recs = man.all()
@@ -281,11 +288,12 @@ def compact_index(index_dir: str) -> Dict:
     merge_runs(index_dir, num_shards)
 
     # deletions are physical in the re-merged segments; clear the
-    # tombstone set only now (old ids would alias renumbered ranks)
-    try:
-        os.unlink(tomb_path)
-    except FileNotFoundError:
-        pass
+    # tombstone sets only now (old ids would alias renumbered ranks)
+    for p in (tomb_path, pend_path):
+        try:
+            os.unlink(p)
+        except FileNotFoundError:
+            pass
 
     recs = Manifest(index_dir, "build").all()
     n_docs = sum(r["docs_seen"] for r in recs.values()

@@ -719,18 +719,23 @@ def ngram_jaccard_exact_pairs(ds: "ray.data.Dataset", *, text_field: str,
         .repartition(num_blocks).materialize()
     refs = blocks.to_arrow_refs()
 
-    def _load(cache: dict, bi: int):
+    def _load(cache, bi: int):
         if bi not in cache:
             t = _ray.get(refs[bi])
             ids = t["vid"].to_numpy(zero_copy_only=False)
             sets = [np.frombuffer(b, dtype=np.uint64)
                     for b in t["gset"].to_pylist()]
             cache[bi] = (ids, sets)
+            while len(cache) > 4:  # bounded LRU: memory O(4 blocks)
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(bi)
         return cache[bi]
 
     def cross(batch: pa.Table) -> pa.Table:
+        from collections import OrderedDict
         rows = {"id_a": [], "id_b": [], "jaccard": []}
-        cache: dict = {}
+        cache = OrderedDict()
         for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
             ia, sa = _load(cache, i)
             ib, sb = _load(cache, j)

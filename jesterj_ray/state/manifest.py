@@ -147,13 +147,22 @@ class Manifest:
             self._compact_history(path)
 
     def _compact_history(self, path: str) -> None:
+        """Best-effort: the read + atomic-rename pair can clobber a line
+        appended concurrently, so compaction (a) only runs from the
+        partition's single writer in the normal regime, and (b) skips if
+        the file grew between read and rewrite (cheap CAS via size)."""
         try:
+            st0 = os.stat(path)
             with open(path, "rb") as f:
-                lines = f.read().splitlines(keepends=True)
+                data = f.read()
         except FileNotFoundError:
             return
-        if len(lines) > HISTORY_MAX_LINES:
-            atomic_write_bytes(path, b"".join(lines[-HISTORY_MAX_LINES:]))
+        lines = data.splitlines(keepends=True)
+        if len(lines) <= HISTORY_MAX_LINES:
+            return
+        if os.stat(path).st_size != st0.st_size:
+            return  # concurrent append landed: retry on a later log()
+        atomic_write_bytes(path, b"".join(lines[-HISTORY_MAX_LINES:]))
 
     def history(self, partition_id: int) -> List[Dict]:
         try:

@@ -526,3 +526,29 @@ def test_fetch_file_url_real(tmp_path):
     assert out["raw_data"].to_pylist()[0] == b"hello fetched body"
     assert "file://" in out["fetch_error"].to_pylist()[1] or \
         "no network" in out["fetch_error"].to_pylist()[1]
+
+
+def test_pending_tombstones_fold_in_after_crash(tmp_path):
+    """Deletions staged by a crashed delta round (pending file written,
+    serving tombstones not yet updated) fold into the serving set on the
+    next round — changed docs can never end up served twice."""
+    df = make_docs(n=120)
+    src = str(tmp_path / "c.parquet")
+    write_docs(df, src)
+    out = str(tmp_path / "idx")
+    kw = dict(text_col="text", key_col="rid", tokenizer="simple",
+              docs_per_partition=64, num_shards=2)
+    build_index_rows(src, out, **kw)
+    # simulate the crash leftover: a staged deletion that never folded
+    r = IndexReader(out)
+    victim = r.topk("alpha", 1)[0][0]
+    from jesterj_ray.state.manifest import atomic_write_bytes
+    atomic_write_bytes(os.path.join(out, "tombstones.pending.json"),
+                       json.dumps({"doc_ids": [int(victim)]}).encode())
+    d = delta_reindex(src, out, **kw)  # no input change
+    assert d["reindexed_docs"] == 0
+    assert not os.path.exists(os.path.join(out, "tombstones.pending.json"))
+    with open(os.path.join(out, "tombstones.json")) as f:
+        assert int(victim) in json.load(f)["doc_ids"]
+    r2 = IndexReader(out)
+    assert all(h[0] != victim for h in r2.topk("alpha", 50))
