@@ -552,3 +552,39 @@ def test_pending_tombstones_fold_in_after_crash(tmp_path):
         assert int(victim) in json.load(f)["doc_ids"]
     r2 = IndexReader(out)
     assert all(h[0] != victim for h in r2.topk("alpha", 50))
+
+
+def test_delta_pid_reuse_after_compaction_drop(tmp_path):
+    """Compaction can drop a fully-superseded delta partition, freeing its
+    pid; a later delta round may reuse that pid — the merge must still
+    full-re-merge (append-only is gated on pid > prev max), keeping scores
+    exact."""
+    from jesterj_ray.index.compact import compact_index
+    df = make_docs(n=120)
+    src = str(tmp_path / "c.parquet")
+    write_docs(df, src)
+    out = str(tmp_path / "idx")
+    kw = dict(text_col="text", key_col="rid", tokenizer="simple",
+              docs_per_partition=64, num_shards=2)
+    build_index_rows(src, out, **kw)
+    # round 1: change doc 3 -> delta partition P
+    df.loc[3, "text"] = "roundone alpha"
+    write_docs(df, src)
+    d1 = delta_reindex(src, out, **kw)
+    p1 = d1["delta_partitions"][0]
+    # round 2: change doc 3 AGAIN -> its round-1 copy fully supersedes
+    df.loc[3, "text"] = "roundtwo beta"
+    write_docs(df, src)
+    delta_reindex(src, out, **kw)
+    compact_index(out)  # drops the fully-dead round-1 delta partition
+    from jesterj_ray.state.manifest import Manifest
+    assert p1 not in Manifest(out, "build").all()
+    # round 3: another change may REUSE the freed pid
+    df.loc[9, "text"] = "roundthree gamma"
+    write_docs(df, src)
+    d3 = delta_reindex(src, out, **kw)
+    assert d3["reindexed_docs"] == 1
+    out2 = str(tmp_path / "idx_full")
+    build_index_rows(src, out2, **kw)
+    qs = QUERIES + ["roundtwo beta", "roundthree"]
+    assert score_map(out, qs) == score_map(out2, qs)
