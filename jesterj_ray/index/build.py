@@ -346,8 +346,22 @@ MERGE_FLUSH_TERMS = 1024
 # segment parquet row-group size: small so readers can fetch one term's
 # blobs with a targeted row-group read instead of the whole shard file
 SEG_ROW_GROUP_ROWS = 64
-# rows decoded per run-file iterator step (memory bound = this slab x runs)
-MERGE_READ_BATCH = 512
+# per-cursor slab sizing: aim for this many bytes per read slab (from the
+# run file's avg compressed row size), clamped to [MERGE_READ_BATCH_MIN,
+# MERGE_READ_BATCH_MAX] rows.  Memory bound = slab bytes x runs either
+# way; adapting by bytes keeps tiny-row corpora from paying per-iterator
+# overhead 8x (4096-row slabs) without letting fat chunked-blob rows
+# (~1MB) blow the bound (floor of 64 rows).
+MERGE_SLAB_TARGET_BYTES = 4 << 20
+MERGE_READ_BATCH_MIN = 64
+MERGE_READ_BATCH_MAX = 4096
+# target rows accumulated (across HWM iterations) before each merge round
+# sorts and emits: one HWM step over k uniformly interleaved cursors
+# yields only ~slab/k eligible rows, so per-round fixed costs (sort setup,
+# span bookkeeping, numpy stitch setup) would dominate and vec/arrow spans
+# fragment below their thresholds; batching rounds to this many rows
+# amortizes them.  Memory bound = this + one slab x runs.
+MERGE_ROUND_ROWS = 8192
 # generational compaction trigger (r02 VERDICT #5): a shard accumulating
 # this many generation segments compacts (full re-merge of base + all
 # delta runs into a new base) instead of appending another generation —
@@ -376,20 +390,235 @@ def _segment_schema(has_pos: bool) -> pa.Schema:
 # term would fragment worse than list appends)
 BULK_SLICE_MIN = 32
 
+# minimum total rows in a contiguous stretch of complete multi-run term
+# groups that go through the vectorized stitcher (_stitch_groups_vec);
+# smaller stretches ride the python stitcher (numpy setup on tiny inputs
+# costs more than it saves)
+VEC_STITCH_MIN_ROWS = 32
+
+
+def _ranges_gather(data: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray) -> np.ndarray:
+    """``data[concat of [s, s+len) ranges]`` in one fancy-index pass."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=data.dtype)
+    cum = np.cumsum(lens)
+    base = np.repeat(starts - np.concatenate(([0], cum[:-1])), lens)
+    return data[base + np.arange(total, dtype=np.int64)]
+
+
+def _bin_view(arr: pa.Array):
+    """(absolute int64 offsets, uint8 data view) of a Binary array.
+    Binary layout is gap-free by construction — row i's bytes are exactly
+    ``data[off[i]:off[i+1]]`` — so group concatenation never needs to
+    touch the data buffer."""
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    dbuf = arr.buffers()[2]
+    data = (np.frombuffer(dbuf, dtype=np.uint8) if dbuf is not None
+            else np.empty(0, np.uint8))
+    return off, data
+
+
+def _concat_groups_binary(arr: pa.Array, gb: np.ndarray) -> pa.Array:
+    """Binary array whose row g is the concatenation of input rows
+    [gb[g], gb[g+1]) — ZERO COPY: only the offsets are gathered, the data
+    buffer is shared with the input."""
+    off32 = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1]
+    new_off = np.ascontiguousarray(off32[gb])
+    return pa.Array.from_buffers(
+        pa.binary(), gb.size - 1,
+        [None, pa.py_buffer(new_off), arr.buffers()[2]])
+
+
+def _concat_groups_list(arr: pa.Array, gb: np.ndarray) -> pa.Array:
+    """list<int64> array whose row g concatenates input rows
+    [gb[g], gb[g+1]) verbatim — offsets gathered, child values shared
+    (``arr.values`` ignores the parent's offset, so the raw int32
+    offsets index it directly)."""
+    off32 = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1]
+    return pa.ListArray.from_arrays(
+        pa.array(np.ascontiguousarray(off32[gb]), pa.int32()), arr.values)
+
+
+def _shifted_off_lists(V: np.ndarray, LO: np.ndarray, m: np.ndarray,
+                       starts: np.ndarray, sizes: np.ndarray,
+                       shift: np.ndarray) -> pa.Array:
+    """Vectorized analog of emit()'s block-offset stitching for a batch of
+    complete multi-run term groups.
+
+    ``V``/``LO``/``m``: flattened per-row offset lists (values, row starts
+    into V, per-row lengths); rows are grouped into ``sizes[g]``-row
+    groups starting at row ``starts[g]``.  Per row r (run) with running
+    byte base ``dbase``: emit ``off[0]+dbase``, then ``off[j]+dbase+
+    shift[r]`` for the middle elements, drop ``off[-1]``, and advance
+    ``dbase += off[-1]+shift[r]``; each group appends the final ``dbase``.
+    Exactly mirrors emit() (doc offsets use shift = ndlen-fl of the
+    respliced first varbyte; tf offsets use shift = 0)."""
+    nrows = m.size
+    lastv = V[LO[1:] - 1]
+    c = np.cumsum(lastv + shift)
+    ex = np.concatenate(([0], c[:-1]))
+    dbase = ex - np.repeat(ex[starts], sizes)
+    dend = c[starts + sizes - 1] - ex[starts]
+    row_of = np.repeat(np.arange(nrows), m)
+    pos_in_row = np.arange(V.size, dtype=np.int64) - np.repeat(LO[:-1], m)
+    keep = pos_in_row < (m[row_of] - 1)
+    main = (V + dbase[row_of] + shift[row_of] * (pos_in_row >= 1))[keep]
+    out_len_g = np.add.reduceat(m - 1, starts) + 1
+    fin = np.cumsum(out_len_g) - 1
+    outv = np.empty(int(out_len_g.sum()), np.int64)
+    mask = np.ones(outv.size, bool)
+    mask[fin] = False
+    outv[mask] = main
+    outv[fin] = dend
+    out_off = np.empty(out_len_g.size + 1, np.int64)
+    out_off[0] = 0
+    np.cumsum(out_len_g, out=out_off[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(out_off.astype(np.int32)), pa.array(outv, pa.int64()))
+
+
+def _stitch_groups_vec(ts: pa.Table, sizes: np.ndarray, schema: pa.Schema,
+                       has_pos: bool):
+    """Vectorized stitcher: build the segment rows for a contiguous batch
+    of COMPLETE multi-run term groups (each < chunk_target postings) with
+    no per-row Python — the numpy/Arrow-buffer analog of emit().
+
+    ``ts`` holds the groups' run rows in (term, first_doc) order; group g
+    spans ``sizes[g]`` rows.  tf/pos blobs and the three verbatim block
+    lists are zero-copy offset gathers; the doc blob re-encodes only each
+    non-first run's first varbyte (delta against the previous run's last
+    doc) and moves the rest with two vectorized byte passes; block offset
+    lists are rebuilt by `_shifted_off_lists`.  Returns None when the
+    stitched doc bytes would overflow int32 binary offsets (pathological
+    — caller falls back to the python stitcher)."""
+    from .codec import varbyte_encode, varbyte_lengths
+    nrows = ts.num_rows
+    G = sizes.size
+    starts = np.empty(G, np.int64)
+    starts[0] = 0
+    np.cumsum(sizes[:-1], out=starts[1:])
+    gb = np.concatenate((starts, [nrows]))
+
+    def col(n):
+        c = ts.column(n)
+        if isinstance(c, pa.ChunkedArray):
+            return c.chunk(0) if c.num_chunks == 1 \
+                else pa.concat_arrays(c.chunks)
+        return c
+
+    first_doc = np.asarray(col("first_doc"))
+    last_doc = np.asarray(col("last_doc"))
+    is_first = np.zeros(nrows, bool)
+    is_first[starts] = True
+    nf = ~is_first
+    deltas = (first_doc - np.concatenate(([0], last_doc[:-1])))[nf] \
+        .astype(np.uint64)
+    nd_len = varbyte_lengths(deltas)
+    nd_arr = np.frombuffer(varbyte_encode(deltas), np.uint8)
+    # --- doc blob: drop each non-first run's first varbyte (length fl =
+    # position of its first stop byte), splice in the re-encoded delta
+    darr = col("doc_blob")
+    off, data = _bin_view(darr)
+    row_start = off[:-1]
+    row_len = off[1:] - off[:-1]
+    lo_b = int(off[0])
+    reg = data[lo_b:int(off[-1])]
+    stops = np.flatnonzero((reg & 0x80) == 0)
+    nfs_rel = row_start[nf] - lo_b
+    fl = stops[np.searchsorted(stops, nfs_rel)] - nfs_rel + 1
+    vstart = row_start.copy()
+    vlen = row_len.copy()
+    vstart[nf] += fl
+    vlen[nf] -= fl
+    verbatim = _ranges_gather(data, vstart, vlen)
+    out_row_len = row_len.copy()
+    out_row_len[nf] += nd_len - fl
+    out_start = np.empty(nrows + 1, np.int64)
+    out_start[0] = 0
+    np.cumsum(out_row_len, out=out_start[1:])
+    total_out = int(out_start[-1])
+    if total_out >= (1 << 31):
+        return None
+    ndm = np.zeros(total_out + 1, np.int8)
+    np.add.at(ndm, out_start[:-1][nf], 1)
+    np.add.at(ndm, out_start[:-1][nf] + nd_len, -1)
+    ndmask = np.cumsum(ndm[:-1]).astype(bool)
+    outb = np.empty(total_out, np.uint8)
+    outb[ndmask] = nd_arr
+    outb[~ndmask] = verbatim
+    doc_arr = pa.Array.from_buffers(
+        pa.binary(), G,
+        [None,
+         pa.py_buffer(np.ascontiguousarray(out_start[gb].astype(np.int32))),
+         pa.py_buffer(outb)])
+    # --- group sums: df = count = sum(block_counts), cf = sum(cf)
+    bc_col = col("block_counts")
+    bcV = np.asarray(bc_col.flatten())
+    mbc = np.asarray(pc.list_value_length(bc_col), dtype=np.int64)
+    LObc = np.empty(nrows + 1, np.int64)
+    LObc[0] = 0
+    np.cumsum(mbc, out=LObc[1:])
+    total_g = np.add.reduceat(bcV, LObc[starts])
+    cf_g = np.add.reduceat(np.asarray(col("cf")), starts)
+    # --- block offset lists
+    shift = np.zeros(nrows, np.int64)
+    shift[nf] = nd_len - fl
+    do_col = col("block_doc_off")
+    Vd = np.asarray(do_col.flatten())
+    md = np.asarray(pc.list_value_length(do_col), dtype=np.int64)
+    LOd = np.empty(nrows + 1, np.int64)
+    LOd[0] = 0
+    np.cumsum(md, out=LOd[1:])
+    bdo = _shifted_off_lists(Vd, LOd, md, starts, sizes, shift)
+    to_col = col("block_tf_off")
+    Vt = np.asarray(to_col.flatten())
+    mt = np.asarray(pc.list_value_length(to_col), dtype=np.int64)
+    LOt = np.empty(nrows + 1, np.int64)
+    LOt[0] = 0
+    np.cumsum(mt, out=LOt[1:])
+    bto = _shifted_off_lists(Vt, LOt, mt, starts, sizes,
+                             np.zeros(nrows, np.int64))
+    cols = {"term": pc.take(col("term"), pa.array(starts)),
+            "chunk": pa.array(np.zeros(G, np.int32)),
+            "df": pa.array(total_g, pa.int64()),
+            "cf": pa.array(cf_g, pa.int64()),
+            "count": pa.array(total_g, pa.int64()),
+            "doc_blob": doc_arr,
+            "tf_blob": _concat_groups_binary(col("tf_blob"), gb),
+            "block_last": _concat_groups_list(col("block_last"), gb),
+            "block_max_tf": _concat_groups_list(col("block_max_tf"), gb),
+            "block_counts": _concat_groups_list(bc_col, gb),
+            "block_doc_off": bdo, "block_tf_off": bto}
+    if has_pos:
+        cols["pos_blob"] = _concat_groups_binary(col("pos_blob"), gb)
+    return pa.table([cols[n] for n in schema.names], schema=schema)
+
 
 class _RunCursor:
-    """Streaming cursor over one term-sorted run file: holds ONE slab
-    (``MERGE_READ_BATCH`` rows) as an Arrow RecordBatch plus the slab's
-    (term, first_doc) sort keys (the only columns that materialize to
-    Python; everything else moves via Arrow slice/take — r02 VERDICT #3:
-    no per-row dicts)."""
+    """Streaming cursor over one term-sorted run file: holds ONE slab as
+    an Arrow RecordBatch plus the slab's (term, first_doc) sort keys (the
+    only columns that materialize to Python; everything else moves via
+    Arrow slice/take — r02 VERDICT #3: no per-row dicts).  Slab rows are
+    sized from the file's avg compressed row bytes unless ``read_batch``
+    pins them (tests)."""
 
     __slots__ = ("it", "batch", "keys", "pos", "n")
 
     def __init__(self, path: str, read_batch: int = None):
         import pyarrow.parquet as pq
-        self.it = pq.ParquetFile(path).iter_batches(
-            batch_size=read_batch or MERGE_READ_BATCH)
+        pf = pq.ParquetFile(path)
+        if read_batch is None:
+            nrows = max(1, pf.metadata.num_rows)
+            avg = max(1, os.path.getsize(path) // nrows)
+            read_batch = min(MERGE_READ_BATCH_MAX,
+                             max(MERGE_READ_BATCH_MIN,
+                                 MERGE_SLAB_TARGET_BYTES // avg))
+        self.it = pf.iter_batches(batch_size=read_batch)
         self.batch = None
         self.pos = self.n = 0
         self.advance_slab()
@@ -410,7 +639,8 @@ class _RunCursor:
 
 
 def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20,
-                      flush_terms: int = None, read_batch: int = None):
+                      flush_terms: int = None, read_batch: int = None,
+                      round_rows: int = None):
     """Stage 2 fn: merge one shard's runs (already on disk, one file per
     partition under runs/shard-<s>/) into a segment file.  No shuffle: the
     stage-1 tasks partitioned the runs by term shard at write time.
@@ -434,7 +664,7 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20,
     # Ray tasks — module-global monkeypatching would silently not reach
     # the worker processes (r3 fix: the tiny-flush/slab test was vacuous)
     flush_terms = flush_terms or MERGE_FLUSH_TERMS
-    read_batch = read_batch or MERGE_READ_BATCH
+    round_rows = round_rows or MERGE_ROUND_ROWS
 
     def shard_writer(batch: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
@@ -700,15 +930,22 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20,
                 if c.batch is not None:
                     cursors.append(c)
             while cursors:
-                hwm = min(c.keys[c.n - 1] for c in cursors)
+                # accumulate multiple HWM iterations into one round: each
+                # iteration's eligible rows (~slab/k when cursors
+                # interleave uniformly) are too few to amortize the sort
+                # and span machinery below
                 slices = []
-                for c in cursors:
-                    hi = bisect_right(c.keys, hwm, c.pos)
-                    if hi > c.pos:
-                        slices.append(c.batch.slice(c.pos, hi - c.pos))
-                        c.pos = hi
-                cursors = [c for c in cursors
-                           if c.pos < c.n or c.advance_slab()]
+                nrows_acc = 0
+                while cursors and nrows_acc < round_rows:
+                    hwm = min(c.keys[c.n - 1] for c in cursors)
+                    for c in cursors:
+                        hi = bisect_right(c.keys, hwm, c.pos)
+                        if hi > c.pos:
+                            slices.append(c.batch.slice(c.pos, hi - c.pos))
+                            nrows_acc += hi - c.pos
+                            c.pos = hi
+                    cursors = [c for c in cursors
+                               if c.pos < c.n or c.advance_slab()]
                 t = pa.Table.from_batches(slices)
                 idx = pc.sort_indices(
                     t.select(["term", "first_doc"]),
@@ -742,16 +979,45 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20,
                 row_in_arrow = np.zeros(n_r, dtype=bool)
                 for a, b in arrow_spans:
                     row_in_arrow[starts[a]:starts[b - 1] + 1] = True
+                # COMPLETE groups under chunk_target go through the
+                # vectorized stitcher in maximal contiguous spans — the
+                # dominant shape on interleaved corpora (df>1), where the
+                # python emit()-per-term path used to bound the merge.
+                # Single-run groups stitch to their verbatim row, so they
+                # are absorbed rather than allowed to fragment the spans;
+                # long all-single stretches still prefer the cheaper
+                # zero-copy arrow slice path above.
+                cnp = np.asarray(pc.take(t.column("count"), idx))
+                vec = np.ones(G, dtype=bool)
+                vec[G - 1] = False
+                if st["term"] is not None and tnp[starts[0]] == st["term"]:
+                    vec[0] = False
+                vec &= np.add.reduceat(cnp, starts) < chunk_target
+                for a, b in arrow_spans:
+                    vec[a:b] = False
+                vedge = np.flatnonzero(np.diff(
+                    np.r_[np.int8(0), vec.view(np.int8), np.int8(0)]))
+                vec_spans = []
+                for a, b in zip(vedge[0::2], vedge[1::2]):
+                    if ends[b - 1] - starts[a] >= VEC_STITCH_MIN_ROWS:
+                        vec_spans.append((a, b))
+                    else:
+                        vec[a:b] = False
+                row_in_vec = np.zeros(n_r, dtype=bool)
+                for a, b in vec_spans:
+                    row_in_vec[starts[a]:ends[b - 1]] = True
+                vspan_at = {a: b for a, b in vec_spans}
                 # ONE gather + ONE python conversion for everything else,
                 # in group order (stitch rows AND short single groups —
                 # both append to the same ``out`` buffer, so ordering
                 # relative to emit() is append order, for free)
-                sidx = idx_np[~row_in_arrow]
+                sidx = idx_np[~(row_in_arrow | row_in_vec)]
                 scols = t.take(pa.array(sidx)).to_pydict() if sidx.size \
                     else {}
                 starts_l = starts.tolist()
                 sizes_l = sizes.tolist()
                 single_l = single.tolist()
+                vec_l = vec.tolist()
                 span_at = {a: b for a, b in arrow_spans}
                 p = 0
                 g = 0
@@ -763,13 +1029,36 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20,
                         bulk_copy_arrow(t.take(pa.array(bidx)))
                         g = b
                         continue
+                    b = vspan_at.get(g)
+                    if b is not None:
+                        finalize()
+                        vidx = idx_np[starts_l[g]:
+                                      starts_l[b - 1] + sizes_l[b - 1]]
+                        ts = t.take(pa.array(vidx))
+                        tbl = _stitch_groups_vec(ts, sizes[g:b], schema,
+                                                 has_pos)
+                        if tbl is None:
+                            # int32 blob-offset overflow (pathological):
+                            # python stitcher on this span's rows only
+                            sp = ts.to_pydict()
+                            for i in range(len(vidx)):
+                                feed_row(sp, i)
+                            finalize()
+                        else:
+                            spill_py()
+                            parts.append(tbl)
+                            buf["rows"] += b - g
+                            if buf["rows"] >= flush_terms:
+                                flush()
+                        g = b
+                        continue
                     sz = sizes_l[g]
                     if single_l[g]:
                         # short single stretch: coalesce consecutive
                         h = g
                         rows = 0
                         while h < G and single_l[h] and \
-                                span_at.get(h) is None:
+                                span_at.get(h) is None and not vec_l[h]:
                             rows += sizes_l[h]
                             h += 1
                         finalize()
@@ -832,7 +1121,8 @@ def make_shard_writer(out_dir: str, chunk_target: int = 1 << 20,
 
 def merge_runs(out_dir: str, num_shards: int,
                chunk_target: int = 1 << 20,
-               flush_terms: int = None, read_batch: int = None) -> None:
+               flush_terms: int = None, read_batch: int = None,
+               round_rows: int = None) -> None:
     """Stage 2: merge per-partition runs into term-sharded segments — one
     task per shard, each reading only its pre-partitioned run files (no
     shuffle).  Invalidation is PER SHARD: each merge-manifest row stores a
@@ -843,7 +1133,7 @@ def merge_runs(out_dir: str, num_shards: int,
     if not os.path.isdir(runs_dir):
         return
     writer = make_shard_writer(out_dir, chunk_target,
-                               flush_terms, read_batch)
+                               flush_terms, read_batch, round_rows)
     shards = ray.data.from_items([{"shard": s} for s in range(num_shards)],
                                  override_num_blocks=num_shards)
     shards.map_batches(writer, batch_format="pandas",

@@ -305,7 +305,7 @@ def test_streaming_merge_bounded_memory(small_corpus, tmp_path):
                      docs_per_partition=32, num_shards=4, positions=True)
     _sh.rmtree(os.path.join(b, "segments"))
     _sh.rmtree(os.path.join(b, "manifest", "merge"))
-    merge_runs(b, 4, flush_terms=1, read_batch=2)
+    merge_runs(b, 4, flush_terms=1, read_batch=2, round_rows=1)
     for s in range(4):
         ta = pq.read_table(os.path.join(a, "segments", f"shard-{s:04d}.parquet"))
         tb = pq.read_table(os.path.join(b, "segments", f"shard-{s:04d}.parquet"))

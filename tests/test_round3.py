@@ -588,3 +588,46 @@ def test_delta_pid_reuse_after_compaction_drop(tmp_path):
     build_index_rows(src, out2, **kw)
     qs = QUERIES + ["roundtwo beta", "roundthree"]
     assert score_map(out, qs) == score_map(out2, qs)
+
+
+def test_vectorized_stitch_matches_python_stitcher(tmp_path, monkeypatch):
+    """_stitch_groups_vec (the numpy/Arrow-buffer stitcher for contiguous
+    spans of complete multi-run terms) produces BYTE-IDENTICAL segment
+    files to the python emit() path, with positions on and a tiny
+    chunk_target so chunked hot terms interleave with vec spans."""
+    import shutil
+    from jesterj_ray.index import build as bmod
+    rng = np.random.default_rng(5)
+    n = 1200
+    # small common vocab => high df => most terms span many partitions
+    # (multi-run stitch groups); rare tail exercises single/vec interleave
+    vocab = [f"c{i}" for i in range(40)] + [f"r{i}" for i in range(400)]
+    texts = ["c0 " + " ".join(rng.choice(vocab, size=12)) for _ in range(n)]
+    df = pd.DataFrame({"rid": np.arange(n, dtype=np.int64), "text": texts})
+    src = str(tmp_path / "c.parquet")
+    write_docs(df, src)
+    out = str(tmp_path / "idx")
+    build_index_rows(src, out, text_col="text", key_col="rid",
+                     tokenizer="simple", docs_per_partition=100,
+                     num_shards=2, positions=True)
+
+    def local_merge(min_rows):
+        shutil.rmtree(os.path.join(out, "manifest", "merge"),
+                      ignore_errors=True)
+        shutil.rmtree(os.path.join(out, "segments"), ignore_errors=True)
+        monkeypatch.setattr(bmod, "VEC_STITCH_MIN_ROWS", min_rows)
+        w = bmod.make_shard_writer(out, chunk_target=256)
+        w(pd.DataFrame({"shard": [0, 1]}))
+        return {os.path.basename(p): pq.read_table(p) for p in sorted(
+            glob.glob(os.path.join(out, "segments", "*.parquet")))}
+
+    vec = local_merge(2)          # vec path takes every eligible span
+    py = local_merge(1 << 30)     # vec path disabled: pure python emit()
+    assert set(vec) == set(py) and vec
+    for name in py:
+        assert vec[name].equals(py[name]), name
+    # sanity: the hot term 'c0' (df=1200 > chunk_target) was chunked and
+    # multi-run terms exist, so both paths actually ran
+    seg = pa.concat_tables(py.values())
+    c0 = seg.filter(pa.compute.equal(seg["term"], "c0"))
+    assert c0.num_rows > 1
