@@ -1197,5 +1197,7 @@ def build_index(ds: "ray.data.Dataset", out_dir: str, *,
                                        if r["status"] == STATUS_DEAD)}
     atomic_write_bytes(os.path.join(out_dir, "stats.json"),
                        json.dumps(stats).encode())
+    from .epoch import publish_epoch
+    publish_epoch(out_dir)
     stats["metrics"] = mdf.to_dict("records")
     return stats

@@ -526,6 +526,8 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
                                        if r["status"] == STATUS_DEAD)}
     atomic_write_bytes(os.path.join(out_dir, "stats.json"),
                        _json.dumps(stats).encode())
+    from .epoch import publish_epoch
+    publish_epoch(out_dir)
     # alive docs = every indexed row minus the CUMULATIVE tombstone set
     all_tombs: List[int] = []
     if os.path.exists(tomb_path):
@@ -650,4 +652,6 @@ def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
                                        if r["status"] == STATUS_DEAD)}
     atomic_write_bytes(os.path.join(out_dir, "stats.json"),
                        json.dumps(stats).encode())
+    from .epoch import publish_epoch
+    publish_epoch(out_dir)
     return stats

@@ -305,5 +305,7 @@ def compact_index(index_dir: str) -> Dict:
                       "avgdl": (dl_sum / n_docs) if n_docs else 0.0,
                       "num_partitions": len(recs)})
     atomic_write_bytes(stats_path, json.dumps(new_stats).encode())
+    from .epoch import publish_epoch
+    publish_epoch(index_dir)
     return {"compacted_partitions": len(by_pid) - dropped,
             "dropped_partitions": dropped, "n_docs": int(n_docs)}

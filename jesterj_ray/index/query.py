@@ -38,6 +38,7 @@ from ..tokenize.tokenizer import TOKENIZERS
 from .bm25 import B, K1, dedup_keep_order, idf
 from .build import DOC_BITS
 from .codec import BLOCK_SIZE, varbyte_decode
+from .epoch import IndexChangedError, check_pinned, read_epoch
 
 
 class IndexReader:
@@ -49,8 +50,14 @@ class IndexReader:
         entirely)."""
         self.dir = index_dir
         self._pid_filter = pid_filter
+        # epoch pin (epoch.py): every file this reader opens — now or
+        # lazily — must belong to this point-in-time file set; files
+        # published after this moment are invisible, replaced files raise
+        # IndexChangedError (verify-AFTER-read everywhere below)
+        self._epoch = read_epoch(index_dir)
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
+        check_pinned(index_dir, self._epoch, "stats.json")
         self.n_docs = self.stats["n_docs"]
         self.avgdl = self.stats["avgdl"]
         self.num_shards = self.stats["num_shards"]
@@ -68,11 +75,17 @@ class IndexReader:
         self._dl: Dict[int, np.ndarray] = {}
         self._doc_key: Dict[int, pa.Array] = {}
         docs_dir = os.path.join(index_dir, "docs")
-        for name in sorted(os.listdir(docs_dir)):
-            if not name.endswith(".parquet"):
-                continue
+        if self._epoch is not None:
+            doc_names = [r.split("/", 1)[1] for r in
+                         sorted(self._epoch["files"])
+                         if r.startswith("docs/")]
+        else:
+            doc_names = [n for n in sorted(os.listdir(docs_dir))
+                         if n.endswith(".parquet")]
+        for name in doc_names:
             t = pq.read_table(os.path.join(docs_dir, name),
                               columns=["doc_id", "dl", "doc_key"])
+            check_pinned(index_dir, self._epoch, f"docs/{name}")
             if t.num_rows == 0:
                 continue
             pid = int(t["doc_id"][0].as_py()) >> DOC_BITS
@@ -100,10 +113,13 @@ class IndexReader:
         # a re-build compacts them (standard segment-tombstone semantics)
         self._tombstone = np.zeros(self.n_dense, dtype=bool)
         tomb_path = os.path.join(index_dir, "tombstones.json")
-        if os.path.exists(tomb_path):
+        tomb_visible = ("tombstones.json" in self._epoch["files"]) \
+            if self._epoch is not None else os.path.exists(tomb_path)
+        if tomb_visible:
             with open(tomb_path) as f:
                 dead_ids = np.array(json.load(f).get("doc_ids", []),
                                     dtype=np.int64)
+            check_pinned(index_dir, self._epoch, "tombstones.json")
             if dead_ids.size:
                 if self._pid_filter is not None:
                     dead_ids = dead_ids[[self._pid_filter(int(d) >> DOC_BITS)
@@ -159,7 +175,14 @@ class IndexReader:
             seg_dir = os.path.join(self.dir, "segments")
             base = f"shard-{shard:04d}"
             paths = []
-            if os.path.isdir(seg_dir):
+            if self._epoch is not None:
+                listed = sorted(self._epoch["files"])
+                if f"segments/{base}.parquet" in self._epoch["files"]:
+                    paths.append(os.path.join(seg_dir, base + ".parquet"))
+                paths += [os.path.join(self.dir, r) for r in listed
+                          if r.startswith(f"segments/{base}-gen-") and
+                          r.endswith(".parquet")]
+            elif os.path.isdir(seg_dir):
                 if os.path.exists(os.path.join(seg_dir, base + ".parquet")):
                     paths.append(os.path.join(seg_dir, base + ".parquet"))
                 paths += sorted(
@@ -168,11 +191,18 @@ class IndexReader:
                     n.endswith(".parquet"))
             states = []
             for path in paths:
-                pf = pq.ParquetFile(path)
+                try:
+                    pf = pq.ParquetFile(path)
+                except FileNotFoundError:
+                    raise IndexChangedError(
+                        f"{path} pinned by epoch was removed — reopen "
+                        f"the reader") from None
                 names = pf.schema_arrow.names
                 light_cols = [c for c in ("term", "chunk", "df", "cf",
                                           "count") if c in names]
                 light = pf.read(columns=light_cols)
+                check_pinned(self.dir, self._epoch,
+                             os.path.relpath(path, self.dir))
                 nrg = pf.metadata.num_row_groups
                 rg_starts = np.concatenate([[0], np.cumsum(
                     [pf.metadata.row_group(i).num_rows
@@ -671,6 +701,8 @@ def delete_docs(index_dir: str, doc_keys) -> int:
             existing = json.load(f).get("doc_ids", [])
     merged = sorted(set(existing) | set(dead))
     atomic_write_bytes(tomb_path, json.dumps({"doc_ids": merged}).encode())
+    from .epoch import publish_epoch
+    publish_epoch(index_dir)
     return len(dead)
 
 

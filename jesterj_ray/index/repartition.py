@@ -280,5 +280,9 @@ def repartition_for_serving(index_dir: str, out_root: str, *,
 
     tasks.map_batches(split, batch_format="pandas",
                       batch_size=1).materialize()
-    return [os.path.join(out_root, f"slice-{s:03d}")
-            for s in range(n_slices)]
+    from .epoch import publish_epoch
+    slices = [os.path.join(out_root, f"slice-{s:03d}")
+              for s in range(n_slices)]
+    for sdir in slices:
+        publish_epoch(sdir)
+    return slices

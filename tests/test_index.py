@@ -162,6 +162,8 @@ def test_chunked_hot_term_merge(small_corpus, tmp_path):
         os.unlink(os.path.join(b, "manifest", "merge", f))
 
     merge_runs(b, 4, chunk_target=50)
+    from jesterj_ray.index.epoch import publish_epoch
+    publish_epoch(b)  # manual re-merge = a writer cycle: publish last
 
     ra, rb = IndexReader(a), IndexReader(b)
     # 'import' is hot: must be chunked in b
@@ -306,6 +308,8 @@ def test_streaming_merge_bounded_memory(small_corpus, tmp_path):
     _sh.rmtree(os.path.join(b, "segments"))
     _sh.rmtree(os.path.join(b, "manifest", "merge"))
     merge_runs(b, 4, flush_terms=1, read_batch=2, round_rows=1)
+    from jesterj_ray.index.epoch import publish_epoch
+    publish_epoch(b)  # manual re-merge = a writer cycle: publish last
     for s in range(4):
         ta = pq.read_table(os.path.join(a, "segments", f"shard-{s:04d}.parquet"))
         tb = pq.read_table(os.path.join(b, "segments", f"shard-{s:04d}.parquet"))

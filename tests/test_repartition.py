@@ -141,6 +141,8 @@ def test_repartition_chunked_hot_terms_keep_global_df(small_corpus,
         os.unlink(os.path.join(out, "manifest", "merge", f))
 
     merge_runs(out, 4, chunk_target=50)
+    from jesterj_ray.index.epoch import publish_epoch
+    publish_epoch(out)  # manual re-merge = a writer cycle: publish last
     g = IndexReader(out)
     assert len(g.term_entry("import")["chunks"]) > 1  # chunked for real
     slice_dirs = repartition_for_serving(out, str(tmp_path / "sl"),
