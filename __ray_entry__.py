@@ -921,9 +921,49 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
                                                       '[a-z0-9]+'),
                                    ' ') AS tokens_joined
             FROM documents""",
-        # lang_id / fingerprint / minhash_lsh_pairs /
+        # LangId (stages/textstats.py): per-language marker-word ratio,
+        # zh by CJK-char ratio, first-max-wins over the fixed LANGS
+        # order (python replaces best only on strict >, so ties keep
+        # the earlier language — the CASE below encodes exactly that).
+        # Both sides compute int/int -> IEEE double, so equality in the
+        # tie comparisons is exact.
+        "lang_id": """
+            WITH s AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     list_filter(string_split_regex(coalesce(text, ''),
+                                                    '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), sc AS (
+              SELECT doc_id,
+                CAST(len(list_filter(w, x -> lower(x) IN
+                  ('the','and','of','to','a','in','is','that','for','it')))
+                  AS DOUBLE) / greatest(1, len(w)) AS s_en,
+                CAST(len(list_filter(w, x -> lower(x) IN
+                  ('le','la','les','et','de','un','une','est','pour','que')))
+                  AS DOUBLE) / greatest(1, len(w)) AS s_fr,
+                CAST(len(list_filter(w, x -> lower(x) IN
+                  ('el','la','los','y','de','un','una','es','para','que')))
+                  AS DOUBLE) / greatest(1, len(w)) AS s_es,
+                CAST(len(list_filter(w, x -> lower(x) IN
+                  ('der','die','das','und','ein','eine','ist','für','nicht')))
+                  AS DOUBLE) / greatest(1, len(w)) AS s_de,
+                CAST(length(regexp_replace(t, '[^一-鿿]', '', 'g'))
+                  AS DOUBLE) / greatest(1, length(t)) AS s_zh
+              FROM s
+            )
+            SELECT doc_id,
+              CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de
+                        AND s_en >= s_zh THEN 'en'
+                   WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh
+                        THEN 'fr'
+                   WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+                   WHEN s_de >= s_zh THEN 'de'
+                   ELSE 'zh' END AS lang_pred
+            FROM sc""",
+        # fingerprint / minhash_lsh_pairs /
         # minhash_dedup_drops / simhash_pairs / knn_lsh_top10 /
         # lsh_embedding_near_dup: no faithful ANSI-SQL equivalent
-        # (heuristic models, signature hashing, approximate search)
+        # (blake2b signature hashing, approximate search)
         # -> rows-only checks, each pinned by in-repo property tests.
     }
