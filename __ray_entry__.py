@@ -925,13 +925,16 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
         # zh by CJK-char ratio, first-max-wins over the fixed LANGS
         # order (python replaces best only on strict >, so ties keep
         # the earlier language — the CASE below encodes exactly that).
+        # Tokenization is FROZEN to the ASCII class [\t\n\v\f\r ]+ on
+        # both sides (engine _WS_SPLIT == this RE2 class): unicode
+        # whitespace stays inside tokens everywhere.
         # Both sides compute int/int -> IEEE double, so equality in the
         # tie comparisons is exact.
         "lang_id": """
             WITH s AS (
               SELECT doc_id, coalesce(text, '') AS t,
                      list_filter(string_split_regex(coalesce(text, ''),
-                                                    '\\s+'),
+                                                    '[\\t\\n\\v\\f\\r ]+'),
                                  x -> x <> '') AS w
               FROM documents
             ), sc AS (

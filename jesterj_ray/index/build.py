@@ -58,6 +58,7 @@ from ..state.manifest import (Manifest, MAX_ATTEMPTS, STATUS_DEAD,
                               STATUS_INDEXED, atomic_write_bytes,
                               atomic_write_table)
 from ..tokenize.tokenizer import TOKENIZERS
+from .epoch import publish_epoch
 
 DOC_BITS = 32  # doc_id = pid << DOC_BITS | local_rank
 
@@ -444,6 +445,17 @@ def _concat_groups_list(arr: pa.Array, gb: np.ndarray) -> pa.Array:
         pa.array(np.ascontiguousarray(off32[gb]), pa.int32()), arr.values)
 
 
+def _flat_list_col(c: pa.Array):
+    """Flatten a list column to (values, per-row lengths, row offsets
+    LO[i..i+1] = slice of row i in values)."""
+    V = np.asarray(c.flatten())
+    m = np.asarray(pc.list_value_length(c), dtype=np.int64)
+    LO = np.empty(m.size + 1, np.int64)
+    LO[0] = 0
+    np.cumsum(m, out=LO[1:])
+    return V, m, LO
+
+
 def _shifted_off_lists(V: np.ndarray, LO: np.ndarray, m: np.ndarray,
                        starts: np.ndarray, sizes: np.ndarray,
                        shift: np.ndarray) -> pa.Array:
@@ -558,29 +570,15 @@ def _stitch_groups_vec(ts: pa.Table, sizes: np.ndarray, schema: pa.Schema,
          pa.py_buffer(outb)])
     # --- group sums: df = count = sum(block_counts), cf = sum(cf)
     bc_col = col("block_counts")
-    bcV = np.asarray(bc_col.flatten())
-    mbc = np.asarray(pc.list_value_length(bc_col), dtype=np.int64)
-    LObc = np.empty(nrows + 1, np.int64)
-    LObc[0] = 0
-    np.cumsum(mbc, out=LObc[1:])
+    bcV, _, LObc = _flat_list_col(bc_col)
     total_g = np.add.reduceat(bcV, LObc[starts])
     cf_g = np.add.reduceat(np.asarray(col("cf")), starts)
     # --- block offset lists
     shift = np.zeros(nrows, np.int64)
     shift[nf] = nd_len - fl
-    do_col = col("block_doc_off")
-    Vd = np.asarray(do_col.flatten())
-    md = np.asarray(pc.list_value_length(do_col), dtype=np.int64)
-    LOd = np.empty(nrows + 1, np.int64)
-    LOd[0] = 0
-    np.cumsum(md, out=LOd[1:])
+    Vd, md, LOd = _flat_list_col(col("block_doc_off"))
     bdo = _shifted_off_lists(Vd, LOd, md, starts, sizes, shift)
-    to_col = col("block_tf_off")
-    Vt = np.asarray(to_col.flatten())
-    mt = np.asarray(pc.list_value_length(to_col), dtype=np.int64)
-    LOt = np.empty(nrows + 1, np.int64)
-    LOt[0] = 0
-    np.cumsum(mt, out=LOt[1:])
+    Vt, mt, LOt = _flat_list_col(col("block_tf_off"))
     bto = _shifted_off_lists(Vt, LOt, mt, starts, sizes,
                              np.zeros(nrows, np.int64))
     cols = {"term": pc.take(col("term"), pa.array(starts)),
@@ -1197,7 +1195,6 @@ def build_index(ds: "ray.data.Dataset", out_dir: str, *,
                                        if r["status"] == STATUS_DEAD)}
     atomic_write_bytes(os.path.join(out_dir, "stats.json"),
                        json.dumps(stats).encode())
-    from .epoch import publish_epoch
     publish_epoch(out_dir)
     stats["metrics"] = mdf.to_dict("records")
     return stats

@@ -44,6 +44,7 @@ from ..state.manifest import (Manifest, MAX_ATTEMPTS, STATUS_DEAD,
                               STATUS_RESTART, STATUS_SEARCHABLE,
                               atomic_write_bytes)
 from ..tokenize.tokenizer import TOKENIZERS
+from .epoch import publish_epoch
 from .build import DOC_BITS, _index_partition_tables, merge_runs
 
 
@@ -526,7 +527,6 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
                                        if r["status"] == STATUS_DEAD)}
     atomic_write_bytes(os.path.join(out_dir, "stats.json"),
                        _json.dumps(stats).encode())
-    from .epoch import publish_epoch
     publish_epoch(out_dir)
     # alive docs = every indexed row minus the CUMULATIVE tombstone set
     all_tombs: List[int] = []
@@ -652,6 +652,5 @@ def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
                                        if r["status"] == STATUS_DEAD)}
     atomic_write_bytes(os.path.join(out_dir, "stats.json"),
                        json.dumps(stats).encode())
-    from .epoch import publish_epoch
     publish_epoch(out_dir)
     return stats

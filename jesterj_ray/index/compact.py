@@ -42,6 +42,7 @@ from ..state.manifest import (Manifest, STATUS_DROPPED, STATUS_INDEXED,
                               atomic_write_bytes, atomic_write_table)
 from .build import DELTA_PID_BASE, DOC_BITS, merge_runs
 from .codec import BLOCK_SIZE, varbyte_decode, varbyte_encode, varbyte_lengths
+from .epoch import publish_epoch
 
 
 def _encode_run_row(term, pid, docs, tfs, pos, positions: bool) -> Dict:
@@ -305,7 +306,6 @@ def compact_index(index_dir: str) -> Dict:
                       "avgdl": (dl_sum / n_docs) if n_docs else 0.0,
                       "num_partitions": len(recs)})
     atomic_write_bytes(stats_path, json.dumps(new_stats).encode())
-    from .epoch import publish_epoch
     publish_epoch(index_dir)
     return {"compacted_partitions": len(by_pid) - dropped,
             "dropped_partitions": dropped, "n_docs": int(n_docs)}

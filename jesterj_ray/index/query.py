@@ -38,7 +38,8 @@ from ..tokenize.tokenizer import TOKENIZERS
 from .bm25 import B, K1, dedup_keep_order, idf
 from .build import DOC_BITS
 from .codec import BLOCK_SIZE, varbyte_decode
-from .epoch import IndexChangedError, check_pinned, read_epoch
+from .epoch import (IndexChangedError, check_pinned, publish_epoch,
+                    read_epoch)
 
 
 class IndexReader:
@@ -83,8 +84,15 @@ class IndexReader:
             doc_names = [n for n in sorted(os.listdir(docs_dir))
                          if n.endswith(".parquet")]
         for name in doc_names:
-            t = pq.read_table(os.path.join(docs_dir, name),
-                              columns=["doc_id", "dl", "doc_key"])
+            try:
+                t = pq.read_table(os.path.join(docs_dir, name),
+                                  columns=["doc_id", "dl", "doc_key"])
+            except FileNotFoundError:
+                if self._epoch is not None:
+                    raise IndexChangedError(
+                        f"docs/{name} pinned by epoch was removed "
+                        f"(concurrent compaction?) — reopen") from None
+                raise
             check_pinned(index_dir, self._epoch, f"docs/{name}")
             if t.num_rows == 0:
                 continue
@@ -116,9 +124,16 @@ class IndexReader:
         tomb_visible = ("tombstones.json" in self._epoch["files"]) \
             if self._epoch is not None else os.path.exists(tomb_path)
         if tomb_visible:
-            with open(tomb_path) as f:
-                dead_ids = np.array(json.load(f).get("doc_ids", []),
-                                    dtype=np.int64)
+            try:
+                with open(tomb_path) as f:
+                    dead_ids = np.array(json.load(f).get("doc_ids", []),
+                                        dtype=np.int64)
+            except FileNotFoundError:
+                if self._epoch is not None:
+                    raise IndexChangedError(
+                        "tombstones.json pinned by epoch was removed "
+                        "(concurrent compaction?) — reopen") from None
+                raise
             check_pinned(index_dir, self._epoch, "tombstones.json")
             if dead_ids.size:
                 if self._pid_filter is not None:
@@ -215,6 +230,7 @@ class IndexReader:
                 states.append({
                     "term_col": light["term"].combine_chunks(),
                     "light": light, "pf": pf,
+                    "relpath": os.path.relpath(path, self.dir),
                     "rg_starts": rg_starts, "names": names,
                     "rg_cache": OrderedDict()})
             self._shard_cache[shard] = states or None
@@ -250,6 +266,13 @@ class IndexReader:
         t = cache.get(rg)
         if t is None:
             t = state["pf"].read_row_group(rg)
+            # re-verify the pin on every COLD fetch: on storage where the
+            # open handle pins nothing (NFS/object store — epoch.py's
+            # portability claim) a replaced file would otherwise serve new
+            # bytes against the old term index silently.  stat-after-read:
+            # an unchanged fingerprint proves the bytes just read were the
+            # pinned version.  ~1 stat per row-group read — noise.
+            check_pinned(self.dir, self._epoch, state["relpath"])
             cache[rg] = t
             if len(cache) > self._RG_CACHE_MAX:
                 cache.popitem(last=False)
@@ -701,7 +724,6 @@ def delete_docs(index_dir: str, doc_keys) -> int:
             existing = json.load(f).get("doc_ids", [])
     merged = sorted(set(existing) | set(dead))
     atomic_write_bytes(tomb_path, json.dumps({"doc_ids": merged}).encode())
-    from .epoch import publish_epoch
     publish_epoch(index_dir)
     return len(dead)
 

@@ -36,6 +36,7 @@ import ray.data
 from ..state.manifest import atomic_write_bytes
 from .build import DOC_BITS, SEG_ROW_GROUP_ROWS, _segment_schema
 from .codec import BLOCK_SIZE, varbyte_decode, varbyte_encode, varbyte_lengths
+from .epoch import publish_epoch
 
 
 def _encode_rows(term, chunk, df, cf, docs, tfs, pos_deltas, has_pos):
@@ -280,7 +281,6 @@ def repartition_for_serving(index_dir: str, out_root: str, *,
 
     tasks.map_batches(split, batch_format="pandas",
                       batch_size=1).materialize()
-    from .epoch import publish_epoch
     slices = [os.path.join(out_root, f"slice-{s:03d}")
               for s in range(n_slices)]
     for sdir in slices:

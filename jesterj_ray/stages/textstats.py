@@ -31,6 +31,11 @@ _LANG_MARKERS = {
 _CJK_RE = re.compile(r"[一-鿿]")
 _PUNCT_RE = re.compile(r"[^\w\s]")
 _EN_STOP = _LANG_MARKERS["en"]
+# frozen ASCII-whitespace tokenizer split for LangId: the SQL oracle uses
+# RE2 '[\t\n\v\f\r ]+' (ASCII-only), so the engine must NOT split on
+# unicode whitespace (\xa0,  .. — python str.split() would) or the
+# two sides diverge on web-ish text
+_WS_SPLIT = re.compile(r"[\t\n\v\f\r ]+")
 
 
 def token_count(batch: pa.Table, *, field: str,
@@ -61,7 +66,7 @@ class LangId:
         scores: List[float] = []
         for t in texts:
             t = t or ""
-            toks = t.split()
+            toks = [w for w in _WS_SPLIT.split(t) if w]
             n = max(1, len(toks))
             cjk = len(_CJK_RE.findall(t))
             best_lang, best = "en", -1.0

@@ -130,6 +130,8 @@ def test_merge_refires_on_same_size_rewrite(small_corpus, tmp_path):
     f = os.path.join(run, sorted(os.listdir(run))[0])
     os.utime(f, ns=(os.stat(f).st_atime_ns, os.stat(f).st_mtime_ns + 10**9))
     merge_runs(out, 4)
+    from jesterj_ray.index.epoch import publish_epoch
+    publish_epoch(out)  # manual re-merge = a writer cycle: publish last
     assert os.stat(seg).st_mtime_ns != before  # shard re-merged
 
 

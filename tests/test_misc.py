@@ -176,3 +176,29 @@ def test_route_dropped_bookkeeping(tmp_path):
                         .astype(int))
     assert en_dropped == [2, 4]       # fr + de never reach en_only
     assert fr_dropped == [1, 3, 4]
+
+
+def test_lang_id_oracle_agrees_on_unicode_whitespace():
+    """The lang_id SQL oracle and LangId must agree even on text with
+    unicode/odd whitespace: tokenization is FROZEN to the ASCII class
+    [\\t\\n\\v\\f\\r ]+ on both sides, so \\xa0 and friends stay inside
+    tokens everywhere (code-review finding: str.split() diverged)."""
+    import duckdb
+    import __ray_entry__ as entry
+    texts = [
+        "le\xa0la et de un est pour que",      # NBSP inside tokens
+        "el los y de un　una es",     # em-space / ideographic
+        "the\x0bcat and\fthe dog",             # \v \f ARE splitters
+        "der die das\x1cund ein",              # file separator: not split
+        "plain the and of to a text",
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    from jesterj_ray.stages.textstats import LangId
+    got = LangId(text_field="text")(t)["lang_pred"].to_pylist()
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = entry.oracle_sql()["lang_id"]
+    want = dict(con.sql(sql).fetchall())
+    assert got == [want[i] for i in range(len(texts))]
