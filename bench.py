@@ -236,6 +236,11 @@ def run_bench() -> dict:
             for q in DOC_QUERIES:
                 svc.topk(q["query"], q["k"])
         timings["bm25_sharded_100q"] = time.time() - t0
+        # throughput path: one RPC per actor for the whole batch
+        batch = [(q["query"], q["k"]) for q in DOC_QUERIES] * 20
+        t0 = time.time()
+        svc.topk_many(batch)
+        timings["bm25_sharded_100q_batch"] = time.time() - t0
     finally:
         svc.shutdown()
 

@@ -84,6 +84,10 @@ class ShardedQueryActor:
     def topk(self, query: str, k: int) -> List[Tuple[int, float]]:
         return self.reader.topk(query, k)
 
+    def topk_batch(self, queries: List[Tuple[str, int]]
+                   ) -> List[List[Tuple[int, float]]]:
+        return [self.reader.topk(q, k) for q, k in queries]
+
 
 @ray.remote
 class SliceQueryActor:
@@ -99,6 +103,10 @@ class SliceQueryActor:
 
     def topk(self, query: str, k: int) -> List[Tuple[int, float]]:
         return self.reader.topk_pruned(query, k)
+
+    def topk_batch(self, queries: List[Tuple[str, int]]
+                   ) -> List[List[Tuple[int, float]]]:
+        return [self.reader.topk_pruned(q, k) for q, k in queries]
 
     def phrase_topk(self, query: str, k: int) -> List[Tuple[int, float]]:
         return self.reader.phrase_topk(query, k)
@@ -126,6 +134,23 @@ class ShardedQueryService:
         merged = heapq.merge(*[iter(p) for p in partials],
                              key=lambda h: (-h[1], h[0]))
         return list(merged)[:k]
+
+    def topk_many(self, queries: List[Tuple[str, int]]
+                  ) -> List[List[Tuple[int, float]]]:
+        """Throughput path: ONE RPC per actor for the whole query batch
+        (vs one fan-out round trip per query in :meth:`topk`) — all
+        actors score the full batch concurrently, the driver merges each
+        query's k-lists.  This is how a real client drives sharded
+        serving; sequential topk() measures LATENCY, this measures
+        THROUGHPUT."""
+        per_actor = ray.get([a.topk_batch.remote(queries)
+                             for a in self.actors])
+        out = []
+        for qi, (_, k) in enumerate(queries):
+            merged = heapq.merge(*[iter(p[qi]) for p in per_actor],
+                                 key=lambda h: (-h[1], h[0]))
+            out.append(list(merged)[:k])
+        return out
 
     def phrase_topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
         if not self._phrase_ok:

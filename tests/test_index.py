@@ -238,6 +238,11 @@ def test_sharded_serving_rank_identical(built):
             assert [x[0] for x in a] == [x[0] for x in b], q
             for (d1, s1), (d2, s2) in zip(a, b):
                 assert s1 == pytest.approx(s2, abs=1e-12)
+        # throughput path: one RPC per actor for the whole batch — must
+        # return exactly what per-query topk() returns, in order
+        batch = [(q["query"], q["k"]) for q in REFERENCE_QUERIES]
+        many = svc.topk_many(batch)
+        assert many == [svc.topk(q, k) for q, k in batch]
     finally:
         svc.shutdown()
 

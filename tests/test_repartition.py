@@ -72,6 +72,9 @@ def test_slice_service_end_to_end(split_index):
             assert [x[0] for x in want] == [x[0] for x in got], q
         assert [x[0] for x in svc.phrase_topk("import config", 5)] == \
             [x[0] for x in g.phrase_topk("import config", 5)]
+        batch = [(q["query"], q["k"]) for q in REFERENCE_QUERIES]
+        many = svc.topk_many(batch)  # batched == per-query, exactly
+        assert many == [svc.topk(q, k) for q, k in batch]
     finally:
         svc.shutdown()
 
