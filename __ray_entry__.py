@@ -6,7 +6,7 @@ here (or in jesterj_ray) calls ray.init()/ray.shutdown().
 Every entry in ``queries()`` is an implemented operator/pipeline from
 SURVEY.md §2 (JesterJ processor analogs, the inverted-index/BM25/phrase
 flagship, plus the training-data operators: dedup, ANN, text analysis) —
-46 entries, 36 with DuckDB oracles.  Column names match the paired
+48 entries, 41 with DuckDB oracles.  Column names match the paired
 ``oracle_sql()`` exactly; float columns are rounded identically on both
 sides.  Rows-only entries (no faithful ANSI-SQL analog) are each pinned
 by in-repo property/golden tests instead (see tests/test_dedup.py,
@@ -209,6 +209,11 @@ def _bm25_topk(sf_dir: str):
 def _bm25_topk_exhaustive(sf_dir: str):
     from jesterj_ray.pipelines.flagship import bm25_topk_documents
     return bm25_topk_documents(sf_dir, pruned=False)
+
+
+def _bm25_and_topk(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import bm25_and_topk_documents
+    return bm25_and_topk_documents(sf_dir)
 
 
 def _phrase_topk(sf_dir: str):
@@ -570,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_postings_merge": _term_postings,
         "bm25_topk": _bm25_topk,
         "bm25_topk_exhaustive": _bm25_topk_exhaustive,
+        "bm25_and_topk": _bm25_and_topk,
         "phrase_topk": _phrase_topk,
         "minhash_lsh_pairs": _minhash_pairs,
         "minhash_dedup_drops": _minhash_dedup_drops,
@@ -598,12 +604,19 @@ _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 _BM25_QUERIES_SQL = ("(VALUES (1,'merge'),(1,'sort'),(2,'customer'),"
                      "(3,'window'),(3,'filter'),(3,'stream'),(4,'zzzabsent'),"
-                     "(5,'hash'),(5,'join'))")
+                     "(5,'hash'),(5,'join'),(6,'dup'),(6,'stream'))")
 
-_BM25_KS_SQL = "(VALUES (1,10),(2,10),(3,10),(4,10),(5,5))"
+_BM25_KS_SQL = "(VALUES (1,10),(2,10),(3,10),(4,10),(5,5),(6,10))"
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(conjunctive: bool = False) -> str:
+    # conjunctive: a doc scores only when it matched EVERY distinct query
+    # term (qterms rows are distinct per qid); a term absent from the
+    # corpus never appears in tf, so its query yields no rows — exactly
+    # IndexReader.topk_and's semantics
+    having = ("HAVING count(DISTINCT tf.term) = "
+              "(SELECT count(*) FROM qterms q2 WHERE q2.qid = tf.qid)"
+              ) if conjunctive else ""
     return f"""
 WITH qterms(qid, term) AS {_BM25_QUERIES_SQL},
 qk(qid, k) AS {_BM25_KS_SQL},
@@ -633,6 +646,7 @@ scores AS (
   FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats s
   GROUP BY tf.qid, tf.doc_id
+  {having}
 ),
 ranked AS (
   SELECT qid, doc_id, score,
@@ -764,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
             WHERE term = 'merge' GROUP BY doc_id ORDER BY doc_id""",
         "bm25_topk": _bm25_sql(),
+        "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25_topk_exhaustive": _bm25_sql(),
         "phrase_topk": f"""
 WITH dl AS (

@@ -560,6 +560,44 @@ class IndexReader:
         seen[touched] = 0
         return self._topk_from_dense(scores, touched, k)
 
+    def topk_and(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+        """CONJUNCTIVE BM25: only docs containing ALL distinct query terms
+        score (a term absent from the corpus makes the result empty).
+        Scores/idf identical to :meth:`topk` on the surviving docs; same
+        tie-break.  The seen-buffer doubles as a per-doc term-hit COUNTER
+        (uint8 — queries capped at 255 distinct terms)."""
+        terms = dedup_keep_order(self.tokenizer(query))
+        if not terms:
+            return []
+        if len(terms) > 255:
+            raise ValueError("conjunctive query exceeds 255 distinct terms")
+        scores = self._scores_buf
+        seen = self._seen_buf
+        touched_parts: List[np.ndarray] = []
+
+        def _cleanup():
+            for p in touched_parts:
+                scores[p] = 0.0
+                seen[p] = 0
+
+        for t in terms:
+            docs, tfs = self.postings(t)
+            if docs.size == 0:
+                _cleanup()
+                return []
+            e = self.term_entry(t)
+            dense = self.dense_of(docs)
+            scores[dense] += self._term_contrib_dense(
+                dense, tfs, self._df_alive(e, dense))
+            touched_parts.append(dense[seen[dense] == 0])
+            seen[dense] += 1
+        touched = np.concatenate(touched_parts)
+        conj = touched[seen[touched] == len(terms)]
+        seen[touched] = 0
+        out = self._topk_from_dense(scores, conj, k) if conj.size else []
+        scores[touched] = 0.0  # clear the non-conjunctive remainder too
+        return out
+
     def _df_alive(self, e: dict, dense: np.ndarray) -> int:
         """df over alive docs in exact-stats mode (dense = the term's full
         decoded posting positions); as-built df otherwise."""
@@ -737,13 +775,18 @@ class QueryActor:
     Output: qid, rank, doc_id (internal), doc_key, score.
     """
 
-    def __init__(self, index_dir: str, pruned: bool = True):
+    def __init__(self, index_dir: str, pruned: bool = True,
+                 mode: str = "or"):
         self.reader = IndexReader(index_dir)
         self.pruned = pruned
+        self.mode = mode  # "or" (disjunctive) | "and" (conjunctive)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {"qid": [], "rank": [], "doc_id": [], "doc_key": [], "score": []}
-        fn = self.reader.topk_pruned if self.pruned else self.reader.topk
+        if self.mode == "and":
+            fn = self.reader.topk_and
+        else:
+            fn = self.reader.topk_pruned if self.pruned else self.reader.topk
         for qid, query, k in zip(batch["qid"], batch["query"], batch["k"]):
             hits = fn(query, int(k))
             ids = np.array([h[0] for h in hits], dtype=np.int64)

@@ -37,6 +37,13 @@ DOC_QUERIES = [
     {"qid": 3, "query": "window filter stream", "k": 10},
     {"qid": 4, "query": "zzzabsent", "k": 10},
     {"qid": 5, "query": "hash join", "k": 5},
+    # 'dup' is RARE (~5% of docs): AND top-k genuinely differs from OR
+    # here (OR admits dup-only docs; AND keeps only dup AND stream), so
+    # the conjunctive oracle is discriminating, not vacuously equal.
+    # 'stream' (not 'merge' etc.) because the other pairings produce
+    # 6dp-rounding ties in the top-k whose sub-1e-6 ordering flips
+    # between the engine's and DuckDB's float summation order.
+    {"qid": 6, "query": "dup stream", "k": 10},
 ]
 
 
@@ -87,6 +94,34 @@ def bm25_topk_documents(sf_dir: str, queries: Optional[List[dict]] = None,
     }))
     hits = qds.map_batches(QueryActor, fn_constructor_kwargs={
         "index_dir": idx, "pruned": pruned},
+        batch_format="pandas", concurrency=2).to_pandas()
+    if hits.empty:
+        return pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    hits["doc_id"] = hits["doc_key"].astype(np.int64)
+    hits["score"] = hits["score"].round(6)
+    hits["rank"] = hits["rank"].astype(np.int64)
+    return hits[["qid", "rank", "doc_id", "score"]] \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+def bm25_and_topk_documents(sf_dir: str,
+                            queries: Optional[List[dict]] = None
+                            ) -> pd.DataFrame:
+    """CONJUNCTIVE top-k BM25 (all distinct query terms must match;
+    IndexReader.topk_and).  Same output columns as bm25_topk_documents;
+    qid 4's absent term makes that query empty by definition."""
+    idx = documents_index(sf_dir)
+    qs = queries or DOC_QUERIES
+    qds = rd.from_arrow(pa.table({
+        "qid": pa.array([q["qid"] for q in qs], pa.int64()),
+        "query": pa.array([q["query"] for q in qs], pa.string()),
+        "k": pa.array([q["k"] for q in qs], pa.int64()),
+    }))
+    hits = qds.map_batches(QueryActor, fn_constructor_kwargs={
+        "index_dir": idx, "mode": "and"},
         batch_format="pandas", concurrency=2).to_pandas()
     if hits.empty:
         return pd.DataFrame({"qid": pd.Series([], dtype=np.int64),

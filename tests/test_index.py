@@ -325,3 +325,27 @@ def test_streaming_merge_bounded_memory(small_corpus, tmp_path):
         assert ra.topk(q["query"], q["k"]) == rb.topk(q["query"], q["k"])
     # phrase path exercises pos blobs through the streamed merge
     assert ra.phrase_topk("import config", 5) == rb.phrase_topk("import config", 5)
+
+
+def test_topk_and_matches_brute_force(built, oracle):
+    """Conjunctive BM25 (topk_and): only docs containing ALL distinct
+    query terms, scored identically to the disjunctive engine, ties
+    ascending docID; an absent term empties the result."""
+    from jesterj_ray.index.bm25 import dedup_keep_order
+    out, _ = built
+    _, bf = oracle
+    r = IndexReader(out)
+    for q in ("import return", "merge sort heap", "import zzzznope",
+              "def"):
+        terms = dedup_keep_order(code_tokenize(q))
+        plists = [set(bf.postings.get(t, {})) for t in terms]
+        conj = set.intersection(*plists) if plists else set()
+        scores = bf.score_all(q)
+        want = sorted(((d, scores[d]) for d in conj),
+                      key=lambda h: (-h[1], h[0]))[:10]
+        got = r.topk_and(q, 10)
+        assert [x[0] for x in got] == [x[0] for x in want], q
+        for (d1, s1), (d2, s2) in zip(got, want):
+            assert s1 == pytest.approx(s2, abs=1e-9)
+    # buffer hygiene: a following disjunctive query is unaffected
+    assert r.topk("import return", 10) == r.topk("import return", 10)
