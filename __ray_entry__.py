@@ -6,7 +6,7 @@ here (or in jesterj_ray) calls ray.init()/ray.shutdown().
 Every entry in ``queries()`` is an implemented operator/pipeline from
 SURVEY.md §2 (JesterJ processor analogs, the inverted-index/BM25/phrase
 flagship, plus the training-data operators: dedup, ANN, text analysis) —
-48 entries, 41 with DuckDB oracles.  Column names match the paired
+49 entries, 42 with DuckDB oracles.  Column names match the paired
 ``oracle_sql()`` exactly; float columns are rounded identically on both
 sides.  Rows-only entries (no faithful ANSI-SQL analog) are each pinned
 by in-repo property/golden tests instead (see tests/test_dedup.py,
@@ -214,6 +214,11 @@ def _bm25_topk_exhaustive(sf_dir: str):
 def _bm25_and_topk(sf_dir: str):
     from jesterj_ray.pipelines.flagship import bm25_and_topk_documents
     return bm25_and_topk_documents(sf_dir)
+
+
+def _facet_counts(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import facet_counts_documents
+    return facet_counts_documents(sf_dir, "dup stream", "lang")
 
 
 def _phrase_topk(sf_dir: str):
@@ -576,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _bm25_topk,
         "bm25_topk_exhaustive": _bm25_topk_exhaustive,
         "bm25_and_topk": _bm25_and_topk,
+        "facet_counts": _facet_counts,
         "phrase_topk": _phrase_topk,
         "minhash_lsh_pairs": _minhash_pairs,
         "minhash_dedup_drops": _minhash_dedup_drops,
@@ -779,6 +785,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE term = 'merge' GROUP BY doc_id ORDER BY doc_id""",
         "bm25_topk": _bm25_sql(),
         "bm25_and_topk": _bm25_sql(conjunctive=True),
+        # facet over the DISJUNCTIVE match set of 'dup stream' (docs
+        # containing either term), counted per lang
+        "facet_counts": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ), matched AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN ('dup', 'stream')
+            )
+            SELECT d.lang, count(*) AS n
+            FROM documents d JOIN matched USING (doc_id)
+            GROUP BY d.lang ORDER BY d.lang""",
         "bm25_topk_exhaustive": _bm25_sql(),
         "phrase_topk": f"""
 WITH dl AS (

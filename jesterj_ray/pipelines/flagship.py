@@ -180,6 +180,48 @@ def term_df_top(sf_dir: str, top_n: int = 20) -> pd.DataFrame:
     return t.reset_index(drop=True)
 
 
+def facet_counts_documents(sf_dir: str, query: str = "dup stream",
+                           field: str = "lang") -> pd.DataFrame:
+    """Facet counts over a query's match set (Solr facet.field analog —
+    the search feature JesterJ's Solr/OpenSearch sink delegates;
+    reference SURVEY.md §2.2): docs matching ANY query term (the
+    disjunctive match set from the INDEX's postings), counted per value
+    of a metadata column.
+
+    Scale shape: the match-set docIDs broadcast once (``ray.put``) and
+    each documents block filters with a vectorized ``is_in`` then
+    collapses to <= |facet values| rows (partial_groupby_sum) — no
+    shuffle; assumes the match-id set fits the object store (true for
+    any query a user would facet; a 100-TB-match facet would instead
+    attach match flags during index scoring)."""
+    import ray
+    import ray.data as rd_
+    from ..index.bm25 import dedup_keep_order
+    from ..pipelines.relational import partial_groupby_sum
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    parts = []
+    for t in dedup_keep_order(reader.tokenizer(query)):
+        docs, _ = reader.postings(t)
+        if docs.size:
+            parts.append(np.array([int(k) for k in reader.doc_keys(docs)],
+                                  dtype=np.int64))
+    if not parts:
+        return pd.DataFrame({field: pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
+    matched_ref = ray.put(pa.array(np.unique(np.concatenate(parts))))
+
+    def keep_matched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(matched_ref)))
+
+    ds = rd_.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", field], override_num_blocks=8)
+    agg = partial_groupby_sum(ds, [field], [], prep=keep_matched)
+    out = agg.to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out[[field, "n"]].sort_values(field).reset_index(drop=True)
+
+
 def term_postings(sf_dir: str, term: str = "merge") -> pd.DataFrame:
     """The decoded posting list of one term: (doc_id, tf) — direct check
     of posting construction, delta+varbyte codec and the run merge."""
