@@ -6,7 +6,7 @@ here (or in jesterj_ray) calls ray.init()/ray.shutdown().
 Every entry in ``queries()`` is an implemented operator/pipeline from
 SURVEY.md §2 (JesterJ processor analogs, the inverted-index/BM25/phrase
 flagship, plus the training-data operators: dedup, ANN, text analysis) —
-49 entries, 42 with DuckDB oracles.  Column names match the paired
+50 entries, 43 with DuckDB oracles.  Column names match the paired
 ``oracle_sql()`` exactly; float columns are rounded identically on both
 sides.  Rows-only entries (no faithful ANSI-SQL analog) are each pinned
 by in-repo property/golden tests instead (see tests/test_dedup.py,
@@ -219,6 +219,11 @@ def _bm25_and_topk(sf_dir: str):
 def _facet_counts(sf_dir: str):
     from jesterj_ray.pipelines.flagship import facet_counts_documents
     return facet_counts_documents(sf_dir, "dup stream", "lang")
+
+
+def _bm25_not_topk(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import bm25_not_topk_documents
+    return bm25_not_topk_documents(sf_dir)
 
 
 def _phrase_topk(sf_dir: str):
@@ -582,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_exhaustive": _bm25_topk_exhaustive,
         "bm25_and_topk": _bm25_and_topk,
         "facet_counts": _facet_counts,
+        "bm25_not_topk": _bm25_not_topk,
         "phrase_topk": _phrase_topk,
         "minhash_lsh_pairs": _minhash_pairs,
         "minhash_dedup_drops": _minhash_dedup_drops,
@@ -785,6 +791,59 @@ def oracle_sql() -> dict[str, str]:
             WHERE term = 'merge' GROUP BY doc_id ORDER BY doc_id""",
         "bm25_topk": _bm25_sql(),
         "bm25_and_topk": _bm25_sql(conjunctive=True),
+        # exclusion (MUST_NOT): disjunctive scores, docs matching any
+        # exclude term removed via NOT EXISTS (topk_excluding analog)
+        "bm25_not_topk": f"""
+WITH qterms(qid, term) AS (VALUES (1,'merge'),(1,'sort'),
+                                  (2,'window'),(2,'filter'),
+                                  (3,'dup'),(3,'stream')),
+xterms(qid, term) AS (VALUES (1,'dup'),(2,'stream'),(2,'hash'),
+                             (3,'zzzabsent')),
+qk(qid, k) AS (VALUES (1,10),(2,10),(3,10)),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT q.qid, q.term, t.doc_id, count(*) AS tf
+  FROM toks t JOIN qterms q USING (term)
+  GROUP BY q.qid, q.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+excluded AS (
+  SELECT DISTINCT x.qid, t.doc_id
+  FROM toks t JOIN xterms x USING (term)
+),
+scores AS (
+  SELECT tf.qid, tf.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.qid, tf.doc_id
+),
+ranked AS (
+  SELECT sc.qid, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.qid
+                            ORDER BY sc.score DESC, sc.doc_id) AS rank
+  FROM scores sc
+  WHERE NOT EXISTS (SELECT 1 FROM excluded e
+                    WHERE e.qid = sc.qid AND e.doc_id = sc.doc_id)
+)
+SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.doc_id,
+       round(r.score, 6) AS score
+FROM ranked r JOIN qk ON r.qid = qk.qid
+WHERE r.rank <= qk.k
+ORDER BY r.qid, r.rank""",
         # facet over the DISJUNCTIVE match set of 'dup stream' (docs
         # containing either term), counted per lang
         "facet_counts": f"""

@@ -534,11 +534,12 @@ class IndexReader:
         scores[touched] = 0.0
         return out
 
-    def topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
-        """Exhaustive term-at-a-time scoring into the dense accumulator.
-        Summation in first-occurrence term order (pinned so ties/precision
-        match the brute-force oracle)."""
-        terms = dedup_keep_order(self.tokenizer(query))
+    def _score_disjunctive(self, terms) -> np.ndarray:
+        """Term-at-a-time disjunctive scoring into the dense accumulator
+        (summation in first-occurrence term order, pinned so
+        ties/precision match the brute-force oracle).  Returns the
+        touched dense positions (unique); caller owns zeroing
+        ``self._scores_buf`` over them."""
         scores = self._scores_buf
         seen = self._seen_buf
         touched_parts: List[np.ndarray] = []
@@ -555,9 +556,44 @@ class IndexReader:
             seen[new] = 1
             touched_parts.append(new)
         if not touched_parts:
-            return []
+            return np.empty(0, dtype=np.int64)
         touched = np.concatenate(touched_parts)  # unique by construction
         seen[touched] = 0
+        return touched
+
+    def topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+        """Exhaustive disjunctive BM25 top-k."""
+        touched = self._score_disjunctive(
+            dedup_keep_order(self.tokenizer(query)))
+        if touched.size == 0:
+            return []
+        return self._topk_from_dense(self._scores_buf, touched, k)
+
+    def topk_excluding(self, query: str, exclude: str,
+                       k: int = 10) -> List[Tuple[int, float]]:
+        """Disjunctive BM25 over ``query`` terms MINUS docs containing
+        any ``exclude`` term (Lucene MUST_NOT / Solr ``-term`` analog).
+        Scores identical to :meth:`topk` on the surviving docs."""
+        touched = self._score_disjunctive(
+            dedup_keep_order(self.tokenizer(query)))
+        if touched.size == 0:
+            return []
+        scores = self._scores_buf
+        ex_parts = []
+        for t in dedup_keep_order(self.tokenizer(exclude)):
+            docs, _ = self.postings(t)
+            if docs.size:
+                ex_parts.append(self.dense_of(docs))
+        if ex_parts:
+            seen = self._seen_buf  # reuse as the exclusion mask
+            ex = np.concatenate(ex_parts)
+            seen[ex] = 1
+            dropped = touched[seen[touched] == 1]
+            touched = touched[seen[touched] == 0]
+            seen[ex] = 0
+            scores[dropped] = 0.0
+        if touched.size == 0:
+            return []
         return self._topk_from_dense(scores, touched, k)
 
     def topk_and(self, query: str, k: int = 10) -> List[Tuple[int, float]]:

@@ -180,6 +180,40 @@ def term_df_top(sf_dir: str, top_n: int = 20) -> pd.DataFrame:
     return t.reset_index(drop=True)
 
 
+# exclusion (MUST_NOT) query set: qid 1 excludes a rare term, qid 2 two
+# hot terms, qid 3 a corpus-absent term (exclusion is a no-op there)
+NOT_QUERIES = [
+    {"qid": 1, "query": "merge sort", "exclude": "dup", "k": 10},
+    {"qid": 2, "query": "window filter", "exclude": "stream hash", "k": 10},
+    {"qid": 3, "query": "dup stream", "exclude": "zzzabsent", "k": 10},
+]
+
+
+def bm25_not_topk_documents(sf_dir: str,
+                            queries: Optional[List[dict]] = None
+                            ) -> pd.DataFrame:
+    """Disjunctive BM25 minus docs matching any exclude term
+    (IndexReader.topk_excluding; Solr ``-term`` analog).  Columns
+    (qid, rank, doc_id, score) match the SQL oracle."""
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    rows = {"qid": [], "rank": [], "doc_id": [], "score": []}
+    for q in (queries or NOT_QUERIES):
+        hits = reader.topk_excluding(q["query"], q["exclude"], q["k"])
+        ids = np.array([h[0] for h in hits], dtype=np.int64)
+        keys = reader.doc_keys(ids)
+        for r, ((_, score), key) in enumerate(zip(hits, keys), 1):
+            rows["qid"].append(q["qid"])
+            rows["rank"].append(r)
+            rows["doc_id"].append(int(key))
+            rows["score"].append(round(score, 6))
+    return pd.DataFrame({
+        "qid": pd.Series(rows["qid"], dtype=np.int64),
+        "rank": pd.Series(rows["rank"], dtype=np.int64),
+        "doc_id": pd.Series(rows["doc_id"], dtype=np.int64),
+        "score": pd.Series(rows["score"], dtype=np.float64)})
+
+
 def facet_counts_documents(sf_dir: str, query: str = "dup stream",
                            field: str = "lang") -> pd.DataFrame:
     """Facet counts over a query's match set (Solr facet.field analog —

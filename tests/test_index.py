@@ -349,3 +349,27 @@ def test_topk_and_matches_brute_force(built, oracle):
             assert s1 == pytest.approx(s2, abs=1e-9)
     # buffer hygiene: a following disjunctive query is unaffected
     assert r.topk("import return", 10) == r.topk("import return", 10)
+
+
+def test_topk_excluding_matches_brute_force(built, oracle):
+    """Exclusion (MUST_NOT): disjunctive scores minus docs matching any
+    exclude term; absent exclude terms are no-ops."""
+    from jesterj_ray.index.bm25 import dedup_keep_order
+    out, _ = built
+    _, bf = oracle
+    r = IndexReader(out)
+    for q, x in (("import return", "merge"), ("merge sort", "zzzznope"),
+                 ("def config", "import return def")):
+        scores = bf.score_all(q)
+        excluded = set()
+        for t in dedup_keep_order(code_tokenize(x)):
+            excluded |= set(bf.postings.get(t, {}))
+        want = sorted(((d, s) for d, s in scores.items()
+                       if d not in excluded),
+                      key=lambda h: (-h[1], h[0]))[:10]
+        got = r.topk_excluding(q, x, 10)
+        assert [h[0] for h in got] == [h[0] for h in want], (q, x)
+        for (d1, s1), (d2, s2) in zip(got, want):
+            assert s1 == pytest.approx(s2, abs=1e-9)
+    # buffer hygiene across modes
+    assert r.topk("import return", 10) == r.topk("import return", 10)
