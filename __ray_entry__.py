@@ -6,7 +6,7 @@ here (or in jesterj_ray) calls ray.init()/ray.shutdown().
 Every entry in ``queries()`` is an implemented operator/pipeline from
 SURVEY.md §2 (JesterJ processor analogs, the inverted-index/BM25/phrase
 flagship, plus the training-data operators: dedup, ANN, text analysis) —
-50 entries, 43 with DuckDB oracles.  Column names match the paired
+51 entries, 44 with DuckDB oracles.  Column names match the paired
 ``oracle_sql()`` exactly; float columns are rounded identically on both
 sides.  Rows-only entries (no faithful ANSI-SQL analog) are each pinned
 by in-repo property/golden tests instead (see tests/test_dedup.py,
@@ -224,6 +224,11 @@ def _facet_counts(sf_dir: str):
 def _bm25_not_topk(sf_dir: str):
     from jesterj_ray.pipelines.flagship import bm25_not_topk_documents
     return bm25_not_topk_documents(sf_dir)
+
+
+def _snippets(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import snippets_documents
+    return snippets_documents(sf_dir, "dup", 2)
 
 
 def _phrase_topk(sf_dir: str):
@@ -588,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_and_topk": _bm25_and_topk,
         "facet_counts": _facet_counts,
         "bm25_not_topk": _bm25_not_topk,
+        "snippets": _snippets,
         "phrase_topk": _phrase_topk,
         "minhash_lsh_pairs": _minhash_pairs,
         "minhash_dedup_drops": _minhash_dedup_drops,
@@ -791,6 +797,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE term = 'merge' GROUP BY doc_id ORDER BY doc_id""",
         "bm25_topk": _bm25_sql(),
         "bm25_and_topk": _bm25_sql(conjunctive=True),
+        # term-in-context snippets: first occurrence of 'dup', +-2 tokens
+        # (list slicing is 1-based inclusive in DuckDB: python
+        # toks[max(0,p-2):p+3] == tl[greatest(1,p1-2):p1+2], p1 = p+1)
+        "snippets": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS tl FROM documents
+            ), m AS (
+              SELECT doc_id, tl, list_position(tl, 'dup') AS p1
+              FROM toks WHERE list_contains(tl, 'dup')
+            )
+            SELECT doc_id, CAST(p1 - 1 AS BIGINT) AS first_pos,
+                   array_to_string(tl[greatest(1, p1 - 2):p1 + 2],
+                                   ' ') AS snippet
+            FROM m ORDER BY doc_id""",
         # exclusion (MUST_NOT): disjunctive scores, docs matching any
         # exclude term removed via NOT EXISTS (topk_excluding analog)
         "bm25_not_topk": f"""

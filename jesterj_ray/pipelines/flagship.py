@@ -180,6 +180,56 @@ def term_df_top(sf_dir: str, top_n: int = 20) -> pd.DataFrame:
     return t.reset_index(drop=True)
 
 
+def snippets_documents(sf_dir: str, term: str = "merge",
+                       width: int = 2) -> pd.DataFrame:
+    """Term-in-context snippets (Solr highlighting analog): for every doc
+    matching ``term``, the window of ``width`` tokens either side of its
+    FIRST occurrence — position from the POSITIONAL INDEX, text window
+    cut from the source table.
+
+    Scale shape: the per-doc first-position table broadcasts once
+    (``ray.put``); each documents block joins it vectorized
+    (``pc.index_in``), tokenizes only MATCHED rows and slices the
+    window — the index supplies positions so no block ever scans for
+    the term itself.  Output: doc_id, first_pos (0-based token index),
+    snippet."""
+    import ray
+    import ray.data as rd_
+    from ..tokenize.tokenizer import simple_tokenize
+    idx = documents_index_pos(sf_dir)
+    reader = IndexReader(idx)
+    docs, tfs, flat, starts = reader.positions(term)
+    if docs.size == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "first_pos": pd.Series([], dtype=np.int64),
+                             "snippet": pd.Series([], dtype=object)})
+    first = flat[starts]
+    ids = np.array([int(k) for k in reader.doc_keys(docs)], dtype=np.int64)
+    pos_ref = ray.put(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                "first_pos": pa.array(first, pa.int64())}))
+
+    def cut(t: pa.Table) -> pa.Table:
+        lk = ray.get(pos_ref)
+        sel = pc.index_in(t["doc_id"], value_set=lk["doc_id"])
+        mask = pc.is_valid(sel)
+        t = t.filter(mask)
+        pos = pc.take(lk["first_pos"], sel.filter(mask)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        snips = []
+        for txt, p in zip(t["text"].to_pylist(), pos):
+            toks = simple_tokenize(txt or "")
+            snips.append(" ".join(toks[max(0, p - width):p + width + 1]))
+        return pa.table({"doc_id": t["doc_id"],
+                         "first_pos": pa.array(pos, pa.int64()),
+                         "snippet": pa.array(snips, pa.string())})
+
+    ds = rd_.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"], override_num_blocks=8)
+    out = ds.map_batches(cut, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # exclusion (MUST_NOT) query set: qid 1 excludes a rare term, qid 2 two
 # hot terms, qid 3 a corpus-absent term (exclusion is a no-op there)
 NOT_QUERIES = [
