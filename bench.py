@@ -192,7 +192,7 @@ def run_bench() -> dict:
     for _ in range(20):
         for q in DOC_QUERIES:
             reader.topk_pruned(q["query"], q["k"])
-    timings["bm25_local_100q"] = time.time() - t0
+    timings["bm25_local_120q"] = time.time() - t0
 
     # per-doc incremental re-index: modify ONE doc of the corpus copy and
     # delta-build — only that doc re-tokenizes (vs the full rebuild above)
@@ -235,12 +235,12 @@ def run_bench() -> dict:
         for _ in range(20):
             for q in DOC_QUERIES:
                 svc.topk(q["query"], q["k"])
-        timings["bm25_sharded_100q"] = time.time() - t0
+        timings["bm25_sharded_120q"] = time.time() - t0
         # throughput path: one RPC per actor for the whole batch
         batch = [(q["query"], q["k"]) for q in DOC_QUERIES] * 20
         t0 = time.time()
         svc.topk_many(batch)
-        timings["bm25_sharded_100q_batch"] = time.time() - t0
+        timings["bm25_sharded_120q_batch"] = time.time() - t0
     finally:
         svc.shutdown()
 

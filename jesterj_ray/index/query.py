@@ -167,6 +167,12 @@ class IndexReader:
         pos = np.searchsorted(self._base, dense, side="right") - 1
         return (self._pids[pos] << DOC_BITS) | (dense - self._base[pos])
 
+    def alive_mask(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Bool mask of NOT-tombstoned docs.  Pipelines consuming raw
+        postings/positions (facets, snippets) must apply this so deleted
+        docs vanish there exactly as they do from every top-k path."""
+        return ~self._tombstone[self.dense_of(doc_ids)]
+
     # ---- postings access ----
 
     def _shard_of(self, term: str) -> int:

@@ -24,6 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from ..index.build import build_index
@@ -80,11 +81,14 @@ def documents_index(sf_dir: str, *, rebuild: bool = False) -> str:
 
 
 def bm25_topk_documents(sf_dir: str, queries: Optional[List[dict]] = None,
-                        *, pruned: bool = True) -> pd.DataFrame:
+                        *, pruned: bool = True,
+                        mode: str = "or") -> pd.DataFrame:
     """Top-k BM25 over documents.parquet for the fixed query set.
 
-    Output columns (qid:int64, rank:int64, doc_id:int64, score:float64
-    rounded to 6dp) match the SQL oracle exactly."""
+    ``mode='and'`` scores conjunctively (all distinct query terms must
+    match; IndexReader.topk_and — qid 4's absent term empties that
+    query).  Output columns (qid:int64, rank:int64, doc_id:int64,
+    score:float64 rounded to 6dp) match the SQL oracle exactly."""
     idx = documents_index(sf_dir)
     qs = queries or DOC_QUERIES
     qds = rd.from_arrow(pa.table({
@@ -93,7 +97,7 @@ def bm25_topk_documents(sf_dir: str, queries: Optional[List[dict]] = None,
         "k": pa.array([q["k"] for q in qs], pa.int64()),
     }))
     hits = qds.map_batches(QueryActor, fn_constructor_kwargs={
-        "index_dir": idx, "pruned": pruned},
+        "index_dir": idx, "pruned": pruned, "mode": mode},
         batch_format="pandas", concurrency=2).to_pandas()
     if hits.empty:
         return pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
@@ -110,29 +114,7 @@ def bm25_topk_documents(sf_dir: str, queries: Optional[List[dict]] = None,
 def bm25_and_topk_documents(sf_dir: str,
                             queries: Optional[List[dict]] = None
                             ) -> pd.DataFrame:
-    """CONJUNCTIVE top-k BM25 (all distinct query terms must match;
-    IndexReader.topk_and).  Same output columns as bm25_topk_documents;
-    qid 4's absent term makes that query empty by definition."""
-    idx = documents_index(sf_dir)
-    qs = queries or DOC_QUERIES
-    qds = rd.from_arrow(pa.table({
-        "qid": pa.array([q["qid"] for q in qs], pa.int64()),
-        "query": pa.array([q["query"] for q in qs], pa.string()),
-        "k": pa.array([q["k"] for q in qs], pa.int64()),
-    }))
-    hits = qds.map_batches(QueryActor, fn_constructor_kwargs={
-        "index_dir": idx, "mode": "and"},
-        batch_format="pandas", concurrency=2).to_pandas()
-    if hits.empty:
-        return pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
-                             "rank": pd.Series([], dtype=np.int64),
-                             "doc_id": pd.Series([], dtype=np.int64),
-                             "score": pd.Series([], dtype=np.float64)})
-    hits["doc_id"] = hits["doc_key"].astype(np.int64)
-    hits["score"] = hits["score"].round(6)
-    hits["rank"] = hits["rank"].astype(np.int64)
-    return hits[["qid", "rank", "doc_id", "score"]] \
-        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    return bm25_topk_documents(sf_dir, queries, mode="and")
 
 
 def documents_index_pos(sf_dir: str) -> str:
@@ -193,17 +175,19 @@ def snippets_documents(sf_dir: str, term: str = "merge",
     window — the index supplies positions so no block ever scans for
     the term itself.  Output: doc_id, first_pos (0-based token index),
     snippet."""
-    import ray
-    import ray.data as rd_
     from ..tokenize.tokenizer import simple_tokenize
     idx = documents_index_pos(sf_dir)
     reader = IndexReader(idx)
     docs, tfs, flat, starts = reader.positions(term)
+    if docs.size:  # deleted docs get no snippets (match every topk path)
+        alive = reader.alive_mask(docs)
+        first_all = flat[starts]
+        docs, first_all = docs[alive], first_all[alive]
     if docs.size == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                              "first_pos": pd.Series([], dtype=np.int64),
                              "snippet": pd.Series([], dtype=object)})
-    first = flat[starts]
+    first = first_all
     ids = np.array([int(k) for k in reader.doc_keys(docs)], dtype=np.int64)
     pos_ref = ray.put(pa.table({"doc_id": pa.array(ids, pa.int64()),
                                 "first_pos": pa.array(first, pa.int64())}))
@@ -223,8 +207,8 @@ def snippets_documents(sf_dir: str, term: str = "merge",
                          "first_pos": pa.array(pos, pa.int64()),
                          "snippet": pa.array(snips, pa.string())})
 
-    ds = rd_.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "text"], override_num_blocks=8)
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"], override_num_blocks=8)
     out = ds.map_batches(cut, batch_format="pyarrow").to_pandas()
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -278,8 +262,6 @@ def facet_counts_documents(sf_dir: str, query: str = "dup stream",
     shuffle; assumes the match-id set fits the object store (true for
     any query a user would facet; a 100-TB-match facet would instead
     attach match flags during index scoring)."""
-    import ray
-    import ray.data as rd_
     from ..index.bm25 import dedup_keep_order
     from ..pipelines.relational import partial_groupby_sum
     idx = documents_index(sf_dir)
@@ -287,6 +269,7 @@ def facet_counts_documents(sf_dir: str, query: str = "dup stream",
     parts = []
     for t in dedup_keep_order(reader.tokenizer(query)):
         docs, _ = reader.postings(t)
+        docs = docs[reader.alive_mask(docs)]  # deleted docs don't facet
         if docs.size:
             parts.append(np.array([int(k) for k in reader.doc_keys(docs)],
                                   dtype=np.int64))
@@ -298,8 +281,8 @@ def facet_counts_documents(sf_dir: str, query: str = "dup stream",
     def keep_matched(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(matched_ref)))
 
-    ds = rd_.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", field], override_num_blocks=8)
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", field], override_num_blocks=8)
     agg = partial_groupby_sum(ds, [field], [], prep=keep_matched)
     out = agg.to_pandas()
     out["n"] = out["n"].astype(np.int64)
