@@ -373,3 +373,37 @@ def test_topk_excluding_matches_brute_force(built, oracle):
             assert s1 == pytest.approx(s2, abs=1e-9)
     # buffer hygiene across modes
     assert r.topk("import return", 10) == r.topk("import return", 10)
+
+
+def test_alive_mask_consistency_for_raw_consumers(small_corpus, tmp_path):
+    """Pipelines consuming raw postings/positions (facets, snippets) must
+    apply alive_mask so deleted docs vanish there exactly as from top-k
+    (code-review finding: they didn't)."""
+    import os
+    import pyarrow.parquet as pq
+    from jesterj_ray.index.build_rows import build_index_rows
+    from jesterj_ray.index.query import delete_docs
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(small_corpus, src, row_group_size=64)
+    out = str(tmp_path / "idx")
+    build_index_rows(src, out, text_col="content", tokenizer="code",
+                     docs_per_partition=64, num_shards=4, positions=True)
+    r0 = IndexReader(out)
+    docs, _ = r0.postings("import")
+    assert docs.size > 2
+    victim = r0.doc_keys(docs[:1])[0]
+    assert delete_docs(out, [victim]) == 1
+    r = IndexReader(out)
+    pdocs, _ = r.postings("import")
+    mask = r.alive_mask(pdocs)
+    assert mask.sum() == docs.size - 1  # victim masked, survivors kept
+    assert set(r.doc_keys(pdocs[mask])) == \
+        set(r0.doc_keys(docs)) - {victim}
+    # positions path sees the same mask
+    vdocs, _, _, _ = r.positions("import")
+    assert not r.alive_mask(vdocs[np.isin(vdocs, pdocs[~mask])]).any()
+    # and no topk mode ever returns the victim
+    for hits in (r.topk("import", 100), r.topk_and("import", 100),
+                 r.topk_excluding("import", "zzzznope", 100)):
+        assert victim not in set(r.doc_keys(
+            np.array([h[0] for h in hits], dtype=np.int64)))
