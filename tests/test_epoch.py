@@ -120,3 +120,34 @@ def test_reader_without_epoch_keeps_listing_behavior(tmp_path):
     r = IndexReader(out)
     assert r._epoch is None
     assert r.topk("omega", 20) == with_epoch
+
+
+def test_compaction_vs_pinned_reader(tmp_path):
+    """The epoch docstring's compaction claim: a reader pinned to the
+    pre-compaction epoch either keeps serving (already-loaded state) or
+    fails HONESTLY with IndexChangedError on a cold file load — never a
+    raw FileNotFoundError, never a silently mixed view — and a reader
+    opened after compaction serves the compacted index."""
+    from jesterj_ray.index.compact import compact_index
+    from jesterj_ray.index.query import delete_docs
+    df = _docs(300)
+    src = str(tmp_path / "c.parquet")
+    _write(df, src)
+    out = str(tmp_path / "idx")
+    build_index_rows(src, out, **KW)
+    warm = IndexReader(out)
+    warm_hits = warm.topk("omega", 20)     # shard 'omega' now cached
+    cold = IndexReader(out)                # no shard loads yet
+    victims = warm.doc_keys(
+        np.array([h[0] for h in warm_hits[:3]], dtype=np.int64))
+    assert delete_docs(out, victims) == 3
+    assert compact_index(out)["compacted_partitions"] > 0
+    # cold reader: pinned files were replaced -> honest error on use
+    with pytest.raises(IndexChangedError):
+        cold.topk("omega", 20)
+    # fresh reader: compacted view, victims gone
+    fresh = IndexReader(out)
+    fresh_keys = fresh.doc_keys(np.array(
+        [h[0] for h in fresh.topk("omega", 50)], dtype=np.int64))
+    assert not set(victims) & set(fresh_keys)
+    assert read_epoch(out)["epoch"] > warm._epoch["epoch"]
