@@ -407,3 +407,49 @@ def test_alive_mask_consistency_for_raw_consumers(small_corpus, tmp_path):
                  r.topk_excluding("import", "zzzznope", 100)):
         assert victim not in set(r.doc_keys(
             np.array([h[0] for h in hits], dtype=np.int64)))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_QVOCAB = ["import", "return", "def", "merge", "sort", "heap", "config",
+           "parse", "error", "stream", "buffer", "self", "zzzznope"]
+
+
+@pytest.fixture(scope="module")
+def reader(built):
+    out, _ = built
+    return IndexReader(out)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(qt=st.lists(st.sampled_from(_QVOCAB), min_size=1, max_size=4),
+       xt=st.lists(st.sampled_from(_QVOCAB), min_size=0, max_size=2),
+       k=st.integers(1, 25))
+def test_query_modes_match_brute_force_random(reader, oracle, qt, xt, k):
+    """Randomized sweep: OR / AND / NOT top-k all rank- and
+    score-identical to the brute-force oracle for arbitrary vocabulary
+    combinations (duplicate terms, absent terms, k edges)."""
+    from jesterj_ray.index.bm25 import dedup_keep_order
+    _, bf = oracle
+    q, x = " ".join(qt), " ".join(xt)
+    scores = bf.score_all(q)
+    ranked = sorted(scores.items(), key=lambda h: (-h[1], h[0]))
+
+    def check(got, want):
+        assert [h[0] for h in got] == [h[0] for h in want]
+        for (_, s1), (_, s2) in zip(got, want):
+            assert s1 == pytest.approx(s2, abs=1e-9)
+
+    check(reader.topk(q, k), ranked[:k])
+    terms = dedup_keep_order(code_tokenize(q))
+    plists = [set(bf.postings.get(t, {})) for t in terms]
+    conj = set.intersection(*plists) if plists else set()
+    check(reader.topk_and(q, k),
+          [h for h in ranked if h[0] in conj][:k])
+    excluded = set()
+    for t in dedup_keep_order(code_tokenize(x)):
+        excluded |= set(bf.postings.get(t, {}))
+    check(reader.topk_excluding(q, x, k),
+          [h for h in ranked if h[0] not in excluded][:k])
