@@ -87,20 +87,33 @@ def run_bench() -> dict:
     # CPU-count independent, so the index is identical at every level)
     from jesterj_ray.index.build_rows import build_index_rows
     headline_tok = os.environ.get("GRAFT_BENCH_TOKENIZER", "simple")
-    t0 = time.time()
-    # ~128 partitions: fine enough for balanced waves at any CPU level,
-    # coarse enough that per-task overhead stays negligible
-    build_index_rows(doc_path, out_dir, text_col="text", key_col="doc_id",
-                     tokenizer=headline_tok,
-                     docs_per_partition=max(2048, n_docs // 128),
-                     num_shards=8)
-    timings["index_build"] = time.time() - t0
+    only_index = os.environ.get("GRAFT_BENCH_ONLY") == "index"
+    # host timing noise is +-3x (BASELINE.md): the full bench takes the
+    # headline as best-of-2 fresh builds (both runs recorded).  The
+    # --scaling subprocess path stays single-run — it interleaves its own
+    # best-of-N across reps.
+    runs = []
+    for _ in range(1 if only_index else 2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        # ~128 partitions: fine enough for balanced waves at any CPU
+        # level, coarse enough that per-task overhead stays negligible
+        build_index_rows(doc_path, out_dir, text_col="text",
+                         key_col="doc_id", tokenizer=headline_tok,
+                         docs_per_partition=max(2048, n_docs // 128),
+                         num_shards=8)
+        runs.append(time.time() - t0)
+    timings["index_build"] = min(runs)
+    if len(runs) > 1:
+        timings["index_build_runs"] = runs
 
-    if os.environ.get("GRAFT_BENCH_ONLY") == "index":
+    if only_index:
         ray.shutdown()
         return {
             "metric": "index_build_sec", "value": round(timings["index_build"], 3),
-            "unit": "sec", "queries": {k: round(v, 3) for k, v in timings.items()},
+            "unit": "sec", "queries": {k: (round(v, 3) if isinstance(v, float) else
+                        [round(x, 3) for x in v])
+                    for k, v in timings.items()},
             "sf": SF_DIR, "num_cpus": NUM_CPUS, "n_docs": n_docs,
             "docs_per_sec": round(n_docs / timings["index_build"], 1),
         }
@@ -249,7 +262,9 @@ def run_bench() -> dict:
         "metric": "index_build_sec_plus_query_throughput",
         "value": round(headline, 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries": {k: (round(v, 3) if isinstance(v, float) else
+                        [round(x, 3) for x in v])
+                    for k, v in timings.items()},
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "n_docs": n_docs,
