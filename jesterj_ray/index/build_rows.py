@@ -582,6 +582,10 @@ def watch_and_reindex(pattern: str, out_dir: str, *, interval_s: float = 5.0,
             if compact_every and cycle % compact_every == 0:
                 from .compact import compact_index
                 stats["compaction"] = compact_index(out_dir)
+                # FTI record TTL (reference: 90 days): expire old status
+                # transitions alongside compaction so an eternal loop's
+                # history stays time-bounded, not just line-bounded
+                stats["history_expired"] = man.expire_history()
         yield stats
         cycle += 1
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 import uuid
 from typing import Dict, List, Optional
 
@@ -55,6 +56,9 @@ MAX_ATTEMPTS = 3  # mirrors DEF_MAX_ERROR_RETRY (ScannerImpl.java:57)
 # HISTORY_MAX_LINES transitions (retry counting only reads the tail).
 HISTORY_MAX_LINES = 512
 _HIST_COMPACT_BYTES = 128 * 1024
+# time-based retention, the direct FTI_TTL analog (reference: 90 days,
+# ``JesterJAppender.java:56``) — applied by Manifest.expire_history()
+FTI_TTL_SECONDS = 60 * 60 * 24 * 90
 
 
 def atomic_write_bytes(path: str, data: bytes) -> None:
@@ -135,7 +139,8 @@ class Manifest:
         cannot race an appender in practice)."""
         os.makedirs(self.hist_dir, exist_ok=True)
         line = (json.dumps({"status": status, "attempt": attempt,
-                            "message": message}) + "\n").encode()
+                            "message": message,
+                            "ts": int(time.time())}) + "\n").encode()
         path = self._hist_path(partition_id)
         fd = os.open(path, os.O_APPEND | os.O_CREAT | os.O_WRONLY, 0o644)
         try:
@@ -170,6 +175,40 @@ class Manifest:
                 return [json.loads(ln) for ln in f if ln.strip()]
         except FileNotFoundError:
             return []
+
+    def expire_history(self, ttl_seconds: int = FTI_TTL_SECONDS) -> int:
+        """Drop history transitions older than ``ttl_seconds`` — the
+        reference's FTI record TTL (90 days, ``JesterJAppender.java:56``;
+        Cassandra expires the row, we rewrite the JSONL tail).  Lines
+        without a ``ts`` (pre-timestamp layouts) count as expired, like
+        any record older than the TTL.  Partition manifests themselves
+        are NOT expired — resume correctness never depends on history.
+        Returns the number of lines dropped."""
+        cutoff = int(time.time()) - ttl_seconds
+        dropped = 0
+        if not os.path.isdir(self.hist_dir):
+            return 0
+        for name in sorted(os.listdir(self.hist_dir)):
+            if not name.endswith(".jsonl"):
+                continue
+            path = os.path.join(self.hist_dir, name)
+            with open(path, "rb") as f:
+                lines = f.read().splitlines(keepends=True)
+            keep = []
+            for ln in lines:
+                try:
+                    ts = json.loads(ln).get("ts")
+                except (ValueError, UnicodeDecodeError):
+                    ts = None
+                if ts is not None and ts >= cutoff:
+                    keep.append(ln)
+            if len(keep) != len(lines):
+                dropped += len(lines) - len(keep)
+                if keep:
+                    atomic_write_bytes(path, b"".join(keep))
+                else:
+                    os.unlink(path)
+        return dropped
 
     def consecutive_errors(self, partition_id: int) -> int:
         """Trailing ERROR count from the history, skipping transient

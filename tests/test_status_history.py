@@ -110,3 +110,34 @@ def test_force_mark_refeeds_all_docs_via_delta(tmp_path):
                                        dtype=np.int64)),
                   [s for _, s in rb.topk(q, 10000)])}
         assert ha == hb
+
+
+def test_expire_history_ttl(tmp_path):
+    """FTI record TTL analog (reference: 90 days, JesterJAppender FTI_TTL):
+    expire_history drops transitions older than the TTL (and pre-timestamp
+    lines), keeps fresh ones, and never touches partition manifests."""
+    import json as _json
+    import os
+    import time as _time
+    from jesterj_ray.state.manifest import Manifest
+    man = Manifest(str(tmp_path / "m"), "build")
+    man.log(1, "INDEXED")
+    man.log(2, "ERROR", message="boom")
+    # plant an old and a ts-less line in partition 1's history
+    hp = man._hist_path(1)
+    with open(hp, "a") as f:
+        f.write(_json.dumps({"status": "ERROR", "attempt": 1,
+                             "ts": int(_time.time()) - 100 * 86400}) + "\n")
+        f.write(_json.dumps({"status": "PROCESSING", "attempt": 0}) + "\n")
+    assert len(man.history(1)) == 3
+    dropped = man.expire_history()  # default 90-day TTL
+    assert dropped == 2
+    h1 = man.history(1)
+    assert [r["status"] for r in h1] == ["INDEXED"]
+    assert [r["status"] for r in man.history(2)] == ["ERROR"]
+    # a fully-expired partition's history file is removed
+    os.utime(man._hist_path(2))
+    with open(man._hist_path(2), "w") as f:
+        f.write(_json.dumps({"status": "ERROR", "ts": 12345}) + "\n")
+    assert man.expire_history() == 1
+    assert man.history(2) == []
