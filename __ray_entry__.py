@@ -216,6 +216,11 @@ def _bm25_and_topk(sf_dir: str):
     return bm25_and_topk_documents(sf_dir)
 
 
+def _bm25f_topk(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import bm25f_topk_documents
+    return bm25f_topk_documents(sf_dir)
+
+
 def _facet_counts(sf_dir: str):
     from jesterj_ray.pipelines.flagship import facet_counts_documents
     return facet_counts_documents(sf_dir, "dup stream", "lang")
@@ -591,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _bm25_topk,
         "bm25_topk_exhaustive": _bm25_topk_exhaustive,
         "bm25_and_topk": _bm25_and_topk,
+        "bm25f_topk": _bm25f_topk,
         "facet_counts": _facet_counts,
         "bm25_not_topk": _bm25_not_topk,
         "snippets": _snippets,
@@ -665,6 +671,69 @@ scores AS (
   CROSS JOIN stats s
   GROUP BY tf.qid, tf.doc_id
   {having}
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.doc_id, round(r.score, 6) AS score
+FROM ranked r JOIN qk ON r.qid = qk.qid
+WHERE r.rank <= qk.k
+ORDER BY r.qid, r.rank
+"""
+
+
+def _bm25f_sql() -> str:
+    # BM25F over derived fields: title = first N tokens, body = the rest
+    # (same split pipelines/flagship._split_title_body makes — slicing the
+    # token list here is tokenization-identical to slicing the lowered
+    # text there).  Per-field normalized tfs combine BEFORE saturation
+    # (w_title=2, w_body=1, b=0.75 both, k1=1.2); df is document-level
+    # (term in ANY field).  Engine: index/bm25f.BM25FReader.
+    from jesterj_ray.pipelines.flagship import BM25F_TITLE_TOKENS as N
+    return f"""
+WITH qterms(qid, term) AS {_BM25_QUERIES_SQL},
+qk(qid, k) AS {_BM25_KS_SQL},
+tl AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+ftoks AS (
+  SELECT doc_id, unnest(toks[1:{N}]) AS term, 't' AS fld FROM tl
+  UNION ALL
+  SELECT doc_id, unnest(toks[{N + 1}:]) AS term, 'b' AS fld FROM tl
+),
+fdl AS (
+  SELECT doc_id, least(length(toks), {N}) AS dl_t,
+         greatest(length(toks) - {N}, 0) AS dl_b FROM tl
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl_t) AS avg_t, avg(dl_b) AS avg_b FROM fdl
+),
+tf AS (
+  SELECT q.qid, q.term, t.doc_id, t.fld, count(*) AS tf
+  FROM ftoks t JOIN qterms q USING (term)
+  GROUP BY q.qid, q.term, t.doc_id, t.fld
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM ftoks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+tfa AS (
+  SELECT tf.qid, tf.term, tf.doc_id,
+         sum(CASE WHEN tf.fld = 't'
+                  THEN 2.0 * tf.tf / (1.0 - 0.75 + 0.75 * fdl.dl_t / s.avg_t)
+                  ELSE 1.0 * tf.tf / (1.0 - 0.75 + 0.75 * fdl.dl_b / s.avg_b)
+             END) AS tfa
+  FROM tf JOIN fdl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.qid, tf.term, tf.doc_id
+),
+scores AS (
+  SELECT tfa.qid, tfa.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tfa.tfa * (1.2 + 1.0) / (tfa.tfa + 1.2) ) AS score
+  FROM tfa JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY tfa.qid, tfa.doc_id
 ),
 ranked AS (
   SELECT qid, doc_id, score,
@@ -797,6 +866,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE term = 'merge' GROUP BY doc_id ORDER BY doc_id""",
         "bm25_topk": _bm25_sql(),
         "bm25_and_topk": _bm25_sql(conjunctive=True),
+        "bm25f_topk": _bm25f_sql(),
         # term-in-context snippets: first occurrence of 'dup', +-2 tokens
         # (list slicing is 1-based inclusive in DuckDB: python
         # toks[max(0,p-2):p+3] == tl[greatest(1,p1-2):p1+2], p1 = p+1)

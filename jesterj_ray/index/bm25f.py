@@ -1,0 +1,167 @@
+"""BM25F — weighted multi-field BM25 over per-field indexes.
+
+Reference analog: JesterJ feeds documents into Solr, whose
+``edismax``/``qf`` query weighting scores multiple fields with per-field
+boosts (the reference configures per-field search behavior in the Solr
+schema it ships, reference ``code/ingest/src/main/java/org/jesterj/ingest/
+processors/SendToSolrCloudProcessor.java:60-96`` builds those multi-field
+documents).  Our engine's analog is the principled BM25F formulation
+(Robertson/Zaragoza): per-field term frequencies are length-normalized and
+weight-combined BEFORE the saturation curve,
+
+    tfa(t,d) = sum over fields f of
+                   w_f * tf_f(t,d) / (1 - b_f + b_f * dl_f(d) / avgdl_f)
+    score(d) = sum over distinct query terms t of
+                   idf(t) * tfa * (k1 + 1) / (tfa + k1)
+
+with document-level idf (df = docs containing t in ANY field, same
+``idf`` as single-field BM25; k1 = 1.2).
+
+Architecture: ONE single-field index per field over the SAME input.
+docIDs are ``pid << 32 | rank`` derived from the input alone (repo
+invariant), so every field index shares an identical dense doc space —
+the scorer fancy-indexes one shared accumulator across fields with no
+id translation, and all of ``IndexReader``'s serving machinery (lazy
+row-group posting fetch, shard layout, epoch pinning) applies per field
+unchanged.  On a cluster each field index is just another index
+directory; a doc-range serving slice slices every field the same way.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from .bm25 import K1, dedup_keep_order, idf
+from .query import IndexReader
+
+# default field setup used by the flagship documents pipeline: a short
+# "title" field weighted 2x over the "body"
+DEFAULT_WEIGHTS = {"title": 2.0, "body": 1.0}
+DEFAULT_B = {"title": 0.75, "body": 0.75}
+
+
+class BM25FReader:
+    """Scores BM25F over N per-field indexes sharing one doc space."""
+
+    def __init__(self, field_dirs: Dict[str, str],
+                 weights: Optional[Dict[str, float]] = None,
+                 b: Optional[Dict[str, float]] = None):
+        if not field_dirs:
+            raise ValueError("BM25F needs at least one field index")
+        self.readers = {f: IndexReader(d) for f, d in field_dirs.items()}
+        self.weights = dict(weights or DEFAULT_WEIGHTS)
+        self.b = dict(b or DEFAULT_B)
+        for f in self.readers:
+            if f not in self.weights or f not in self.b:
+                raise ValueError(f"missing weight/b for field {f!r}")
+        # the primary reader owns the shared dense space + buffers; every
+        # field index must agree on it (same input, same partitioning)
+        self.primary = next(iter(self.readers.values()))
+        for f, r in self.readers.items():
+            if not self._same_doc_space(self.primary, r):
+                raise ValueError(
+                    f"field index {f!r} has a different doc space — all "
+                    "BM25F fields must be built from the same input with "
+                    "partition_by='doc_key' (build_index) so every field "
+                    "assigns each doc the same (pid, rank)")
+            if r._tombstone.any():
+                raise ValueError(
+                    f"field index {f!r} has tombstones; BM25F scoring "
+                    "assumes tombstone-free field indexes (compact first "
+                    "so every field drops the same docs)")
+        self.n_docs = self.primary.n_docs
+        self._tfa_buf = np.zeros(self.primary.n_dense, dtype=np.float64)
+
+    @staticmethod
+    def _same_doc_space(a: IndexReader, b: IndexReader) -> bool:
+        """True iff the two indexes assign every doc the same docID.
+
+        Checks pid set, per-pid sizes, and the first/last doc_key of
+        every partition (rank order is sorted doc_key, so matching
+        boundaries + sizes pin the whole assignment without comparing
+        all n_docs keys; a content-hash-partitioned build — the bug this
+        guards against — shifts partition boundaries immediately)."""
+        if a.n_dense != b.n_dense or not np.array_equal(a._pids, b._pids):
+            return False
+        for pid in map(int, a._pids):
+            ka, kb = a._doc_key[pid], b._doc_key[pid]
+            if len(ka) != len(kb) or ka[0] != kb[0] or \
+                    ka[len(ka) - 1] != kb[len(kb) - 1]:
+                return False
+        return True
+
+    def topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+        """Exhaustive BM25F top-k: (doc_id, score) desc, ties asc docID.
+
+        Term-at-a-time over the shared dense accumulator; per term, each
+        field adds its normalized weighted tf into ``tfa`` (vectorized
+        fancy-index add), then one saturation pass over the union of the
+        fields' match sets."""
+        terms = dedup_keep_order(self.primary.tokenizer(query))
+        scores = self.primary._scores_buf
+        seen = self.primary._seen_buf
+        tfa = self._tfa_buf
+        touched_parts: List[np.ndarray] = []
+        for t in terms:
+            dense_parts: List[np.ndarray] = []
+            for f, r in self.readers.items():
+                docs, tfs = r.postings(t)
+                if docs.size == 0:
+                    continue
+                dense = self.primary.dense_of(docs)
+                bf = self.b[f]
+                norm = 1.0 - bf + bf * (
+                    r._dl_dense[dense].astype(np.float64) / r.avgdl)
+                tfa[dense] += self.weights[f] * tfs.astype(np.float64) / norm
+                dense_parts.append(dense)
+            if not dense_parts:
+                continue
+            union = dense_parts[0] if len(dense_parts) == 1 else \
+                np.unique(np.concatenate(dense_parts))
+            # document-level df: term present in ANY field
+            w = idf(self.n_docs, int(union.size))
+            v = tfa[union]
+            scores[union] += w * v * (K1 + 1.0) / (v + K1)
+            tfa[union] = 0.0
+            new = union[seen[union] == 0]
+            seen[new] = 1
+            touched_parts.append(new)
+        if not touched_parts:
+            return []
+        touched = np.concatenate(touched_parts)
+        seen[touched] = 0
+        return self.primary._topk_from_dense(scores, touched, k)
+
+    def doc_keys(self, doc_ids: np.ndarray) -> List[str]:
+        return self.primary.doc_keys(doc_ids)
+
+
+class BM25FQueryActor:
+    """Actor-pool stage: BM25F answers for batches of queries.
+
+    Same contract as ``query.QueryActor`` (input qid/query/k, output
+    qid/rank/doc_id/doc_key/score); opens every field index once per
+    actor in ``__init__``."""
+
+    def __init__(self, field_dirs: Dict[str, str],
+                 weights: Optional[Dict[str, float]] = None,
+                 b: Optional[Dict[str, float]] = None):
+        self.reader = BM25FReader(field_dirs, weights=weights, b=b)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"qid": [], "rank": [], "doc_id": [], "doc_key": [],
+               "score": []}
+        for qid, query, k in zip(batch["qid"], batch["query"], batch["k"]):
+            hits = self.reader.topk(query, int(k))
+            ids = np.array([h[0] for h in hits], dtype=np.int64)
+            keys = self.reader.doc_keys(ids)
+            for r, ((did, score), key) in enumerate(zip(hits, keys), 1):
+                out["qid"].append(int(qid))
+                out["rank"].append(r)
+                out["doc_id"].append(did)
+                out["doc_key"].append(key)
+                out["score"].append(score)
+        return pd.DataFrame(out)

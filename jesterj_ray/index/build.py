@@ -72,9 +72,18 @@ def _sha256_hex(arr: Iterable[bytes]) -> List[str]:
 
 
 def add_sha_and_partition(batch: pa.Table, *, num_partitions: int,
-                          text_col: str, key_cols: List[str]) -> pa.Table:
+                          text_col: str, key_cols: List[str],
+                          partition_by: str = "sha") -> pa.Table:
     """Stage 1: content_sha256 + doc_key + pid columns (vectorized where
-    pyarrow has kernels; sha256 is per-value hashlib over the raw bytes)."""
+    pyarrow has kernels; sha256 is per-value hashlib over the raw bytes).
+
+    ``partition_by='sha'`` (default) co-locates duplicate contents in one
+    partition (required by the fused dedup).  ``partition_by='doc_key'``
+    hashes the document KEY instead — every index built over the same
+    corpus with the same partitioning then lands each doc in the same
+    (pid, rank), i.e. the same docID, regardless of the indexed text.
+    Per-FIELD indexes (BM25F) require this so they share one dense doc
+    space; incompatible with dedup (dups no longer co-locate)."""
     content = batch[text_col].cast(pa.large_binary())
     shas = _sha256_hex(x if x is not None else b"" for x in content.to_pylist())
     sha_arr = pa.array(shas, pa.string())
@@ -83,8 +92,13 @@ def add_sha_and_partition(batch: pa.Table, *, num_partitions: int,
         for c in key_cols[1:]:
             key = pc.binary_join_element_wise(key, batch[c].cast(pa.string()), ":")
         batch = batch.append_column("doc_key", key)
-    # pid from the first 8 hex chars of the sha (deterministic, co-locates dups)
-    pid = np.array([int(s[:8], 16) for s in shas], dtype=np.int64) % num_partitions
+    if partition_by == "doc_key":
+        pid_src = _sha256_hex(k.encode() for k in
+                              batch["doc_key"].to_pylist())
+    else:
+        pid_src = shas
+    pid = np.array([int(s[:8], 16) for s in pid_src],
+                   dtype=np.int64) % num_partitions
     return batch.append_column("content_sha256", sha_arr) \
                 .append_column("pid", pa.array(pid, pa.int64()))
 
@@ -1153,11 +1167,19 @@ def build_index(ds: "ray.data.Dataset", out_dir: str, *,
                 dedup: bool = True,
                 resume: bool = True,
                 positions: bool = False,
-                fail_pids: Optional[List[int]] = None) -> Dict:
+                fail_pids: Optional[List[int]] = None,
+                partition_by: str = "sha") -> Dict:
     """Build the inverted index for ``ds`` under ``out_dir``.
+
+    ``partition_by='doc_key'`` makes docIDs a function of the doc KEY
+    alone (see ``add_sha_and_partition``) — required for per-field BM25F
+    index families; incompatible with ``dedup``.
 
     Returns build metrics {n_docs, dl_sum, avgdl, terms, partitions}.
     """
+    if partition_by == "doc_key" and dedup:
+        raise ValueError("partition_by='doc_key' does not co-locate "
+                         "duplicate contents — build with dedup=False")
     key_cols = key_cols or ["repo", "path", "commit"]
     man = Manifest(out_dir, "build")
     done = set(man.completed_partitions()) if resume else set()
@@ -1165,7 +1187,7 @@ def build_index(ds: "ray.data.Dataset", out_dir: str, *,
     prepared = ds.map_batches(
         add_sha_and_partition, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"num_partitions": num_partitions, "text_col": text_col,
-                   "key_cols": key_cols})
+                   "key_cols": key_cols, "partition_by": partition_by})
     if done:
         done_arr = list(done)
         prepared = prepared.map_batches(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import shutil
 from typing import List, Optional
 
@@ -221,6 +222,96 @@ NOT_QUERIES = [
     {"qid": 2, "query": "window filter", "exclude": "stream hash", "k": 10},
     {"qid": 3, "query": "dup stream", "exclude": "zzzabsent", "k": 10},
 ]
+
+
+# BM25F derived fields: "title" = the doc's first N tokens, "body" = the
+# rest.  Derived deterministically from text alone so the SQL oracle can
+# slice the same token list (toks[1:N] / toks[N+1:]).
+BM25F_TITLE_TOKENS = 8
+# boundary after the Nth token on the LOWERED text: both [a-z0-9]+ runs
+# and the separators they trail are consumed, so body starts exactly at
+# token N+1 and re-tokenizing the two slices reproduces the token split
+_TITLE_SPLIT_RE = re.compile(
+    r"(?:[^a-z0-9]*[a-z0-9]+){0,%d}" % BM25F_TITLE_TOKENS)
+
+
+def _split_title_body(t: pa.Table) -> pa.Table:
+    """Derive title/body/doc_key columns for the per-field index builds.
+
+    Lowercasing is one vectorized Arrow pass; the split point needs a
+    per-row regex match (Arrow has no extract-all/slice-by-row kernel) —
+    same cost class as the tokenizer pass the index build itself runs."""
+    lower = pc.utf8_lower(t["text"]).to_pylist()
+    ends = [_TITLE_SPLIT_RE.match(s).end() for s in lower]
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "doc_key": pc.utf8_lpad(pc.cast(t["doc_id"], pa.string()),
+                                width=12, padding="0"),
+        "title": pa.array([s[:e] for s, e in zip(lower, ends)], pa.string()),
+        "body": pa.array([s[e:] for s, e in zip(lower, ends)], pa.string()),
+    })
+
+
+def documents_bm25f_indexes(sf_dir: str) -> dict:
+    """Build (or reuse) the per-field BM25F indexes over documents.parquet.
+
+    Two single-field indexes from ONE derivation: identical input order
+    and partitioning ⇒ identical docIDs (derived-from-input invariant),
+    so the scorer shares one dense doc space across fields.  Each field
+    is a lazy consumer of the split dataset (at 100 TB you'd write the
+    split columns once and read per field; at test scale re-deriving is
+    cheaper than the extra parquet round-trip)."""
+    dirs = {"title": _cache_dir(sf_dir, "docidxf2-title"),
+            "body": _cache_dir(sf_dir, "docidxf2-body")}
+    if all(os.path.exists(os.path.join(d, "stats.json"))
+           for d in dirs.values()):
+        return dirs
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"],
+                         override_num_blocks=8)
+    split = ds.map_batches(_split_title_body, batch_format="pyarrow")
+    for field, out in dirs.items():
+        if os.path.exists(os.path.join(out, "stats.json")):
+            continue
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        # partition_by doc_key: every field index assigns each doc the
+        # same (pid, rank) ⇒ one shared dense doc space for the scorer
+        build_index(split, out, text_col=field, tokenizer="simple",
+                    num_partitions=8, num_shards=4, dedup=False,
+                    partition_by="doc_key")
+    return dirs
+
+
+def bm25f_topk_documents(sf_dir: str,
+                         queries: Optional[List[dict]] = None
+                         ) -> pd.DataFrame:
+    """BM25F top-k over the derived title/body fields (title weight 2x).
+
+    Same query set / output contract as ``bm25_topk_documents``; scored
+    by ``index.bm25f.BM25FQueryActor`` actors over the two field
+    indexes."""
+    from ..index.bm25f import BM25FQueryActor
+    dirs = documents_bm25f_indexes(sf_dir)
+    qs = queries or DOC_QUERIES
+    qds = rd.from_arrow(pa.table({
+        "qid": pa.array([q["qid"] for q in qs], pa.int64()),
+        "query": pa.array([q["query"] for q in qs], pa.string()),
+        "k": pa.array([q["k"] for q in qs], pa.int64()),
+    }))
+    hits = qds.map_batches(BM25FQueryActor, fn_constructor_kwargs={
+        "field_dirs": dirs},
+        batch_format="pandas", concurrency=2).to_pandas()
+    if hits.empty:
+        return pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    hits["doc_id"] = hits["doc_key"].astype(np.int64)
+    hits["score"] = hits["score"].round(6)
+    hits["rank"] = hits["rank"].astype(np.int64)
+    return hits[["qid", "rank", "doc_id", "score"]] \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
 
 
 def bm25_not_topk_documents(sf_dir: str,

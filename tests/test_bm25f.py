@@ -1,0 +1,154 @@
+"""BM25F (weighted multi-field BM25) vs an in-test brute-force oracle.
+
+Pins: per-field tf normalization combined BEFORE saturation, document-level
+idf (any-field df), title weight 2x, the shared-doc-space requirement
+(partition_by='doc_key'), and the title/body derivation used by the
+flagship pipeline."""
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+from jesterj_ray.index.bm25 import dedup_keep_order, idf
+from jesterj_ray.index.bm25f import (DEFAULT_B, DEFAULT_WEIGHTS, K1,
+                                     BM25FReader)
+from jesterj_ray.index.build import build_index
+from jesterj_ray.pipelines.flagship import (BM25F_TITLE_TOKENS,
+                                            _split_title_body)
+from jesterj_ray.tokenize.tokenizer import simple_tokenize
+
+WORDS = ["merge", "sort", "stream", "filter", "window", "hash", "join",
+         "table", "spark", "data", "query", "index", "shard", "dup"]
+
+
+def make_docs(n=120, seed=7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    texts = []
+    for i in range(n):
+        # vary length through and below the title boundary: some docs have
+        # an empty body (<= BM25F_TITLE_TOKENS tokens), some are long
+        ln = int(rng.integers(2, 40))
+        toks = rng.choice(WORDS, size=ln).tolist()
+        texts.append(" ".join(toks) + ".")
+    return pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def brute_bm25f(table: pa.Table, query: str, k: int):
+    """Exhaustive BM25F from raw tokens (the golden semantics)."""
+    n_tt = BM25F_TITLE_TOKENS
+    toks = {d.as_py(): simple_tokenize(s.as_py())
+            for d, s in zip(table["doc_id"], table["text"])}
+    fields = {d: {"title": tk[:n_tt], "body": tk[n_tt:]}
+              for d, tk in toks.items()}
+    n = len(fields)
+    avg = {f: sum(len(v[f]) for v in fields.values()) / n
+           for f in ("title", "body")}
+    scores = {}
+    for term in dedup_keep_order(simple_tokenize(query)):
+        df = sum(1 for v in fields.values()
+                 if term in v["title"] or term in v["body"])
+        if df == 0:
+            continue
+        w = idf(n, df)
+        for d, v in fields.items():
+            tfa = 0.0
+            for f in ("title", "body"):
+                tf = v[f].count(term)
+                if tf:
+                    bf = DEFAULT_B[f]
+                    tfa += DEFAULT_WEIGHTS[f] * tf / (
+                        1.0 - bf + bf * len(v[f]) / avg[f])
+            if tfa:
+                scores[d] = scores.get(d, 0.0) + \
+                    w * tfa * (K1 + 1.0) / (tfa + K1)
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.fixture(scope="module")
+def field_indexes(ray_session, tmp_path_factory):
+    table = make_docs()
+    split = rd.from_arrow(table).map_batches(_split_title_body,
+                                             batch_format="pyarrow")
+    dirs = {}
+    for f in ("title", "body"):
+        out = str(tmp_path_factory.mktemp(f"bm25f-{f}"))
+        build_index(split, out, text_col=f, tokenizer="simple",
+                    num_partitions=4, num_shards=2, dedup=False,
+                    partition_by="doc_key")
+        dirs[f] = out
+    return table, dirs
+
+
+def test_split_matches_token_slices():
+    """The text split re-tokenizes to exactly (first N, rest) of the full
+    token list — the property the SQL oracle's list slicing relies on."""
+    table = make_docs(seed=11)
+    out = _split_title_body(table)
+    for text, ti, bo in zip(table["text"].to_pylist(),
+                            out["title"].to_pylist(),
+                            out["body"].to_pylist()):
+        toks = simple_tokenize(text)
+        assert simple_tokenize(ti) == toks[:BM25F_TITLE_TOKENS]
+        assert simple_tokenize(bo) == toks[BM25F_TITLE_TOKENS:]
+
+
+def test_bm25f_matches_bruteforce(field_indexes):
+    table, dirs = field_indexes
+    r = BM25FReader(dirs)
+    for query in ["merge sort", "dup", "window filter stream", "zzzabsent",
+                  "hash join dup"]:
+        want = brute_bm25f(table, query, 10)
+        got = r.topk(query, 10)
+        got_keys = [int(k) for k in r.doc_keys(
+            np.array([h[0] for h in got], dtype=np.int64))]
+        assert got_keys == [d for d, _ in want], query
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-9), query
+
+
+def test_title_only_and_body_only_terms(field_indexes):
+    """A term present only in one field still scores (and the guard corpus
+    really exercises both single-field postings paths)."""
+    table, dirs = field_indexes
+    r = BM25FReader(dirs)
+    tonly = bonly = False
+    for term in WORDS:
+        dt, _ = r.readers["title"].postings(term)
+        db, _ = r.readers["body"].postings(term)
+        tonly |= dt.size > 0 and db.size == 0
+        bonly |= db.size > 0 and dt.size == 0
+        if dt.size or db.size:
+            assert r.topk(term, 5), term
+    # the corpus is dense enough that every word lands in both fields
+    # somewhere; the single-field path is covered by short docs instead:
+    # at least one doc has an empty body
+    dls = r.readers["body"]._dl_dense
+    assert (dls == 0).any()
+
+
+def test_doc_space_guard(ray_session, tmp_path_factory):
+    """A field index built with content-hash partitioning (the default)
+    has a different doc space — BM25FReader must refuse it."""
+    table = make_docs(n=40, seed=3)
+    split = rd.from_arrow(table).map_batches(_split_title_body,
+                                             batch_format="pyarrow")
+    good = str(tmp_path_factory.mktemp("bm25f-good"))
+    bad = str(tmp_path_factory.mktemp("bm25f-bad"))
+    build_index(split, good, text_col="title", tokenizer="simple",
+                num_partitions=4, num_shards=2, dedup=False,
+                partition_by="doc_key")
+    build_index(split, bad, text_col="body", tokenizer="simple",
+                num_partitions=4, num_shards=2, dedup=False)  # sha pids
+    with pytest.raises(ValueError, match="doc space"):
+        BM25FReader({"title": good, "body": bad})
+
+
+def test_dedup_rejects_doc_key_partitioning(ray_session, tmp_path):
+    table = make_docs(n=10)
+    with pytest.raises(ValueError, match="dedup"):
+        build_index(rd.from_arrow(table), str(tmp_path / "x"),
+                    text_col="text", tokenizer="simple", dedup=True,
+                    partition_by="doc_key")
