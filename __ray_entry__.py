@@ -221,6 +221,11 @@ def _bm25f_topk(sf_dir: str):
     return bm25f_topk_documents(sf_dir)
 
 
+def _asof_purchase_click(sf_dir: str):
+    from jesterj_ray.pipelines.relational import asof_purchase_click
+    return asof_purchase_click(sf_dir)
+
+
 def _facet_counts(sf_dir: str):
     from jesterj_ray.pipelines.flagship import facet_counts_documents
     return facet_counts_documents(sf_dir, "dup stream", "lang")
@@ -597,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_exhaustive": _bm25_topk_exhaustive,
         "bm25_and_topk": _bm25_and_topk,
         "bm25f_topk": _bm25f_topk,
+        "asof_purchase_click": _asof_purchase_click,
         "facet_counts": _facet_counts,
         "bm25_not_topk": _bm25_not_topk,
         "snippets": _snippets,
@@ -867,6 +873,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25f_topk": _bm25f_sql(),
+        # engine: pipelines/relational.asof_join (coarse-gkey cogroup +
+        # per-group pd.merge_asof); inner backward as-of, exact matches
+        # allowed, microsecond lag as exact int64
+        "asof_purchase_click": """
+            SELECT p.event_id, p.user_id, c.event_id AS click_id,
+                   date_diff('microsecond', c.ts, p.ts) AS lag_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id""",
         # term-in-context snippets: first occurrence of 'dup', +-2 tokens
         # (list slicing is 1-based inclusive in DuckDB: python
         # toks[max(0,p-2):p+3] == tl[greatest(1,p1-2):p1+2], p1 = p+1)

@@ -264,3 +264,104 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     out["user_id"] = out["user_id"].astype(np.int64)
     out["n_sessions"] = out["n_sessions"].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def asof_join(left: "rd.Dataset", right: "rd.Dataset", *, on: str,
+              by: str, num_groups: int = 64) -> "rd.Dataset":
+    """Distributed backward as-of join: each LEFT row pairs with the
+    single RIGHT row of the same ``by`` key having the largest ``on``
+    value <= the left's (exact matches allowed); left rows with no
+    matching right row are dropped (inner semantics).  Right columns
+    come back suffixed ``_r`` (including ``on_r``, the matched right
+    timestamp); the ``by`` column keeps one copy.
+
+    Ray Data has no as-of join; the scale shape is the coarse-group-key
+    cogroup pattern (CLAUDE.md; ``dedup.min_label_components``): both
+    sides gain ``gkey = by % num_groups`` and a side tag, ONE bounded
+    groupby co-locates each key's rows, and the per-group resolution is
+    ``pd.merge_asof`` (C-vectorized) — so the only exchange is a single
+    shuffle into ``num_groups`` groups and no Python-per-row work
+    happens anywhere.  Sequential or hashed integer keys spread
+    uniformly under mod; salt ``by`` first if a single key dominates.
+
+    Ties on (by, on) in RIGHT must be pre-deduplicated by the caller —
+    merge_asof keeps the positionally-last equal row (input-order-
+    dependent), so this operator asserts per-group uniqueness and fails
+    loudly instead of returning a flaky result."""
+    lschema, rschema = left.schema(), right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lcols = list(lschema.names)
+    rval = [c for c in rschema.names if c != by]  # includes `on`
+    out_types = {**{c: ltypes[c] for c in lcols},
+                 **{c + "_r": rtypes[c] for c in rval}}
+    allcols = list(out_types) + ["gkey", "side"]
+
+    def widen(side: str):
+        src = {c: c for c in lcols} if side == "l" else \
+            {by: by, **{c + "_r": c for c in rval}}
+
+        def f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {}
+            for c, typ in out_types.items():
+                cols[c] = t[src[c]].cast(typ) if c in src else \
+                    pa.nulls(n, typ)
+            cols["gkey"] = pc.cast(_mod_nonneg(t[by], num_groups),
+                                   pa.int64())
+            cols["side"] = pa.array([side] * n, pa.string())
+            return pa.table(cols)
+        return f
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = list(out_types)
+        lrows = g.loc[g["side"] == "l", lcols]
+        rrows = g.loc[g["side"] == "r", [by] + [c + "_r" for c in rval]]
+        if lrows.empty or rrows.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=g[c].dtype) for c in out_cols})
+        lrows = lrows.sort_values(on, kind="mergesort")
+        rrows = rrows.rename(columns={on + "_r": on}) \
+            .sort_values(on, kind="mergesort")
+        assert not rrows.duplicated([by, on]).any(), \
+            "asof_join right side has (by, on) ties — dedup first"
+        # keep the matched right `on` as on_r (merge_asof drops it)
+        rrows[on + "_r"] = rrows[on]
+        m = pd.merge_asof(lrows, rrows, on=on, by=by,
+                          direction="backward", allow_exact_matches=True)
+        m = m[m[on + "_r"].notna()]
+        return m[out_cols]
+
+    lt = left.map_batches(widen("l"), batch_format="pyarrow")
+    rt = right.map_batches(widen("r"), batch_format="pyarrow")
+    return lt.union(rt).groupby("gkey").map_groups(resolve,
+                                                   batch_format="pandas")
+
+
+def _mod_nonneg(arr: pa.ChunkedArray, m: int) -> pa.ChunkedArray:
+    """value mod m for integer arrays (nonnegative result)."""
+    q = pc.divide(arr, pa.scalar(m, pa.int64()))
+    r = pc.subtract(arr, pc.multiply(q, pa.scalar(m, pa.int64())))
+    return pc.if_else(pc.less(r, 0), pc.add(r, pa.scalar(m, pa.int64())), r)
+
+
+def asof_purchase_click(sf_dir: str) -> pd.DataFrame:
+    """For every purchase event: the latest prior-or-equal click by the
+    same user plus the exact microsecond lag.  No (user, ts) ties exist
+    in the test data at any sf (verified), so the result is
+    deterministic; the DuckDB oracle is a native ASOF JOIN."""
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=cols, override_num_blocks=16)
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .drop_columns(["event_type"])
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .drop_columns(["event_type"])
+    out = asof_join(purchases, clicks, on="ts", by="user_id").to_pandas()
+    out = out.rename(columns={"event_id_r": "click_id"})
+    out["lag_us"] = ((out["ts"] - out["ts_r"])
+                     // np.timedelta64(1, "us")).astype(np.int64)
+    for c in ("event_id", "user_id", "click_id"):
+        out[c] = out[c].astype(np.int64)
+    return out[["event_id", "user_id", "click_id", "lag_us"]] \
+        .sort_values("event_id").reset_index(drop=True)

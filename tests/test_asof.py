@@ -1,0 +1,88 @@
+"""asof_join semantics: backward inner as-of with exact matches, keyed.
+
+Pins against a brute-force O(n*m) python oracle, plus the edge cases the
+vectorized path must honor: exact-timestamp matches pair, left rows with
+no prior right row drop, and right-side (by, on) ties fail loudly."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+from jesterj_ray.pipelines.relational import asof_join
+
+
+def _ts(us):
+    return np.datetime64("2024-01-01", "us") + np.timedelta64(int(us), "us")
+
+
+def make_sides(seed=5, n_left=300, n_right=400, n_keys=17):
+    rng = np.random.default_rng(seed)
+    lt = pa.table({
+        "lid": pa.array(range(n_left), pa.int64()),
+        "k": pa.array(rng.integers(0, n_keys, n_left), pa.int64()),
+        "ts": pa.array([_ts(u) for u in
+                        rng.choice(10_000_000, n_left, replace=False)],
+                       pa.timestamp("us")),
+        "lval": pa.array(rng.normal(size=n_left)),
+    })
+    rt = pa.table({
+        "rid": pa.array(range(n_right), pa.int64()),
+        "k": pa.array(rng.integers(0, n_keys, n_right), pa.int64()),
+        "ts": pa.array([_ts(u) for u in
+                        rng.choice(10_000_000, n_right, replace=False)],
+                       pa.timestamp("us")),
+    })
+    return lt, rt
+
+
+def brute(lt: pa.Table, rt: pa.Table):
+    l, r = lt.to_pandas(), rt.to_pandas()
+    rows = []
+    for _, lr in l.iterrows():
+        cand = r[(r["k"] == lr["k"]) & (r["ts"] <= lr["ts"])]
+        if cand.empty:
+            continue
+        best = cand.sort_values("ts").iloc[-1]
+        rows.append((lr["lid"], int(best["rid"])))
+    return sorted(rows)
+
+
+def test_asof_matches_bruteforce(ray_session):
+    lt, rt = make_sides()
+    out = asof_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                    on="ts", by="k", num_groups=8).to_pandas()
+    got = sorted(zip(out["lid"].astype(int), out["rid_r"].astype(int)))
+    assert got == brute(lt, rt)
+    # matched right timestamp comes back and is never after the left's
+    assert (out["ts_r"] <= out["ts"]).all()
+    # left payload survives untouched
+    lmap = dict(zip(lt["lid"].to_pylist(), lt["lval"].to_pylist()))
+    assert all(abs(lmap[i] - v) < 1e-12
+               for i, v in zip(out["lid"].astype(int), out["lval"]))
+
+
+def test_asof_exact_match_and_no_match(ray_session):
+    lt = pa.table({"lid": pa.array([0, 1], pa.int64()),
+                   "k": pa.array([1, 1], pa.int64()),
+                   "ts": pa.array([_ts(100), _ts(50)], pa.timestamp("us"))})
+    rt = pa.table({"rid": pa.array([7], pa.int64()),
+                   "k": pa.array([1], pa.int64()),
+                   "ts": pa.array([_ts(100)], pa.timestamp("us"))})
+    out = asof_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                    on="ts", by="k").to_pandas()
+    # lid 0 pairs at the exact timestamp; lid 1 precedes every right row
+    assert out["lid"].tolist() == [0]
+    assert out["rid_r"].tolist() == [7]
+
+
+def test_asof_right_ties_fail_loudly(ray_session):
+    lt = pa.table({"lid": pa.array([0], pa.int64()),
+                   "k": pa.array([1], pa.int64()),
+                   "ts": pa.array([_ts(100)], pa.timestamp("us"))})
+    rt = pa.table({"rid": pa.array([1, 2], pa.int64()),
+                   "k": pa.array([1, 1], pa.int64()),
+                   "ts": pa.array([_ts(60), _ts(60)], pa.timestamp("us"))})
+    with pytest.raises(Exception, match="ties"):
+        asof_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                  on="ts", by="k").to_pandas()
