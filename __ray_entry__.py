@@ -226,6 +226,16 @@ def _asof_purchase_click(sf_dir: str):
     return asof_purchase_click(sf_dir)
 
 
+def _view_to_purchase_pairs(sf_dir: str):
+    from jesterj_ray.pipelines.relational import view_to_purchase_pairs
+    return view_to_purchase_pairs(sf_dir)
+
+
+def _next_event_lag(sf_dir: str):
+    from jesterj_ray.pipelines.relational import next_event_lag
+    return next_event_lag(sf_dir)
+
+
 def _facet_counts(sf_dir: str):
     from jesterj_ray.pipelines.flagship import facet_counts_documents
     return facet_counts_documents(sf_dir, "dup stream", "lang")
@@ -603,6 +613,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_and_topk": _bm25_and_topk,
         "bm25f_topk": _bm25f_topk,
         "asof_purchase_click": _asof_purchase_click,
+        "view_to_purchase_pairs": _view_to_purchase_pairs,
+        "next_event_lag": _next_event_lag,
         "facet_counts": _facet_counts,
         "bm25_not_topk": _bm25_not_topk,
         "snippets": _snippets,
@@ -883,6 +895,31 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts
             ORDER BY p.event_id""",
+        # engine: pipelines/relational.range_join (interval-bucket band
+        # join — two replicas per left row, one shuffle, vectorized
+        # per-group merge + gap filter)
+        "view_to_purchase_pairs": """
+            SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+                   v.user_id, date_diff('microsecond', v.ts, p.ts) AS gap_us
+            FROM events v JOIN events p
+              ON v.user_id = p.user_id
+             AND v.event_type = 'view' AND p.event_type = 'purchase'
+             AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+            ORDER BY view_id, purchase_id""",
+        # engine: pipelines/relational.next_event_lag (groupby(user) +
+        # sorted vectorized diff; LEAD() OVER analog)
+        "next_event_lag": """
+            WITH o AS (
+              SELECT event_id, user_id, ts,
+                     lead(event_id) OVER w AS next_event_id,
+                     lead(ts) OVER w AS next_ts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id, next_event_id,
+                   date_diff('microsecond', ts, next_ts) AS gap_us
+            FROM o WHERE next_event_id IS NOT NULL
+            ORDER BY event_id""",
         # term-in-context snippets: first occurrence of 'dup', +-2 tokens
         # (list slicing is 1-based inclusive in DuckDB: python
         # toks[max(0,p-2):p+3] == tl[greatest(1,p1-2):p1+2], p1 = p+1)

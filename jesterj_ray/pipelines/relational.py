@@ -365,3 +365,134 @@ def asof_purchase_click(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].astype(np.int64)
     return out[["event_id", "user_id", "click_id", "lag_us"]] \
         .sort_values("event_id").reset_index(drop=True)
+
+
+def range_join(left: "rd.Dataset", right: "rd.Dataset", *, on: str,
+               by: str, max_gap_us: int, num_groups: int = 64
+               ) -> "rd.Dataset":
+    """Distributed banded range join: all (left, right) pairs with the
+    same ``by`` key and ``0 < right.on - left.on <= max_gap_us``.
+
+    Scale shape (the classic interval-bucketing band join): time is cut
+    into ``max_gap_us``-wide buckets; a LEFT row in bucket k can only
+    pair with RIGHT rows in buckets {k, k+1}, so each left row
+    replicates into exactly TWO (key, bucket) cells, rights into one,
+    and a single coarse-gkey shuffle co-locates every candidate pair.
+    Per-group resolution is one vectorized pandas merge on (by, bucket)
+    + an interval filter — each qualifying pair materializes exactly
+    once (only one left replica shares the right's bucket).  Work and
+    memory scale with TRUE candidate density (same-key rows within
+    ``max_gap_us`` of each other), never all-pairs-per-key.
+
+    Right columns come back suffixed ``_r``; ``by`` keeps one copy."""
+    lschema, rschema = left.schema(), right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lcols = list(lschema.names)
+    rval = [c for c in rschema.names if c != by]
+    out_types = {**{c: ltypes[c] for c in lcols},
+                 **{c + "_r": rtypes[c] for c in rval}}
+    allcols = list(out_types)
+
+    def widen(side: str):
+        src = {c: c for c in lcols} if side == "l" else \
+            {by: by, **{c + "_r": c for c in rval}}
+        n_rep = 2 if side == "l" else 1
+
+        def f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            # integer floor-div (exact; epochs are positive microseconds,
+            # so truncation == floor — no float boundary hazards)
+            epoch = pc.cast(t[on].cast(pa.timestamp("us")), pa.int64())
+            bucket0 = pc.divide(epoch, pa.scalar(max_gap_us, pa.int64()))
+            parts = []
+            for rep in range(n_rep):
+                cols = {}
+                for c, typ in out_types.items():
+                    cols[c] = t[src[c]].cast(typ) if c in src else \
+                        pa.nulls(n, typ)
+                b = pc.add(bucket0, rep) if rep else bucket0
+                mixed = pc.add(pc.multiply(t[by], pa.scalar(
+                    1_000_003, pa.int64())), b)
+                cols["gkey"] = pc.cast(_mod_nonneg(mixed, num_groups),
+                                       pa.int64())
+                cols["bucket"] = b
+                cols["side"] = pa.array([side] * n, pa.string())
+                parts.append(pa.table(cols))
+            return pa.concat_tables(parts)
+        return f
+
+    ron = on + "_r"
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g.loc[g["side"] == "l", lcols + ["bucket"]]
+        rrows = g.loc[g["side"] == "r",
+                      [by, "bucket"] + [c + "_r" for c in rval]]
+        if lrows.empty or rrows.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=g[c].dtype) for c in allcols})
+        m = lrows.merge(rrows, on=[by, "bucket"])
+        gap = (m[ron] - m[on]) // np.timedelta64(1, "us")
+        m = m[(gap > 0) & (gap <= max_gap_us)]
+        return m[allcols]
+
+    lt = left.map_batches(widen("l"), batch_format="pyarrow")
+    rt = right.map_batches(widen("r"), batch_format="pyarrow")
+    return lt.union(rt).groupby("gkey").map_groups(resolve,
+                                                   batch_format="pandas")
+
+
+def view_to_purchase_pairs(sf_dir: str, window_s: int = 3600
+                           ) -> pd.DataFrame:
+    """Attribution range join: every (view, purchase) pair by the same
+    user with the purchase 0 < gap <= 1h after the view.  DuckDB oracle:
+    the equivalent inequality join."""
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=cols, override_num_blocks=16)
+    views = ev.filter(expr="event_type == 'view'").drop_columns(
+        ["event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(
+        ["event_type"])
+    out = range_join(views, purchases, on="ts", by="user_id",
+                     max_gap_us=window_s * 1_000_000).to_pandas()
+    out = out.rename(columns={"event_id": "view_id",
+                              "event_id_r": "purchase_id"})
+    out["gap_us"] = ((out["ts_r"] - out["ts"])
+                     // np.timedelta64(1, "us")).astype(np.int64)
+    for c in ("view_id", "user_id", "purchase_id"):
+        out[c] = out[c].astype(np.int64)
+    return out[["view_id", "purchase_id", "user_id", "gap_us"]] \
+        .sort_values(["view_id", "purchase_id"]).reset_index(drop=True)
+
+
+def next_event_lag(sf_dir: str) -> pd.DataFrame:
+    """LEAD() analog: per user, each event's gap to that user's next
+    event (by (ts, event_id) order); the last event per user drops.
+    groupby(user).map_groups over sorted groups, vectorized diff."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"],
+                         override_num_blocks=16)
+
+    def lead(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        ev = g["event_id"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                                 "user_id": pd.Series([], dtype=np.int64),
+                                 "next_event_id": pd.Series([], dtype=np.int64),
+                                 "gap_us": pd.Series([], dtype=np.int64)})
+        gap = (ts[1:] - ts[:-1]) // np.timedelta64(1, "us")
+        return pd.DataFrame({
+            "event_id": ev[:-1].astype(np.int64),
+            "user_id": np.repeat(np.int64(g["user_id"].iloc[0]),
+                                 len(g) - 1),
+            "next_event_id": ev[1:].astype(np.int64),
+            "gap_us": gap.astype(np.int64)})
+
+    out = ds.groupby("user_id").map_groups(lead,
+                                           batch_format="pandas").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -86,3 +86,45 @@ def test_asof_right_ties_fail_loudly(ray_session):
     with pytest.raises(Exception, match="ties"):
         asof_join(rd.from_arrow(lt), rd.from_arrow(rt),
                   on="ts", by="k").to_pandas()
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    from jesterj_ray.pipelines.relational import range_join
+    lt, rt = make_sides(seed=9, n_left=250, n_right=250, n_keys=11)
+    W = 500_000  # 0.5 s band over a 10 s spread: plenty of pairs
+    out = range_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                     on="ts", by="k", max_gap_us=W,
+                     num_groups=8).to_pandas()
+    got = sorted(zip(out["lid"].astype(int), out["rid_r"].astype(int)))
+    l, r = lt.to_pandas(), rt.to_pandas()
+    want = []
+    for _, lr in l.iterrows():
+        gap = (r["ts"] - lr["ts"]) // np.timedelta64(1, "us")
+        hit = r[(r["k"] == lr["k"]) & (gap > 0) & (gap <= W)]
+        want += [(int(lr["lid"]), int(x)) for x in hit["rid"]]
+    assert got == sorted(want)
+    assert len(got) == len(set(got))  # no duplicate pairs from replicas
+
+
+def test_range_join_boundaries(ray_session):
+    """gap == max pairs; gap == 0 and gap > max do not; pairs that span a
+    bucket boundary (left in bucket k, right in k+1) are found."""
+    from jesterj_ray.pipelines.relational import range_join
+    W = 1000
+    lt = pa.table({"lid": pa.array([0, 1, 2, 3], pa.int64()),
+                   "k": pa.array([1, 1, 1, 1], pa.int64()),
+                   "ts": pa.array([_ts(100), _ts(200), _ts(999),
+                                   _ts(5000)], pa.timestamp("us"))})
+    rt = pa.table({"rid": pa.array([10, 11, 12], pa.int64()),
+                   "k": pa.array([1, 1, 1], pa.int64()),
+                   "ts": pa.array([_ts(1100), _ts(200), _ts(1999)],
+                                  pa.timestamp("us"))})
+    out = range_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                     on="ts", by="k", max_gap_us=W).to_pandas()
+    got = sorted(zip(out["lid"].astype(int), out["rid_r"].astype(int)))
+    # lid0(ts100): rid10 @1100 gap=1000 == W -> pair (crosses bucket 0->1);
+    #              rid11 @200 gap=100 -> pair
+    # lid1(ts200): rid11 gap=0 -> NO; rid10 gap=900 -> pair
+    # lid2(ts999): rid10 gap=101 -> pair; rid12 @1999 gap=1000 -> pair
+    # lid3(ts5000): nothing
+    assert got == [(0, 10), (0, 11), (1, 10), (2, 10), (2, 12)]
