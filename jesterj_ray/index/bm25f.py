@@ -48,10 +48,23 @@ class BM25FReader:
 
     def __init__(self, field_dirs: Dict[str, str],
                  weights: Optional[Dict[str, float]] = None,
-                 b: Optional[Dict[str, float]] = None):
+                 b: Optional[Dict[str, float]] = None,
+                 slice_of: Optional[Tuple[int, int]] = None):
+        """``slice_of=(slice_id, n_slices)`` opens every field through
+        ``serving._SlicedReader`` (doc-range sharded serving): this
+        reader then holds only its slice's norms/buffers and scores only
+        its docs.  Slice-local ``topk`` MUST be given global dfs via
+        ``df_override`` (see :meth:`term_union_df`) for score parity."""
         if not field_dirs:
             raise ValueError("BM25F needs at least one field index")
-        self.readers = {f: IndexReader(d) for f, d in field_dirs.items()}
+        if slice_of is None:
+            self.readers = {f: IndexReader(d)
+                            for f, d in field_dirs.items()}
+        else:
+            from .serving import _SlicedReader
+            sid, n = slice_of
+            self.readers = {f: _SlicedReader(d, sid, n)
+                            for f, d in field_dirs.items()}
         self.weights = dict(weights or DEFAULT_WEIGHTS)
         self.b = dict(b or DEFAULT_B)
         for f in self.readers:
@@ -93,13 +106,32 @@ class BM25FReader:
                 return False
         return True
 
-    def topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+    def term_union_df(self, terms: List[str]) -> Dict[str, int]:
+        """Per-term |docs matching in ANY field| for THIS reader's doc
+        range.  Doc spaces are disjoint across serving slices, so these
+        counts SUM to the exact global any-field df — the df-gather
+        round of the sharded two-phase protocol (the same shape as
+        distributed search engines' query-then-fetch df pass)."""
+        out = {}
+        for t in terms:
+            parts = [self.primary.dense_of(r.postings(t)[0])
+                     for r in self.readers.values()]
+            parts = [p for p in parts if p.size]
+            out[t] = 0 if not parts else (
+                parts[0].size if len(parts) == 1 else
+                int(np.unique(np.concatenate(parts)).size))
+        return out
+
+    def topk(self, query: str, k: int = 10,
+             df_override: Optional[Dict[str, int]] = None
+             ) -> List[Tuple[int, float]]:
         """Exhaustive BM25F top-k: (doc_id, score) desc, ties asc docID.
 
         Term-at-a-time over the shared dense accumulator; per term, each
         field adds its normalized weighted tf into ``tfa`` (vectorized
         fancy-index add), then one saturation pass over the union of the
-        fields' match sets."""
+        fields' match sets.  ``df_override`` supplies global any-field
+        dfs (required on slice readers; ignored keys are fine)."""
         terms = dedup_keep_order(self.primary.tokenizer(query))
         scores = self.primary._scores_buf
         seen = self.primary._seen_buf
@@ -122,7 +154,9 @@ class BM25FReader:
             union = dense_parts[0] if len(dense_parts) == 1 else \
                 np.unique(np.concatenate(dense_parts))
             # document-level df: term present in ANY field
-            w = idf(self.n_docs, int(union.size))
+            df = df_override[t] if df_override is not None \
+                else int(union.size)
+            w = idf(self.n_docs, df)
             v = tfa[union]
             scores[union] += w * v * (K1 + 1.0) / (v + K1)
             tfa[union] = 0.0

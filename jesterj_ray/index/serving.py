@@ -166,3 +166,65 @@ class ShardedQueryService:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+@ray.remote
+class BM25FSliceActor:
+    """One doc-range slice of a BM25F field family (mask-based slices of
+    each field index — the fields share one pid space, so slicing every
+    field with the same (slice_id, n_slices) keeps them aligned)."""
+
+    def __init__(self, field_dirs, slice_id: int, n_slices: int):
+        from .bm25f import BM25FReader
+        self.reader = BM25FReader(field_dirs,
+                                  slice_of=(slice_id, n_slices))
+
+    def df_counts(self, terms: List[str]):
+        return self.reader.term_union_df(terms)
+
+    def topk(self, query: str, k: int, dfs) -> List[Tuple[int, float]]:
+        return self.reader.topk(query, k, df_override=dfs)
+
+
+class BM25FShardedService:
+    """Driver-side BM25F sharded serving with EXACT score parity.
+
+    BM25F's idf needs the global any-field df, which no single slice
+    holds; slices' per-term union counts are disjoint-space partials
+    that SUM to it exactly, so serving is the classic two-phase
+    distributed-search protocol: RPC 1 gathers df partials from every
+    slice (one round trip for all of a query's terms), RPC 2 scores
+    with the summed global dfs; the driver heap-merges per-slice
+    k-lists.  Rank-identical to the unsharded ``BM25FReader`` (pinned
+    in tests/test_bm25f.py)."""
+
+    def __init__(self, field_dirs, n_slices: int = 4):
+        self.actors = [BM25FSliceActor.remote(field_dirs, s, n_slices)
+                       for s in range(n_slices)]
+        # tokenizer for the df round: all fields share one (stats.json)
+        import json
+        import os
+        any_dir = next(iter(field_dirs.values()))
+        with open(os.path.join(any_dir, "stats.json")) as f:
+            from ..tokenize.tokenizer import TOKENIZERS
+            self.tokenizer = TOKENIZERS[json.load(f)["tokenizer"]]
+
+    def _global_dfs(self, terms: List[str]):
+        partials = ray.get([a.df_counts.remote(terms)
+                            for a in self.actors])
+        return {t: sum(p[t] for p in partials) for t in terms}
+
+    def topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+        from .bm25 import dedup_keep_order
+        terms = dedup_keep_order(self.tokenizer(query))
+        dfs = self._global_dfs(terms)
+        partials = ray.get([a.topk.remote(query, k, dfs)
+                            for a in self.actors])
+        merged = heapq.merge(*[iter(p) for p in partials],
+                             key=lambda h: (-h[1], h[0]))
+        return list(merged)[:k]
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

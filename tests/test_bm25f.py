@@ -152,3 +152,34 @@ def test_dedup_rejects_doc_key_partitioning(ray_session, tmp_path):
         build_index(rd.from_arrow(table), str(tmp_path / "x"),
                     text_col="text", tokenizer="simple", dedup=True,
                     partition_by="doc_key")
+
+
+def test_bm25f_sharded_service_matches_full_reader(field_indexes):
+    """Two-phase sharded BM25F (df-gather then score) is rank- AND
+    score-identical to the unsharded reader: per-slice any-field union
+    counts sum to the exact global df because slice doc spaces are
+    disjoint."""
+    from jesterj_ray.index.serving import BM25FShardedService
+    table, dirs = field_indexes
+    full = BM25FReader(dirs)
+    svc = BM25FShardedService(dirs, n_slices=4)
+    try:
+        for query in ["merge sort", "dup", "window filter stream",
+                      "zzzabsent", "hash join dup"]:
+            want = full.topk(query, 10)
+            got = svc.topk(query, 10)
+            assert [d for d, _ in got] == [d for d, _ in want], query
+            for (_, gs), (_, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-12), query
+    finally:
+        svc.shutdown()
+
+
+def test_bm25f_slice_df_partials_sum_to_global(field_indexes):
+    table, dirs = field_indexes
+    full = BM25FReader(dirs)
+    terms = ["merge", "dup", "stream", "zzzabsent"]
+    want = full.term_union_df(terms)
+    sliced = [BM25FReader(dirs, slice_of=(s, 4)) for s in range(4)]
+    got = {t: sum(r.term_union_df([t])[t] for r in sliced) for t in terms}
+    assert got == want
