@@ -257,6 +257,29 @@ def run_bench() -> dict:
     finally:
         svc.shutdown()
 
+    # keyed as-of join over events (coarse-gkey cogroup + merge_asof)
+    from jesterj_ray.pipelines.relational import asof_purchase_click
+    t0 = time.time()
+    asof_purchase_click(SF_DIR)
+    timings["asof_join"] = time.time() - t0
+
+    # BM25F: per-field index family build (title/body, doc_key-partitioned)
+    # + the query loop over both field indexes
+    from jesterj_ray.pipelines.flagship import (documents_bm25f_indexes,
+                                                _cache_dir)
+    from jesterj_ray.index.bm25f import BM25FReader
+    for tag in ("docidxf2-title", "docidxf2-body"):
+        shutil.rmtree(_cache_dir(SF_DIR, tag), ignore_errors=True)
+    t0 = time.time()
+    fdirs = documents_bm25f_indexes(SF_DIR)
+    timings["bm25f_build"] = time.time() - t0
+    fr = BM25FReader(fdirs)
+    t0 = time.time()
+    for _ in range(20):
+        for q in DOC_QUERIES:
+            fr.topk(q["query"], q["k"])
+    timings["bm25f_local_120q"] = time.time() - t0
+
     headline = timings["index_build"]
     result = {
         "metric": "index_build_sec_plus_query_throughput",
