@@ -236,6 +236,11 @@ def _next_event_lag(sf_dir: str):
     return next_event_lag(sf_dir)
 
 
+def _chars_quantiles_per_lang(sf_dir: str):
+    from jesterj_ray.pipelines.relational import chars_quantiles_per_lang
+    return chars_quantiles_per_lang(sf_dir)
+
+
 def _facet_counts(sf_dir: str):
     from jesterj_ray.pipelines.flagship import facet_counts_documents
     return facet_counts_documents(sf_dir, "dup stream", "lang")
@@ -615,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_click": _asof_purchase_click,
         "view_to_purchase_pairs": _view_to_purchase_pairs,
         "next_event_lag": _next_event_lag,
+        "chars_quantiles_per_lang": _chars_quantiles_per_lang,
         "facet_counts": _facet_counts,
         "bm25_not_topk": _bm25_not_topk,
         "snippets": _snippets,
@@ -920,6 +926,14 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', ts, next_ts) AS gap_us
             FROM o WHERE next_event_id IS NOT NULL
             ORDER BY event_id""",
+        # engine: pipelines/relational.grouped_quantiles (counting-sort
+        # quantile: map-side (key, value) count partials, driver fold —
+        # exchange is value-domain sized, exact, shuffle-free)
+        "chars_quantiles_per_lang": """
+            SELECT lang, quantile_disc(n_chars, 0.25) AS p25,
+                   quantile_disc(n_chars, 0.5) AS p50,
+                   quantile_disc(n_chars, 0.75) AS p75
+            FROM documents GROUP BY lang ORDER BY lang""",
         # term-in-context snippets: first occurrence of 'dup', +-2 tokens
         # (list slicing is 1-based inclusive in DuckDB: python
         # toks[max(0,p-2):p+3] == tl[greatest(1,p1-2):p1+2], p1 = p+1)

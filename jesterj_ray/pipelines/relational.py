@@ -496,3 +496,48 @@ def next_event_lag(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def grouped_quantiles(ds: "rd.Dataset", key: str, val: str,
+                      quantiles=((1, 4), (1, 2), (3, 4)),
+                      prep=None) -> pd.DataFrame:
+    """EXACT distributed discrete quantiles per group, shuffle-free, for
+    BOUNDED-DOMAIN integer values: each block collapses to (key, value)
+    count rows via the map-side partial aggregate (partial_groupby_sum —
+    no row shuffle), and the driver folds |keys| x |distinct values|
+    count rows into exact quantiles by cumulative-count lookup.  This is
+    the counting-sort quantile: at 100 TB the exchange is value-DOMAIN
+    sized, never data sized (use a t-digest instead for unbounded
+    floats).
+
+    Quantiles are (num, den) rationals so the rank index
+    ``ceil(q * n)`` is computed in exact integer arithmetic (pinned to
+    DuckDB ``quantile_disc`` semantics: 1-based, ties low)."""
+    agg = partial_groupby_sum(ds, [key, val], [], prep=prep).to_pandas()
+    rows = []
+    for k, g in agg.groupby(key, sort=True):
+        g = g.sort_values(val, kind="mergesort")
+        counts = g["n"].to_numpy()
+        vals = g[val].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        row = {key: k}
+        for num, den in quantiles:
+            idx = max(1, -((-num * n) // den))  # ceil(num*n/den), exact
+            row[f"q{num}_{den}"] = vals[np.searchsorted(cum, idx)]
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def chars_quantiles_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language exact p25/p50/p75 of document length (n_chars):
+    DuckDB ``quantile_disc`` oracle."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "n_chars"],
+                         override_num_blocks=8)
+    out = grouped_quantiles(ds, "lang", "n_chars")
+    out = out.rename(columns={"q1_4": "p25", "q1_2": "p50", "q3_4": "p75"})
+    for c in ("p25", "p50", "p75"):
+        out[c] = out[c].astype(np.int64)
+    return out[["lang", "p25", "p50", "p75"]] \
+        .sort_values("lang").reset_index(drop=True)

@@ -128,3 +128,28 @@ def test_range_join_boundaries(ray_session):
     # lid2(ts999): rid10 gap=101 -> pair; rid12 @1999 gap=1000 -> pair
     # lid3(ts5000): nothing
     assert got == [(0, 10), (0, 11), (1, 10), (2, 10), (2, 12)]
+
+
+def test_grouped_quantiles_match_duckdb_rule(ray_session):
+    """Counting-sort quantiles == DuckDB quantile_disc on random grouped
+    multisets (pins the exact ceil(q*n) 1-based index rule, ties-low,
+    across group sizes 1..40 including heavy duplicates)."""
+    import duckdb
+    from jesterj_ray.pipelines.relational import grouped_quantiles
+    rng = np.random.default_rng(21)
+    ks, vs = [], []
+    for k in range(12):
+        sz = int(rng.integers(1, 41))
+        ks += [k] * sz
+        vs += rng.integers(0, 12, sz).tolist()  # heavy ties
+    t = pa.table({"k": pa.array(ks, pa.int64()),
+                  "v": pa.array(vs, pa.int64())})
+    got = grouped_quantiles(rd.from_arrow(t), "k", "v")
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        "SELECT k, quantile_disc(v, 0.25), quantile_disc(v, 0.5), "
+        "quantile_disc(v, 0.75) FROM t GROUP BY k ORDER BY k").fetchall()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert [(int(r["k"]), int(r["q1_4"]), int(r["q1_2"]), int(r["q3_4"]))
+            for _, r in got.iterrows()] == [tuple(map(int, w)) for w in want]
