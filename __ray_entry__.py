@@ -241,6 +241,11 @@ def _chars_quantiles_per_lang(sf_dir: str):
     return chars_quantiles_per_lang(sf_dir)
 
 
+def _distinct_users_per_type(sf_dir: str):
+    from jesterj_ray.pipelines.relational import distinct_users_per_type
+    return distinct_users_per_type(sf_dir)
+
+
 def _facet_counts(sf_dir: str):
     from jesterj_ray.pipelines.flagship import facet_counts_documents
     return facet_counts_documents(sf_dir, "dup stream", "lang")
@@ -621,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "view_to_purchase_pairs": _view_to_purchase_pairs,
         "next_event_lag": _next_event_lag,
         "chars_quantiles_per_lang": _chars_quantiles_per_lang,
+        "distinct_users_per_type": _distinct_users_per_type,
         "facet_counts": _facet_counts,
         "bm25_not_topk": _bm25_not_topk,
         "snippets": _snippets,
@@ -934,6 +940,11 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.5) AS p50,
                    quantile_disc(n_chars, 0.75) AS p75
             FROM documents GROUP BY lang ORDER BY lang""",
+        # engine: pipelines/relational.distinct_users_per_type (block-level
+        # pair pre-dedup, domain-bounded exchange, exact)
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type""",
         # term-in-context snippets: first occurrence of 'dup', +-2 tokens
         # (list slicing is 1-based inclusive in DuckDB: python
         # toks[max(0,p-2):p+3] == tl[greatest(1,p1-2):p1+2], p1 = p+1)

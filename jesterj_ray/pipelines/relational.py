@@ -541,3 +541,29 @@ def chars_quantiles_per_lang(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].astype(np.int64)
     return out[["lang", "p25", "p50", "p75"]] \
         .sort_values("lang").reset_index(drop=True)
+
+
+def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped COUNT(DISTINCT): distinct users per event type.
+
+    Scale shape: each block pre-collapses to its unique (type, user)
+    pairs inside map_batches (Arrow group-by, zero rows shipped twice),
+    the driver folds pair partials and counts — the exchange is bounded
+    by |types| x |users| (the DISTINCT domain), never the event count.
+    For an unbounded domain you'd hash-partition the pairs instead (one
+    shuffle) or switch to a sketch (HLL) for approximate counts."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"],
+                         override_num_blocks=16)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t, ["event_type", "user_id"]).aggregate([])
+
+    parts = ds.map_batches(pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    small = pa.concat_tables(ray.get(parts.to_arrow_refs()))
+    uniq = pa.TableGroupBy(small, ["event_type", "user_id"]).aggregate([])
+    agg = pa.TableGroupBy(uniq, ["event_type"]).aggregate([([], "count_all")])
+    out = agg.rename_columns(["event_type", "n_users"]).to_pandas()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
