@@ -246,6 +246,24 @@ def _distinct_users_per_type(sf_dir: str):
     return distinct_users_per_type(sf_dir)
 
 
+def _approx_distinct_users_per_type(sf_dir: str):
+    # rows-only: approximate by design (HLL, p=12) — no SQL oracle can
+    # hash-match; pinned instead by tests/test_sketch.py (error bound,
+    # merge associativity, block-split determinism, cross-validation
+    # against the exact distinct_users_per_type)
+    import pandas as _pd
+    import ray.data as _rd
+    from jesterj_ray.stages.sketch import hll_distinct_grouped
+    ds = _rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_type", "user_id"],
+                          override_num_blocks=8)
+    est = hll_distinct_grouped(ds, "event_type", "user_id")
+    out = _pd.DataFrame(sorted(est.items()),
+                        columns=["event_type", "n_users_approx"])
+    out["n_users_approx"] = out["n_users_approx"].astype("int64")
+    return out
+
+
 def _facet_counts(sf_dir: str):
     from jesterj_ray.pipelines.flagship import facet_counts_documents
     return facet_counts_documents(sf_dir, "dup stream", "lang")
@@ -627,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_event_lag": _next_event_lag,
         "chars_quantiles_per_lang": _chars_quantiles_per_lang,
         "distinct_users_per_type": _distinct_users_per_type,
+        "approx_distinct_users_per_type": _approx_distinct_users_per_type,
         "facet_counts": _facet_counts,
         "bm25_not_topk": _bm25_not_topk,
         "snippets": _snippets,

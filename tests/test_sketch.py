@@ -1,0 +1,78 @@
+"""HyperLogLog sketch: error bound, merge associativity, determinism."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+from jesterj_ray.stages.sketch import (hll_distinct, hll_estimate,
+                                       hll_registers)
+
+
+def test_hll_error_bound():
+    """Estimate within ~3 sigma (sigma = 1.04/sqrt(2^p)) of the truth,
+    plus the documented ~2.5% bias allowance in the valley just above the
+    linear-counting cutoff (2.5m-8m; classic HLL bias that HLL++'s
+    empirical tables correct — we keep plain HLL and document it)."""
+    m = 1 << 12
+    sigma = 1.04 / np.sqrt(m)
+    for true_n in (50, 1000, 20_000, 200_000):
+        vals = [f"user-{i}" for i in range(true_n)]
+        est = hll_estimate(hll_registers(vals, p=12))
+        bias = 0.025 * true_n if 2.5 * m < true_n < 8 * m else 0
+        assert abs(est - true_n) <= 3 * sigma * true_n + bias + 2, true_n
+
+
+def test_hll_merge_equals_single_pass():
+    """max-merge of split register arrays == one pass over the union, for
+    ANY split — the mergeability the distributed path relies on — and
+    duplicates across splits never inflate the sketch."""
+    vals = [f"u{i}" for i in range(5000)]
+    whole = hll_registers(vals, p=12)
+    for cut in (1, 777, 2500, 4999):
+        a = hll_registers(vals[:cut] + vals[:100], p=12)  # overlap dups
+        b = hll_registers(vals[cut:] + vals[:100], p=12)
+        assert np.array_equal(np.maximum(a, b), whole)
+
+
+def test_hll_distinct_dataset_matches_local(ray_session):
+    """The Dataset path (per-block registers, driver max-merge) returns
+    EXACTLY the local single-pass estimate at any block count
+    (deterministic hashing ⇒ parallelism-independent result)."""
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 3000, 10_000)  # duplicates across blocks
+    local = int(round(hll_estimate(hll_registers(vals.tolist(), p=12))))
+    for blocks in (1, 7, 32):
+        t = pa.table({"v": pa.array(vals, pa.int64())})
+        ds = rd.from_arrow(t).repartition(blocks)
+        assert hll_distinct(ds, "v", p=12) == local
+    truth = len(np.unique(vals))
+    assert abs(local - truth) <= 0.05 * truth
+
+
+def test_hll_p_bounds():
+    with pytest.raises(ValueError):
+        hll_registers(["x"], p=10)
+
+
+def test_hll_grouped_tracks_exact(ray_session):
+    """Grouped sketch vs the exact grouped distinct on the events table:
+    small per-group cardinalities sit in the linear-counting range, so
+    estimates land within 5% of truth — and the result is block-split
+    independent."""
+    import os
+    from jesterj_ray.pipelines.relational import distinct_users_per_type
+    from jesterj_ray.stages.sketch import hll_distinct_grouped
+    sf = "/root/testdata/sf0.001"
+    edf = distinct_users_per_type(sf)
+    exact = dict(zip(edf["event_type"], edf["n_users"]))
+    ds = rd.read_parquet(os.path.join(sf, "events.parquet"),
+                         columns=["event_type", "user_id"],
+                         override_num_blocks=4)
+    est = hll_distinct_grouped(ds, "event_type", "user_id")
+    assert set(est) == set(exact)
+    for k, v in est.items():
+        assert abs(v - int(exact[k])) <= max(2, 0.05 * int(exact[k])), k
+    ds2 = rd.read_parquet(os.path.join(sf, "events.parquet"),
+                          columns=["event_type", "user_id"],
+                          override_num_blocks=13)
+    assert hll_distinct_grouped(ds2, "event_type", "user_id") == est
