@@ -264,6 +264,22 @@ def _approx_distinct_users_per_type(sf_dir: str):
     return out
 
 
+def _price_quantiles_tdigest(sf_dir: str):
+    # rows-only: approximate by design (merging t-digest over an
+    # unbounded float column) — pinned by tests/test_sketch.py rank-error
+    # bounds against the exact empirical CDF
+    import pandas as _pd
+    import ray.data as _rd
+    from jesterj_ray.stages.sketch import tdigest_quantiles
+    ds = _rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                          columns=["l_extendedprice"],
+                          override_num_blocks=16)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = tdigest_quantiles(ds, "l_extendedprice", qs)
+    return _pd.DataFrame({"q": qs,
+                          "price": [round(v, 2) for v in vals]})
+
+
 def _facet_counts(sf_dir: str):
     from jesterj_ray.pipelines.flagship import facet_counts_documents
     return facet_counts_documents(sf_dir, "dup stream", "lang")
@@ -646,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_quantiles_per_lang": _chars_quantiles_per_lang,
         "distinct_users_per_type": _distinct_users_per_type,
         "approx_distinct_users_per_type": _approx_distinct_users_per_type,
+        "price_quantiles_tdigest": _price_quantiles_tdigest,
         "facet_counts": _facet_counts,
         "bm25_not_topk": _bm25_not_topk,
         "snippets": _snippets,

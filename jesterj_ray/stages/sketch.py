@@ -120,3 +120,108 @@ def hll_distinct_grouped(ds, key: str, col: str, p: int = 12):
             else:
                 merged[k] = r.copy()
     return {k: int(round(hll_estimate(r))) for k, r in merged.items()}
+
+
+class TDigest:
+    """Merging t-digest (Dunning's merge variant, k1 scale function):
+    bounded-size mergeable quantile summary for UNBOUNDED float domains —
+    the approximate sibling of the exact counting-sort
+    ``pipelines.relational.grouped_quantiles`` (which needs a bounded
+    integer domain).  Accuracy concentrates at the tails (the k1 scale
+    allots centroid capacity ~ sqrt(q(1-q))).
+
+    Distributed shape: one digest per block inside ``map_batches``
+    (a few KB each), associative centroid merges driver- or tree-side.
+    NOTE: unlike HLL, the result is NOT block-split invariant (centroid
+    boundaries depend on merge order); tests pin rank-error bounds, not
+    equality."""
+
+    def __init__(self, delta: int = 100):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.int64)
+
+    @staticmethod
+    def _k1(q: float, delta: int) -> float:
+        import math
+        return delta / (2 * math.pi) * math.asin(
+            2 * min(1.0, max(0.0, q)) - 1)
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray):
+        order = np.argsort(means, kind="mergesort")
+        means, weights = means[order], weights[order]
+        total = int(weights.sum())
+        out_m, out_w = [], []
+        cur_m, cur_w = means[0], int(weights[0])
+        w_before = 0  # weight strictly before the current centroid
+        for m, w in zip(means[1:].tolist(), weights[1:].tolist()):
+            q0 = w_before / total
+            q2 = (w_before + cur_w + w) / total
+            if self._k1(q2, self.delta) - self._k1(q0, self.delta) <= 1.0:
+                # merge keeps the weighted mean; centroids stay sorted
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+                cur_w += int(w)
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                w_before += cur_w
+                cur_m, cur_w = m, int(w)
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.array(out_m, dtype=np.float64)
+        self.weights = np.array(out_w, dtype=np.int64)
+
+    def add(self, values: np.ndarray):
+        values = np.asarray(values, dtype=np.float64)
+        if values.size == 0:
+            return self
+        self._compress(np.concatenate([self.means, values]),
+                       np.concatenate([self.weights,
+                                       np.ones(values.size, np.int64)]))
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if other.means.size:
+            self._compress(np.concatenate([self.means, other.means]),
+                           np.concatenate([self.weights, other.weights]))
+        return self
+
+    def quantile(self, q: float) -> float:
+        """Interpolated quantile: centroid i covers the weight interval
+        centred at cum_i (midpoint rule); linear between midpoints,
+        clamped to the extreme means at the tails."""
+        if self.means.size == 0:
+            return float("nan")
+        if self.means.size == 1:
+            return float(self.means[0])
+        total = self.weights.sum()
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        target = q * total
+        return float(np.interp(target, cum, self.means))
+
+    def to_bytes(self) -> bytes:
+        return self.means.tobytes() + self.weights.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, delta: int = 100) -> "TDigest":
+        d = cls(delta)
+        n = len(blob) // 16
+        d.means = np.frombuffer(blob[:8 * n], dtype=np.float64).copy()
+        d.weights = np.frombuffer(blob[8 * n:], dtype=np.int64).copy()
+        return d
+
+
+def tdigest_quantiles(ds, col: str, qs, delta: int = 100):
+    """Approximate quantiles of a float column: per-block digests
+    (map_batches, ~KBs each), driver merge, interpolated estimates."""
+    def block_digest(t: pa.Table) -> pa.Table:
+        d = TDigest(delta).add(t[col].to_numpy(zero_copy_only=False))
+        return pa.table({"digest": pa.array([d.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(block_digest, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    merged = TDigest(delta)
+    for t in ray.get(parts.to_arrow_refs()):
+        for blob in t["digest"].to_pylist():
+            merged.merge(TDigest.from_bytes(blob, delta))
+    return [merged.quantile(q) for q in qs]

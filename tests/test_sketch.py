@@ -76,3 +76,42 @@ def test_hll_grouped_tracks_exact(ray_session):
                           columns=["event_type", "user_id"],
                           override_num_blocks=13)
     assert hll_distinct_grouped(ds2, "event_type", "user_id") == est
+
+
+def test_tdigest_rank_error():
+    """Estimated quantiles land within 1.5% rank error at delta=100 on
+    50k normals (t-digest accuracy concentrates at the tails — pin the
+    tails tighter than the middle)."""
+    from jesterj_ray.stages.sketch import TDigest
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=50_000)
+    d = TDigest(100)
+    for chunk in np.array_split(vals, 10):
+        d.add(chunk)
+    sv = np.sort(vals)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = d.quantile(q)
+        rank = np.searchsorted(sv, est) / sv.size
+        tol = 0.005 if q in (0.01, 0.99) else 0.015
+        assert abs(rank - q) <= tol, (q, rank)
+    # digest stays bounded
+    assert d.means.size < 200
+
+
+def test_tdigest_distributed_matches_bounds(ray_session):
+    """Dataset path (per-block digests + driver merge) obeys the same
+    rank-error bound, and serde round-trips exactly."""
+    from jesterj_ray.stages.sketch import TDigest, tdigest_quantiles
+    rng = np.random.default_rng(17)
+    vals = rng.exponential(scale=3.0, size=30_000)  # skewed
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+    ds = rd.from_arrow(t).repartition(16)
+    ests = tdigest_quantiles(ds, "v", [0.1, 0.5, 0.9, 0.99])
+    sv = np.sort(vals)
+    for q, est in zip([0.1, 0.5, 0.9, 0.99], ests):
+        rank = np.searchsorted(sv, est) / sv.size
+        assert abs(rank - q) <= 0.02, (q, rank)
+    d = TDigest(100).add(vals[:100])
+    rt = TDigest.from_bytes(d.to_bytes())
+    assert np.array_equal(rt.means, d.means)
+    assert np.array_equal(rt.weights, d.weights)
