@@ -584,8 +584,12 @@ def watch_and_reindex(pattern: str, out_dir: str, *, interval_s: float = 5.0,
                 stats["compaction"] = compact_index(out_dir)
                 # FTI record TTL (reference: 90 days): expire old status
                 # transitions alongside compaction so an eternal loop's
-                # history stays time-bounded, not just line-bounded
-                stats["history_expired"] = man.expire_history()
+                # history stays time-bounded, not just line-bounded —
+                # EVERY history stage (build + the per-shard merge
+                # commits), not just the build manifest's
+                stats["history_expired"] = sum(
+                    Manifest(out_dir, stage).expire_history()
+                    for stage in ("build", "merge"))
         yield stats
         cycle += 1
 

@@ -238,10 +238,15 @@ _TITLE_SPLIT_RE = re.compile(
 def _split_title_body(t: pa.Table) -> pa.Table:
     """Derive title/body/doc_key columns for the per-field index builds.
 
-    Lowercasing is one vectorized Arrow pass; the split point needs a
-    per-row regex match (Arrow has no extract-all/slice-by-row kernel) —
-    same cost class as the tokenizer pass the index build itself runs."""
-    lower = pc.utf8_lower(t["text"]).to_pylist()
+    Lowercasing is Python ``str.lower()`` — the SAME casing the frozen
+    ``simple_tokenize`` invariant uses (CLAUDE.md).  Arrow's
+    ``utf8_lower`` applies simple case mapping and diverges on full-
+    casing characters (e.g. 'İ' -> 'i̇' in Python yields an extra 'i'
+    token), which would shift the split point off the token-list slices
+    the SQL oracle takes.  The split needs a per-row regex match anyway
+    (no slice-by-row kernel) — same cost class as the tokenizer pass the
+    index build itself runs."""
+    lower = [(s or "").lower() for s in t["text"].to_pylist()]
     ends = [_TITLE_SPLIT_RE.match(s).end() for s in lower]
     return pa.table({
         "doc_id": t["doc_id"],

@@ -266,6 +266,85 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _cogroup_join(left: "rd.Dataset", right: "rd.Dataset", *, by: str,
+                  num_groups: int, pair_fn, bucket_fn=None,
+                  left_reps: int = 1):
+    """Shared scaffolding for keyed cogroup joins (asof_join,
+    range_join): widen both sides to one schema (right columns suffixed
+    ``_r``), tag side + coarse gkey (+ optional bucket), ONE groupby
+    shuffle, then a per-group ``resolve``.
+
+    INT-SAFETY: inside resolve the group arrives as ARROW and each side
+    filters to its OWN rows before converting to pandas, so a side's
+    columns are null-free at conversion time and int64 columns never
+    degrade to float64 (typed nulls exist only in the union schema, and
+    only on the other side's rows).  ``pair_fn(lg, rg) -> (l_idx,
+    r_idx)`` returns POSITIONAL matches (row counts, always < 2^53);
+    values are then gathered side-locally with their original dtypes.
+
+    ``bucket_fn(table, rep) -> int64 array`` adds a bucket column per
+    replica (``left_reps`` replicas of the left side, one of the right)
+    and the gkey mixes it with ``by``; without it gkey = by mod groups.
+    """
+    lschema, rschema = left.schema(), right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lcols = list(lschema.names)
+    rval = [c for c in rschema.names if c != by]
+    out_types = {**{c: ltypes[c] for c in lcols},
+                 **{c + "_r": rtypes[c] for c in rval}}
+    l_sel = lcols + (["bucket"] if bucket_fn else [])
+    r_sel = [by] + [c + "_r" for c in rval] + \
+        (["bucket"] if bucket_fn else [])
+    empty_out = pa.table({c: pa.array([], t)
+                          for c, t in out_types.items()}).to_pandas()
+
+    def widen(side: str):
+        src = {c: c for c in lcols} if side == "l" else \
+            {by: by, **{c + "_r": c for c in rval}}
+        reps = left_reps if side == "l" else 1
+
+        def f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            parts = []
+            for rep in range(reps):
+                cols = {}
+                for c, typ in out_types.items():
+                    cols[c] = t[src[c]].cast(typ) if c in src else \
+                        pa.nulls(n, typ)
+                if bucket_fn is not None:
+                    b = bucket_fn(t, rep)
+                    cols["bucket"] = b
+                    mixed = pc.add(pc.multiply(
+                        t[by], pa.scalar(1_000_003, pa.int64())), b)
+                else:
+                    mixed = t[by]
+                cols["gkey"] = pc.cast(_mod_nonneg(mixed, num_groups),
+                                       pa.int64())
+                cols["side"] = pa.array([side] * n, pa.string())
+                parts.append(pa.table(cols))
+            return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        return f
+
+    def resolve(g: pa.Table) -> pd.DataFrame:
+        lmask = pc.equal(g["side"], "l")
+        lg = g.filter(lmask).select(l_sel).to_pandas()
+        rg = g.filter(pc.invert(lmask)).select(r_sel).to_pandas()
+        if lg.empty or rg.empty:
+            return empty_out
+        l_idx, r_idx = pair_fn(lg, rg)
+        out = pd.concat(
+            [lg[lcols].iloc[l_idx].reset_index(drop=True),
+             rg[[c + "_r" for c in rval]].iloc[r_idx]
+             .reset_index(drop=True)], axis=1)
+        return out[list(out_types)]
+
+    lt = left.map_batches(widen("l"), batch_format="pyarrow")
+    rt = right.map_batches(widen("r"), batch_format="pyarrow")
+    return lt.union(rt).groupby("gkey").map_groups(resolve,
+                                                   batch_format="pyarrow")
+
+
 def asof_join(left: "rd.Dataset", right: "rd.Dataset", *, on: str,
               by: str, num_groups: int = 64) -> "rd.Dataset":
     """Distributed backward as-of join: each LEFT row pairs with the
@@ -278,64 +357,36 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", *, on: str,
     Ray Data has no as-of join; the scale shape is the coarse-group-key
     cogroup pattern (CLAUDE.md; ``dedup.min_label_components``): both
     sides gain ``gkey = by % num_groups`` and a side tag, ONE bounded
-    groupby co-locates each key's rows, and the per-group resolution is
-    ``pd.merge_asof`` (C-vectorized) — so the only exchange is a single
-    shuffle into ``num_groups`` groups and no Python-per-row work
-    happens anywhere.  Sequential or hashed integer keys spread
-    uniformly under mod; salt ``by`` first if a single key dominates.
+    groupby co-locates each key's rows, and the per-group pairing is
+    ``pd.merge_asof`` over positional indexes (C-vectorized) — so the
+    only exchange is a single shuffle into ``num_groups`` groups and no
+    Python-per-row work happens anywhere.  Sequential or hashed integer
+    keys spread uniformly under mod; salt ``by`` first if a single key
+    dominates.
 
-    Ties on (by, on) in RIGHT must be pre-deduplicated by the caller —
-    merge_asof keeps the positionally-last equal row (input-order-
-    dependent), so this operator asserts per-group uniqueness and fails
-    loudly instead of returning a flaky result."""
-    lschema, rschema = left.schema(), right.schema()
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
-    lcols = list(lschema.names)
-    rval = [c for c in rschema.names if c != by]  # includes `on`
-    out_types = {**{c: ltypes[c] for c in lcols},
-                 **{c + "_r": rtypes[c] for c in rval}}
-    allcols = list(out_types) + ["gkey", "side"]
+    Ties on (by, on) in RIGHT raise ValueError — merge_asof would keep
+    the positionally-last equal row (input-order-dependent), a flaky
+    result this operator refuses to return."""
+    ron = on + "_r"
 
-    def widen(side: str):
-        src = {c: c for c in lcols} if side == "l" else \
-            {by: by, **{c + "_r": c for c in rval}}
-
-        def f(t: pa.Table) -> pa.Table:
-            n = len(t)
-            cols = {}
-            for c, typ in out_types.items():
-                cols[c] = t[src[c]].cast(typ) if c in src else \
-                    pa.nulls(n, typ)
-            cols["gkey"] = pc.cast(_mod_nonneg(t[by], num_groups),
-                                   pa.int64())
-            cols["side"] = pa.array([side] * n, pa.string())
-            return pa.table(cols)
-        return f
-
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        out_cols = list(out_types)
-        lrows = g.loc[g["side"] == "l", lcols]
-        rrows = g.loc[g["side"] == "r", [by] + [c + "_r" for c in rval]]
-        if lrows.empty or rrows.empty:
-            return pd.DataFrame(
-                {c: pd.Series([], dtype=g[c].dtype) for c in out_cols})
-        lrows = lrows.sort_values(on, kind="mergesort")
-        rrows = rrows.rename(columns={on + "_r": on}) \
-            .sort_values(on, kind="mergesort")
-        assert not rrows.duplicated([by, on]).any(), \
-            "asof_join right side has (by, on) ties — dedup first"
-        # keep the matched right `on` as on_r (merge_asof drops it)
-        rrows[on + "_r"] = rrows[on]
-        m = pd.merge_asof(lrows, rrows, on=on, by=by,
+    def pair(lg: pd.DataFrame, rg: pd.DataFrame):
+        ls = pd.DataFrame({by: lg[by], on: lg[on],
+                           "__li": np.arange(len(lg))}
+                          ).sort_values(on, kind="mergesort")
+        rs = pd.DataFrame({by: rg[by], on: rg[ron],
+                           "__ri": np.arange(len(rg))}
+                          ).sort_values(on, kind="mergesort")
+        if rs.duplicated([by, on]).any():
+            raise ValueError(
+                "asof_join right side has (by, on) ties — dedup first")
+        m = pd.merge_asof(ls, rs, on=on, by=by,
                           direction="backward", allow_exact_matches=True)
-        m = m[m[on + "_r"].notna()]
-        return m[out_cols]
+        m = m[m["__ri"].notna()]
+        return (m["__li"].to_numpy(dtype=np.int64),
+                m["__ri"].to_numpy(dtype=np.int64))
 
-    lt = left.map_batches(widen("l"), batch_format="pyarrow")
-    rt = right.map_batches(widen("r"), batch_format="pyarrow")
-    return lt.union(rt).groupby("gkey").map_groups(resolve,
-                                                   batch_format="pandas")
+    return _cogroup_join(left, right, by=by, num_groups=num_groups,
+                         pair_fn=pair)
 
 
 def _mod_nonneg(arr: pa.ChunkedArray, m: int) -> pa.ChunkedArray:
@@ -378,68 +429,36 @@ def range_join(left: "rd.Dataset", right: "rd.Dataset", *, on: str,
     pair with RIGHT rows in buckets {k, k+1}, so each left row
     replicates into exactly TWO (key, bucket) cells, rights into one,
     and a single coarse-gkey shuffle co-locates every candidate pair.
-    Per-group resolution is one vectorized pandas merge on (by, bucket)
-    + an interval filter — each qualifying pair materializes exactly
-    once (only one left replica shares the right's bucket).  Work and
-    memory scale with TRUE candidate density (same-key rows within
-    ``max_gap_us`` of each other), never all-pairs-per-key.
+    Per-group pairing is one vectorized merge on (by, bucket) over
+    positional indexes + an interval filter — each qualifying pair
+    materializes exactly once (only one left replica shares the right's
+    bucket).  Work and memory scale with TRUE candidate density
+    (same-key rows within ``max_gap_us`` of each other), never
+    all-pairs-per-key.
 
     Right columns come back suffixed ``_r``; ``by`` keeps one copy."""
-    lschema, rschema = left.schema(), right.schema()
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
-    lcols = list(lschema.names)
-    rval = [c for c in rschema.names if c != by]
-    out_types = {**{c: ltypes[c] for c in lcols},
-                 **{c + "_r": rtypes[c] for c in rval}}
-    allcols = list(out_types)
-
-    def widen(side: str):
-        src = {c: c for c in lcols} if side == "l" else \
-            {by: by, **{c + "_r": c for c in rval}}
-        n_rep = 2 if side == "l" else 1
-
-        def f(t: pa.Table) -> pa.Table:
-            n = len(t)
-            # integer floor-div (exact; epochs are positive microseconds,
-            # so truncation == floor — no float boundary hazards)
-            epoch = pc.cast(t[on].cast(pa.timestamp("us")), pa.int64())
-            bucket0 = pc.divide(epoch, pa.scalar(max_gap_us, pa.int64()))
-            parts = []
-            for rep in range(n_rep):
-                cols = {}
-                for c, typ in out_types.items():
-                    cols[c] = t[src[c]].cast(typ) if c in src else \
-                        pa.nulls(n, typ)
-                b = pc.add(bucket0, rep) if rep else bucket0
-                mixed = pc.add(pc.multiply(t[by], pa.scalar(
-                    1_000_003, pa.int64())), b)
-                cols["gkey"] = pc.cast(_mod_nonneg(mixed, num_groups),
-                                       pa.int64())
-                cols["bucket"] = b
-                cols["side"] = pa.array([side] * n, pa.string())
-                parts.append(pa.table(cols))
-            return pa.concat_tables(parts)
-        return f
-
     ron = on + "_r"
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        lrows = g.loc[g["side"] == "l", lcols + ["bucket"]]
-        rrows = g.loc[g["side"] == "r",
-                      [by, "bucket"] + [c + "_r" for c in rval]]
-        if lrows.empty or rrows.empty:
-            return pd.DataFrame(
-                {c: pd.Series([], dtype=g[c].dtype) for c in allcols})
-        m = lrows.merge(rrows, on=[by, "bucket"])
-        gap = (m[ron] - m[on]) // np.timedelta64(1, "us")
-        m = m[(gap > 0) & (gap <= max_gap_us)]
-        return m[allcols]
+    def bucket(t: pa.Table, rep: int) -> pa.ChunkedArray:
+        # integer floor-div (exact; epochs are positive microseconds,
+        # so truncation == floor — no float boundary hazards)
+        epoch = pc.cast(t[on].cast(pa.timestamp("us")), pa.int64())
+        b = pc.divide(epoch, pa.scalar(max_gap_us, pa.int64()))
+        return pc.add(b, rep) if rep else b
 
-    lt = left.map_batches(widen("l"), batch_format="pyarrow")
-    rt = right.map_batches(widen("r"), batch_format="pyarrow")
-    return lt.union(rt).groupby("gkey").map_groups(resolve,
-                                                   batch_format="pandas")
+    def pair(lg: pd.DataFrame, rg: pd.DataFrame):
+        ls = pd.DataFrame({by: lg[by], "bucket": lg["bucket"],
+                           "__on": lg[on], "__li": np.arange(len(lg))})
+        rs = pd.DataFrame({by: rg[by], "bucket": rg["bucket"],
+                           "__ron": rg[ron], "__ri": np.arange(len(rg))})
+        m = ls.merge(rs, on=[by, "bucket"])
+        gap = (m["__ron"] - m["__on"]) // np.timedelta64(1, "us")
+        m = m[(gap > 0) & (gap <= max_gap_us)]
+        return (m["__li"].to_numpy(dtype=np.int64),
+                m["__ri"].to_numpy(dtype=np.int64))
+
+    return _cogroup_join(left, right, by=by, num_groups=num_groups,
+                         pair_fn=pair, bucket_fn=bucket, left_reps=2)
 
 
 def view_to_purchase_pairs(sf_dir: str, window_s: int = 3600

@@ -183,7 +183,14 @@ class Manifest:
         without a ``ts`` (pre-timestamp layouts) count as expired, like
         any record older than the TTL.  Partition manifests themselves
         are NOT expired — resume correctness never depends on history.
-        Returns the number of lines dropped."""
+        Returns the number of lines dropped.
+
+        Concurrency: like ``_compact_history``, the read + rewrite pair
+        could clobber a concurrently appended line, so each file is
+        guarded by the same size-CAS — if the file grew between the
+        read and the rewrite the file is skipped (it expires on a later
+        cycle).  Run from the loop that owns the index (watch loop /
+        operator CLI), not from worker tasks."""
         cutoff = int(time.time()) - ttl_seconds
         dropped = 0
         if not os.path.isdir(self.hist_dir):
@@ -192,8 +199,12 @@ class Manifest:
             if not name.endswith(".jsonl"):
                 continue
             path = os.path.join(self.hist_dir, name)
-            with open(path, "rb") as f:
-                lines = f.read().splitlines(keepends=True)
+            try:
+                st0 = os.stat(path)
+                with open(path, "rb") as f:
+                    lines = f.read().splitlines(keepends=True)
+            except FileNotFoundError:
+                continue
             keep = []
             for ln in lines:
                 try:
@@ -202,12 +213,18 @@ class Manifest:
                     ts = None
                 if ts is not None and ts >= cutoff:
                     keep.append(ln)
-            if len(keep) != len(lines):
-                dropped += len(lines) - len(keep)
-                if keep:
-                    atomic_write_bytes(path, b"".join(keep))
-                else:
-                    os.unlink(path)
+            if len(keep) == len(lines):
+                continue
+            try:
+                if os.stat(path).st_size != st0.st_size:
+                    continue  # concurrent append landed: skip this cycle
+            except FileNotFoundError:
+                continue
+            dropped += len(lines) - len(keep)
+            if keep:
+                atomic_write_bytes(path, b"".join(keep))
+            else:
+                os.unlink(path)
         return dropped
 
     def consecutive_errors(self, partition_id: int) -> int:

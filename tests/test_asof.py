@@ -153,3 +153,29 @@ def test_grouped_quantiles_match_duckdb_rule(ray_session):
     got = got.sort_values("k").reset_index(drop=True)
     assert [(int(r["k"]), int(r["q1_4"]), int(r["q1_2"]), int(r["q3_4"]))
             for _, r in got.iterrows()] == [tuple(map(int, w)) for w in want]
+
+
+def test_cogroup_joins_preserve_huge_int64_ids(ray_session):
+    """Ids >= 2^53 survive the cogroup joins exactly: each side converts
+    to pandas only over its OWN rows (null-free), and pairing is
+    positional — so int64 never degrades through float64 (r03 review)."""
+    from jesterj_ray.pipelines.relational import asof_join, range_join
+    base = (1 << 53) + 1  # not representable in float64
+    lt = pa.table({"lid": pa.array([base, base + 2], pa.int64()),
+                   "k": pa.array([1, 1], pa.int64()),
+                   "ts": pa.array([_ts(500), _ts(900)],
+                                  pa.timestamp("us"))})
+    rt = pa.table({"rid": pa.array([base + 1, base + 3], pa.int64()),
+                   "k": pa.array([1, 1], pa.int64()),
+                   "ts": pa.array([_ts(400), _ts(800)],
+                                  pa.timestamp("us"))})
+    out = asof_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                    on="ts", by="k").to_pandas()
+    assert sorted(zip(out["lid"], out["rid_r"])) == \
+        [(base, base + 1), (base + 2, base + 3)]
+    assert out["lid"].dtype == np.int64 and out["rid_r"].dtype == np.int64
+    out2 = range_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                      on="ts", by="k", max_gap_us=10_000).to_pandas()
+    # right AFTER left within gap: (base@500 -> base+3@800)
+    assert sorted(zip(out2["lid"], out2["rid_r"])) == [(base, base + 3)]
+    assert out2["lid"].dtype == np.int64

@@ -183,3 +183,20 @@ def test_bm25f_slice_df_partials_sum_to_global(field_indexes):
     sliced = [BM25FReader(dirs, slice_of=(s, 4)) for s in range(4)]
     got = {t: sum(r.term_union_df([t])[t] for r in sliced) for t in terms}
     assert got == want
+
+
+def test_split_full_unicode_casing():
+    """The split lowers with Python str.lower() (full casing) like the
+    frozen tokenizer — 'İ' gains a combining dot and tokenizes to 'i',
+    and the split offsets stay aligned with the token-list slices."""
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["İstanbul VIEW " * 5,
+                                    "ẞtraße Maß İİİ x1 y2 z3 w4 v5 end9"],
+                                   pa.string())})
+    out = _split_title_body(t)
+    for text, ti, bo in zip(t["text"].to_pylist(),
+                            out["title"].to_pylist(),
+                            out["body"].to_pylist()):
+        toks = simple_tokenize(text)
+        assert simple_tokenize(ti) == toks[:BM25F_TITLE_TOKENS]
+        assert simple_tokenize(bo) == toks[BM25F_TITLE_TOKENS:]
