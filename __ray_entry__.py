@@ -221,6 +221,11 @@ def _bm25f_topk(sf_dir: str):
     return bm25f_topk_documents(sf_dir)
 
 
+def _bm25_boosted_topk(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import bm25_boosted_topk_documents
+    return bm25_boosted_topk_documents(sf_dir)
+
+
 def _asof_purchase_click(sf_dir: str):
     from jesterj_ray.pipelines.relational import asof_purchase_click
     return asof_purchase_click(sf_dir)
@@ -656,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_exhaustive": _bm25_topk_exhaustive,
         "bm25_and_topk": _bm25_and_topk,
         "bm25f_topk": _bm25f_topk,
+        "bm25_boosted_topk": _bm25_boosted_topk,
         "asof_purchase_click": _asof_purchase_click,
         "view_to_purchase_pairs": _view_to_purchase_pairs,
         "next_event_lag": _next_event_lag,
@@ -933,6 +939,52 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25f_topk": _bm25f_sql(),
+        # engine: IndexReader.topk_boosted (Lucene term^boost syntax;
+        # boost multiplies the term's whole BM25 contribution)
+        "bm25_boosted_topk": f"""
+WITH qterms(qid, term, boost) AS (VALUES
+  (1,'merge',2.0),(1,'sort',1.0),(2,'customer',0.5),
+  (3,'window',3.0),(3,'filter',1.0),(3,'stream',0.25),
+  (4,'dup',4.0),(4,'stream',1.0)),
+qk(qid, k) AS (VALUES (1,6),(2,10),(3,10),(4,10)),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT q.qid, q.term, q.boost, t.doc_id, count(*) AS tf
+  FROM toks t JOIN qterms q USING (term)
+  GROUP BY q.qid, q.term, q.boost, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.qid, tf.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+              * tf.boost ) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.doc_id, round(r.score, 6) AS score
+FROM ranked r JOIN qk ON r.qid = qk.qid
+WHERE r.rank <= qk.k
+ORDER BY r.qid, r.rank
+""",
         # engine: pipelines/relational.asof_join (coarse-gkey cogroup +
         # per-group pd.merge_asof); inner backward as-of, exact matches
         # allowed, microsecond lag as exact int64

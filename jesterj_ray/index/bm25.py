@@ -110,3 +110,31 @@ def bm25_term_scores(tfs: np.ndarray, dls: np.ndarray, n_docs: int, df: int,
     tfs = tfs.astype(np.float64)
     w = idf(n_docs, df)
     return w * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl))
+
+
+def parse_boosted_query(query: str, tokenizer) -> (
+        "Tuple[List[str], List[float]]"):
+    """Parse Lucene/Solr ``term^boost`` query syntax — FROZEN semantics
+    shared with the SQL oracle: whitespace-split parts, an optional
+    trailing ``^<float>`` per part (default 1.0), the part's text runs
+    through the index tokenizer (possibly several tokens, each taking
+    the part's boost), and duplicate terms keep the FIRST occurrence's
+    boost (matching dedup_keep_order's term order)."""
+    terms: List[str] = []
+    boosts: List[float] = []
+    seen = set()
+    for part in query.split():
+        boost = 1.0
+        if "^" in part:
+            part, _, bs = part.rpartition("^")
+            try:
+                boost = float(bs)
+            except ValueError:
+                part = part + "^" + bs  # not a boost: keep verbatim
+                boost = 1.0
+        for tok in tokenizer(part):
+            if tok not in seen:
+                seen.add(tok)
+                terms.append(tok)
+                boosts.append(boost)
+    return terms, boosts

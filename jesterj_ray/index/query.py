@@ -540,24 +540,29 @@ class IndexReader:
         scores[touched] = 0.0
         return out
 
-    def _score_disjunctive(self, terms) -> np.ndarray:
+    def _score_disjunctive(self, terms, boosts=None) -> np.ndarray:
         """Term-at-a-time disjunctive scoring into the dense accumulator
         (summation in first-occurrence term order, pinned so
-        ties/precision match the brute-force oracle).  Returns the
-        touched dense positions (unique); caller owns zeroing
+        ties/precision match the brute-force oracle).  ``boosts``
+        (parallel to ``terms``) multiplies each term's contribution —
+        the Lucene/Solr ``term^boost`` analog.  Returns the touched
+        dense positions (unique); caller owns zeroing
         ``self._scores_buf`` over them."""
         scores = self._scores_buf
         seen = self._seen_buf
         touched_parts: List[np.ndarray] = []
-        for t in terms:
+        for i, t in enumerate(terms):
             docs, tfs = self.postings(t)
             if docs.size == 0:
                 continue
             e = self.term_entry(t)
             dense = self.dense_of(docs)
-            # docs unique within a term -> fancy-index add is safe & fast
-            scores[dense] += self._term_contrib_dense(
+            contrib = self._term_contrib_dense(
                 dense, tfs, self._df_alive(e, dense))
+            if boosts is not None and boosts[i] != 1.0:
+                contrib = contrib * boosts[i]
+            # docs unique within a term -> fancy-index add is safe & fast
+            scores[dense] += contrib
             new = dense[seen[dense] == 0]
             seen[new] = 1
             touched_parts.append(new)
@@ -571,6 +576,19 @@ class IndexReader:
         """Exhaustive disjunctive BM25 top-k."""
         touched = self._score_disjunctive(
             dedup_keep_order(self.tokenizer(query)))
+        if touched.size == 0:
+            return []
+        return self._topk_from_dense(self._scores_buf, touched, k)
+
+    def topk_boosted(self, query: str, k: int = 10
+                     ) -> List[Tuple[int, float]]:
+        """Disjunctive BM25 with per-term boosts — Lucene/Solr
+        ``term^2.5`` query syntax (the query-time weighting JesterJ's
+        Solr sink delegates to Lucene; exhaustive scoring — block-max
+        pruning bounds would need per-term rescaling)."""
+        from .bm25 import parse_boosted_query
+        terms, boosts = parse_boosted_query(query, self.tokenizer)
+        touched = self._score_disjunctive(terms, boosts)
         if touched.size == 0:
             return []
         return self._topk_from_dense(self._scores_buf, touched, k)

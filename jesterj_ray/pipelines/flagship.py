@@ -319,6 +319,43 @@ def bm25f_topk_documents(sf_dir: str,
         .sort_values(["qid", "rank"]).reset_index(drop=True)
 
 
+# boosted query set (Lucene/Solr term^boost syntax; boosts chosen to
+# genuinely reorder results vs the unboosted ranking)
+BOOSTED_QUERIES = [
+    # k=6: docs 124/359 (sf0.01) carry identical merge/sort tf+dl and
+    # tie at ANY boost at ranks 7-8 — sub-1e-6 summation order flips
+    # between engine and DuckDB, so the boosted query stops above the tie
+    {"qid": 1, "query": "merge^2 sort", "k": 6},
+    {"qid": 2, "query": "customer^0.5", "k": 10},
+    {"qid": 3, "query": "window^3 filter stream^0.25", "k": 10},
+    {"qid": 4, "query": "dup^4 stream", "k": 10},
+]
+
+
+def bm25_boosted_topk_documents(sf_dir: str,
+                                queries: Optional[List[dict]] = None
+                                ) -> pd.DataFrame:
+    """Per-term boosted BM25 (IndexReader.topk_boosted).  Columns
+    (qid, rank, doc_id, score) match the SQL oracle."""
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    rows = {"qid": [], "rank": [], "doc_id": [], "score": []}
+    for q in (queries or BOOSTED_QUERIES):
+        hits = reader.topk_boosted(q["query"], q["k"])
+        ids = np.array([h[0] for h in hits], dtype=np.int64)
+        keys = reader.doc_keys(ids)
+        for r, ((_, score), key) in enumerate(zip(hits, keys), 1):
+            rows["qid"].append(q["qid"])
+            rows["rank"].append(r)
+            rows["doc_id"].append(int(key))
+            rows["score"].append(round(score, 6))
+    return pd.DataFrame({
+        "qid": pd.Series(rows["qid"], dtype=np.int64),
+        "rank": pd.Series(rows["rank"], dtype=np.int64),
+        "doc_id": pd.Series(rows["doc_id"], dtype=np.int64),
+        "score": pd.Series(rows["score"], dtype=np.float64)})
+
+
 def bm25_not_topk_documents(sf_dir: str,
                             queries: Optional[List[dict]] = None
                             ) -> pd.DataFrame:

@@ -200,3 +200,40 @@ def test_split_full_unicode_casing():
         toks = simple_tokenize(text)
         assert simple_tokenize(ti) == toks[:BM25F_TITLE_TOKENS]
         assert simple_tokenize(bo) == toks[BM25F_TITLE_TOKENS:]
+
+
+def test_parse_boosted_query():
+    from jesterj_ray.index.bm25 import parse_boosted_query
+    t, b = parse_boosted_query("merge^2.5 sort stream^0.5 merge^9",
+                               simple_tokenize)
+    assert t == ["merge", "sort", "stream"]  # first occurrence wins
+    assert b == [2.5, 1.0, 0.5]
+    # a non-numeric suffix is not a boost; '^' itself never tokenizes
+    t, b = parse_boosted_query("a^b c", simple_tokenize)
+    assert t == ["a", "b", "c"] and b == [1.0, 1.0, 1.0]
+    # multi-token part: every token takes the part's boost
+    t, b = parse_boosted_query("Merge-Sort^3", simple_tokenize)
+    assert t == ["merge", "sort"] and b == [3.0, 3.0]
+
+
+def test_topk_boosted_semantics(field_indexes, tmp_path_factory):
+    """boost=1 everywhere == plain topk (identical floats); boosting a
+    term strictly raises every matching doc's score by (boost-1) x that
+    term's contribution."""
+    from jesterj_ray.index.build import build_index
+    from jesterj_ray.index.query import IndexReader
+    table, _ = field_indexes
+    out = str(tmp_path_factory.mktemp("boostidx"))
+    split = rd.from_arrow(table).map_batches(
+        lambda t: t.append_column("doc_key", t["doc_id"].cast(pa.string())),
+        batch_format="pyarrow")
+    build_index(split, out, text_col="text", tokenizer="simple",
+                num_partitions=4, num_shards=2, dedup=False)
+    r = IndexReader(out)
+    assert r.topk_boosted("merge sort", 10) == r.topk("merge sort", 10)
+    plain = dict(r.topk("merge sort", 10_000))
+    boosted = dict(r.topk_boosted("merge^2 sort", 10_000))
+    merge_contrib = dict(r.topk("merge", 10_000))
+    for did, s in plain.items():
+        want = s + merge_contrib.get(did, 0.0)
+        assert abs(boosted[did] - want) < 1e-9
