@@ -269,6 +269,11 @@ def _approx_distinct_users_per_type(sf_dir: str):
     return out
 
 
+def _contamination_vs_holdout(sf_dir: str):
+    from jesterj_ray.stages.decontam import contamination_vs_holdout
+    return contamination_vs_holdout(sf_dir)
+
+
 def _price_quantiles_tdigest(sf_dir: str):
     # rows-only: approximate by design (merging t-digest over an
     # unbounded float column) — pinned by tests/test_sketch.py rank-error
@@ -669,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": _distinct_users_per_type,
         "approx_distinct_users_per_type": _approx_distinct_users_per_type,
         "price_quantiles_tdigest": _price_quantiles_tdigest,
+        "contamination_vs_holdout": _contamination_vs_holdout,
         "facet_counts": _facet_counts,
         "bm25_not_topk": _bm25_not_topk,
         "snippets": _snippets,
@@ -1028,6 +1034,36 @@ ORDER BY r.qid, r.rank
                    quantile_disc(n_chars, 0.5) AS p50,
                    quantile_disc(n_chars, 0.75) AS p75
             FROM documents GROUP BY lang ORDER BY lang""",
+        # engine: stages/decontam.ngram_contamination (benchmark 5-gram
+        # set broadcast once, corpus blocks probe with set intersection;
+        # per-doc DISTINCT-gram contaminated fraction)
+        "contamination_vs_holdout": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, length(tk) - 4)) AS i
+              FROM toks
+            ),
+            g AS (
+              SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+              FROM pos
+            ),
+            bench_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+            doc_g AS (
+              SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 20 != 0
+            ),
+            ratio AS (
+              SELECT d.doc_id, count(*) AS n_grams, count(b.gram) AS n_hit
+              FROM doc_g d LEFT JOIN bench_g b USING (gram)
+              GROUP BY d.doc_id
+            )
+            SELECT doc_id, n_grams, n_hit,
+                   round(n_hit * 1.0 / n_grams, 6) AS ratio
+            FROM ratio ORDER BY doc_id""",
         # engine: pipelines/relational.distinct_users_per_type (block-level
         # pair pre-dedup, domain-bounded exchange, exact)
         "distinct_users_per_type": """

@@ -115,3 +115,29 @@ def test_tdigest_distributed_matches_bounds(ray_session):
     rt = TDigest.from_bytes(d.to_bytes())
     assert np.array_equal(rt.means, d.means)
     assert np.array_equal(rt.weights, d.weights)
+
+
+def test_ngram_contamination_planted(ray_session):
+    """Planted leaks: a verbatim copy scores ratio 1.0, a half-overlap
+    doc scores the exact expected fraction, disjoint text scores 0, and
+    docs shorter than n tokens are omitted."""
+    from jesterj_ray.stages.decontam import ngram_contamination
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            bench_text,                                   # full copy
+            bench_text + " one two three four five",      # partial
+            "one two three four five six seven eight",    # disjoint
+            "too short",                                  # < n tokens
+        ], pa.string())})
+    bench = pa.table({"id": pa.array([99], pa.int64()),
+                      "text": pa.array([bench_text], pa.string())})
+    out = ngram_contamination(rd.from_arrow(corpus), rd.from_arrow(bench),
+                              text_col="text", id_col="id", n=5)
+    assert out["id"].tolist() == [1, 2, 3]  # doc 4 omitted
+    r = dict(zip(out["id"], out["ratio"]))
+    assert r[1] == 1.0
+    # doc 2: 13 tokens -> 9 distinct 5-grams, 4 of them inside bench_text
+    assert r[2] == round(4 / 9, 6)
+    assert r[3] == 0.0
