@@ -269,6 +269,11 @@ def _approx_distinct_users_per_type(sf_dir: str):
     return out
 
 
+def _png_decode_stats(sf_dir: str):
+    from jesterj_ray.stages.multimodal import png_decode_stats_pipeline
+    return png_decode_stats_pipeline(sf_dir)
+
+
 def _contamination_vs_holdout(sf_dir: str):
     from jesterj_ray.stages.decontam import contamination_vs_holdout
     return contamination_vs_holdout(sf_dir)
@@ -675,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_per_type": _approx_distinct_users_per_type,
         "price_quantiles_tdigest": _price_quantiles_tdigest,
         "contamination_vs_holdout": _contamination_vs_holdout,
+        "png_decode_stats": _png_decode_stats,
         "facet_counts": _facet_counts,
         "bm25_not_topk": _bm25_not_topk,
         "snippets": _snippets,
@@ -1034,6 +1040,21 @@ ORDER BY r.qid, r.rank
                    quantile_disc(n_chars, 0.5) AS p50,
                    quantile_disc(n_chars, 0.75) AS p75
             FROM documents GROUP BY lang ORDER BY lang""",
+        # engine: stages/multimodal.png_decode_stats_pipeline — REAL PNG
+        # bytes round-trip through the pure-Python codec + actor-pool
+        # decode/resize; the oracle recomputes the resized-pixel sums
+        # from the synthesis formula, so a codec bug breaks the hash
+        "png_decode_stats": """
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+            oy AS (SELECT unnest(generate_series(0, 31)) AS y),
+            ox AS (SELECT unnest(generate_series(0, 31)) AS x),
+            pix AS (
+              SELECT i.doc_id,
+                     (i.doc_id * 31 + ((y * 24) // 32) * 7
+                      + ((x * 16) // 32) * 3) % 256 AS v
+              FROM ids i, oy, ox)
+            SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
+            FROM pix GROUP BY doc_id ORDER BY doc_id""",
         # engine: stages/decontam.ngram_contamination (benchmark 5-gram
         # set broadcast once, corpus blocks probe with set intersection;
         # per-doc DISTINCT-gram contaminated fraction)

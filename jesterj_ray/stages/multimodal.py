@@ -19,6 +19,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # schema for an incoming multimodal table
 MEDIA_SCHEMA = pa.schema([
@@ -120,3 +121,55 @@ def synth_media_table(n: int, seed: int = 5) -> pa.Table:
         "mime": pa.array(["application/octet-stream"] * n, pa.string()),
         "meta_json": pa.array(["{}"] * n, pa.string()),
     })
+
+
+def png_decode_stats_pipeline(sf_dir: str, n_docs: int = 64, h: int = 24,
+                              w: int = 16, out_size: int = 32):
+    """REAL-decode multimodal pipeline with a SQL oracle.
+
+    Payload synthesis is a pure pixel formula on doc_id
+    (``(doc_id*31 + y*7 + x*3) % 256`` gray), encoded to real PNG bytes
+    (``png.encode_png``); the actor pool then runs the REAL pure-Python
+    PNG decode + nearest-neighbor resize (``ImageDecoder(fake=False)``),
+    and the output is each image's integer resized-pixel sum — which
+    DuckDB recomputes from the same formula directly.  A decode or
+    resize bug anywhere breaks the hash match, so the full binary
+    round-trip (encode -> Ray actor decode -> feature) is oracle-gated,
+    not just pytest-gated.  Integer sums (not float means) keep the
+    comparison exact across the float32 feature representation."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"], override_num_blocks=4)
+    ds = ds.map_batches(
+        lambda t, n=n_docs: t.filter(pc.less(t["doc_id"], n)),
+        batch_format="pyarrow")
+
+    def synth(t: pa.Table) -> pa.Table:
+        from .png import encode_png
+        yy, xx = np.mgrid[0:h, 0:w]
+        payloads = []
+        for did in t["doc_id"].to_pylist():
+            img = ((did * 31 + yy * 7 + xx * 3) % 256).astype(np.uint8)
+            payloads.append(encode_png(img))
+        return pa.table({"media_id": t["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(synth, batch_format="pyarrow")
+    feats = media.map_batches(
+        ImageDecoder, fn_constructor_kwargs={"out_size": out_size,
+                                             "fake": False},
+        batch_format="pyarrow", concurrency=2)
+
+    def stats(t: pa.Table) -> pa.Table:
+        sums = []
+        for f in t["feature"].to_pylist():
+            px = np.rint(np.asarray(f, dtype=np.float64) * 255.0)
+            sums.append(int(px.sum()))
+        return pa.table({"doc_id": t["media_id"],
+                         "px_sum": pa.array(sums, pa.int64())})
+
+    out = feats.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
