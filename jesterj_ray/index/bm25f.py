@@ -17,6 +17,13 @@ weight-combined BEFORE the saturation curve,
 with document-level idf (df = docs containing t in ANY field, same
 ``idf`` as single-field BM25; k1 = 1.2).
 
+Limitation (documented, guarded): per-doc delta re-index
+(``build_rows.delta_reindex``) detects changes by CONTENT sha, which
+differs per field — a doc whose body changed but title didn't would
+advance only one field's doc space and misalign the family.  Field
+families are therefore rebuilt (or compacted) as a unit; the doc-space
+guard below turns any divergence into an error, never a wrong score.
+
 Architecture: ONE single-field index per field over the SAME input.
 docIDs are ``pid << 32 | rank`` derived from the input alone (repo
 invariant), so every field index shares an identical dense doc space —
