@@ -286,3 +286,22 @@ def repartition_for_serving(index_dir: str, out_root: str, *,
     for sdir in slices:
         publish_epoch(sdir)
     return slices
+
+
+def repartition_bm25f_for_serving(field_dirs, out_root: str, *,
+                                  n_slices: int = 4):
+    """Split every field index of a BM25F family into aligned serving
+    slices: ``repartition_for_serving`` per field under
+    ``out_root/<field>``.  The pid -> slice plan derives only from
+    per-pid DOC COUNTS (identical across fields — same corpus, same
+    doc_key partitioning), so slice s of every field covers the same
+    doc range; ``BM25FReader``'s doc-space guard re-verifies that at
+    open, so a divergence is an error, never a wrong score.
+
+    Returns a list over slices of {field: slice_dir}."""
+    import os as _os
+    per_field = {f: repartition_for_serving(d, _os.path.join(out_root, f),
+                                            n_slices=n_slices)
+                 for f, d in field_dirs.items()}
+    return [{f: per_field[f][s] for f in field_dirs}
+            for s in range(n_slices)]

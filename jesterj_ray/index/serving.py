@@ -198,13 +198,24 @@ class BM25FShardedService:
     k-lists.  Rank-identical to the unsharded ``BM25FReader`` (pinned
     in tests/test_bm25f.py)."""
 
-    def __init__(self, field_dirs, n_slices: int = 4):
-        self.actors = [BM25FSliceActor.remote(field_dirs, s, n_slices)
-                       for s in range(n_slices)]
+    def __init__(self, field_dirs=None, n_slices: int = 4,
+                 field_slice_dirs=None):
+        """``field_dirs``: mask-based slices over the global field
+        indexes.  ``field_slice_dirs`` (list over slices of
+        {field: slice_dir}, from ``repartition_bm25f_for_serving``):
+        self-contained per-slice field indexes — the deployment shape
+        where each node holds only its slice's files."""
+        if field_slice_dirs is not None:
+            self.actors = [BM25FSliceDirActor.remote(d)
+                           for d in field_slice_dirs]
+            any_dir = next(iter(field_slice_dirs[0].values()))
+        else:
+            self.actors = [BM25FSliceActor.remote(field_dirs, s, n_slices)
+                           for s in range(n_slices)]
+            any_dir = next(iter(field_dirs.values()))
         # tokenizer for the df round: all fields share one (stats.json)
         import json
         import os
-        any_dir = next(iter(field_dirs.values()))
         with open(os.path.join(any_dir, "stats.json")) as f:
             from ..tokenize.tokenizer import TOKENIZERS
             self.tokenizer = TOKENIZERS[json.load(f)["tokenizer"]]
@@ -228,3 +239,22 @@ class BM25FShardedService:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+@ray.remote
+class BM25FSliceDirActor:
+    """Actor over one REPARTITIONED slice of a BM25F field family
+    (``repartition.repartition_bm25f_for_serving``): plain per-field
+    IndexReaders over self-contained slice indexes — no postings
+    masking needed; global df still arrives via the service's
+    df-gather round (any-field union df is not stored per field)."""
+
+    def __init__(self, field_dirs):
+        from .bm25f import BM25FReader
+        self.reader = BM25FReader(field_dirs)
+
+    def df_counts(self, terms: List[str]):
+        return self.reader.term_union_df(terms)
+
+    def topk(self, query: str, k: int, dfs) -> List[Tuple[int, float]]:
+        return self.reader.topk(query, k, df_override=dfs)

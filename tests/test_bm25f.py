@@ -237,3 +237,30 @@ def test_topk_boosted_semantics(field_indexes, tmp_path_factory):
     for did, s in plain.items():
         want = s + merge_contrib.get(did, 0.0)
         assert abs(boosted[did] - want) < 1e-9
+
+
+def test_bm25f_repartitioned_serving_matches_full(field_indexes,
+                                                  tmp_path_factory):
+    """Repartitioned BM25F slices (self-contained per-slice field
+    indexes, aligned by the doc-count plan) serve rank- and
+    score-identically to the unsharded reader via the same two-phase
+    df-gather protocol."""
+    from jesterj_ray.index.repartition import repartition_bm25f_for_serving
+    from jesterj_ray.index.serving import BM25FShardedService
+    table, dirs = field_indexes
+    out = str(tmp_path_factory.mktemp("bm25f-slices"))
+    slice_dirs = repartition_bm25f_for_serving(dirs, out, n_slices=3)
+    assert len(slice_dirs) == 3 and all(set(d) == {"title", "body"}
+                                        for d in slice_dirs)
+    full = BM25FReader(dirs)
+    svc = BM25FShardedService(field_slice_dirs=slice_dirs)
+    try:
+        for query in ["merge sort", "dup", "window filter stream",
+                      "zzzabsent"]:
+            want = full.topk(query, 10)
+            got = svc.topk(query, 10)
+            assert [d for d, _ in got] == [d for d, _ in want], query
+            for (_, gs), (_, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-12), query
+    finally:
+        svc.shutdown()
