@@ -580,6 +580,37 @@ class IndexReader:
             return []
         return self._topk_from_dense(self._scores_buf, touched, k)
 
+    def terms_with_prefix(self, prefix: str, max_terms: int = 50
+                          ) -> List[str]:
+        """All index terms starting with ``prefix`` (a lowercase token
+        prefix), capped to the lexicographically FIRST ``max_terms`` —
+        Lucene's term-dictionary prefix scan.  Terms hash-shard, so
+        every shard's (already-loaded, zero-copy Arrow) term column is
+        scanned with one vectorized ``starts_with`` per generation —
+        vocab-bounded work, never corpus-bounded."""
+        import pyarrow.compute as _pc
+        found = set()
+        for shard in range(self.num_shards):
+            states = self._load_shard(shard)
+            for st in states or []:
+                col = st["term_col"]
+                hits = col.filter(_pc.starts_with(col, prefix))
+                found.update(_pc.unique(hits).to_pylist())
+        return sorted(found)[:max_terms]
+
+    def topk_prefix(self, prefix: str, k: int = 10, max_terms: int = 50
+                    ) -> List[Tuple[int, float]]:
+        """Prefix (wildcard ``prefix*``) BM25 top-k — Lucene
+        PrefixQuery analog: expand to the first ``max_terms`` matching
+        dictionary terms (lexicographic, deterministic), score
+        disjunctively (summation in that sorted order), each expanded
+        term with its own idf."""
+        terms = self.terms_with_prefix(prefix, max_terms)
+        touched = self._score_disjunctive(terms)
+        if touched.size == 0:
+            return []
+        return self._topk_from_dense(self._scores_buf, touched, k)
+
     def topk_boosted(self, query: str, k: int = 10
                      ) -> List[Tuple[int, float]]:
         """Disjunctive BM25 with per-term boosts — Lucene/Solr

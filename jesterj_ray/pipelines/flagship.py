@@ -356,6 +356,43 @@ def bm25_boosted_topk_documents(sf_dir: str,
         "score": pd.Series(rows["score"], dtype=np.float64)})
 
 
+# prefix (wildcard) query set — prefixes chosen to expand to several
+# terms ('me', 'st'), one term, and none
+PREFIX_QUERIES = [
+    {"qid": 1, "prefix": "me", "k": 10},
+    # k=7: three docs tie at 6dp at ranks 8-10 for the st* expansion;
+    # sub-1e-6 order flips between engine and DuckDB summation
+    {"qid": 2, "prefix": "st", "k": 7},
+    {"qid": 3, "prefix": "customer", "k": 10},
+    {"qid": 4, "prefix": "zzz", "k": 10},
+]
+
+
+def bm25_prefix_topk_documents(sf_dir: str,
+                               queries: Optional[List[dict]] = None,
+                               max_terms: int = 50) -> pd.DataFrame:
+    """Prefix-expansion BM25 (IndexReader.topk_prefix; Lucene
+    PrefixQuery / Solr ``prefix*`` analog).  Columns
+    (qid, rank, doc_id, score) match the SQL oracle."""
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    rows = {"qid": [], "rank": [], "doc_id": [], "score": []}
+    for q in (queries or PREFIX_QUERIES):
+        hits = reader.topk_prefix(q["prefix"], q["k"], max_terms)
+        ids = np.array([h[0] for h in hits], dtype=np.int64)
+        keys = reader.doc_keys(ids)
+        for r, ((_, score), key) in enumerate(zip(hits, keys), 1):
+            rows["qid"].append(q["qid"])
+            rows["rank"].append(r)
+            rows["doc_id"].append(int(key))
+            rows["score"].append(round(score, 6))
+    return pd.DataFrame({
+        "qid": pd.Series(rows["qid"], dtype=np.int64),
+        "rank": pd.Series(rows["rank"], dtype=np.int64),
+        "doc_id": pd.Series(rows["doc_id"], dtype=np.int64),
+        "score": pd.Series(rows["score"], dtype=np.float64)})
+
+
 def bm25_not_topk_documents(sf_dir: str,
                             queries: Optional[List[dict]] = None
                             ) -> pd.DataFrame:

@@ -264,3 +264,34 @@ def test_bm25f_repartitioned_serving_matches_full(field_indexes,
                 assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-12), query
     finally:
         svc.shutdown()
+
+
+def test_topk_prefix_semantics(field_indexes, tmp_path_factory):
+    """Prefix expansion matches a brute scan of the vocabulary (sorted,
+    capped), scoring equals the disjunctive scorer over exactly those
+    terms, and a no-match prefix returns empty."""
+    from jesterj_ray.index.build import build_index
+    from jesterj_ray.index.query import IndexReader
+    table, _ = field_indexes
+    out = str(tmp_path_factory.mktemp("prefixidx"))
+    split = rd.from_arrow(table).map_batches(
+        lambda t: t.append_column("doc_key", t["doc_id"].cast(pa.string())),
+        batch_format="pyarrow")
+    build_index(split, out, text_col="text", tokenizer="simple",
+                num_partitions=4, num_shards=2, dedup=False)
+    r = IndexReader(out)
+    vocab = set()
+    for txt in table["text"].to_pylist():
+        vocab.update(simple_tokenize(txt))
+    for prefix in ("s", "me", "shard", "qq"):
+        want = sorted(t for t in vocab if t.startswith(prefix))[:50]
+        assert r.terms_with_prefix(prefix, 50) == want, prefix
+    # cap honors lexicographic-first semantics
+    allt = sorted(vocab)
+    assert r.terms_with_prefix("", 3) == allt[:3]
+    assert r.topk_prefix("qq", 5) == []
+    got = r.topk_prefix("s", 10_000)
+    sterms = [t for t in sorted(vocab) if t.startswith("s")]
+    want = r._topk_from_dense(r._scores_buf,
+                              r._score_disjunctive(sterms), 10_000)
+    assert got == want
