@@ -231,6 +231,11 @@ def _bm25_prefix_topk(sf_dir: str):
     return bm25_prefix_topk_documents(sf_dir)
 
 
+def _bm25_fuzzy_topk(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import bm25_fuzzy_topk_documents
+    return bm25_fuzzy_topk_documents(sf_dir)
+
+
 def _asof_purchase_click(sf_dir: str):
     from jesterj_ray.pipelines.relational import asof_purchase_click
     return asof_purchase_click(sf_dir)
@@ -678,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": _bm25f_topk,
         "bm25_boosted_topk": _bm25_boosted_topk,
         "bm25_prefix_topk": _bm25_prefix_topk,
+        "bm25_fuzzy_topk": _bm25_fuzzy_topk,
         "asof_purchase_click": _asof_purchase_click,
         "view_to_purchase_pairs": _view_to_purchase_pairs,
         "next_event_lag": _next_event_lag,
@@ -957,6 +963,58 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25f_topk": _bm25f_sql(),
+        # engine: IndexReader.topk_fuzzy (Lucene word~1 analog: expand
+        # to dictionary terms within 1 Levenshtein edit — banded-DP
+        # engine-side, native levenshtein() oracle-side — capped to the
+        # lexicographically first 50, disjunctive scoring per-term idf)
+        "bm25_fuzzy_topk": f"""
+WITH fq(qid, word) AS (VALUES (1,'mergee'),(2,'custmer'),(3,'strem'),(4,'zzzzzz')),
+qk(qid, k) AS (VALUES (1,10),(2,10),(3,7),(4,10)),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+expanded AS (
+  SELECT qid, term FROM (
+    SELECT f.qid, t.term,
+           row_number() OVER (PARTITION BY f.qid ORDER BY t.term) AS rn
+    FROM (SELECT DISTINCT term FROM toks) t
+    JOIN fq f ON levenshtein(t.term, f.word) <= 1
+  ) WHERE rn <= 50
+),
+tf AS (
+  SELECT q.qid, q.term, t.doc_id, count(*) AS tf
+  FROM toks t JOIN expanded q USING (term)
+  GROUP BY q.qid, q.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM expanded) GROUP BY term
+),
+scores AS (
+  SELECT tf.qid, tf.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.doc_id, round(r.score, 6) AS score
+FROM ranked r JOIN qk ON r.qid = qk.qid
+WHERE r.rank <= qk.k
+ORDER BY r.qid, r.rank
+""",
         # engine: IndexReader.topk_prefix (Lucene PrefixQuery analog:
         # expand to the lexicographically first 50 dictionary terms
         # matching the prefix, score disjunctively, per-term idf)

@@ -611,6 +611,43 @@ class IndexReader:
             return []
         return self._topk_from_dense(self._scores_buf, touched, k)
 
+    def terms_within_edits(self, word: str, max_edits: int = 1,
+                           max_terms: int = 50) -> List[str]:
+        """Dictionary terms within ``max_edits`` Levenshtein edits of
+        ``word``, capped to the lexicographically first ``max_terms`` —
+        Lucene FuzzyQuery's expansion.  Candidates prefilter by a
+        vectorized length band (|len - len(word)| <= max_edits) over
+        each shard's Arrow term column; survivors run a banded DP with
+        row-min early exit.  Work is vocab-bounded (Lucene builds a
+        Levenshtein automaton instead; the band + early exit is the
+        honest small-alphabet equivalent here)."""
+        import pyarrow.compute as _pc
+        lw = len(word)
+        found = set()
+        for shard in range(self.num_shards):
+            states = self._load_shard(shard)
+            for st in states or []:
+                col = st["term_col"]
+                lens = _pc.utf8_length(col)
+                band = _pc.and_(_pc.greater_equal(lens, lw - max_edits),
+                                _pc.less_equal(lens, lw + max_edits))
+                for cand in _pc.unique(col.filter(band)).to_pylist():
+                    if cand not in found and \
+                            _edit_distance_leq(word, cand, max_edits):
+                        found.add(cand)
+        return sorted(found)[:max_terms]
+
+    def topk_fuzzy(self, word: str, k: int = 10, max_edits: int = 1,
+                   max_terms: int = 50) -> List[Tuple[int, float]]:
+        """Fuzzy BM25 top-k (Lucene ``word~1`` analog): expand to the
+        dictionary terms within ``max_edits``, score disjunctively in
+        sorted term order, each with its own idf."""
+        terms = self.terms_within_edits(word, max_edits, max_terms)
+        touched = self._score_disjunctive(terms)
+        if touched.size == 0:
+            return []
+        return self._topk_from_dense(self._scores_buf, touched, k)
+
     def topk_boosted(self, query: str, k: int = 10
                      ) -> List[Tuple[int, float]]:
         """Disjunctive BM25 with per-term boosts — Lucene/Solr
@@ -889,3 +926,28 @@ class QueryActor:
                 out["doc_key"].append(key)
                 out["score"].append(score)
         return pd.DataFrame(out)
+
+
+def _edit_distance_leq(a: str, b: str, d: int) -> bool:
+    """True iff levenshtein(a, b) <= d — banded DP, O(len*d) cells, row-min
+    early exit.  Matches DuckDB ``levenshtein`` (unit costs)."""
+    if abs(len(a) - len(b)) > d:
+        return False
+    if a == b:
+        return True
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = max(1, i - d)
+        hi = min(len(b), i + d)
+        if lo > 1:
+            cur[lo - 1] = d + 1  # outside the band
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != b[j - 1]))
+        if hi < len(b):
+            cur[hi + 1:] = [d + 1] * (len(b) - hi)
+        if min(cur[lo - 1:hi + 1]) > d:
+            return False
+        prev = cur
+    return prev[len(b)] <= d

@@ -356,6 +356,41 @@ def bm25_boosted_topk_documents(sf_dir: str,
         "score": pd.Series(rows["score"], dtype=np.float64)})
 
 
+# fuzzy query set — misspellings within 1 edit of real vocabulary
+FUZZY_QUERIES = [
+    {"qid": 1, "word": "mergee", "k": 10},
+    {"qid": 2, "word": "custmer", "k": 10},
+    # k=7: same 3-way 6dp tie as the st* prefix expansion at ranks 8-10
+    {"qid": 3, "word": "strem", "k": 7},
+    {"qid": 4, "word": "zzzzzz", "k": 10},
+]
+
+
+def bm25_fuzzy_topk_documents(sf_dir: str,
+                              queries: Optional[List[dict]] = None,
+                              max_edits: int = 1,
+                              max_terms: int = 50) -> pd.DataFrame:
+    """Fuzzy BM25 (IndexReader.topk_fuzzy; Lucene ``word~1`` analog).
+    Columns (qid, rank, doc_id, score) match the SQL oracle."""
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    rows = {"qid": [], "rank": [], "doc_id": [], "score": []}
+    for q in (queries or FUZZY_QUERIES):
+        hits = reader.topk_fuzzy(q["word"], q["k"], max_edits, max_terms)
+        ids = np.array([h[0] for h in hits], dtype=np.int64)
+        keys = reader.doc_keys(ids)
+        for r, ((_, score), key) in enumerate(zip(hits, keys), 1):
+            rows["qid"].append(q["qid"])
+            rows["rank"].append(r)
+            rows["doc_id"].append(int(key))
+            rows["score"].append(round(score, 6))
+    return pd.DataFrame({
+        "qid": pd.Series(rows["qid"], dtype=np.int64),
+        "rank": pd.Series(rows["rank"], dtype=np.int64),
+        "doc_id": pd.Series(rows["doc_id"], dtype=np.int64),
+        "score": pd.Series(rows["score"], dtype=np.float64)})
+
+
 # prefix (wildcard) query set — prefixes chosen to expand to several
 # terms ('me', 'st'), one term, and none
 PREFIX_QUERIES = [

@@ -295,3 +295,36 @@ def test_topk_prefix_semantics(field_indexes, tmp_path_factory):
     want = r._topk_from_dense(r._scores_buf,
                               r._score_disjunctive(sterms), 10_000)
     assert got == want
+
+
+def test_terms_within_edits(field_indexes, tmp_path_factory):
+    """Fuzzy expansion == brute Levenshtein scan of the vocabulary."""
+    from jesterj_ray.index.build import build_index
+    from jesterj_ray.index.query import IndexReader, _edit_distance_leq
+    table, _ = field_indexes
+    out = str(tmp_path_factory.mktemp("fuzzyidx"))
+    split = rd.from_arrow(table).map_batches(
+        lambda t: t.append_column("doc_key", t["doc_id"].cast(pa.string())),
+        batch_format="pyarrow")
+    build_index(split, out, text_col="text", tokenizer="simple",
+                num_partitions=4, num_shards=2, dedup=False)
+    r = IndexReader(out)
+    vocab = set()
+    for txt in table["text"].to_pylist():
+        vocab.update(simple_tokenize(txt))
+
+    def brute_lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            nd = [i]
+            for j, cb in enumerate(b, 1):
+                nd.append(min(dp[j] + 1, nd[-1] + 1,
+                              dp[j - 1] + (ca != cb)))
+            dp = nd
+        return dp[-1]
+
+    for word, d in [("mergee", 1), ("strem", 1), ("hash", 0),
+                    ("shird", 1), ("xy", 2), ("qqqq", 1)]:
+        want = sorted(t for t in vocab if brute_lev(word, t) <= d)[:50]
+        assert r.terms_within_edits(word, d, 50) == want, (word, d)
+        assert _edit_distance_leq(word, word, 0)
