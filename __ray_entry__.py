@@ -236,6 +236,11 @@ def _bm25_fuzzy_topk(sf_dir: str):
     return bm25_fuzzy_topk_documents(sf_dir)
 
 
+def _more_like_this(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import more_like_this_documents
+    return more_like_this_documents(sf_dir)
+
+
 def _asof_purchase_click(sf_dir: str):
     from jesterj_ray.pipelines.relational import asof_purchase_click
     return asof_purchase_click(sf_dir)
@@ -684,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosted_topk": _bm25_boosted_topk,
         "bm25_prefix_topk": _bm25_prefix_topk,
         "bm25_fuzzy_topk": _bm25_fuzzy_topk,
+        "more_like_this": _more_like_this,
         "asof_purchase_click": _asof_purchase_click,
         "view_to_purchase_pairs": _view_to_purchase_pairs,
         "next_event_lag": _next_event_lag,
@@ -963,6 +969,61 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25f_topk": _bm25f_sql(),
+        # engine: flagship.more_like_this_documents (Solr MLT analog:
+        # the seed doc's top-10 tf*idf terms form a disjunctive query;
+        # the seed is excluded and ranks renumber over survivors)
+        "more_like_this": f"""
+WITH seeds(seed_id) AS (VALUES (3),(17),(42)),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+alldf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+seed_tf AS (
+  SELECT s.seed_id, t.term, count(*) AS f
+  FROM toks t JOIN seeds s ON t.doc_id = s.seed_id
+  GROUP BY s.seed_id, t.term
+),
+qterms AS (
+  SELECT seed_id, term FROM (
+    SELECT st.seed_id, st.term,
+           row_number() OVER (PARTITION BY st.seed_id
+             ORDER BY st.f * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+                      DESC, st.term) AS rn
+    FROM seed_tf st JOIN alldf d USING (term) CROSS JOIN stats s
+  ) WHERE rn <= 10
+),
+tf AS (
+  SELECT q.seed_id, q.term, t.doc_id, count(*) AS tf
+  FROM toks t JOIN qterms q USING (term)
+  GROUP BY q.seed_id, q.term, t.doc_id
+),
+scores AS (
+  SELECT tf.seed_id, tf.doc_id,
+         sum( ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN alldf d USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.seed_id, tf.doc_id
+),
+ranked AS (
+  SELECT seed_id, doc_id, score,
+         row_number() OVER (PARTITION BY seed_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores WHERE doc_id != seed_id
+)
+SELECT seed_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+ORDER BY seed_id, rank
+""",
         # engine: IndexReader.topk_fuzzy (Lucene word~1 analog: expand
         # to dictionary terms within 1 Levenshtein edit — banded-DP
         # engine-side, native levenshtein() oracle-side — capped to the

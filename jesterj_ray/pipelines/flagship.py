@@ -356,6 +356,63 @@ def bm25_boosted_topk_documents(sf_dir: str,
         "score": pd.Series(rows["score"], dtype=np.float64)})
 
 
+def more_like_this_documents(sf_dir: str, seed_doc_ids=(3, 17, 42),
+                             n_terms: int = 10, k: int = 10
+                             ) -> pd.DataFrame:
+    """More-like-this (Lucene/Solr MLT analog): for each seed doc, its
+    ``n_terms`` highest tf*idf terms (ties broken ascending term) form a
+    disjunctive BM25 query; the seed itself is excluded from the hits.
+
+    The seed's term vector comes from tokenizing its source text (no
+    forward index on disk — same as Solr MLT over a non-stored field);
+    idf comes from the index, so term selection is
+    SQL-oracle-reproducible.  Columns (seed_id, rank, doc_id, score)."""
+    import pyarrow.parquet as pq_
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    from ..index.bm25 import idf as _idf
+    from ..tokenize.tokenizer import simple_tokenize
+    src = pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    texts = {d.as_py(): t.as_py()
+             for d, t in zip(src["doc_id"], src["text"])}
+    rows = {"seed_id": [], "rank": [], "doc_id": [], "score": []}
+    for seed in seed_doc_ids:
+        toks = simple_tokenize(texts[seed])
+        tf: dict = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        scored = []
+        for t, f in tf.items():
+            e = reader.term_entry(t)
+            if e is None:
+                continue
+            scored.append((-f * _idf(reader.n_docs, e["df"]), t))
+        terms = [t for _, t in sorted(scored)[:n_terms]]
+        touched = reader._score_disjunctive(terms)
+        hits = reader._topk_from_dense(reader._scores_buf, touched,
+                                       k + 1)
+        keys = reader.doc_keys(np.array([h[0] for h in hits],
+                                        dtype=np.int64))
+        r = 0
+        for (_, score), key in zip(hits, keys):
+            did = int(key)
+            if did == seed:
+                continue
+            r += 1
+            if r > k:
+                break
+            rows["seed_id"].append(seed)
+            rows["rank"].append(r)
+            rows["doc_id"].append(did)
+            rows["score"].append(round(score, 6))
+    return pd.DataFrame({
+        "seed_id": pd.Series(rows["seed_id"], dtype=np.int64),
+        "rank": pd.Series(rows["rank"], dtype=np.int64),
+        "doc_id": pd.Series(rows["doc_id"], dtype=np.int64),
+        "score": pd.Series(rows["score"], dtype=np.float64)})
+
+
 # fuzzy query set — misspellings within 1 edit of real vocabulary
 FUZZY_QUERIES = [
     {"qid": 1, "word": "mergee", "k": 10},
