@@ -120,6 +120,11 @@ def parse_boosted_query(query: str, tokenizer) -> (
     through the index tokenizer (possibly several tokens, each taking
     the part's boost), and duplicate terms keep the FIRST occurrence's
     boost (matching dedup_keep_order's term order)."""
+    import re as _re
+    # a plain decimal float literal ONLY — float() would also accept
+    # 'nan'/'inf'/'1_0', and a NaN boost silently poisons the dense
+    # score accumulator (r03 review)
+    float_lit = _re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\Z")
     terms: List[str] = []
     boosts: List[float] = []
     seen = set()
@@ -127,11 +132,10 @@ def parse_boosted_query(query: str, tokenizer) -> (
         boost = 1.0
         if "^" in part:
             part, _, bs = part.rpartition("^")
-            try:
+            if float_lit.match(bs):
                 boost = float(bs)
-            except ValueError:
+            else:
                 part = part + "^" + bs  # not a boost: keep verbatim
-                boost = 1.0
         for tok in tokenizer(part):
             if tok not in seen:
                 seen.add(tok)

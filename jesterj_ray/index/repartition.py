@@ -299,8 +299,7 @@ def repartition_bm25f_for_serving(field_dirs, out_root: str, *,
     open, so a divergence is an error, never a wrong score.
 
     Returns a list over slices of {field: slice_dir}."""
-    import os as _os
-    per_field = {f: repartition_for_serving(d, _os.path.join(out_root, f),
+    per_field = {f: repartition_for_serving(d, os.path.join(out_root, f),
                                             n_slices=n_slices)
                  for f, d in field_dirs.items()}
     return [{f: per_field[f][s] for f in field_dirs}

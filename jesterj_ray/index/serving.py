@@ -205,6 +205,9 @@ class BM25FShardedService:
         {field: slice_dir}, from ``repartition_bm25f_for_serving``):
         self-contained per-slice field indexes — the deployment shape
         where each node holds only its slice's files."""
+        if (field_dirs is None) == (field_slice_dirs is None):
+            raise ValueError("pass exactly one of field_dirs / "
+                             "field_slice_dirs")
         if field_slice_dirs is not None:
             self.actors = [BM25FSliceDirActor.remote(d)
                            for d in field_slice_dirs]

@@ -372,12 +372,17 @@ def more_like_this_documents(sf_dir: str, seed_doc_ids=(3, 17, 42),
     reader = IndexReader(idx)
     from ..index.bm25 import idf as _idf
     from ..tokenize.tokenizer import simple_tokenize
+    # read ONLY the seed rows (filter pushdown) — the full text column
+    # is corpus-sized and no other row is needed (r03 review)
     src = pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
+                         columns=["doc_id", "text"],
+                         filters=[("doc_id", "in", list(seed_doc_ids))])
     texts = {d.as_py(): t.as_py()
              for d, t in zip(src["doc_id"], src["text"])}
     rows = {"seed_id": [], "rank": [], "doc_id": [], "score": []}
     for seed in seed_doc_ids:
+        if seed not in texts:
+            continue  # absent seed: no rows (matches the SQL oracle)
         toks = simple_tokenize(texts[seed])
         tf: dict = {}
         for t in toks:

@@ -41,16 +41,23 @@ def ngram_contamination(corpus: "rd.Dataset", benchmark: "rd.Dataset", *,
 
     Returns (id, n_grams, n_hit, ratio) for every corpus doc with at
     least one n-gram (docs shorter than ``n`` tokens carry no signal and
-    are omitted, matching the SQL construction)."""
-    bench_parts = benchmark.map_batches(
-        lambda t: pa.table({"gram": pa.array(
-            sorted(set().union(*[_doc_grams(x, n)
-                                 for x in t[text_col].to_pylist()]) or set()),
-            pa.string())}),
-        batch_format="pyarrow")
+    are omitted, matching the SQL construction).  ``benchmark`` may be
+    a Dataset or a plain ``pa.Table`` (eval suites are small — reading
+    the benchmark locally avoids a second distributed scan)."""
     bench: Set[str] = set()
-    for t in ray.get(bench_parts.to_arrow_refs()):
-        bench.update(t["gram"].to_pylist())
+    if isinstance(benchmark, pa.Table):
+        for x in benchmark[text_col].to_pylist():
+            bench |= _doc_grams(x, n)
+    else:
+        bench_parts = benchmark.map_batches(
+            lambda t: pa.table({"gram": pa.array(
+                sorted(set().union(*[_doc_grams(x, n)
+                                     for x in t[text_col].to_pylist()])
+                       or set()),
+                pa.string())}),
+            batch_format="pyarrow")
+        for t in ray.get(bench_parts.to_arrow_refs()):
+            bench.update(t["gram"].to_pylist())
     bench_ref = ray.put(bench)
 
     def probe(t: pa.Table) -> pa.Table:
@@ -72,7 +79,11 @@ def ngram_contamination(corpus: "rd.Dataset", benchmark: "rd.Dataset", *,
         ray.get(corpus.map_batches(probe,
                                    batch_format="pyarrow").to_arrow_refs()))
     df = out.to_pandas()
-    df["ratio"] = (df["n_hit"] / df["n_grams"]).round(6)
+    # half-AWAY-from-zero rounding to match SQL round(): numpy/pandas
+    # .round() is half-to-even and the ratio is a small-denominator
+    # rational where exact halfway cases occur (e.g. 1/128 -> DuckDB
+    # 0.007813, banker's 0.007812 — a real oracle hash flip)
+    df["ratio"] = np.floor(df["n_hit"] / df["n_grams"] * 1e6 + 0.5) / 1e6
     return df.sort_values(id_col).reset_index(drop=True)
 
 
@@ -82,21 +93,27 @@ def contamination_vs_holdout(sf_dir: str, n: int = 5,
     doc_id is the 'benchmark', the rest the training corpus; report each
     training doc's contaminated n-gram fraction."""
     import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    # benchmark side: SMALL by construction (eval suites are MBs) —
+    # read locally in one pass instead of a second distributed scan of
+    # the same file (the corpus scan below reads everything anyway)
+    bt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    brem = pc.subtract(bt["doc_id"], pc.multiply(
+        pc.divide(bt["doc_id"], bench_mod), bench_mod))
+    bench = bt.filter(pc.equal(brem, 0))
+
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"],
                          override_num_blocks=8)
 
-    def side(keep_bench: bool):
-        def f(t: pa.Table) -> pa.Table:
-            m = bench_mod
-            rem = pc.subtract(t["doc_id"], pc.multiply(
-                pc.divide(t["doc_id"], m), m))  # doc_id >= 0
-            mask = pc.equal(rem, 0) if keep_bench else pc.not_equal(rem, 0)
-            return t.filter(mask)
-        return f
+    def drop_bench(t: pa.Table) -> pa.Table:
+        rem = pc.subtract(t["doc_id"], pc.multiply(
+            pc.divide(t["doc_id"], bench_mod), bench_mod))  # doc_id >= 0
+        return t.filter(pc.not_equal(rem, 0))
 
-    bench = ds.map_batches(side(True), batch_format="pyarrow")
-    corpus = ds.map_batches(side(False), batch_format="pyarrow")
+    corpus = ds.map_batches(drop_bench, batch_format="pyarrow")
     out = ngram_contamination(corpus, bench, text_col="text",
                               id_col="doc_id", n=n)
     out["doc_id"] = out["doc_id"].astype(np.int64)

@@ -328,3 +328,13 @@ def test_terms_within_edits(field_indexes, tmp_path_factory):
         want = sorted(t for t in vocab if brute_lev(word, t) <= d)[:50]
         assert r.terms_within_edits(word, d, 50) == want, (word, d)
         assert _edit_distance_leq(word, word, 0)
+
+
+def test_parse_boosted_query_rejects_nonfinite():
+    """'nan'/'inf'/'1_0' are NOT boosts (float() would take them and a
+    NaN boost poisons the score accumulator) — they stay literal text."""
+    from jesterj_ray.index.bm25 import parse_boosted_query
+    t, b = parse_boosted_query("merge^nan stream^inf dup^1_0 sort^2e1",
+                               simple_tokenize)
+    assert t == ["merge", "nan", "stream", "inf", "dup", "1", "0", "sort"]
+    assert b == [1.0] * 7 + [20.0]

@@ -141,3 +141,22 @@ def test_ngram_contamination_planted(ray_session):
     # doc 2: 13 tokens -> 9 distinct 5-grams, 4 of them inside bench_text
     assert r[2] == round(4 / 9, 6)
     assert r[3] == 0.0
+
+
+def test_contamination_half_away_rounding(ray_session):
+    """ratio rounds half-AWAY-from-zero like SQL round(): a doc with 128
+    distinct grams and 1 hit must report 0.007813, not banker's
+    0.007812 (r03 review — real oracle hash flip)."""
+    from jesterj_ray.stages.decontam import ngram_contamination
+    # 132 tokens -> 128 distinct 5-grams (all unique words)
+    words = [f"w{i:03d}" for i in range(132)]
+    bench_text = " ".join(words[:5])  # exactly the doc's first 5-gram
+    corpus = pa.table({"id": pa.array([1], pa.int64()),
+                       "text": pa.array([" ".join(words)], pa.string())})
+    bench = pa.table({"id": pa.array([9], pa.int64()),
+                      "text": pa.array([bench_text], pa.string())})
+    out = ngram_contamination(rd.from_arrow(corpus), bench,
+                              text_col="text", id_col="id", n=5)
+    assert out["n_grams"].tolist() == [128]
+    assert out["n_hit"].tolist() == [1]
+    assert out["ratio"].tolist() == [0.007813]
