@@ -1,0 +1,98 @@
+"""Resumable partitioned parquet sink.
+
+The output discipline every index writer in this repo follows (temp +
+``os.replace``, manifest row commits LAST — reference: JesterJ's FTI
+checkpointing, ``ScannerImpl.java:453-502``), packaged as a GENERIC
+Dataset sink: rows route to a deterministic partition, each partition
+writes exactly one file from one task, and a rerun after a crash skips
+committed partitions BEFORE any shuffle or write work happens — never
+one giant output file, never a re-write of finished work.
+
+At 100 TB this is the difference between "retry the 3 partitions that
+died" and "rerun the job": the manifest prune happens map-side on the
+partition column, so completed partitions' rows drop out of the
+pipeline at the first operator.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..state.manifest import Manifest, atomic_write_bytes
+
+
+def _pid_of(col: pa.ChunkedArray, num_partitions: int) -> pa.ChunkedArray:
+    """Deterministic partition of an int64 key column (nonneg mod)."""
+    m = pa.scalar(num_partitions, pa.int64())
+    q = pc.divide(col, m)
+    r = pc.subtract(col, pc.multiply(q, m))
+    return pc.if_else(pc.less(r, 0), pc.add(r, m), r)
+
+
+def write_partitioned_resumable(ds: "rd.Dataset", out_dir: str, *,
+                                by: str, num_partitions: int = 64
+                                ) -> Dict:
+    """Write ``ds`` as ``out_dir/part-XXXXX.parquet`` partitioned by
+    ``hash(by) % num_partitions`` with per-partition crash-safe commits.
+
+    - Committed partitions (from a previous run) are PRUNED map-side
+      before the shuffle — their rows never move.
+    - Each partition's task sorts its rows by ``by`` (deterministic
+      file bytes at any parallelism), writes temp + ``os.replace``,
+      then commits the manifest row LAST.
+    - Returns {written, skipped, rows}.
+    """
+    man = Manifest(out_dir, "sink")
+    done = set(man.completed_partitions())
+
+    def tag_and_prune(t: pa.Table) -> pa.Table:
+        pid = _pid_of(t[by].cast(pa.int64()), num_partitions)
+        t = t.append_column("__pid", pc.cast(pid, pa.int64()))
+        if done:
+            t = t.filter(pc.invert(pc.is_in(
+                t["__pid"], value_set=pa.array(sorted(done), pa.int64()))))
+        return t
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"pid": [], "rows": []})
+        pid = int(g["__pid"].iloc[0])
+        g = g.drop(columns="__pid").sort_values(by, kind="mergesort")
+        path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+        tmp = path + f".tmp.{os.getpid()}"
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        man2 = Manifest(out_dir, "sink")
+        man2.commit(pid, docs_seen=len(g),
+                    bytes_written=os.path.getsize(path),
+                    output_files=[os.path.basename(path)])
+        return pd.DataFrame({"pid": [pid], "rows": [len(g)]})
+
+    tagged = ds.map_batches(tag_and_prune, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = tagged.groupby("__pid").map_groups(
+        write_group, batch_format="pandas").to_pandas()
+    return {"written": int(len(out)), "skipped": len(done),
+            "rows": int(out["rows"].sum()) if len(out) else 0}
+
+
+def read_partitioned(out_dir: str) -> pa.Table:
+    """Read back every COMMITTED partition (uncommitted stragglers from
+    a crashed run are invisible — the manifest is the source of truth,
+    not the directory listing)."""
+    man = Manifest(out_dir, "sink")
+    parts = []
+    for pid in sorted(man.completed_partitions()):
+        parts.append(pq.read_table(
+            os.path.join(out_dir, f"part-{pid:05d}.parquet")))
+    return pa.concat_tables(parts) if parts else pa.table({})
