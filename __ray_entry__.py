@@ -256,6 +256,11 @@ def _next_event_lag(sf_dir: str):
     return next_event_lag(sf_dir)
 
 
+def _funnel_counts(sf_dir: str):
+    from jesterj_ray.pipelines.relational import funnel_counts
+    return funnel_counts(sf_dir)
+
+
 def _chars_quantiles_per_lang(sf_dir: str):
     from jesterj_ray.pipelines.relational import chars_quantiles_per_lang
     return chars_quantiles_per_lang(sf_dir)
@@ -693,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_click": _asof_purchase_click,
         "view_to_purchase_pairs": _view_to_purchase_pairs,
         "next_event_lag": _next_event_lag,
+        "funnel_counts": _funnel_counts,
         "chars_quantiles_per_lang": _chars_quantiles_per_lang,
         "distinct_users_per_type": _distinct_users_per_type,
         "approx_distinct_users_per_type": _approx_distinct_users_per_type,
@@ -1208,6 +1214,31 @@ ORDER BY r.qid, r.rank
                    date_diff('microsecond', ts, next_ts) AS gap_us
             FROM o WHERE next_event_id IS NOT NULL
             ORDER BY event_id""",
+        # engine: pipelines/relational.funnel_counts (per-user sorted
+        # scan over the strictly-increasing first-qualifying chain)
+        "funnel_counts": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              GROUP BY e.user_id
+            )
+            SELECT stage, step, n_users FROM (
+              SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS step,
+                     (SELECT count(*) FROM s1) AS n_users
+              UNION ALL SELECT 'click', 2, (SELECT count(*) FROM s2)
+              UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM s3)
+            ) ORDER BY step""",
         # engine: pipelines/relational.grouped_quantiles (counting-sort
         # quantile: map-side (key, value) count partials, driver fold —
         # exchange is value-domain sized, exact, shuffle-free)

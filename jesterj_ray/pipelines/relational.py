@@ -586,3 +586,41 @@ def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     out = agg.rename_columns(["event_type", "n_users"]).to_pandas()
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def funnel_counts(sf_dir: str,
+                  stages=("signup", "click", "purchase")) -> pd.DataFrame:
+    """Ordered funnel: users reaching stage i did stage i's event AFTER
+    their first qualifying time for stage i-1 (strictly increasing
+    chain of first-qualifying timestamps — the standard product-
+    analytics funnel).  Per-user resolution is one sorted scan in
+    groupby(user).map_groups; stage totals fold through a tiny partial
+    aggregate.  Returns (stage, n_users) in funnel order."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"],
+                         override_num_blocks=16)
+    stage_list = list(stages)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        et = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy()
+        reached = 0
+        cur = None  # first-qualifying time of the previous stage
+        for s in stage_list:
+            mask = et == s if cur is None else (et == s) & (ts > cur)
+            idx = np.flatnonzero(mask)
+            if idx.size == 0:
+                break
+            cur = ts[idx[0]]
+            reached += 1
+        return pd.DataFrame({"reached": [reached]})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pandas")
+    counts = per.to_pandas()["reached"].to_numpy()
+    n = [int((counts >= i + 1).sum()) for i in range(len(stage_list))]
+    return pd.DataFrame({"stage": pd.Series(stage_list, dtype=object),
+                         "step": pd.Series(range(1, len(stage_list) + 1),
+                                           dtype=np.int64),
+                         "n_users": pd.Series(n, dtype=np.int64)})

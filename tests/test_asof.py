@@ -179,3 +179,42 @@ def test_cogroup_joins_preserve_huge_int64_ids(ray_session):
     # right AFTER left within gap: (base@500 -> base+3@800)
     assert sorted(zip(out2["lid"], out2["rid_r"])) == [(base, base + 3)]
     assert out2["lid"].dtype == np.int64
+
+
+def test_funnel_counts_ordering(ray_session, tmp_path):
+    """Funnel requires the strictly-increasing first-qualifying chain:
+    a purchase BEFORE the click doesn't count, a click before the
+    signup doesn't, equal timestamps don't advance (strict >)."""
+    import pyarrow.parquet as pq
+    from jesterj_ray.pipelines.relational import funnel_counts
+
+    def ev(uid, us, typ):
+        return {"user_id": uid, "event_id": len(rows),
+                "ts": np.datetime64("2024-01-01", "us")
+                + np.timedelta64(us, "us"), "event_type": typ,
+                "value": 0.0, "props": "{}"}
+    rows = []
+    # u1: full ordered funnel
+    for us, t in [(1, "signup"), (2, "click"), (3, "purchase")]:
+        rows.append(ev(1, us, t))
+    # u2: purchase precedes click -> stops at click
+    for us, t in [(1, "signup"), (3, "click"), (2, "purchase")]:
+        rows.append(ev(2, us, t))
+    # u3: click precedes signup -> stops at signup
+    for us, t in [(2, "signup"), (1, "click")]:
+        rows.append(ev(3, us, t))
+    # u4: click at the SAME instant as signup -> strict > rejects it
+    for us, t in [(5, "signup"), (5, "click")]:
+        rows.append(ev(4, us, t))
+    # u5: no signup at all -> reaches nothing
+    rows.append(ev(5, 1, "click"))
+    t = pa.table({k: pa.array([r[k] for r in rows])
+                  for k in ("event_id", "ts", "user_id", "event_type",
+                            "value", "props")})
+    d = str(tmp_path / "sf")
+    import os
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = funnel_counts(d)
+    assert out["stage"].tolist() == ["signup", "click", "purchase"]
+    assert out["n_users"].tolist() == [4, 2, 1]
