@@ -256,6 +256,11 @@ def _next_event_lag(sf_dir: str):
     return next_event_lag(sf_dir)
 
 
+def _session_stats(sf_dir: str):
+    from jesterj_ray.pipelines.relational import session_stats
+    return session_stats(sf_dir)
+
+
 def _funnel_counts(sf_dir: str):
     from jesterj_ray.pipelines.relational import funnel_counts
     return funnel_counts(sf_dir)
@@ -699,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "view_to_purchase_pairs": _view_to_purchase_pairs,
         "next_event_lag": _next_event_lag,
         "funnel_counts": _funnel_counts,
+        "session_stats": _session_stats,
         "chars_quantiles_per_lang": _chars_quantiles_per_lang,
         "distinct_users_per_type": _distinct_users_per_type,
         "approx_distinct_users_per_type": _approx_distinct_users_per_type,
@@ -1214,6 +1220,34 @@ ORDER BY r.qid, r.rank
                    date_diff('microsecond', ts, next_ts) AS gap_us
             FROM o WHERE next_event_id IS NOT NULL
             ORDER BY event_id""",
+        # engine: pipelines/relational.session_stats (per-user sorted
+        # scan; sessions split on >30min gaps; exact integer-us durations)
+        "session_stats": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR date_diff('microsecond', lag(ts) OVER w, ts)
+                             > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sid AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS s
+              FROM o
+            ),
+            sess AS (
+              SELECT user_id, s,
+                     date_diff('microsecond', min(ts), max(ts)) AS dur
+              FROM sid GROUP BY user_id, s
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   CAST(sum(dur) AS BIGINT) AS total_dur_us,
+                   max(dur) AS max_dur_us
+            FROM sess GROUP BY user_id ORDER BY user_id""",
         # engine: pipelines/relational.funnel_counts (per-user sorted
         # scan over the strictly-increasing first-qualifying chain)
         "funnel_counts": """

@@ -624,3 +624,38 @@ def funnel_counts(sf_dir: str,
                          "step": pd.Series(range(1, len(stage_list) + 1),
                                            dtype=np.int64),
                          "n_users": pd.Series(n, dtype=np.int64)})
+
+
+def session_stats(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Per-user session statistics (extends ``sessionize_events`` from a
+    count to full session shapes): sessions split on gaps >
+    ``gap_minutes``; per user report the session count, summed and max
+    session DURATION in exact integer microseconds (single-event
+    sessions have duration 0).  One sorted scan per user group —
+    the same groupby(user).map_groups shape, all-vectorized inside."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts"],
+                         override_num_blocks=16)
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        starts = np.empty(ts.size, dtype=bool)
+        starts[0] = True
+        starts[1:] = (ts[1:] - ts[:-1]) > gap
+        idx = np.flatnonzero(starts)
+        ends = np.append(idx[1:], ts.size) - 1
+        dur = ((ts[ends] - ts[idx]) // np.timedelta64(1, "us")) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n_sessions": [np.int64(idx.size)],
+            "total_dur_us": [np.int64(dur.sum())],
+            "max_dur_us": [np.int64(dur.max())]})
+
+    out = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pandas").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -218,3 +218,36 @@ def test_funnel_counts_ordering(ray_session, tmp_path):
     out = funnel_counts(d)
     assert out["stage"].tolist() == ["signup", "click", "purchase"]
     assert out["n_users"].tolist() == [4, 2, 1]
+
+
+def test_session_stats_shapes(ray_session, tmp_path):
+    """Sessions split strictly-greater than the gap; durations are exact
+    integer microseconds; single-event sessions count with duration 0."""
+    import os
+    import pyarrow.parquet as pq
+    from jesterj_ray.pipelines.relational import session_stats
+    base = np.datetime64("2024-01-01", "us")
+    rows = []
+    def ev(uid, sec):
+        rows.append({"user_id": uid, "event_id": len(rows),
+                     "ts": base + np.timedelta64(sec, "s"),
+                     "event_type": "view", "value": 0.0, "props": "{}"})
+    # u1: [0, 100, 1900] one session (gaps 100s, 1800s == gap NOT >) then
+    # +1801s -> new single-event session
+    for s in (0, 100, 1900, 3701):
+        ev(1, s)
+    # u2: one event
+    ev(2, 7)
+    t = pa.table({k: pa.array([r[k] for r in rows])
+                  for k in ("event_id", "ts", "user_id", "event_type",
+                            "value", "props")})
+    d = str(tmp_path / "sf"); os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = session_stats(d)
+    r1 = out[out["user_id"] == 1].iloc[0]
+    assert r1["n_sessions"] == 2
+    assert r1["total_dur_us"] == 1900 * 1_000_000
+    assert r1["max_dur_us"] == 1900 * 1_000_000
+    r2 = out[out["user_id"] == 2].iloc[0]
+    assert (r2["n_sessions"], r2["total_dur_us"], r2["max_dur_us"]) \
+        == (1, 0, 0)
