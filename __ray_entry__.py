@@ -256,6 +256,11 @@ def _next_event_lag(sf_dir: str):
     return next_event_lag(sf_dir)
 
 
+def _retention_cohorts(sf_dir: str):
+    from jesterj_ray.pipelines.relational import retention_cohorts
+    return retention_cohorts(sf_dir)
+
+
 def _session_stats(sf_dir: str):
     from jesterj_ray.pipelines.relational import session_stats
     return session_stats(sf_dir)
@@ -705,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_event_lag": _next_event_lag,
         "funnel_counts": _funnel_counts,
         "session_stats": _session_stats,
+        "retention_cohorts": _retention_cohorts,
         "chars_quantiles_per_lang": _chars_quantiles_per_lang,
         "distinct_users_per_type": _distinct_users_per_type,
         "approx_distinct_users_per_type": _approx_distinct_users_per_type,
@@ -1220,6 +1226,26 @@ ORDER BY r.qid, r.rank
                    date_diff('microsecond', ts, next_ts) AS gap_us
             FROM o WHERE next_event_id IS NOT NULL
             ORDER BY event_id""",
+        # engine: pipelines/relational.retention_cohorts (two bounded
+        # partial aggregates, cohort join on the folded pair table,
+        # exact epoch-day week arithmetic)
+        "retention_cohorts": """
+            WITH firstw AS (
+              SELECT user_id,
+                     date_trunc('week', min(ts)) AS cw
+              FROM events GROUP BY user_id
+            ),
+            act AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+              FROM events
+            )
+            SELECT CAST(f.cw AS TIMESTAMP) AS cohort_week,
+                   CAST(date_diff('day', f.cw, a.w) // 7 AS BIGINT)
+                     AS week_offset,
+                   count(DISTINCT a.user_id) AS n_users
+            FROM act a JOIN firstw f USING (user_id)
+            GROUP BY f.cw, week_offset
+            ORDER BY cohort_week, week_offset""",
         # engine: pipelines/relational.session_stats (per-user sorted
         # scan; sessions split on >30min gaps; exact integer-us durations)
         "session_stats": """

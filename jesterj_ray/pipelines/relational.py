@@ -659,3 +659,60 @@ def session_stats(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Weekly retention matrix: users cohort by the Monday-anchored week
+    of their FIRST event; each (cohort_week, week_offset) cell counts
+    the distinct cohort users active in that later week.
+
+    Scale shape: two bounded partial aggregates, no row shuffle —
+    per-block min-ts per user (folds to |users| rows) and per-block
+    distinct (user, week) pairs (folds to |users| x |weeks|); the
+    cohort join happens on the folded pair table.  Exact integer week
+    arithmetic (epoch-day floor), no float anywhere."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"],
+                         override_num_blocks=16)
+
+    def week_col(t: pa.Table) -> pa.ChunkedArray:
+        # Monday-anchored week start in epoch DAYS (DuckDB
+        # date_trunc('week') parity: day 4 = 1970-01-05 was a Monday)
+        day = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.divide(day, pa.scalar(86_400_000_000, pa.int64()))
+        rem = _mod_nonneg(pc.subtract(day, 4), 7)
+        return pc.subtract(day, rem)
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = week_col(t)
+        pairs = pa.table({"user_id": t["user_id"], "week": w})
+        uniq = pa.TableGroupBy(pairs, ["user_id", "week"]).aggregate([])
+        firsts = pa.TableGroupBy(pairs, ["user_id"]).aggregate(
+            [("week", "min")])
+        return pa.table({
+            "user_id": pa.concat_arrays(
+                [uniq["user_id"].combine_chunks(),
+                 firsts["user_id"].combine_chunks()]),
+            "week": pa.concat_arrays(
+                [uniq["week"].combine_chunks(),
+                 firsts["week_min"].combine_chunks()]),
+            "kind": pa.array(["act"] * len(uniq) + ["first"] * len(firsts),
+                             pa.string())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    small = pa.concat_tables(ray.get(parts.to_arrow_refs())).to_pandas()
+    firstw = small[small["kind"] == "first"] \
+        .groupby("user_id")["week"].min()
+    act = small[small["kind"] == "act"][["user_id", "week"]] \
+        .drop_duplicates()
+    act = act.assign(cw=act["user_id"].map(firstw))
+    act["week_offset"] = ((act["week"] - act["cw"]) // 7).astype(np.int64)
+    out = act.groupby(["cw", "week_offset"])["user_id"].nunique() \
+        .reset_index().rename(columns={"user_id": "n_users",
+                                       "cw": "cohort_week"})
+    out["cohort_week"] = pd.to_datetime(out["cohort_week"] * 86_400,
+                                        unit="s")
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["cohort_week", "week_offset"]) \
+        .reset_index(drop=True)

@@ -251,3 +251,33 @@ def test_session_stats_shapes(ray_session, tmp_path):
     r2 = out[out["user_id"] == 2].iloc[0]
     assert (r2["n_sessions"], r2["total_dur_us"], r2["max_dur_us"]) \
         == (1, 0, 0)
+
+
+def test_retention_cohorts_week_anchor(ray_session, tmp_path):
+    """Week truncation is Monday-anchored like DuckDB date_trunc('week')
+    (1970-01-01 truncates to 1969-12-29); offsets are exact week
+    integers; a user active in cohort week and week+2 produces cells
+    (0: yes, 1: no, 2: yes)."""
+    import os
+    import pyarrow.parquet as pq
+    from jesterj_ray.pipelines.relational import retention_cohorts
+    def ts(day, hour=12):
+        return (np.datetime64("2024-01-01", "us")  # a Monday
+                + np.timedelta64(day, "D") + np.timedelta64(hour, "h"))
+    rows = []
+    def ev(uid, t):
+        rows.append({"user_id": uid, "event_id": len(rows), "ts": t,
+                     "event_type": "view", "value": 0.0, "props": "{}"})
+    ev(1, ts(0)); ev(1, ts(6, 23))   # same Monday-week
+    ev(1, ts(15))                     # week offset 2
+    ev(2, ts(3)); ev(2, ts(8))        # cohort wk0, active offset 0 and 1
+    d = str(tmp_path / "sf"); os.makedirs(d)
+    t = pa.table({k: pa.array([r[k] for r in rows])
+                  for k in ("event_id", "ts", "user_id", "event_type",
+                            "value", "props")})
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = retention_cohorts(d)
+    assert out["cohort_week"].nunique() == 1
+    assert str(out["cohort_week"].iloc[0])[:10] == "2024-01-01"
+    cells = dict(zip(out["week_offset"], out["n_users"]))
+    assert cells == {0: 2, 1: 1, 2: 1}
