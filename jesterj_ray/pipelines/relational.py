@@ -46,7 +46,13 @@ def partial_groupby_sum(ds: "rd.Dataset", keys, sum_cols, prep=None,
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
-    small = pa.concat_tables(ray.get(parts.to_arrow_refs()))
+    small = _fold_blocks(parts)
+    if small is None:
+        # fully-empty input: aggregate over a zero-row table with the
+        # input's schema so the output columns/types are still right
+        sch = ds.schema()
+        small = partial(pa.table({n: pa.array([], t) for n, t in
+                                  zip(sch.names, sch.types)}))
     aggs2 = [(f"{c}_sum", "sum") for c in sum_cols]
     if count:
         aggs2.append(("count_all", "sum"))
@@ -54,6 +60,19 @@ def partial_groupby_sum(ds: "rd.Dataset", keys, sum_cols, prep=None,
     ren = {f"{c}_sum_sum": f"{c}_sum" for c in sum_cols}
     ren["count_all_sum"] = "n"
     return agg.rename_columns([ren.get(c, c) for c in agg.column_names])
+
+
+def _fold_blocks(parts: "rd.Dataset") -> pa.Table:
+    """Concat a partial-aggregate Dataset's blocks, SKIPPING empty
+    pass-through blocks: Ray does not invoke a map fn on an empty input
+    block, so its schema-less empty block reaches the fold verbatim and
+    would break concat_tables (hit by small inputs + override_num_blocks
+    > rows)."""
+    ts = [t for t in ray.get(parts.to_arrow_refs())
+          if t.num_rows > 0 and t.num_columns > 0]
+    if not ts:
+        return None
+    return pa.concat_tables(ts)
 
 
 def q1_lineitem_agg(sf_dir: str):
@@ -580,7 +599,10 @@ def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
 
     parts = ds.map_batches(pairs, batch_format="pyarrow",
                            zero_copy_batch=True)
-    small = pa.concat_tables(ray.get(parts.to_arrow_refs()))
+    small = _fold_blocks(parts)
+    if small is None:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "n_users": pd.Series([], dtype=np.int64)})
     uniq = pa.TableGroupBy(small, ["event_type", "user_id"]).aggregate([])
     agg = pa.TableGroupBy(uniq, ["event_type"]).aggregate([([], "count_all")])
     out = agg.rename_columns(["event_type", "n_users"]).to_pandas()
@@ -683,7 +705,15 @@ def retention_cohorts(sf_dir: str) -> pd.DataFrame:
         rem = _mod_nonneg(pc.subtract(day, 4), 7)
         return pc.subtract(day, rem)
 
+    empty_partial = pa.table({"user_id": pa.array([], pa.int64()),
+                              "week": pa.array([], pa.int64()),
+                              "kind": pa.array([], pa.string())})
+
     def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            # empty block: Arrow group-bys would emit a schema-less
+            # table and break the fold's concat
+            return empty_partial
         w = week_col(t)
         pairs = pa.table({"user_id": t["user_id"], "week": w})
         uniq = pa.TableGroupBy(pairs, ["user_id", "week"]).aggregate([])
@@ -701,7 +731,12 @@ def retention_cohorts(sf_dir: str) -> pd.DataFrame:
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
-    small = pa.concat_tables(ray.get(parts.to_arrow_refs())).to_pandas()
+    folded = _fold_blocks(parts)
+    if folded is None:
+        return pd.DataFrame({"cohort_week": pd.Series([], dtype="datetime64[ns]"),
+                             "week_offset": pd.Series([], dtype=np.int64),
+                             "n_users": pd.Series([], dtype=np.int64)})
+    small = folded.to_pandas()
     firstw = small[small["kind"] == "first"] \
         .groupby("user_id")["week"].min()
     act = small[small["kind"] == "act"][["user_id", "week"]] \

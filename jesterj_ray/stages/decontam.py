@@ -75,10 +75,15 @@ def ngram_contamination(corpus: "rd.Dataset", benchmark: "rd.Dataset", *,
                          "n_grams": pa.array(ngr, pa.int64()),
                          "n_hit": pa.array(hit, pa.int64())})
 
-    out = pa.concat_tables(
-        ray.get(corpus.map_batches(probe,
-                                   batch_format="pyarrow").to_arrow_refs()))
-    df = out.to_pandas()
+    parts = [t for t in ray.get(corpus.map_batches(
+        probe, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows > 0 and t.num_columns > 0]
+    if not parts:
+        return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                             "n_grams": pd.Series([], dtype=np.int64),
+                             "n_hit": pd.Series([], dtype=np.int64),
+                             "ratio": pd.Series([], dtype=np.float64)})
+    df = pa.concat_tables(parts).to_pandas()
     # half-AWAY-from-zero rounding to match SQL round(): numpy/pandas
     # .round() is half-to-even and the ratio is a small-denominator
     # rational where exact halfway cases occur (e.g. 1/128 -> DuckDB
