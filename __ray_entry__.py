@@ -1250,7 +1250,7 @@ ORDER BY r.qid, r.rank
         # scan; sessions split on >30min gaps; exact integer-us durations)
         "session_stats": """
             WITH o AS (
-              SELECT user_id, ts,
+              SELECT user_id, event_id, ts,
                      CASE WHEN lag(ts) OVER w IS NULL
                           OR date_diff('microsecond', lag(ts) OVER w, ts)
                              > 30 * 60 * 1000000
@@ -1259,9 +1259,12 @@ ORDER BY r.qid, r.rank
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
             sid AS (
+              -- event_id in the ORDER BY: without it, tied (user, ts)
+              -- rows get arbitrary cumulative-sum order and a session
+              -- can split nondeterministically
               SELECT user_id, ts,
                      sum(new_s) OVER (PARTITION BY user_id
-                                      ORDER BY ts
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS s
               FROM o
             ),

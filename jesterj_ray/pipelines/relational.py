@@ -640,7 +640,9 @@ def funnel_counts(sf_dir: str,
 
     per = ds.groupby("user_id").map_groups(per_user,
                                            batch_format="pandas")
-    counts = per.to_pandas()["reached"].to_numpy()
+    pdf = per.to_pandas()
+    counts = pdf["reached"].to_numpy() if "reached" in pdf.columns \
+        else np.empty(0, dtype=np.int64)
     n = [int((counts >= i + 1).sum()) for i in range(len(stage_list))]
     return pd.DataFrame({"stage": pd.Series(stage_list, dtype=object),
                          "step": pd.Series(range(1, len(stage_list) + 1),
@@ -678,9 +680,13 @@ def session_stats(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 
     out = ds.groupby("user_id").map_groups(per_user,
                                            batch_format="pandas").to_pandas()
-    for c in out.columns:
+    cols = ["user_id", "n_sessions", "total_dur_us", "max_dur_us"]
+    if out.empty or "user_id" not in out.columns:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    for c in cols:
         out[c] = out[c].astype(np.int64)
-    return out.sort_values("user_id").reset_index(drop=True)
+    return out[cols].sort_values("user_id").reset_index(drop=True)
 
 
 def retention_cohorts(sf_dir: str) -> pd.DataFrame:
@@ -699,9 +705,13 @@ def retention_cohorts(sf_dir: str) -> pd.DataFrame:
 
     def week_col(t: pa.Table) -> pa.ChunkedArray:
         # Monday-anchored week start in epoch DAYS (DuckDB
-        # date_trunc('week') parity: day 4 = 1970-01-05 was a Monday)
-        day = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
-        day = pc.divide(day, pa.scalar(86_400_000_000, pa.int64()))
+        # date_trunc('week') parity: day 4 = 1970-01-05 was a Monday).
+        # FLOOR division via mod-subtract — pc.divide truncates toward
+        # zero and would shift pre-1970 timestamps a day forward
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        d_us = pa.scalar(86_400_000_000, pa.int64())
+        day = pc.divide(pc.subtract(us, _mod_nonneg(us, 86_400_000_000)),
+                        d_us)
         rem = _mod_nonneg(pc.subtract(day, 4), 7)
         return pc.subtract(day, rem)
 

@@ -57,6 +57,8 @@ def ngram_contamination(corpus: "rd.Dataset", benchmark: "rd.Dataset", *,
                 pa.string())}),
             batch_format="pyarrow")
         for t in ray.get(bench_parts.to_arrow_refs()):
+            if t.num_rows == 0 or t.num_columns == 0:
+                continue  # empty pass-through block (fn not invoked)
             bench.update(t["gram"].to_pylist())
     bench_ref = ray.put(bench)
 

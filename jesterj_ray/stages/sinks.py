@@ -27,15 +27,8 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from ..state.manifest import Manifest, atomic_write_bytes
-
-
-def _pid_of(col: pa.ChunkedArray, num_partitions: int) -> pa.ChunkedArray:
-    """Deterministic partition of an int64 key column (nonneg mod)."""
-    m = pa.scalar(num_partitions, pa.int64())
-    q = pc.divide(col, m)
-    r = pc.subtract(col, pc.multiply(q, m))
-    return pc.if_else(pc.less(r, 0), pc.add(r, m), r)
+from ..pipelines.relational import _mod_nonneg
+from ..state.manifest import Manifest, atomic_write_bytes, atomic_write_table
 
 
 def write_partitioned_resumable(ds: "rd.Dataset", out_dir: str, *,
@@ -46,17 +39,42 @@ def write_partitioned_resumable(ds: "rd.Dataset", out_dir: str, *,
 
     - Committed partitions (from a previous run) are PRUNED map-side
       before the shuffle — their rows never move.
-    - Each partition's task sorts its rows by ``by`` (deterministic
-      file bytes at any parallelism), writes temp + ``os.replace``,
-      then commits the manifest row LAST.
+    - Each partition's task sorts its rows by ALL columns, ``by`` first
+      (deterministic file bytes at any parallelism even when keys
+      repeat), writes temp + ``os.replace``, then commits the manifest
+      row LAST.
+    - The partition layout (``by``, ``num_partitions``) is recorded in
+      ``layout.json`` on the first run; a resume with a DIFFERENT
+      layout raises instead of silently pruning rows against the wrong
+      pid space.
+    - Null ``by`` values raise up front (a null routes nowhere
+      deterministically).
     - Returns {written, skipped, rows}.
     """
     man = Manifest(out_dir, "sink")
     done = set(man.completed_partitions())
+    layout = {"by": by, "num_partitions": num_partitions}
+    layout_path = os.path.join(out_dir, "layout.json")
+    if os.path.exists(layout_path):
+        import json
+        with open(layout_path) as f:
+            prev = json.load(f)
+        if prev != layout:
+            raise ValueError(
+                f"resume layout mismatch: dir was written with {prev}, "
+                f"got {layout} — pruning committed pids against a "
+                "different layout would silently drop rows")
+    else:
+        import json
+        os.makedirs(out_dir, exist_ok=True)
+        atomic_write_bytes(layout_path, json.dumps(layout).encode())
 
     def tag_and_prune(t: pa.Table) -> pa.Table:
-        pid = _pid_of(t[by].cast(pa.int64()), num_partitions)
-        t = t.append_column("__pid", pc.cast(pid, pa.int64()))
+        key = t[by].cast(pa.int64())
+        if key.null_count:
+            raise ValueError(f"null values in partition column {by!r}")
+        t = t.append_column("__pid", pc.cast(
+            _mod_nonneg(key, num_partitions), pa.int64()))
         if done:
             t = t.filter(pc.invert(pc.is_in(
                 t["__pid"], value_set=pa.array(sorted(done), pa.int64()))))
@@ -66,15 +84,17 @@ def write_partitioned_resumable(ds: "rd.Dataset", out_dir: str, *,
         if g.empty:
             return pd.DataFrame({"pid": [], "rows": []})
         pid = int(g["__pid"].iloc[0])
-        g = g.drop(columns="__pid").sort_values(by, kind="mergesort")
+        g = g.drop(columns="__pid")
+        # sort by EVERY column (key first): ties on the key would
+        # otherwise keep shuffle-arrival order and break byte identity
+        g = g.sort_values([by] + [c for c in g.columns if c != by],
+                          kind="mergesort")
         path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
-        tmp = path + f".tmp.{os.getpid()}"
         os.makedirs(out_dir, exist_ok=True)
-        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
-        os.replace(tmp, path)
+        nbytes = atomic_write_table(
+            path, pa.Table.from_pandas(g, preserve_index=False))
         man2 = Manifest(out_dir, "sink")
-        man2.commit(pid, docs_seen=len(g),
-                    bytes_written=os.path.getsize(path),
+        man2.commit(pid, docs_seen=len(g), bytes_written=nbytes,
                     output_files=[os.path.basename(path)])
         return pd.DataFrame({"pid": [pid], "rows": [len(g)]})
 

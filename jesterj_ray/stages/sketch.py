@@ -85,6 +85,8 @@ def hll_distinct(ds, col: str, p: int = 12) -> int:
                            zero_copy_batch=True)
     merged = np.zeros(1 << p, dtype=np.uint8)
     for t in ray.get(parts.to_arrow_refs()):
+        if t.num_rows == 0 or t.num_columns == 0:
+            continue  # empty pass-through block (fn not invoked)
         for blob in t["regs"].to_pylist():
             np.maximum(merged, np.frombuffer(blob, dtype=np.uint8),
                        out=merged)
@@ -113,6 +115,8 @@ def hll_distinct_grouped(ds, key: str, col: str, p: int = 12):
                            zero_copy_batch=True)
     merged = {}
     for t in ray.get(parts.to_arrow_refs()):
+        if t.num_rows == 0 or t.num_columns == 0:
+            continue  # empty pass-through block (fn not invoked)
         for k, blob in zip(t[key].to_pylist(), t["regs"].to_pylist()):
             r = np.frombuffer(blob, dtype=np.uint8)
             if k in merged:
@@ -222,6 +226,8 @@ def tdigest_quantiles(ds, col: str, qs, delta: int = 100):
                            zero_copy_batch=True)
     merged = TDigest(delta)
     for t in ray.get(parts.to_arrow_refs()):
+        if t.num_rows == 0 or t.num_columns == 0:
+            continue  # empty pass-through block (fn not invoked)
         for blob in t["digest"].to_pylist():
             merged.merge(TDigest.from_bytes(blob, delta))
     return [merged.quantile(q) for q in qs]

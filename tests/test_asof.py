@@ -281,3 +281,32 @@ def test_retention_cohorts_week_anchor(ray_session, tmp_path):
     assert str(out["cohort_week"].iloc[0])[:10] == "2024-01-01"
     cells = dict(zip(out["week_offset"], out["n_users"]))
     assert cells == {0: 2, 1: 1, 2: 1}
+
+
+def test_retention_week_floor_pre1970(ray_session, tmp_path):
+    """Pre-1970 timestamps floor to the correct Monday (truncating
+    division would shift them a week forward; r03 review)."""
+    import os
+    import duckdb
+    import pyarrow.parquet as pq
+    from jesterj_ray.pipelines.relational import retention_cohorts
+    rows = []
+    for i, d in enumerate(["1969-12-28T12:00:00",   # Sunday pre-epoch
+                           "1969-12-29T01:00:00",   # Monday
+                           "1970-01-04T23:00:00"]):
+        rows.append({"user_id": 1, "event_id": i,
+                     "ts": np.datetime64(d, "us"), "event_type": "view",
+                     "value": 0.0, "props": "{}"})
+    t = pa.table({k: pa.array([r[k] for r in rows])
+                  for k in ("event_id", "ts", "user_id", "event_type",
+                            "value", "props")})
+    d = str(tmp_path / "sf"); os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = retention_cohorts(d)
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT CAST(date_trunc('week', TIMESTAMP '1969-12-28 12:00:00') "
+        "AS TIMESTAMP)").fetchone()[0]
+    assert out["cohort_week"].iloc[0].to_pydatetime() == want
+    # Sunday 12-28 is in week 12-22; Mon 12-29 + Sun 01-04 in week 12-29
+    assert dict(zip(out["week_offset"], out["n_users"])) == {0: 1, 1: 1}

@@ -71,3 +71,43 @@ def test_rerun_is_noop(ray_session, tmp_path):
     stats = write_partitioned_resumable(ds2, out, by="k",
                                         num_partitions=4)
     assert stats == {"written": 0, "skipped": 4, "rows": 0}
+
+
+def test_layout_mismatch_refused(ray_session, tmp_path):
+    """Resuming with a different num_partitions would prune rows against
+    the wrong pid space — refused loudly (r03 review)."""
+    ds, _ = make_ds(n=100)
+    out = str(tmp_path / "s")
+    write_partitioned_resumable(ds, out, by="k", num_partitions=8)
+    ds2, _ = make_ds(n=100)
+    with pytest.raises(ValueError, match="layout"):
+        write_partitioned_resumable(ds2, out, by="k", num_partitions=16)
+    with pytest.raises(ValueError, match="layout"):
+        write_partitioned_resumable(ds2, out, by="v", num_partitions=8)
+
+
+def test_null_keys_refused(ray_session, tmp_path):
+    t = pa.table({"k": pa.array([1, None, 3], pa.int64()),
+                  "v": pa.array([1.0, 2.0, 3.0])})
+    with pytest.raises(Exception, match="null"):
+        write_partitioned_resumable(rd.from_arrow(t),
+                                    str(tmp_path / "s"), by="k")
+
+
+def test_duplicate_keys_byte_deterministic(ray_session, tmp_path):
+    """Repeated keys: rows sort by ALL columns, so file bytes stay
+    identical across parallelism/shuffle orders (r03 review — key-only
+    sort kept arrival order on ties)."""
+    rng = np.random.default_rng(9)
+    n = 600
+    t = pa.table({"k": pa.array(rng.integers(0, 20, n), pa.int64()),
+                  "v": pa.array(rng.normal(size=n)),
+                  "w": pa.array(rng.integers(0, 5, n), pa.int64())})
+    outs = []
+    for blocks in (3, 17):
+        d = str(tmp_path / f"s{blocks}")
+        write_partitioned_resumable(rd.from_arrow(t).repartition(blocks),
+                                    d, by="k", num_partitions=4)
+        outs.append({p: open(os.path.join(d, f"part-{p:05d}.parquet"),
+                             "rb").read() for p in range(4)})
+    assert outs[0] == outs[1]
