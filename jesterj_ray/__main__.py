@@ -176,10 +176,30 @@ def cmd_compact(args) -> int:
 
 
 def cmd_query(args) -> int:
+    """One query against an index dir, in any engine mode: pruned
+    disjunctive (default), exhaustive, conjunctive (--and), exclusion
+    (--not TERMS), phrase (--phrase), boosted (term^2.5 syntax,
+    --boosted), prefix (--prefix) or fuzzy (--fuzzy [edits])."""
+    import numpy as np
     from jesterj_ray.index.query import IndexReader
     reader = IndexReader(args.index_dir)
-    hits = reader.topk_pruned(args.query, args.k)
-    keys = reader.doc_keys(__import__("numpy").array([h[0] for h in hits]))
+    if args.phrase:
+        hits = reader.phrase_topk(args.query, args.k)
+    elif args.conjunctive:
+        hits = reader.topk_and(args.query, args.k)
+    elif args.exclude:
+        hits = reader.topk_excluding(args.query, args.exclude, args.k)
+    elif args.boosted:
+        hits = reader.topk_boosted(args.query, args.k)
+    elif args.prefix:
+        hits = reader.topk_prefix(args.query, args.k)
+    elif args.fuzzy is not None:
+        hits = reader.topk_fuzzy(args.query, args.k,
+                                 max_edits=args.fuzzy)
+    else:
+        hits = reader.topk_pruned(args.query, args.k) if not args.exhaustive \
+            else reader.topk(args.query, args.k)
+    keys = reader.doc_keys(np.array([h[0] for h in hits], dtype=np.int64))
     for rank, ((doc, score), key) in enumerate(zip(hits, keys), 1):
         print(f"{rank}\t{key}\t{score:.6f}")
     return 0
@@ -256,6 +276,20 @@ def main(argv=None) -> int:
     q.add_argument("index_dir")
     q.add_argument("query")
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--exhaustive", action="store_true",
+                   help="skip block-max pruning")
+    q.add_argument("--and", dest="conjunctive", action="store_true",
+                   help="all terms must match")
+    q.add_argument("--not", dest="exclude", default=None, metavar="TERMS",
+                   help="drop docs containing any of these terms")
+    q.add_argument("--phrase", action="store_true",
+                   help="exact phrase (positional index required)")
+    q.add_argument("--boosted", action="store_true",
+                   help="parse term^2.5 per-term boosts")
+    q.add_argument("--prefix", action="store_true",
+                   help="treat the query as a term prefix (prefix*)")
+    q.add_argument("--fuzzy", type=int, default=None, metavar="EDITS",
+                   help="expand to terms within EDITS Levenshtein edits")
 
     args = p.parse_args(argv)
     return {"run": cmd_run, "visualize": cmd_visualize,

@@ -338,3 +338,13 @@ def test_parse_boosted_query_rejects_nonfinite():
                                simple_tokenize)
     assert t == ["merge", "nan", "stream", "inf", "dup", "1", "0", "sort"]
     assert b == [1.0] * 7 + [20.0]
+
+
+def test_bm25f_service_arg_validation(field_indexes):
+    from jesterj_ray.index.serving import BM25FShardedService
+    table, dirs = field_indexes
+    with pytest.raises(ValueError, match="exactly one"):
+        BM25FShardedService()
+    with pytest.raises(ValueError, match="exactly one"):
+        BM25FShardedService(field_dirs=dirs,
+                            field_slice_dirs=[dirs])
