@@ -1212,8 +1212,8 @@ ORDER BY r.qid, r.rank
              AND v.event_type = 'view' AND p.event_type = 'purchase'
              AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
             ORDER BY view_id, purchase_id""",
-        # engine: pipelines/relational.next_event_lag (groupby(user) +
-        # sorted vectorized diff; LEAD() OVER analog)
+        # engine: pipelines/relational.next_event_lag (coarse-gkey
+        # shuffle + one shifted-compare per group; LEAD() OVER analog)
         "next_event_lag": """
             WITH o AS (
               SELECT event_id, user_id, ts,
@@ -1226,9 +1226,9 @@ ORDER BY r.qid, r.rank
                    date_diff('microsecond', ts, next_ts) AS gap_us
             FROM o WHERE next_event_id IS NOT NULL
             ORDER BY event_id""",
-        # engine: pipelines/relational.retention_cohorts (two bounded
-        # partial aggregates, cohort join on the folded pair table,
-        # exact epoch-day week arithmetic)
+        # engine: pipelines/relational.retention_cohorts (unique
+        # (user, week) pairs hash-partitioned on a coarse user gkey —
+        # driver folds only per-group cells; exact epoch-day weeks)
         "retention_cohorts": """
             WITH firstw AS (
               SELECT user_id,
@@ -1246,8 +1246,9 @@ ORDER BY r.qid, r.rank
             FROM act a JOIN firstw f USING (user_id)
             GROUP BY f.cw, week_offset
             ORDER BY cohort_week, week_offset""",
-        # engine: pipelines/relational.session_stats (per-user sorted
-        # scan; sessions split on >30min gaps; exact integer-us durations)
+        # engine: pipelines/relational.session_stats (coarse-gkey
+        # shuffle + reduceat over session segments; sessions split on
+        # >30min gaps; exact integer-us durations)
         "session_stats": """
             WITH o AS (
               SELECT user_id, event_id, ts,
@@ -1277,8 +1278,9 @@ ORDER BY r.qid, r.rank
                    CAST(sum(dur) AS BIGINT) AS total_dur_us,
                    max(dur) AS max_dur_us
             FROM sess GROUP BY user_id ORDER BY user_id""",
-        # engine: pipelines/relational.funnel_counts (per-user sorted
-        # scan over the strictly-increasing first-qualifying chain)
+        # engine: pipelines/relational.funnel_counts (coarse-gkey
+        # shuffle, per-stage masked minimum.reduceat first-qualifying
+        # chain, map-side reached-histogram fold)
         "funnel_counts": """
             WITH s1 AS (
               SELECT user_id, min(ts) AS t FROM events
@@ -1355,8 +1357,8 @@ ORDER BY r.qid, r.rank
             SELECT doc_id, n_grams, n_hit,
                    round(n_hit * 1.0 / n_grams, 6) AS ratio
             FROM ratio ORDER BY doc_id""",
-        # engine: pipelines/relational.distinct_users_per_type (block-level
-        # pair pre-dedup, domain-bounded exchange, exact)
+        # engine: pipelines/relational.distinct_users_per_type (unique
+        # pairs hash-partitioned on a coarse user gkey; O(groups) fold)
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type""",

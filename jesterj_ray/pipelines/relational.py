@@ -256,30 +256,81 @@ def top_terms_per_lang(sf_dir: str, n: int = 3):
     return out.sort_values(["lang", "term"]).reset_index(drop=True)
 
 
-def sessionize_events(sf_dir: str, gap_minutes: int = 30):
-    """Session windows per user: a new session starts when the gap from the
-    previous event exceeds ``gap_minutes``.  Implemented as
-    groupby(user).map_groups over ts-sorted groups (the documented Ray
-    mapping for session semantics; ordering assumption: within one user's
-    group we sort by (ts, event_id))."""
+def _user_windows(ds: "rd.Dataset", resolve, *, num_groups: int = 64,
+                  probe_counter: str = None) -> "rd.Dataset":
+    """Coarse-gkey scaffolding for the per-user window family
+    (sessionize / lead / funnel / session stats): tag each row with
+    ``gkey = user_id mod num_groups`` and run ONE vectorized ``resolve``
+    per GROUP — never per user.  At 10^8 users a raw-key
+    ``groupby("user_id").map_groups`` fires 10^8 Python callbacks plus
+    Ray per-group dispatch; here the callback count is bounded by
+    ``num_groups`` regardless of user count, and all per-user math is
+    numpy over sorted-boundary segments inside the group (the
+    ``dedup.emit_pairs`` idiom).
+
+    ``resolve(g: pd.DataFrame) -> pd.DataFrame`` sees every row of the
+    gkey's users (each user's rows are fully co-located) and must do its
+    own (user, ts, ...) lexsort + ``np.flatnonzero`` boundary detection.
+
+    ``probe_counter`` (tests only): name of a detached counter actor
+    whose ``inc`` is called once per resolve invocation — pins the
+    zero-per-user-Python property."""
+    def add_gkey(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "gkey", pc.cast(_mod_nonneg(t["user_id"], num_groups),
+                            pa.int64()))
+
+    def wrapped(g: pd.DataFrame) -> pd.DataFrame:
+        if probe_counter is not None:
+            ray.get(ray.get_actor(probe_counter).inc.remote())
+        return resolve(g.drop(columns=["gkey"]))
+
+    return ds.map_batches(add_gkey, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("gkey").map_groups(wrapped, batch_format="pandas")
+
+
+def _user_sorted(g: pd.DataFrame, cols=("event_id",)):
+    """Sort a window group by (user_id, ts, event_id) and return the
+    sorted numpy columns + per-user segment starts.  np.lexsort's last
+    key is primary, so keys are (event_id, ts, user_id) reversed."""
+    u = g["user_id"].to_numpy()
+    ts = g["ts"].to_numpy()
+    keys = [g[c].to_numpy() for c in cols if c in g.columns]
+    order = np.lexsort(tuple(keys) + (ts, u))
+    u, ts = u[order], ts[order]
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    return order, u, ts, starts
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30,
+                      num_groups: int = 64, probe_counter: str = None):
+    """Session windows per user: a new session starts when the gap from
+    the previous event exceeds ``gap_minutes``.  One coarse-gkey shuffle
+    (``_user_windows``); inside each group the session starts for ALL
+    users come from one vectorized pass (user-boundary OR gap mask,
+    ``np.add.reduceat`` over user segments) — no per-user Python."""
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_id", "ts"],
                          override_num_blocks=16)
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].to_numpy()
-        if ts.size == 0:
-            return pd.DataFrame({"user_id": [], "n_sessions": []})
-        new_session = np.empty(ts.size, dtype=bool)
-        new_session[0] = True
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [int(new_session.sum())]})
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "n_sessions": pd.Series([], dtype=np.int64)})
+        _, u, ts, starts = _user_sorted(g)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        new_session = new_user | np.r_[False, (ts[1:] - ts[:-1]) > gap]
+        n_sessions = np.add.reduceat(new_session.astype(np.int64), starts)
+        return pd.DataFrame({"user_id": u[starts].astype(np.int64),
+                             "n_sessions": n_sessions.astype(np.int64)})
 
-    out = ds.groupby("user_id").map_groups(count_sessions,
-                                           batch_format="pandas").to_pandas()
+    out = _user_windows(ds, resolve, num_groups=num_groups,
+                        probe_counter=probe_counter).to_pandas()
+    if out.empty or "user_id" not in out.columns:
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "n_sessions": pd.Series([], dtype=np.int64)})
     out["user_id"] = out["user_id"].astype(np.int64)
     out["n_sessions"] = out["n_sessions"].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
@@ -504,33 +555,37 @@ def view_to_purchase_pairs(sf_dir: str, window_s: int = 3600
         .sort_values(["view_id", "purchase_id"]).reset_index(drop=True)
 
 
-def next_event_lag(sf_dir: str) -> pd.DataFrame:
+def next_event_lag(sf_dir: str, num_groups: int = 64,
+                   probe_counter: str = None) -> pd.DataFrame:
     """LEAD() analog: per user, each event's gap to that user's next
     event (by (ts, event_id) order); the last event per user drops.
-    groupby(user).map_groups over sorted groups, vectorized diff."""
+    One coarse-gkey shuffle; inside each group ALL users' leads come
+    from a single shifted-compare over the (user, ts, event_id)-sorted
+    arrays — consecutive rows pair iff they share a user."""
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "user_id", "ts"],
                          override_num_blocks=16)
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                          for c in ("event_id", "user_id",
+                                    "next_event_id", "gap_us")})
 
-    def lead(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].to_numpy()
-        ev = g["event_id"].to_numpy()
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
-                                 "user_id": pd.Series([], dtype=np.int64),
-                                 "next_event_id": pd.Series([], dtype=np.int64),
-                                 "gap_us": pd.Series([], dtype=np.int64)})
+            return empty
+        order, u, ts, _ = _user_sorted(g)
+        ev = g["event_id"].to_numpy()[order]
+        same = u[1:] == u[:-1]
         gap = (ts[1:] - ts[:-1]) // np.timedelta64(1, "us")
         return pd.DataFrame({
-            "event_id": ev[:-1].astype(np.int64),
-            "user_id": np.repeat(np.int64(g["user_id"].iloc[0]),
-                                 len(g) - 1),
-            "next_event_id": ev[1:].astype(np.int64),
-            "gap_us": gap.astype(np.int64)})
+            "event_id": ev[:-1][same].astype(np.int64),
+            "user_id": u[:-1][same].astype(np.int64),
+            "next_event_id": ev[1:][same].astype(np.int64),
+            "gap_us": gap[same].astype(np.int64)})
 
-    out = ds.groupby("user_id").map_groups(lead,
-                                           batch_format="pandas").to_pandas()
+    out = _user_windows(ds, resolve, num_groups=num_groups,
+                        probe_counter=probe_counter).to_pandas()
+    if out.empty or "event_id" not in out.columns:
+        return empty
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("event_id").reset_index(drop=True)
@@ -581,183 +636,243 @@ def chars_quantiles_per_lang(sf_dir: str) -> pd.DataFrame:
         .sort_values("lang").reset_index(drop=True)
 
 
-def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+def _distinct_users_partials(ds: "rd.Dataset", num_groups: int
+                             ) -> "rd.Dataset":
+    """Per-gkey distinct-user partials for ``distinct_users_per_type``:
+    blocks pre-collapse to unique (type, user) pairs WITH a coarse user
+    gkey, one groupby shuffle co-locates each user's pairs, and each
+    group emits only (event_type, n_part) — |types| rows per group.
+    The returned Dataset is O(num_groups x |types|) regardless of user
+    count (the unbounded-domain shape: no |users|-sized driver fold)."""
+    def pairs(t: pa.Table) -> pa.Table:
+        uniq = pa.TableGroupBy(
+            t, ["event_type", "user_id"]).aggregate([])
+        return uniq.append_column(
+            "gkey", pc.cast(_mod_nonneg(uniq["user_id"], num_groups),
+                            pa.int64()))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # all pairs for this gkey's users are here: per-group nunique is
+        # exact, and users never span groups so partials sum globally
+        n = g.drop_duplicates(["event_type", "user_id"]) \
+            .groupby("event_type", sort=False).size()
+        return pd.DataFrame({"event_type": n.index.to_numpy(dtype=object),
+                             "n_part": n.to_numpy(dtype=np.int64)})
+
+    return ds.map_batches(pairs, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("gkey").map_groups(resolve, batch_format="pandas")
+
+
+def distinct_users_per_type(sf_dir: str, num_groups: int = 64
+                            ) -> pd.DataFrame:
     """Exact grouped COUNT(DISTINCT): distinct users per event type.
 
-    Scale shape: each block pre-collapses to its unique (type, user)
-    pairs inside map_batches (Arrow group-by, zero rows shipped twice),
-    the driver folds pair partials and counts — the exchange is bounded
-    by |types| x |users| (the DISTINCT domain), never the event count.
-    For an unbounded domain you'd hash-partition the pairs instead (one
-    shuffle) or switch to a sketch (HLL) for approximate counts."""
+    Scale shape (unbounded user domain): unique (type, user) pairs are
+    hash-partitioned on a coarse user gkey (ONE shuffle), each group
+    counts its own users per type, and the driver folds only
+    num_groups x |types| partial rows — never a row per user."""
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "user_id"],
                          override_num_blocks=16)
-
-    def pairs(t: pa.Table) -> pa.Table:
-        return pa.TableGroupBy(t, ["event_type", "user_id"]).aggregate([])
-
-    parts = ds.map_batches(pairs, batch_format="pyarrow",
-                           zero_copy_batch=True)
-    small = _fold_blocks(parts)
-    if small is None:
+    per = _distinct_users_partials(ds, num_groups).to_pandas()
+    if per.empty or "event_type" not in per.columns:
         return pd.DataFrame({"event_type": pd.Series([], dtype=object),
                              "n_users": pd.Series([], dtype=np.int64)})
-    uniq = pa.TableGroupBy(small, ["event_type", "user_id"]).aggregate([])
-    agg = pa.TableGroupBy(uniq, ["event_type"]).aggregate([([], "count_all")])
-    out = agg.rename_columns(["event_type", "n_users"]).to_pandas()
+    out = per.groupby("event_type", sort=True)["n_part"].sum() \
+        .reset_index().rename(columns={"n_part": "n_users"})
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
 
 
 def funnel_counts(sf_dir: str,
-                  stages=("signup", "click", "purchase")) -> pd.DataFrame:
+                  stages=("signup", "click", "purchase"),
+                  num_groups: int = 64,
+                  probe_counter: str = None) -> pd.DataFrame:
     """Ordered funnel: users reaching stage i did stage i's event AFTER
     their first qualifying time for stage i-1 (strictly increasing
     chain of first-qualifying timestamps — the standard product-
-    analytics funnel).  Per-user resolution is one sorted scan in
-    groupby(user).map_groups; stage totals fold through a tiny partial
-    aggregate.  Returns (stage, n_users) in funnel order."""
+    analytics funnel; value-based, so input order never matters).
+
+    Scale shape: one coarse-gkey shuffle; each group resolves ALL its
+    users with |stages| vectorized passes (mask + masked
+    ``np.minimum.reduceat`` per user segment — the first qualifying
+    time for every user at once) and folds MAP-SIDE to a |stages|+1-row
+    ``reached`` histogram, so the driver only ever sums
+    num_groups x (|stages|+1) tiny rows — never a row per user.
+    Returns (stage, step, n_users) in funnel order."""
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type", "ts"],
                          override_num_blocks=16)
     stage_list = list(stages)
+    sentinel = np.iinfo(np.int64).max
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        et = g["event_type"].to_numpy()
-        ts = g["ts"].to_numpy()
-        reached = 0
-        cur = None  # first-qualifying time of the previous stage
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"reached": pd.Series([], dtype=np.int64),
+                                 "n_part": pd.Series([], dtype=np.int64)})
+        order, u, ts, starts = _user_sorted(g, cols=())
+        et = g["event_type"].to_numpy()[order]
+        tsi = ts.astype("datetime64[us]").astype(np.int64)
+        n_users = starts.size
+        seg = np.zeros(len(u), dtype=np.int64)
+        seg[starts] = 1
+        row_user = np.cumsum(seg) - 1  # row -> user-segment index
+        cur = np.full(n_users, np.iinfo(np.int64).min, dtype=np.int64)
+        reached = np.zeros(n_users, dtype=np.int64)
+        alive = np.ones(n_users, dtype=bool)
         for s in stage_list:
-            mask = et == s if cur is None else (et == s) & (ts > cur)
-            idx = np.flatnonzero(mask)
-            if idx.size == 0:
-                break
-            cur = ts[idx[0]]
-            reached += 1
-        return pd.DataFrame({"reached": [reached]})
+            qual = (et == s) & (tsi > cur[row_user]) & alive[row_user]
+            val = np.where(qual, tsi, sentinel)
+            first = np.minimum.reduceat(val, starts)
+            ok = alive & (first < sentinel)
+            reached += ok
+            cur = np.where(ok, first, cur)
+            alive = ok
+        hist = np.bincount(reached, minlength=len(stage_list) + 1)
+        return pd.DataFrame({"reached": np.arange(hist.size, dtype=np.int64),
+                             "n_part": hist.astype(np.int64)})
 
-    per = ds.groupby("user_id").map_groups(per_user,
-                                           batch_format="pandas")
-    pdf = per.to_pandas()
-    counts = pdf["reached"].to_numpy() if "reached" in pdf.columns \
-        else np.empty(0, dtype=np.int64)
-    n = [int((counts >= i + 1).sum()) for i in range(len(stage_list))]
+    per = _user_windows(ds, resolve, num_groups=num_groups,
+                        probe_counter=probe_counter).to_pandas()
+    if per.empty or "reached" not in per.columns:
+        counts = np.zeros(len(stage_list) + 1, dtype=np.int64)
+    else:
+        counts = np.zeros(len(stage_list) + 1, dtype=np.int64)
+        fold = per.groupby("reached")["n_part"].sum()
+        counts[fold.index.to_numpy()] = fold.to_numpy()
+    # users at step i = users whose reached >= i (suffix sum)
+    suffix = np.cumsum(counts[::-1])[::-1]
+    n = [int(suffix[i + 1]) for i in range(len(stage_list))]
     return pd.DataFrame({"stage": pd.Series(stage_list, dtype=object),
                          "step": pd.Series(range(1, len(stage_list) + 1),
                                            dtype=np.int64),
                          "n_users": pd.Series(n, dtype=np.int64)})
 
 
-def session_stats(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+def session_stats(sf_dir: str, gap_minutes: int = 30,
+                  num_groups: int = 64,
+                  probe_counter: str = None) -> pd.DataFrame:
     """Per-user session statistics (extends ``sessionize_events`` from a
     count to full session shapes): sessions split on gaps >
     ``gap_minutes``; per user report the session count, summed and max
     session DURATION in exact integer microseconds (single-event
-    sessions have duration 0).  One sorted scan per user group —
-    the same groupby(user).map_groups shape, all-vectorized inside."""
+    sessions have duration 0).
+
+    Scale shape: one coarse-gkey shuffle; per group, session starts for
+    ALL users come from one boundary mask, session durations from one
+    gather, and the per-user (count, sum, max) from
+    ``np.add/maximum.reduceat`` over the session->user segments — the
+    per-group Python callback count is bounded by num_groups."""
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_id", "ts"],
                          override_num_blocks=16)
     gap = np.timedelta64(gap_minutes * 60, "s")
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].to_numpy()
-        starts = np.empty(ts.size, dtype=bool)
-        starts[0] = True
-        starts[1:] = (ts[1:] - ts[:-1]) > gap
-        idx = np.flatnonzero(starts)
-        ends = np.append(idx[1:], ts.size) - 1
-        dur = ((ts[ends] - ts[idx]) // np.timedelta64(1, "us")) \
-            .astype(np.int64)
-        return pd.DataFrame({
-            "user_id": [np.int64(g["user_id"].iloc[0])],
-            "n_sessions": [np.int64(idx.size)],
-            "total_dur_us": [np.int64(dur.sum())],
-            "max_dur_us": [np.int64(dur.max())]})
-
-    out = ds.groupby("user_id").map_groups(per_user,
-                                           batch_format="pandas").to_pandas()
     cols = ["user_id", "n_sessions", "total_dur_us", "max_dur_us"]
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty
+        _, u, ts, ustarts = _user_sorted(g)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        sess_start = new_user | np.r_[False, (ts[1:] - ts[:-1]) > gap]
+        sidx = np.flatnonzero(sess_start)
+        send = np.r_[sidx[1:], ts.size] - 1
+        dur = ((ts[send] - ts[sidx]) // np.timedelta64(1, "us")) \
+            .astype(np.int64)
+        sess_user = u[sidx]
+        # sessions are in user-sorted order: per-user segments over the
+        # session arrays
+        su = np.flatnonzero(np.r_[True, sess_user[1:] != sess_user[:-1]])
+        return pd.DataFrame({
+            "user_id": sess_user[su].astype(np.int64),
+            "n_sessions": np.diff(np.r_[su, sidx.size]).astype(np.int64),
+            "total_dur_us": np.add.reduceat(dur, su).astype(np.int64),
+            "max_dur_us": np.maximum.reduceat(dur, su).astype(np.int64)})
+
+    out = _user_windows(ds, resolve, num_groups=num_groups,
+                        probe_counter=probe_counter).to_pandas()
     if out.empty or "user_id" not in out.columns:
-        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                             for c in cols})
+        return empty
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out[cols].sort_values("user_id").reset_index(drop=True)
 
 
-def retention_cohorts(sf_dir: str) -> pd.DataFrame:
+def _retention_week_col(t: pa.Table) -> pa.ChunkedArray:
+    # Monday-anchored week start in epoch DAYS (DuckDB
+    # date_trunc('week') parity: day 4 = 1970-01-05 was a Monday).
+    # FLOOR division via mod-subtract — pc.divide truncates toward
+    # zero and would shift pre-1970 timestamps a day forward
+    us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+    d_us = pa.scalar(86_400_000_000, pa.int64())
+    day = pc.divide(pc.subtract(us, _mod_nonneg(us, 86_400_000_000)),
+                    d_us)
+    rem = _mod_nonneg(pc.subtract(day, 4), 7)
+    return pc.subtract(day, rem)
+
+
+def retention_cohorts(sf_dir: str, num_groups: int = 64) -> pd.DataFrame:
     """Weekly retention matrix: users cohort by the Monday-anchored week
     of their FIRST event; each (cohort_week, week_offset) cell counts
     the distinct cohort users active in that later week.
 
-    Scale shape: two bounded partial aggregates, no row shuffle —
-    per-block min-ts per user (folds to |users| rows) and per-block
-    distinct (user, week) pairs (folds to |users| x |weeks|); the
-    cohort join happens on the folded pair table.  Exact integer week
-    arithmetic (epoch-day floor), no float anywhere."""
+    Scale shape (unbounded user domain): blocks pre-collapse to unique
+    (user, week) pairs with a coarse user gkey; ONE groupby shuffle
+    co-locates each user's weeks; each group derives its own users'
+    cohorts and offsets (a user never spans groups, so the per-group
+    cohort min is the global min) and emits only
+    (cohort_week, week_offset, n_part) cells — the driver folds
+    num_groups x |cells| rows, never a row per user.  Exact integer
+    week arithmetic (epoch-day floor), no float anywhere."""
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts"],
                          override_num_blocks=16)
-
-    def week_col(t: pa.Table) -> pa.ChunkedArray:
-        # Monday-anchored week start in epoch DAYS (DuckDB
-        # date_trunc('week') parity: day 4 = 1970-01-05 was a Monday).
-        # FLOOR division via mod-subtract — pc.divide truncates toward
-        # zero and would shift pre-1970 timestamps a day forward
-        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
-        d_us = pa.scalar(86_400_000_000, pa.int64())
-        day = pc.divide(pc.subtract(us, _mod_nonneg(us, 86_400_000_000)),
-                        d_us)
-        rem = _mod_nonneg(pc.subtract(day, 4), 7)
-        return pc.subtract(day, rem)
-
-    empty_partial = pa.table({"user_id": pa.array([], pa.int64()),
-                              "week": pa.array([], pa.int64()),
-                              "kind": pa.array([], pa.string())})
-
-    def partial(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            # empty block: Arrow group-bys would emit a schema-less
-            # table and break the fold's concat
-            return empty_partial
-        w = week_col(t)
-        pairs = pa.table({"user_id": t["user_id"], "week": w})
-        uniq = pa.TableGroupBy(pairs, ["user_id", "week"]).aggregate([])
-        firsts = pa.TableGroupBy(pairs, ["user_id"]).aggregate(
-            [("week", "min")])
-        return pa.table({
-            "user_id": pa.concat_arrays(
-                [uniq["user_id"].combine_chunks(),
-                 firsts["user_id"].combine_chunks()]),
-            "week": pa.concat_arrays(
-                [uniq["week"].combine_chunks(),
-                 firsts["week_min"].combine_chunks()]),
-            "kind": pa.array(["act"] * len(uniq) + ["first"] * len(firsts),
-                             pa.string())})
-
-    parts = ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-    folded = _fold_blocks(parts)
-    if folded is None:
+    per = _retention_partials(ds, num_groups).to_pandas()
+    if per.empty or "cw" not in per.columns:
         return pd.DataFrame({"cohort_week": pd.Series([], dtype="datetime64[ns]"),
                              "week_offset": pd.Series([], dtype=np.int64),
                              "n_users": pd.Series([], dtype=np.int64)})
-    small = folded.to_pandas()
-    firstw = small[small["kind"] == "first"] \
-        .groupby("user_id")["week"].min()
-    act = small[small["kind"] == "act"][["user_id", "week"]] \
-        .drop_duplicates()
-    act = act.assign(cw=act["user_id"].map(firstw))
-    act["week_offset"] = ((act["week"] - act["cw"]) // 7).astype(np.int64)
-    out = act.groupby(["cw", "week_offset"])["user_id"].nunique() \
-        .reset_index().rename(columns={"user_id": "n_users",
+    out = per.groupby(["cw", "week_offset"], sort=True)["n_part"].sum() \
+        .reset_index().rename(columns={"n_part": "n_users",
                                        "cw": "cohort_week"})
     out["cohort_week"] = pd.to_datetime(out["cohort_week"] * 86_400,
                                         unit="s")
+    out["week_offset"] = out["week_offset"].astype(np.int64)
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values(["cohort_week", "week_offset"]) \
         .reset_index(drop=True)
+
+
+def _retention_partials(ds: "rd.Dataset", num_groups: int) -> "rd.Dataset":
+    """Per-gkey retention partials: unique (gkey, user, week) pairs out
+    of each block (ONE shuffle's worth of rows), then per-group cohort
+    resolution emitting (cw, week_offset, n_part) cells.  Returned
+    Dataset is O(num_groups x |cells|) — the unbounded-domain shape."""
+    def pairs(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "week": pa.array([], pa.int64()),
+                             "gkey": pa.array([], pa.int64())})
+        pt = pa.table({"user_id": t["user_id"],
+                       "week": _retention_week_col(t)})
+        uniq = pa.TableGroupBy(pt, ["user_id", "week"]).aggregate([])
+        return uniq.append_column(
+            "gkey", pc.cast(_mod_nonneg(uniq["user_id"], num_groups),
+                            pa.int64()))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        act = g[["user_id", "week"]].drop_duplicates()
+        firstw = act.groupby("user_id")["week"].min()
+        cw = act["user_id"].map(firstw)
+        off = ((act["week"] - cw) // 7).astype(np.int64)
+        cells = act.assign(cw=cw.to_numpy(), week_offset=off.to_numpy()) \
+            .groupby(["cw", "week_offset"], sort=False)["user_id"].nunique()
+        out = cells.reset_index().rename(columns={"user_id": "n_part"})
+        out["n_part"] = out["n_part"].astype(np.int64)
+        return out
+
+    return ds.map_batches(pairs, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("gkey").map_groups(resolve, batch_format="pandas")
