@@ -99,17 +99,16 @@ class BM25FReader:
     def _same_doc_space(a: IndexReader, b: IndexReader) -> bool:
         """True iff the two indexes assign every doc the same docID.
 
-        Checks pid set, per-pid sizes, and the first/last doc_key of
-        every partition (rank order is sorted doc_key, so matching
-        boundaries + sizes pin the whole assignment without comparing
-        all n_docs keys; a content-hash-partitioned build — the bug this
-        guards against — shifts partition boundaries immediately)."""
+        Compares pid set, per-pid sizes, and the FULL doc_key column of
+        every partition (the columns are already resident in the
+        readers, so the Arrow equality scan is one vectorized pass —
+        boundary-only checks could pass two different corpus snapshots
+        that happen to share sizes and end keys, ADVICE r03)."""
         if a.n_dense != b.n_dense or not np.array_equal(a._pids, b._pids):
             return False
         for pid in map(int, a._pids):
             ka, kb = a._doc_key[pid], b._doc_key[pid]
-            if len(ka) != len(kb) or ka[0] != kb[0] or \
-                    ka[len(ka) - 1] != kb[len(kb) - 1]:
+            if len(ka) != len(kb) or not ka.equals(kb):
                 return False
         return True
 

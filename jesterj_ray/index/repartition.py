@@ -246,7 +246,13 @@ def repartition_for_serving(index_dir: str, out_root: str, *,
     if os.path.exists(tomb_path):
         with open(tomb_path) as f:
             for did in json.load(f).get("doc_ids", []):
-                slice_tombs[assign[int(did) >> DOC_BITS]].append(did)
+                pid = int(did) >> DOC_BITS
+                if pid not in assign:
+                    # stale tombstone of a dropped/empty partition: no
+                    # postings reference it, nothing to mask (mirrors
+                    # compact_index's stale-tombstone handling; ADVICE r03)
+                    continue
+                slice_tombs[assign[pid]].append(did)
     for s in range(n_slices):
         sdir = os.path.join(out_root, f"slice-{s:03d}")
         os.makedirs(os.path.join(sdir, "docs"), exist_ok=True)

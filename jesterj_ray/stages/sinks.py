@@ -27,8 +27,34 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from ..pipelines.relational import _mod_nonneg
 from ..state.manifest import Manifest, atomic_write_bytes, atomic_write_table
+
+
+def _hash_route(col: "pa.ChunkedArray", num_partitions: int) -> "np.ndarray":
+    """Deterministic vectorized key -> partition routing.
+
+    Integers: splitmix64 finalizer over the raw 64-bit pattern — pure
+    numpy, run- and parallelism-independent, spreads clustered /
+    strided / negative keys.  Strings/binary: the pandas fixed-key
+    64-bit siphash (``pd.util.hash_array``, key is a pandas constant —
+    deterministic across processes, unlike Python's salted hash())."""
+    typ = col.type
+    if pa.types.is_integer(typ):
+        v = col.cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            v = (v ^ (v >> 30)) * np.uint64(0xBF58476D1CE4E5B9)
+            v = (v ^ (v >> 27)) * np.uint64(0x94D049BB133111EB)
+            v ^= v >> 31
+        return (v % np.uint64(num_partitions)).astype(np.int64)
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ) or \
+            pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        vals = np.asarray(col.to_pylist(), dtype=object)
+        h = pd.util.hash_array(vals, categorize=False)
+        return (h % np.uint64(num_partitions)).astype(np.int64)
+    raise TypeError(
+        f"unsupported partition-key type {typ} — integer or "
+        "string/binary keys only")
 
 
 def write_partitioned_resumable(ds: "rd.Dataset", out_dir: str, *,
@@ -36,6 +62,13 @@ def write_partitioned_resumable(ds: "rd.Dataset", out_dir: str, *,
                                 ) -> Dict:
     """Write ``ds`` as ``out_dir/part-XXXXX.parquet`` partitioned by
     ``hash(by) % num_partitions`` with per-partition crash-safe commits.
+    The hash is a REAL mix (splitmix64 for integer keys, the pandas
+    fixed-key 64-bit hash for string keys — both deterministic across
+    runs and parallelism), so clustered / strided / negative integer
+    keys and string keys all spread uniformly (ADVICE r03: the old
+    ``cast % num_partitions`` mod-routed integers and failed on
+    strings); the routing scheme is recorded in ``layout.json`` and a
+    resume against a dir written under a different scheme refuses.
 
     - Committed partitions (from a previous run) are PRUNED map-side
       before the shuffle — their rows never move.
@@ -53,7 +86,8 @@ def write_partitioned_resumable(ds: "rd.Dataset", out_dir: str, *,
     """
     man = Manifest(out_dir, "sink")
     done = set(man.completed_partitions())
-    layout = {"by": by, "num_partitions": num_partitions}
+    layout = {"by": by, "num_partitions": num_partitions,
+              "routing": "hash-v1"}
     layout_path = os.path.join(out_dir, "layout.json")
     if os.path.exists(layout_path):
         import json
@@ -70,11 +104,11 @@ def write_partitioned_resumable(ds: "rd.Dataset", out_dir: str, *,
         atomic_write_bytes(layout_path, json.dumps(layout).encode())
 
     def tag_and_prune(t: pa.Table) -> pa.Table:
-        key = t[by].cast(pa.int64())
-        if key.null_count:
+        col = t[by]
+        if col.null_count:
             raise ValueError(f"null values in partition column {by!r}")
-        t = t.append_column("__pid", pc.cast(
-            _mod_nonneg(key, num_partitions), pa.int64()))
+        t = t.append_column(
+            "__pid", pa.array(_hash_route(col, num_partitions), pa.int64()))
         if done:
             t = t.filter(pc.invert(pc.is_in(
                 t["__pid"], value_set=pa.array(sorted(done), pa.int64()))))

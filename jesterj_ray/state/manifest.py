@@ -180,17 +180,21 @@ class Manifest:
         """Drop history transitions older than ``ttl_seconds`` — the
         reference's FTI record TTL (90 days, ``JesterJAppender.java:56``;
         Cassandra expires the row, we rewrite the JSONL tail).  Lines
-        without a ``ts`` (pre-timestamp layouts) count as expired, like
-        any record older than the TTL.  Partition manifests themselves
-        are NOT expired — resume correctness never depends on history.
-        Returns the number of lines dropped.
+        without a ``ts`` (pre-timestamp layouts) are STAMPED with the
+        file's mtime rather than dropped — dropping them could erase a
+        recent ERROR transition and reset ``consecutive_errors`` retry
+        accounting, a DEAD-gating input (ADVICE r03).  Partition
+        manifests themselves are NOT expired — resume correctness never
+        depends on history.  Returns the number of lines dropped.
 
         Concurrency: like ``_compact_history``, the read + rewrite pair
         could clobber a concurrently appended line, so each file is
         guarded by the same size-CAS — if the file grew between the
         read and the rewrite the file is skipped (it expires on a later
-        cycle).  Run from the loop that owns the index (watch loop /
-        operator CLI), not from worker tasks."""
+        cycle).  The CAS is best-effort TOCTOU: an append landing in
+        the window between the re-stat and the rename is still lost,
+        so run ONLY from the loop that owns the index (watch loop /
+        operator CLI), never concurrently with worker writers."""
         cutoff = int(time.time()) - ttl_seconds
         dropped = 0
         if not os.path.isdir(self.hist_dir):
@@ -205,15 +209,24 @@ class Manifest:
                     lines = f.read().splitlines(keepends=True)
             except FileNotFoundError:
                 continue
+            mtime = int(st0.st_mtime)
             keep = []
             for ln in lines:
                 try:
-                    ts = json.loads(ln).get("ts")
+                    rec = json.loads(ln)
+                    ts = rec.get("ts")
                 except (ValueError, UnicodeDecodeError):
-                    ts = None
-                if ts is not None and ts >= cutoff:
+                    continue  # corrupt line: drop
+                if ts is None:
+                    # pre-timestamp line: stamp with file mtime so it
+                    # ages out on a later cycle instead of vanishing now
+                    ts = mtime
+                    if ts >= cutoff:
+                        rec["ts"] = ts
+                        ln = (json.dumps(rec) + "\n").encode()
+                if ts >= cutoff:
                     keep.append(ln)
-            if len(keep) == len(lines):
+            if keep == lines:
                 continue
             try:
                 if os.stat(path).st_size != st0.st_size:

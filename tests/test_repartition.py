@@ -166,3 +166,33 @@ def test_repartition_chunked_hot_terms_keep_global_df(small_corpus,
     want = g.phrase_topk("import config", 10)
     got = merged_topk(readers, "phrase_topk", "import config", 10)
     assert [x[0] for x in want] == [x[0] for x in got]
+
+
+def test_stale_tombstone_of_dropped_partition_ignored(small_corpus,
+                                                      tmp_path):
+    """ADVICE r03: a tombstone whose pid has no doc table (e.g. left
+    behind by a rebuild that dropped the partition) must not KeyError
+    the slice routing — repartition skips it like compact_index does."""
+    import json
+    import os
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(small_corpus, src, row_group_size=64)
+    out = str(tmp_path / "idx")
+    build_index_rows(src, out, text_col="content", tokenizer="code",
+                     docs_per_partition=64, num_shards=2, positions=False)
+    from jesterj_ray.index.epoch import publish_epoch
+    g = IndexReader(out)
+    real_did = int(g.topk("import", 1)[0][0])
+    stale_did = ((1 << 19) + 12345) << 32  # pid far outside the built set
+    with open(os.path.join(out, "tombstones.json"), "w") as f:
+        json.dump({"doc_ids": [real_did, stale_did]}, f)
+    publish_epoch(out)
+    slice_dirs = repartition_for_serving(out, str(tmp_path / "slices"),
+                                         n_slices=2)
+    # the real tombstone landed in exactly one slice; the stale one nowhere
+    tombs = []
+    for d in slice_dirs:
+        p = os.path.join(d, "tombstones.json")
+        if os.path.exists(p):
+            tombs.extend(json.load(open(p))["doc_ids"])
+    assert tombs == [real_did]

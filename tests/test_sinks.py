@@ -111,3 +111,26 @@ def test_duplicate_keys_byte_deterministic(ray_session, tmp_path):
         outs.append({p: open(os.path.join(d, f"part-{p:05d}.parquet"),
                              "rb").read() for p in range(4)})
     assert outs[0] == outs[1]
+
+def test_string_keys_route_and_skewed_ints_spread(ray_session, tmp_path):
+    """ADVICE r03: the sink must HASH keys — string keys work, and
+    strided integer keys (all ≡ 0 mod num_partitions, which pure
+    mod-routing would pile into one partition) spread."""
+    t = pa.table({"k": pa.array([f"doc-{i:04d}" for i in range(300)]),
+                  "v": pa.array(np.arange(300.0))})
+    d = str(tmp_path / "str")
+    stats = write_partitioned_resumable(rd.from_arrow(t).repartition(5),
+                                        d, by="k", num_partitions=8)
+    assert stats["rows"] == 300 and stats["written"] >= 6
+    back = read_partitioned(d).to_pandas().sort_values("k")
+    assert back["k"].tolist() == sorted(t["k"].to_pylist())
+
+    t2 = pa.table({"k": pa.array(np.arange(0, 1600, 16), pa.int64()),
+                   "v": pa.array(np.zeros(100))})
+    d2 = str(tmp_path / "stride")
+    stats2 = write_partitioned_resumable(rd.from_arrow(t2).repartition(3),
+                                         d2, by="k", num_partitions=8)
+    # stride-16 keys are all ≡ 0 (mod 8): mod routing -> 1 partition,
+    # hash routing -> nearly all of them
+    assert stats2["written"] >= 6
+    assert len(read_partitioned(d2)) == 100

@@ -114,8 +114,11 @@ def test_force_mark_refeeds_all_docs_via_delta(tmp_path):
 
 def test_expire_history_ttl(tmp_path):
     """FTI record TTL analog (reference: 90 days, JesterJAppender FTI_TTL):
-    expire_history drops transitions older than the TTL (and pre-timestamp
-    lines), keeps fresh ones, and never touches partition manifests."""
+    expire_history drops transitions older than the TTL, keeps fresh
+    ones, STAMPS pre-timestamp lines with the file mtime instead of
+    dropping them (ADVICE r03 — a dropped recent ERROR would reset
+    consecutive_errors retry accounting), and never touches partition
+    manifests."""
     import json as _json
     import os
     import time as _time
@@ -131,9 +134,11 @@ def test_expire_history_ttl(tmp_path):
         f.write(_json.dumps({"status": "PROCESSING", "attempt": 0}) + "\n")
     assert len(man.history(1)) == 3
     dropped = man.expire_history()  # default 90-day TTL
-    assert dropped == 2
+    assert dropped == 1  # only the genuinely-old ERROR line
     h1 = man.history(1)
-    assert [r["status"] for r in h1] == ["INDEXED"]
+    # the ts-less line survives, stamped with the file mtime
+    assert [r["status"] for r in h1] == ["INDEXED", "PROCESSING"]
+    assert all("ts" in r for r in h1)
     assert [r["status"] for r in man.history(2)] == ["ERROR"]
     # a fully-expired partition's history file is removed
     os.utime(man._hist_path(2))
