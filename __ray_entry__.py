@@ -673,6 +673,27 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # dict order = driver iteration order: entries lacking a
+        # CORRECTNESS_r03 row come FIRST so every operator regains
+        # a current driver-checked row (r03 VERDICT #3)
+        "simhash_pairs": _simhash_pairs,
+        "lsh_embedding_near_dup": _lsh_embedding_near_dup,
+        "knn_cosine_top10": _knn,
+        "knn_lsh_top10": _knn_lsh,
+        "knn_ivf_fullprobe_top10": _knn_ivf,
+        "embedding_near_dup": _embedding_near_dup,
+        "events_sliding_window": _sliding_window,
+        "top_n_largest_docs": _top_docs,
+        "distinct_langs": _distinct_langs,
+        "top_terms_per_lang": _top_terms_per_lang,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        "ngram_jaccard_exact_pairs": _ngram_jaccard_exact,
+        "json_extract_props": _json_extract,
+        "sql_scanner": _sql_scanner,
+        "status_sink": _status_sink,
+        "children_explode": _children_explode,
+        "pre_analyze": _pre_analyze,
+        "doc_per_line": _doc_per_line,
         "q1_lineitem_agg": _q1,
         "join_orders_customer": _join,
         "events_tumbling_window": _window,
@@ -723,24 +744,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": _phrase_topk,
         "minhash_lsh_pairs": _minhash_pairs,
         "minhash_dedup_drops": _minhash_dedup_drops,
-        "simhash_pairs": _simhash_pairs,
-        "lsh_embedding_near_dup": _lsh_embedding_near_dup,
-        "knn_cosine_top10": _knn,
-        "knn_lsh_top10": _knn_lsh,
-        "knn_ivf_fullprobe_top10": _knn_ivf,
-        "embedding_near_dup": _embedding_near_dup,
-        "events_sliding_window": _sliding_window,
-        "top_n_largest_docs": _top_docs,
-        "distinct_langs": _distinct_langs,
-        "top_terms_per_lang": _top_terms_per_lang,
-        "ngram_jaccard_pairs": _ngram_jaccard,
-        "ngram_jaccard_exact_pairs": _ngram_jaccard_exact,
-        "json_extract_props": _json_extract,
-        "sql_scanner": _sql_scanner,
-        "status_sink": _status_sink,
-        "children_explode": _children_explode,
-        "pre_analyze": _pre_analyze,
-        "doc_per_line": _doc_per_line,
     }
 
 
