@@ -153,51 +153,49 @@ def run_bench() -> dict:
     timings["bm25_queries"] = time.time() - t0
     n_queries = qt.num_rows
 
-    # supporting pipelines
-    from jesterj_ray.pipelines.relational import (join_orders_customer,
-                                                  q1_lineitem_agg)
-    t0 = time.time()
-    q1_lineitem_agg(SF_DIR)
-    timings["q1_lineitem_agg"] = time.time() - t0
-    t0 = time.time()
-    join_orders_customer(SF_DIR)
-    timings["join_orders_customer"] = time.time() - t0
-
-    from jesterj_ray.stages.dedup import exact_dedup
-    t0 = time.time()
-    exact_dedup(rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
-                                columns=["doc_id", "text"],
-                                override_num_blocks=NUM_CPUS),
-                field="text", order_col="doc_id").count()
-    timings["exact_dedup"] = time.time() - t0
-
+    # supporting pipelines: two INTERLEAVED passes, per-line best-of-2.
+    # Host interference comes in sustained windows (BASELINE.md ±3x) —
+    # back-to-back repeats of one line can land entirely inside a bad
+    # window, but a full second pass over all lines separates the two
+    # samples by minutes, so per-line min is a quiet-window estimate
+    # (r03 VERDICT #4: exact_dedup/join read 4x/2.3x in one busy pass).
     import numpy as np
     from jesterj_ray.ann.knn import brute_force_topk
+    from jesterj_ray.pipelines.relational import (join_orders_customer,
+                                                  q1_lineitem_agg)
+    from jesterj_ray.stages.dedup import (exact_dedup, minhash_lsh_pairs,
+                                          simhash_near_dup_pairs)
     emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
     qvecs = np.asarray(emb["embedding"].to_pylist()[:16], dtype=np.float32)
-    t0 = time.time()
-    brute_force_topk(rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet")),
-                     qvecs, k=10)
-    timings["knn_16q"] = time.time() - t0
 
-    from jesterj_ray.stages.dedup import minhash_lsh_pairs
-    t0 = time.time()
-    minhash_lsh_pairs(
-        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
-                        columns=["doc_id", "text"],
-                        override_num_blocks=NUM_CPUS),
-        text_field="text", id_field="doc_id",
-        threshold=0.6, concurrency=min(4, NUM_CPUS)).count()
-    timings["minhash_lsh_pairs"] = time.time() - t0
+    def _docs_ds():
+        return rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                               columns=["doc_id", "text"],
+                               override_num_blocks=NUM_CPUS)
 
-    from jesterj_ray.stages.dedup import simhash_near_dup_pairs
-    t0 = time.time()
-    simhash_near_dup_pairs(
-        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
-                        columns=["doc_id", "text"],
-                        override_num_blocks=NUM_CPUS),
-        text_field="text", id_field="doc_id").count()
-    timings["simhash_pairs"] = time.time() - t0
+    supporting = [
+        ("q1_lineitem_agg", lambda: q1_lineitem_agg(SF_DIR)),
+        ("join_orders_customer", lambda: join_orders_customer(SF_DIR)),
+        ("exact_dedup", lambda: exact_dedup(
+            _docs_ds(), field="text", order_col="doc_id").count()),
+        ("knn_16q", lambda: brute_force_topk(
+            rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet")),
+            qvecs, k=10)),
+        ("minhash_lsh_pairs", lambda: minhash_lsh_pairs(
+            _docs_ds(), text_field="text", id_field="doc_id",
+            threshold=0.6, concurrency=min(4, NUM_CPUS)).count()),
+        ("simhash_pairs", lambda: simhash_near_dup_pairs(
+            _docs_ds(), text_field="text", id_field="doc_id").count()),
+    ]
+    samples: dict = {name: [] for name, _ in supporting}
+    for _pass in range(2):
+        for name, fn in supporting:
+            t0 = time.time()
+            fn()
+            samples[name].append(time.time() - t0)
+    for name, _ in supporting:
+        timings[name] = min(samples[name])
+        timings[name + "_runs"] = samples[name]
 
     from jesterj_ray.index.query import IndexReader
     t0 = time.time()
