@@ -266,7 +266,7 @@ def run_bench() -> dict:
     from jesterj_ray.pipelines.flagship import (documents_bm25f_indexes,
                                                 _cache_dir)
     from jesterj_ray.index.bm25f import BM25FReader
-    for tag in ("docidxf2-title", "docidxf2-body"):
+    for tag in ("docidxf3-title", "docidxf3-body", "docidxf3-split"):
         shutil.rmtree(_cache_dir(SF_DIR, tag), ignore_errors=True)
     t0 = time.time()
     fdirs = documents_bm25f_indexes(SF_DIR)

@@ -17,12 +17,14 @@ weight-combined BEFORE the saturation curve,
 with document-level idf (df = docs containing t in ANY field, same
 ``idf`` as single-field BM25; k1 = 1.2).
 
-Limitation (documented, guarded): per-doc delta re-index
-(``build_rows.delta_reindex``) detects changes by CONTENT sha, which
-differs per field — a doc whose body changed but title didn't would
-advance only one field's doc space and misalign the family.  Field
-families are therefore rebuilt (or compacted) as a unit; the doc-space
-guard below turns any divergence into an error, never a wrong score.
+Per-doc delta re-index of a field family (:func:`delta_reindex_fields`,
+r03 VERDICT #5): every field's build hashes the FULL document column
+(``change_col``) for change detection instead of its own field slice,
+so all fields see the SAME changed-doc set and assign identical delta
+(pid, rank)s and tombstones — the shared doc space stays aligned
+through any number of delta rounds.  The doc-space guard below turns
+any divergence (e.g. a field delta'd alone) into an error, never a
+wrong score.
 
 Architecture: ONE single-field index per field over the SAME input.
 docIDs are ``pid << 32 | rank`` derived from the input alone (repo
@@ -85,13 +87,20 @@ class BM25FReader:
                 raise ValueError(
                     f"field index {f!r} has a different doc space — all "
                     "BM25F fields must be built from the same input with "
-                    "partition_by='doc_key' (build_index) so every field "
-                    "assigns each doc the same (pid, rank)")
-            if r._tombstone.any():
+                    "an input-derived partitioning (build_index "
+                    "partition_by='doc_key' or build_index_rows) so every "
+                    "field assigns each doc the same (pid, rank)")
+            if not np.array_equal(r._tombstone, self.primary._tombstone):
                 raise ValueError(
-                    f"field index {f!r} has tombstones; BM25F scoring "
-                    "assumes tombstone-free field indexes (compact first "
-                    "so every field drops the same docs)")
+                    f"field index {f!r} tombstones differ from the "
+                    "primary's; delta field families as a UNIT "
+                    "(delta_reindex_fields) or compact so every field "
+                    "drops the same docs")
+        self._has_tombs = bool(self.primary._tombstone.any())
+        if self._has_tombs and slice_of is not None:
+            raise ValueError(
+                "sharded BM25F serving over tombstoned field indexes is "
+                "not supported — compact the family, then repartition")
         self.n_docs = self.primary.n_docs
         self._tfa_buf = np.zeros(self.primary.n_dense, dtype=np.float64)
 
@@ -123,9 +132,14 @@ class BM25FReader:
             parts = [self.primary.dense_of(r.postings(t)[0])
                      for r in self.readers.values()]
             parts = [p for p in parts if p.size]
-            out[t] = 0 if not parts else (
-                parts[0].size if len(parts) == 1 else
-                int(np.unique(np.concatenate(parts)).size))
+            if not parts:
+                out[t] = 0
+                continue
+            union = parts[0] if len(parts) == 1 else \
+                np.unique(np.concatenate(parts))
+            if self._has_tombs:
+                union = union[~self.primary._tombstone[union]]
+            out[t] = int(union.size)
         return out
 
     def topk(self, query: str, k: int = 10,
@@ -159,6 +173,14 @@ class BM25FReader:
                 continue
             union = dense_parts[0] if len(dense_parts) == 1 else \
                 np.unique(np.concatenate(dense_parts))
+            if self._has_tombs:
+                # tombstoned rows drop from df AND scoring (their tfa
+                # residue must also clear below, hence filter first)
+                alive_union = union[~self.primary._tombstone[union]]
+                tfa[union[self.primary._tombstone[union]]] = 0.0
+                union = alive_union
+                if union.size == 0:
+                    continue
             # document-level df: term present in ANY field
             df = df_override[t] if df_override is not None \
                 else int(union.size)
@@ -177,6 +199,45 @@ class BM25FReader:
 
     def doc_keys(self, doc_ids: np.ndarray) -> List[str]:
         return self.primary.doc_keys(doc_ids)
+
+
+def delta_reindex_fields(paths, field_dirs: Dict[str, str], *,
+                         change_col: str, key_col: Optional[str] = None,
+                         tokenizer: str = "simple",
+                         docs_per_partition: int = 50_000,
+                         num_shards: int = 8,
+                         positions: bool = False) -> Dict[str, Dict]:
+    """Per-doc delta re-index of a whole BM25F field family as a UNIT
+    (r03 VERDICT #5; reference analog: the watch loop re-feeds changed
+    docs into Solr, which updates every field of the document at once —
+    ``ScannerImpl.java:453-502``).
+
+    ``paths`` is the family's SPLIT parquet (one column per field plus
+    ``change_col``, the full-document column whose sha drives change
+    detection).  Every field's base index must have been built with
+    ``build_index_rows(..., change_col=change_col)`` over the same
+    split, so the fields share one doc space; the per-field deltas then
+    see identical changed-doc sets and assign identical delta pids,
+    ranks, and tombstones — verified below, because a divergent family
+    would serve wrong scores (BM25FReader would refuse to open it).
+
+    Returns {field: delta_reindex stats}."""
+    from .build_rows import delta_reindex
+    out: Dict[str, Dict] = {}
+    for f in sorted(field_dirs):
+        out[f] = delta_reindex(
+            paths, field_dirs[f], text_col=f, key_col=key_col,
+            tokenizer=tokenizer, docs_per_partition=docs_per_partition,
+            num_shards=num_shards, positions=positions,
+            change_col=change_col)
+    sig = {f: (s["reindexed_docs"], s["tombstoned"],
+               tuple(s["delta_partitions"]))
+           for f, s in out.items()}
+    if len(set(sig.values())) > 1:
+        raise RuntimeError(
+            f"field family delta diverged: {sig} — the fields no longer "
+            "share a doc space; run a full rebuild of the family")
+    return out
 
 
 class BM25FQueryActor:

@@ -120,9 +120,16 @@ def _mark_searchable(man: Manifest, recs: Dict[int, Dict]) -> None:
 def make_row_indexer(out_dir: str, *, tokenizer: str, text_col: str,
                      key_col: Optional[str], num_shards: int = 8,
                      positions: bool = False,
-                     fail_pids: Optional[List[int]] = None):
+                     fail_pids: Optional[List[int]] = None,
+                     change_col: Optional[str] = None):
+    """``change_col``: column whose content drives CHANGE DETECTION
+    (stored as content_sha256) when it differs from the indexed
+    ``text_col`` — the BM25F field-family hook: every field indexes its
+    own slice but hashes the FULL document, so one changed doc re-feeds
+    in ALL fields and the shared doc space stays aligned."""
     tok = TOKENIZERS[tokenizer]
     fail = set(fail_pids or [])
+    sha_col = change_col or text_col
 
     def row_indexer(batch: pd.DataFrame) -> pd.DataFrame:
         # one Arrow compute thread per task: Ray already schedules one task
@@ -153,7 +160,8 @@ def make_row_indexer(out_dir: str, *, tokenizer: str, text_col: str,
                     raise RuntimeError(f"injected failure for pid {pid}")
                 if attempt > MAX_ATTEMPTS:
                     raise RuntimeError("max attempts exceeded")
-                cols = [text_col] + ([key_col] if key_col else [])
+                cols = list(dict.fromkeys(
+                    [text_col, sha_col] + ([key_col] if key_col else [])))
                 t = pq.ParquetFile(part["path"]).read_row_groups(
                     list(part["row_groups"]), columns=cols)
                 g = t.to_pandas()
@@ -165,7 +173,7 @@ def make_row_indexer(out_dir: str, *, tokenizer: str, text_col: str,
                                     for i in range(len(g))]
                 g["content_sha256"] = [
                     hashlib.sha256((x or "").encode()).hexdigest()
-                    for x in g[text_col]]
+                    for x in g[sha_col]]
                 fingerprint = _part_fingerprint(part)
                 rec = _index_partition_tables(
                     g, pid, out_dir, tok, text_col,
@@ -191,7 +199,8 @@ def make_row_indexer(out_dir: str, *, tokenizer: str, text_col: str,
 def _make_partition_differ(out_dir: str, *, text_col: str,
                            key_col: Optional[str], tokenizer: str,
                            num_shards: int, positions: bool,
-                           cat_sha_ref, cat_id_ref):
+                           cat_sha_ref, cat_id_ref,
+                           change_col: Optional[str] = None):
     """map_batches fn for the DISTRIBUTED per-partition diff (r02 VERDICT
     #1 — the old diff ran sequentially on the driver and accumulated full
     document TEXT in driver memory; a FORCE over many partitions
@@ -208,8 +217,13 @@ def _make_partition_differ(out_dir: str, *, text_col: str,
 
     The overlay catalog ships READ-ONLY as two broadcast pandas Series
     (key -> sha, key -> id): a key lives in exactly one partition's slice,
-    so snapshot semantics equal the old sequential mutation order."""
+    so snapshot semantics equal the old sequential mutation order.
+
+    ``change_col`` (field families): change detection hashes this
+    column instead of ``text_col``, so every field of a family sees
+    the SAME changed-doc set (see make_row_indexer)."""
     tok = TOKENIZERS[tokenizer]
+    sha_col = change_col or text_col
 
     def differ(batch: pd.DataFrame) -> pd.DataFrame:
         import ray as _ray
@@ -230,7 +244,8 @@ def _make_partition_differ(out_dir: str, *, text_col: str,
             pid = int(part["pid"])
             delta_pid = int(part["delta_pid"])
             force = bool(part["force"])
-            cols = [text_col] + ([key_col] if key_col else [])
+            cols = list(dict.fromkeys(
+                [text_col, sha_col] + ([key_col] if key_col else [])))
             t = pq.ParquetFile(part["path"]).read_row_groups(
                 list(part["row_groups"]), columns=cols)
             g = t.to_pandas()
@@ -242,7 +257,7 @@ def _make_partition_differ(out_dir: str, *, text_col: str,
                                 for i in range(len(g))]
             g["content_sha256"] = [
                 hashlib.sha256((x or "").encode()).hexdigest()
-                for x in g[text_col]]
+                for x in g[sha_col]]
             old = pq.read_table(
                 os.path.join(out_dir, "docs", f"part-{pid:05d}.parquet"),
                 columns=["doc_id", "doc_key", "content_sha256"]).to_pandas()
@@ -309,7 +324,8 @@ def _make_partition_differ(out_dir: str, *, text_col: str,
 def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
                   key_col: Optional[str] = None, tokenizer: str = "simple",
                   docs_per_partition: int = 50_000, num_shards: int = 8,
-                  positions: bool = False) -> Dict:
+                  positions: bool = False,
+                  change_col: Optional[str] = None) -> Dict:
     """Per-DOCUMENT incremental re-index (r01 VERDICT #5; the reference
     re-feeds individual stranded docs, ``ScannerImpl.java:453-502`` +
     ``Scanner.java:48`` fetchById — partition-level resume alone would
@@ -351,6 +367,12 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
                 f"tokenizer={tokenizer!r} positions={positions}")
         if base_stats.get("num_shards") != num_shards:
             raise ValueError("delta_reindex num_shards must match the base")
+        if base_stats.get("change_col") != change_col:
+            raise ValueError(
+                f"delta_reindex change_col mismatch: base build used "
+                f"{base_stats.get('change_col')!r}, got {change_col!r} — "
+                "mixed change detection would diverge a field family's "
+                "doc spaces")
     parts = plan_row_partitions(paths, docs_per_partition)
     man = Manifest(out_dir, "build")
     recs = man.all()
@@ -412,7 +434,8 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
         indexer = make_row_indexer(out_dir, tokenizer=tokenizer,
                                    text_col=text_col, key_col=key_col,
                                    num_shards=num_shards,
-                                   positions=positions)
+                                   positions=positions,
+                                   change_col=change_col)
         items.map_batches(indexer, batch_format="pandas",
                           batch_size=1).materialize()
 
@@ -431,7 +454,7 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
             out_dir, text_col=text_col, key_col=key_col,
             tokenizer=tokenizer, num_shards=num_shards,
             positions=positions, cat_sha_ref=cat_sha_ref,
-            cat_id_ref=cat_id_ref)
+            cat_id_ref=cat_id_ref, change_col=change_col)
         if len(diff_parts) == 1:
             # single changed partition (the watch-loop common case): run
             # the SAME differ inline — driver memory stays bounded by ONE
@@ -525,6 +548,8 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
              "exact_stats": True,
              "dead_partitions": sorted(p for p, r in recs.items()
                                        if r["status"] == STATUS_DEAD)}
+    if change_col:
+        stats["change_col"] = change_col
     atomic_write_bytes(os.path.join(out_dir, "stats.json"),
                        _json.dumps(stats).encode())
     publish_epoch(out_dir)
@@ -599,7 +624,8 @@ def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
                      docs_per_partition: int = 50_000, num_shards: int = 8,
                      resume: bool = True, positions: bool = False,
                      fail_pids: Optional[List[int]] = None,
-                     concurrency: Optional[int] = None) -> Dict:
+                     concurrency: Optional[int] = None,
+                     change_col: Optional[str] = None) -> Dict:
     """Shuffle-free build over parquet ``paths``.  Returns build stats."""
     if isinstance(paths, str):
         paths = [paths]
@@ -639,7 +665,7 @@ def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
         indexer = make_row_indexer(out_dir, tokenizer=tokenizer,
                                    text_col=text_col, key_col=key_col,
                                    num_shards=num_shards, positions=positions,
-                                   fail_pids=fail_pids)
+                                   fail_pids=fail_pids, change_col=change_col)
         items.map_batches(indexer, batch_format="pandas",
                           batch_size=1).materialize()
 
@@ -658,6 +684,8 @@ def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
              "num_shards": num_shards,
              "dead_partitions": sorted(p for p, r in recs.items()
                                        if r["status"] == STATUS_DEAD)}
+    if change_col:
+        stats["change_col"] = change_col
     atomic_write_bytes(os.path.join(out_dir, "stats.json"),
                        json.dumps(stats).encode())
     publish_epoch(out_dir)

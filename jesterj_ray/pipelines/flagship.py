@@ -14,6 +14,7 @@ is verified in pytest against the in-repo brute-force oracle.
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import os
 import re
@@ -29,6 +30,7 @@ import ray
 import ray.data as rd
 
 from ..index.build import build_index
+from ..index.build_rows import build_index_rows
 from ..index.query import IndexReader, QueryActor
 
 # fixed query set over the documents table's vocabulary (BM25-checkable
@@ -257,34 +259,70 @@ def _split_title_body(t: pa.Table) -> pa.Table:
     })
 
 
+def bm25f_split_parquet(sf_dir: str) -> str:
+    """Materialize the title/body/text split of documents.parquet (one
+    file per source row-range partition, written in parallel Ray tasks
+    with temp+replace — deterministic bytes, resumable per part).  The
+    split is the field family's INPUT: both field builds and every
+    later family delta read it, so it's derived once, not per field."""
+    from ..index.build_rows import plan_row_partitions
+    split_dir = _cache_dir(sf_dir, "docidxf3-split")
+    src = os.path.join(sf_dir, "documents.parquet")
+    parts = plan_row_partitions([src], docs_per_partition=1024)
+    todo = [p for p in parts if not os.path.exists(
+        os.path.join(split_dir, f"split-{int(p['pid']):05d}.parquet"))]
+    if not todo:
+        return split_dir
+    os.makedirs(split_dir, exist_ok=True)
+
+    def write_part(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as _pq
+        pa.set_cpu_count(1)
+        pids = []
+        for _, p in batch.iterrows():
+            dst = os.path.join(split_dir,
+                               f"split-{int(p['pid']):05d}.parquet")
+            if os.path.exists(dst):
+                continue
+            t = _pq.ParquetFile(p["path"]).read_row_groups(
+                list(p["row_groups"]), columns=["doc_id", "text"])
+            st = _split_title_body(t).append_column("text", t["text"])
+            tmp = f"{dst}.tmp.{os.getpid()}"
+            _pq.write_table(st, tmp, row_group_size=4096)
+            os.replace(tmp, dst)
+            pids.append(int(p["pid"]))
+        return pd.DataFrame({"pid": pids})
+
+    rd.from_items(todo, override_num_blocks=len(todo)).map_batches(
+        write_part, batch_format="pandas", batch_size=1).materialize()
+    return split_dir
+
+
 def documents_bm25f_indexes(sf_dir: str) -> dict:
     """Build (or reuse) the per-field BM25F indexes over documents.parquet.
 
-    Two single-field indexes from ONE derivation: identical input order
-    and partitioning ⇒ identical docIDs (derived-from-input invariant),
-    so the scorer shares one dense doc space across fields.  Each field
-    is a lazy consumer of the split dataset (at 100 TB you'd write the
-    split columns once and read per field; at test scale re-deriving is
-    cheaper than the extra parquet round-trip)."""
-    dirs = {"title": _cache_dir(sf_dir, "docidxf2-title"),
-            "body": _cache_dir(sf_dir, "docidxf2-body")}
+    Two single-field indexes over ONE materialized split parquet via the
+    shuffle-free row-range build: pids come from the split's row ranges
+    and ranks from row order — both input-derived and field-independent,
+    so the scorer shares one dense doc space across fields.  Change
+    detection hashes the FULL ``text`` column (``change_col``), which is
+    what makes :func:`..index.bm25f.delta_reindex_fields` keep the
+    family aligned through per-doc deltas (r03 VERDICT #5)."""
+    dirs = {"title": _cache_dir(sf_dir, "docidxf3-title"),
+            "body": _cache_dir(sf_dir, "docidxf3-body")}
     if all(os.path.exists(os.path.join(d, "stats.json"))
            for d in dirs.values()):
         return dirs
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"],
-                         override_num_blocks=8)
-    split = ds.map_batches(_split_title_body, batch_format="pyarrow")
+    split_dir = bm25f_split_parquet(sf_dir)
+    paths = sorted(glob.glob(os.path.join(split_dir, "split-*.parquet")))
     for field, out in dirs.items():
         if os.path.exists(os.path.join(out, "stats.json")):
             continue
         if os.path.isdir(out):
             shutil.rmtree(out)
-        # partition_by doc_key: every field index assigns each doc the
-        # same (pid, rank) ⇒ one shared dense doc space for the scorer
-        build_index(split, out, text_col=field, tokenizer="simple",
-                    num_partitions=8, num_shards=4, dedup=False,
-                    partition_by="doc_key")
+        build_index_rows(paths, out, text_col=field, key_col="doc_id",
+                         tokenizer="simple", docs_per_partition=1024,
+                         num_shards=4, change_col="text")
     return dirs
 
 
