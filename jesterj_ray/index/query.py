@@ -617,13 +617,15 @@ class IndexReader:
         ``word``, capped to the lexicographically first ``max_terms`` —
         Lucene FuzzyQuery's expansion.  Candidates prefilter by a
         vectorized length band (|len - len(word)| <= max_edits) over
-        each shard's Arrow term column; survivors run a banded DP with
-        row-min early exit.  Work is vocab-bounded (Lucene builds a
-        Levenshtein automaton instead; the band + early exit is the
-        honest small-alphabet equivalent here)."""
+        each shard's Arrow term column; survivors run ONE numpy banded
+        DP across ALL candidates at once (r03 VERDICT #6 — the old
+        per-candidate Python loop paid interpreter cost per vocabulary
+        term on hot fuzzy workloads).  Work is vocab-bounded (Lucene
+        builds a Levenshtein automaton instead; the band + batched DP
+        is the honest small-alphabet equivalent here)."""
         import pyarrow.compute as _pc
         lw = len(word)
-        found = set()
+        parts = []
         for shard in range(self.num_shards):
             states = self._load_shard(shard)
             for st in states or []:
@@ -631,11 +633,14 @@ class IndexReader:
                 lens = _pc.utf8_length(col)
                 band = _pc.and_(_pc.greater_equal(lens, lw - max_edits),
                                 _pc.less_equal(lens, lw + max_edits))
-                for cand in _pc.unique(col.filter(band)).to_pylist():
-                    if cand not in found and \
-                            _edit_distance_leq(word, cand, max_edits):
-                        found.add(cand)
-        return sorted(found)[:max_terms]
+                parts.append(_pc.unique(col.filter(band)))
+        if not parts:
+            return []
+        cands = _pc.unique(pa.chunked_array(parts))
+        if len(cands) == 0:
+            return []
+        mask = _edit_leq_batch(word, cands, max_edits)
+        return sorted(cands.filter(pa.array(mask)).to_pylist())[:max_terms]
 
     def topk_fuzzy(self, word: str, k: int = 10, max_edits: int = 1,
                    max_terms: int = 50) -> List[Tuple[int, float]]:
@@ -926,6 +931,78 @@ class QueryActor:
                 out["doc_key"].append(key)
                 out["score"].append(score)
         return pd.DataFrame(out)
+
+
+def _edit_leq_batch(word: str, cands: pa.Array, d: int) -> np.ndarray:
+    """Bool mask: levenshtein(word, cands[i]) <= d for every candidate
+    at once — the banded DP of :func:`_edit_distance_leq` run as numpy
+    column operations over a padded byte matrix of ALL candidates
+    (r03 VERDICT #6).  Per DP cell one O(n_cands) vector op; total
+    sequential steps len(word) * (2d+1), independent of vocabulary
+    size.  Byte-level == char-level only for ASCII, so any non-ASCII
+    word/candidate falls back to the scalar char DP (index terms from
+    ``simple_tokenize`` are [a-z0-9]+, making the fallback dead in
+    practice but required for custom tokenizers)."""
+    n = len(cands)
+    # padded byte matrix from the Arrow buffers — no per-term Python
+    off_buf, data_buf = cands.buffers()[1], cands.buffers()[2]
+    off_dt = np.int64 if pa.types.is_large_string(cands.type) else np.int32
+    offs = np.frombuffer(off_buf, dtype=off_dt)[
+        cands.offset:cands.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None \
+        else np.zeros(0, np.uint8)
+    blens = np.diff(offs).astype(np.int64)
+    if not word.isascii() or (data.size and int(data.max()) >= 128):
+        return np.array([_edit_distance_leq(word, c, d)
+                         for c in cands.to_pylist()], dtype=bool)
+    wb = np.frombuffer(word.encode(), dtype=np.uint8)
+    m = len(wb)
+    lmax = int(blens.max()) if n else 0
+    if m == 0:
+        return blens <= d
+    cols = np.arange(lmax, dtype=np.int64)
+    fill = cols[None, :] < blens[:, None]
+    mat = np.zeros((n, lmax), dtype=np.uint8)
+    if data.size:
+        mat[fill] = data[(offs[:-1, None] + cols[None, :])[fill]]
+    # cells clamp at d+1, so uint8 holds every value (d+2 max transient)
+    # for any realistic edit bound — 4x less memory traffic than int32
+    dp_dt = np.uint8 if d <= 200 else np.int32
+    big = dp_dt(d + 1)
+    prev = np.minimum(np.arange(lmax + 1, dtype=np.int64), d + 1) \
+        .astype(dp_dt)
+    prev = np.tile(prev, (n, 1))
+    n0 = n
+    keep_idx = np.arange(n, dtype=np.int64)
+    for i in range(1, m + 1):
+        lo, hi = max(1, i - d), min(lmax, i + d)
+        cur = np.full((keep_idx.size, lmax + 1), big, dtype=dp_dt)
+        if lo == 1:
+            cur[:, 0] = min(i, d + 1)
+        for j in range(lo, hi + 1):
+            sub = prev[:, j - 1] + (mat[:, j - 1] != wb[i - 1])
+            cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1,
+                                              cur[:, j - 1] + 1), sub)
+        # re-clamp at d+1: row-to-row creep past the bound would
+        # eventually wrap the uint8 cells on long words
+        np.minimum(cur, big, out=cur)
+        row_alive = cur[:, max(lo - 1, 0):hi + 1].min(axis=1) <= d
+        if not row_alive.all():
+            # compact: dead candidates stop paying vector width (most
+            # die in the first d+1 rows; this keeps the per-row cost
+            # proportional to survivors, not the band population)
+            keep_idx = keep_idx[row_alive]
+            if keep_idx.size == 0:
+                return np.zeros(n0, dtype=bool)
+            cur = cur[row_alive]
+            mat = mat[row_alive]
+            blens = blens[row_alive]
+        prev = cur
+    final = np.take_along_axis(prev, blens[:, None].astype(np.int64),
+                               axis=1)[:, 0]
+    out = np.zeros(n0, dtype=bool)
+    out[keep_idx[final <= d]] = True
+    return out
 
 
 def _edit_distance_leq(a: str, b: str, d: int) -> bool:

@@ -330,6 +330,37 @@ def test_terms_within_edits(field_indexes, tmp_path_factory):
         assert _edit_distance_leq(word, word, 0)
 
 
+def test_edit_leq_batch_matches_scalar():
+    """The batched numpy banded DP (fuzzy expansion, r03 VERDICT #6) is
+    cell-for-cell the scalar _edit_distance_leq: randomized parity over
+    short alphabets (max collision pressure), plus the non-ASCII
+    fallback, sliced-array offsets, and uint8 creep on long words."""
+    from jesterj_ray.index.query import (_edit_distance_leq,
+                                         _edit_leq_batch)
+    rng = np.random.default_rng(0)
+    alph = list("abcdz")
+    for _ in range(200):
+        word = "".join(rng.choice(alph, size=rng.integers(0, 10)))
+        cands = ["".join(rng.choice(alph, size=rng.integers(0, 11)))
+                 for _ in range(rng.integers(1, 30))]
+        d = int(rng.integers(0, 4))
+        got = _edit_leq_batch(word, pa.array(cands, pa.string()), d)
+        want = np.array([_edit_distance_leq(word, c, d) for c in cands])
+        assert np.array_equal(got, want), (word, cands, d)
+    # non-ASCII falls back to the char-level scalar DP (byte-level
+    # would count 'é' as two edits)
+    got = _edit_leq_batch("cafe", pa.array(["café", "cafe", "crab"],
+                                           pa.large_string()), 1)
+    assert list(got) == [True, True, False]
+    # sliced array: buffer offsets must be honored
+    arr = pa.array(["xx", "abc", "abd", "zzz"]).slice(1, 3)
+    assert list(_edit_leq_batch("abc", arr, 1)) == [True, True, False]
+    # long-word creep: uint8 cells must clamp, not wrap
+    got = _edit_leq_batch("a" * 120, pa.array(
+        ["a" * 118, "a" * 60 + "b" * 60, "b" * 120]), 2)
+    assert list(got) == [True, False, False]
+
+
 def test_parse_boosted_query_rejects_nonfinite():
     """'nan'/'inf'/'1_0' are NOT boosts (float() would take them and a
     NaN boost poisons the score accumulator) — they stay literal text."""
