@@ -23,7 +23,68 @@ import numpy as np
 
 import ray
 
+from .epoch import IndexChangedError
 from .query import IndexReader
+
+
+def _caused_by_index_change(e: BaseException) -> bool:
+    """True if ``e`` is (or wraps, as a RayTaskError cause chain) an
+    :class:`IndexChangedError` — the signal that a concurrent writer
+    replaced a file the actor's reader had pinned."""
+    seen = 0
+    while e is not None and seen < 8:
+        if isinstance(e, IndexChangedError):
+            return True
+        # RayTaskError carries the remote exception as .cause; plain
+        # exceptions chain via __cause__
+        e = getattr(e, "cause", None) or getattr(e, "__cause__", None)
+        seen += 1
+    return False
+
+
+class _ReopenMixin:
+    """Opt-in reopen-at-latest-epoch for the driver-side services
+    (r03 VERDICT #7; reference analog: scanners keep feeding Solr while
+    it serves — ``README.md:36-48`` — and Solr swaps searchers on
+    commit).  Epoch pinning makes every actor's reader a consistent
+    point-in-time view; a delta cycle only ADDS files (invisible to the
+    pin), but a compaction / full re-merge REPLACES pinned files.
+    Serving stays up across writer cycles at the cost of one retried
+    fan-out; bounded retries mean a writer racing every reopen attempt
+    eventually surfaces the error honestly.
+
+    Two triggers:
+
+    - explicit :meth:`reopen` — the publisher notifies serving after a
+      commit (Solr's searcher swap; the watch loop generator yields
+      after each publish, which is the natural call site).  This is the
+      PRIMARY path: pinned readers with warm file handles keep serving
+      the old epoch consistently forever (POSIX inodes outlive the
+      os.replace), so staleness need not ever surface as an error.
+    - automatic — ``reopen_on_change=True`` additionally catches
+      IndexChangedError from a COLD file open (an actor that outlived
+      its epoch's files, e.g. after an actor restart or on shared
+      storage without inode semantics), reopens every actor, and
+      retries the fan-out.
+    """
+
+    _reopen = False
+    _MAX_REOPENS = 3
+
+    def reopen(self) -> None:
+        """Re-pin every slice actor at the latest published epoch
+        (drops caches; subsequent queries fault state back in lazily)."""
+        ray.get([a.reopen.remote() for a in self.actors])
+
+    def _with_reopen(self, fn):
+        for attempt in range(self._MAX_REOPENS + 1):
+            try:
+                return fn()
+            except Exception as e:
+                if (not self._reopen or attempt == self._MAX_REOPENS
+                        or not _caused_by_index_change(e)):
+                    raise
+                self.reopen()
 
 
 class _SlicedReader(IndexReader):
@@ -79,7 +140,13 @@ class _SlicedReader(IndexReader):
 @ray.remote
 class ShardedQueryActor:
     def __init__(self, index_dir: str, slice_id: int, n_slices: int):
+        self._args = (index_dir, slice_id, n_slices)
         self.reader = _SlicedReader(index_dir, slice_id, n_slices)
+
+    def reopen(self) -> None:
+        """Re-pin at the index's LATEST published epoch (drops every
+        cached table; the next queries fault pages back in lazily)."""
+        self.reader = _SlicedReader(*self._args)
 
     def topk(self, query: str, k: int) -> List[Tuple[int, float]]:
         return self.reader.topk(query, k)
@@ -99,7 +166,12 @@ class SliceQueryActor:
 
     def __init__(self, slice_dir: str):
         from .query import IndexReader
+        self._dir = slice_dir
         self.reader = IndexReader(slice_dir)
+
+    def reopen(self) -> None:
+        from .query import IndexReader
+        self.reader = IndexReader(self._dir)
 
     def topk(self, query: str, k: int) -> List[Tuple[int, float]]:
         return self.reader.topk_pruned(query, k)
@@ -112,15 +184,19 @@ class SliceQueryActor:
         return self.reader.phrase_topk(query, k)
 
 
-class ShardedQueryService:
+class ShardedQueryService(_ReopenMixin):
     """Driver-side handle: fan a query to all slice actors, merge top-k.
 
     Two modes: ``index_dir`` (mask-based slices over one global index —
     exhaustive topk only) or ``slice_dirs`` (repartitioned per-slice
-    indexes — full feature set incl. block-max pruning and phrase)."""
+    indexes — full feature set incl. block-max pruning and phrase).
+    ``reopen_on_change=True``: on IndexChangedError from any slice,
+    reopen every actor at the latest epoch and retry (serve across
+    writer cycles — see :class:`_ReopenMixin`)."""
 
     def __init__(self, index_dir: str = None, n_slices: int = 4,
-                 slice_dirs: Optional[List[str]] = None):
+                 slice_dirs: Optional[List[str]] = None,
+                 reopen_on_change: bool = False):
         if slice_dirs is not None:
             self.actors = [SliceQueryActor.remote(d) for d in slice_dirs]
             self._phrase_ok = True
@@ -128,9 +204,11 @@ class ShardedQueryService:
             self.actors = [ShardedQueryActor.remote(index_dir, s, n_slices)
                            for s in range(n_slices)]
             self._phrase_ok = False
+        self._reopen = reopen_on_change
 
     def topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
-        partials = ray.get([a.topk.remote(query, k) for a in self.actors])
+        partials = self._with_reopen(lambda: ray.get(
+            [a.topk.remote(query, k) for a in self.actors]))
         merged = heapq.merge(*[iter(p) for p in partials],
                              key=lambda h: (-h[1], h[0]))
         return list(merged)[:k]
@@ -143,8 +221,8 @@ class ShardedQueryService:
         query's k-lists.  This is how a real client drives sharded
         serving; sequential topk() measures LATENCY, this measures
         THROUGHPUT."""
-        per_actor = ray.get([a.topk_batch.remote(queries)
-                             for a in self.actors])
+        per_actor = self._with_reopen(lambda: ray.get(
+            [a.topk_batch.remote(queries) for a in self.actors]))
         out = []
         for qi, (_, k) in enumerate(queries):
             merged = heapq.merge(*[iter(p[qi]) for p in per_actor],
@@ -156,8 +234,8 @@ class ShardedQueryService:
         if not self._phrase_ok:
             raise NotImplementedError(
                 "phrase serving needs repartitioned slice dirs")
-        partials = ray.get([a.phrase_topk.remote(query, k)
-                            for a in self.actors])
+        partials = self._with_reopen(lambda: ray.get(
+            [a.phrase_topk.remote(query, k) for a in self.actors]))
         merged = heapq.merge(*[iter(p) for p in partials],
                              key=lambda h: (-h[1], h[0]))
         return list(merged)[:k]
@@ -176,8 +254,13 @@ class BM25FSliceActor:
 
     def __init__(self, field_dirs, slice_id: int, n_slices: int):
         from .bm25f import BM25FReader
+        self._args = (field_dirs, (slice_id, n_slices))
         self.reader = BM25FReader(field_dirs,
                                   slice_of=(slice_id, n_slices))
+
+    def reopen(self) -> None:
+        from .bm25f import BM25FReader
+        self.reader = BM25FReader(self._args[0], slice_of=self._args[1])
 
     def df_counts(self, terms: List[str]):
         return self.reader.term_union_df(terms)
@@ -186,7 +269,7 @@ class BM25FSliceActor:
         return self.reader.topk(query, k, df_override=dfs)
 
 
-class BM25FShardedService:
+class BM25FShardedService(_ReopenMixin):
     """Driver-side BM25F sharded serving with EXACT score parity.
 
     BM25F's idf needs the global any-field df, which no single slice
@@ -199,12 +282,13 @@ class BM25FShardedService:
     in tests/test_bm25f.py)."""
 
     def __init__(self, field_dirs=None, n_slices: int = 4,
-                 field_slice_dirs=None):
+                 field_slice_dirs=None, reopen_on_change: bool = False):
         """``field_dirs``: mask-based slices over the global field
         indexes.  ``field_slice_dirs`` (list over slices of
         {field: slice_dir}, from ``repartition_bm25f_for_serving``):
         self-contained per-slice field indexes — the deployment shape
-        where each node holds only its slice's files."""
+        where each node holds only its slice's files.
+        ``reopen_on_change``: see :class:`_ReopenMixin`."""
         if (field_dirs is None) == (field_slice_dirs is None):
             raise ValueError("pass exactly one of field_dirs / "
                              "field_slice_dirs")
@@ -216,6 +300,7 @@ class BM25FShardedService:
             self.actors = [BM25FSliceActor.remote(field_dirs, s, n_slices)
                            for s in range(n_slices)]
             any_dir = next(iter(field_dirs.values()))
+        self._reopen = reopen_on_change
         # tokenizer for the df round: all fields share one (stats.json)
         import json
         import os
@@ -231,9 +316,15 @@ class BM25FShardedService:
     def topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
         from .bm25 import dedup_keep_order
         terms = dedup_keep_order(self.tokenizer(query))
-        dfs = self._global_dfs(terms)
-        partials = ray.get([a.topk.remote(query, k, dfs)
+
+        def both_rounds():
+            # df gather + score are retried TOGETHER: a reopen between
+            # them would score with the previous epoch's global dfs
+            dfs = self._global_dfs(terms)
+            return ray.get([a.topk.remote(query, k, dfs)
                             for a in self.actors])
+
+        partials = self._with_reopen(both_rounds)
         merged = heapq.merge(*[iter(p) for p in partials],
                              key=lambda h: (-h[1], h[0]))
         return list(merged)[:k]
@@ -254,7 +345,12 @@ class BM25FSliceDirActor:
 
     def __init__(self, field_dirs):
         from .bm25f import BM25FReader
+        self._dirs = field_dirs
         self.reader = BM25FReader(field_dirs)
+
+    def reopen(self) -> None:
+        from .bm25f import BM25FReader
+        self.reader = BM25FReader(self._dirs)
 
     def df_counts(self, terms: List[str]):
         return self.reader.term_union_df(terms)
