@@ -304,6 +304,11 @@ def _png_decode_stats(sf_dir: str):
     return png_decode_stats_pipeline(sf_dir)
 
 
+def _gif_decode_stats(sf_dir: str):
+    from jesterj_ray.stages.multimodal import gif_decode_stats_pipeline
+    return gif_decode_stats_pipeline(sf_dir)
+
+
 def _contamination_vs_holdout(sf_dir: str):
     from jesterj_ray.stages.decontam import contamination_vs_holdout
     return contamination_vs_holdout(sf_dir)
@@ -676,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict order = driver iteration order: entries lacking a
         # CORRECTNESS_r03 row come FIRST so every operator regains
         # a current driver-checked row (r03 VERDICT #3)
+        "gif_decode_stats": _gif_decode_stats,
         "simhash_pairs": _simhash_pairs,
         "lsh_embedding_near_dup": _lsh_embedding_near_dup,
         "knn_cosine_top10": _knn,
@@ -1327,6 +1333,22 @@ ORDER BY r.qid, r.rank
               SELECT i.doc_id,
                      (i.doc_id * 31 + ((y * 24) // 32) * 7
                       + ((x * 16) // 32) * 3) % 256 AS v
+              FROM ids i, oy, ox)
+            SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
+            FROM pix GROUP BY doc_id ORDER BY doc_id""",
+        # engine: stages/multimodal.gif_decode_stats_pipeline — REAL
+        # GIF89a bytes (LZW bitstream) round-trip through the
+        # pure-Python decoder in the actor pool; oracle recomputes the
+        # resized-pixel sums from the synthesis formula (h=20, w=28,
+        # out 32x32, coefs 17/5/11)
+        "gif_decode_stats": """
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+            oy AS (SELECT unnest(generate_series(0, 31)) AS y),
+            ox AS (SELECT unnest(generate_series(0, 31)) AS x),
+            pix AS (
+              SELECT i.doc_id,
+                     (i.doc_id * 17 + ((y * 20) // 32) * 5
+                      + ((x * 28) // 32) * 11) % 256 AS v
               FROM ids i, oy, ox)
             SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
             FROM pix GROUP BY doc_id ORDER BY doc_id""",

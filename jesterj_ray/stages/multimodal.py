@@ -35,10 +35,11 @@ class ImageDecoder:
     """Actor-pool stage: decode + resize images to fixed-size float features.
 
     ``fake=True`` produces a deterministic payload-hash-seeded feature
-    vector (for pipeline tests); ``fake=False`` decodes REAL PNG payloads
-    via the pure-Python codec (:mod:`.png` — r02 VERDICT #10: grayscale +
-    nearest-neighbor resize to ``out_size**2`` floats in [0, 1]) and
-    raises NotImplementedError for formats the sandbox cannot decode
+    vector (for pipeline tests); ``fake=False`` decodes REAL PNG, GIF
+    and BMP payloads via the pure-Python codecs (:mod:`.png` — r02
+    VERDICT #10; :mod:`.gif` / :mod:`.bmp` — r03 VERDICT #8): grayscale
+    + nearest-neighbor resize to ``out_size**2`` floats in [0, 1].
+    Raises NotImplementedError for formats the sandbox cannot decode
     (JPEG etc. need codec libraries not present here).
     """
 
@@ -46,13 +47,19 @@ class ImageDecoder:
         self.out_size = out_size
         self.fake = fake
         # real codec state loads once per actor
+        from . import bmp as _bmp
+        from . import gif as _gif
         from . import png as _png
-        self._png = _png
+        self._codecs = [(_png.is_png, _png.decode_png),
+                        (_gif.is_gif, _gif.decode_gif),
+                        (_bmp.is_bmp, _bmp.decode_bmp)]
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if not self.fake:
-            if self._png.is_png(payload or b""):
-                img = self._png.decode_png(payload)
+            for sniff, decode in self._codecs:
+                if not sniff(payload or b""):
+                    continue
+                img = decode(payload)
                 gray = img[:, :, :3].mean(axis=2) if img.shape[2] >= 3 \
                     else img[:, :, 0].astype(np.float64)
                 h, w = gray.shape
@@ -61,9 +68,9 @@ class ImageDecoder:
                 return (gray[np.ix_(ys, xs)].astype(np.float32) / 255.0) \
                     .ravel()
             raise NotImplementedError(
-                "only PNG decodes natively here; other image codecs are "
-                "not present in this environment (fake=True for pipeline "
-                "tests)")
+                "only PNG/GIF/BMP decode natively here; other image "
+                "codecs are not present in this environment (fake=True "
+                "for pipeline tests)")
         seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8)
                               .digest(), "little")
         rng = np.random.default_rng(seed)
@@ -123,24 +130,22 @@ def synth_media_table(n: int, seed: int = 5) -> pa.Table:
     })
 
 
-def png_decode_stats_pipeline(sf_dir: str, n_docs: int = 64, h: int = 24,
-                              w: int = 16, out_size: int = 32):
-    """REAL-decode multimodal pipeline with a SQL oracle.
-
-    Payload synthesis is a pure pixel formula on doc_id
-    (``(doc_id*31 + y*7 + x*3) % 256`` gray), encoded to real PNG bytes
-    (``png.encode_png``); the actor pool then runs the REAL pure-Python
-    PNG decode + nearest-neighbor resize (``ImageDecoder(fake=False)``),
-    and the output is each image's integer resized-pixel sum — which
-    DuckDB recomputes from the same formula directly.  A decode or
-    resize bug anywhere breaks the hash match, so the full binary
-    round-trip (encode -> Ray actor decode -> feature) is oracle-gated,
-    not just pytest-gated.  Integer sums (not float means) keep the
-    comparison exact across the float32 feature representation."""
+def _decode_stats_pipeline(sf_dir: str, encode_name: str, coefs, n_docs: int,
+                           h: int, w: int, out_size: int):
+    """Shared REAL-decode oracle pipeline: synthesize gray pixels from a
+    pure formula on doc_id (``(doc_id*a + y*b + x*c) % 256``), encode
+    with the named pure-Python codec, run the REAL actor-pool decode +
+    nearest-neighbor resize (``ImageDecoder(fake=False)``), and emit
+    each image's integer resized-pixel sum — which DuckDB recomputes
+    from the same formula directly.  A codec or resize bug anywhere
+    breaks the hash match, so the full binary round-trip is
+    oracle-gated, not just pytest-gated.  Integer sums (not float
+    means) keep the comparison exact across float32 features."""
     import os
 
     import ray.data as rd
 
+    a, b, c = coefs
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id"], override_num_blocks=4)
     ds = ds.map_batches(
@@ -148,12 +153,16 @@ def png_decode_stats_pipeline(sf_dir: str, n_docs: int = 64, h: int = 24,
         batch_format="pyarrow")
 
     def synth(t: pa.Table) -> pa.Table:
-        from .png import encode_png
+        from . import bmp as _bmp
+        from . import gif as _gif
+        from . import png as _png
+        enc = {"png": _png.encode_png, "gif": _gif.encode_gif_gray,
+               "bmp": _bmp.encode_bmp}[encode_name]
         yy, xx = np.mgrid[0:h, 0:w]
         payloads = []
         for did in t["doc_id"].to_pylist():
-            img = ((did * 31 + yy * 7 + xx * 3) % 256).astype(np.uint8)
-            payloads.append(encode_png(img))
+            img = ((did * a + yy * b + xx * c) % 256).astype(np.uint8)
+            payloads.append(enc(img))
         return pa.table({"media_id": t["doc_id"],
                          "payload": pa.array(payloads, pa.binary())})
 
@@ -173,3 +182,21 @@ def png_decode_stats_pipeline(sf_dir: str, n_docs: int = 64, h: int = 24,
 
     out = feats.map_batches(stats, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def png_decode_stats_pipeline(sf_dir: str, n_docs: int = 64, h: int = 24,
+                              w: int = 16, out_size: int = 32):
+    """REAL PNG decode oracle pipeline (r02 VERDICT #10) — see
+    :func:`_decode_stats_pipeline`."""
+    return _decode_stats_pipeline(sf_dir, "png", (31, 7, 3), n_docs,
+                                  h, w, out_size)
+
+
+def gif_decode_stats_pipeline(sf_dir: str, n_docs: int = 64, h: int = 20,
+                              w: int = 28, out_size: int = 32):
+    """REAL GIF decode oracle pipeline (r03 VERDICT #8): real LZW
+    bitstream decode end-to-end (encode_gif_gray writes spec-valid
+    GIF89a; the decoder's full variable-width LZW path runs in the
+    actor pool) — see :func:`_decode_stats_pipeline`."""
+    return _decode_stats_pipeline(sf_dir, "gif", (17, 5, 11), n_docs,
+                                  h, w, out_size)
