@@ -141,6 +141,19 @@ def _sha256_dedup(sf_dir: str):
 
 # ---------- text analysis ----------
 
+def _analyzed_token_counts(sf_dir: str):
+    # schema-driven analyzer chain (tokenize/analyzer.py, the
+    # SolrSchemaUtil.readAnalyzer analog): pattern tokenize -> lowercase
+    # -> stop -> length band -> S-stemmer, compiled once per actor
+    from jesterj_ray.tokenize.analyzer import (ENGLISH_COUNTS_CONFIG,
+                                               AnalyzedTokenStats)
+    out = _doc(sf_dir, ["doc_id", "text"]).map_batches(
+        AnalyzedTokenStats,
+        fn_constructor_kwargs={"config": ENGLISH_COUNTS_CONFIG},
+        batch_format="pyarrow", concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _token_count(sf_dir: str):
     from jesterj_ray.stages.textstats import token_count
     return _doc(sf_dir, ["doc_id", "text"]).map_batches(
@@ -682,6 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CORRECTNESS_r03 row come FIRST so every operator regains
         # a current driver-checked row (r03 VERDICT #3)
         "gif_decode_stats": _gif_decode_stats,
+        "analyzed_token_counts": _analyzed_token_counts,
         "simhash_pairs": _simhash_pairs,
         "lsh_embedding_near_dup": _lsh_embedding_near_dup,
         "knn_cosine_top10": _knn,
@@ -1336,6 +1350,42 @@ ORDER BY r.qid, r.rank
               FROM ids i, oy, ox)
             SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
             FROM pix GROUP BY doc_id ORDER BY doc_id""",
+        # engine: tokenize/analyzer.AnalyzedTokenStats over the FROZEN
+        # ENGLISH_COUNTS_CONFIG chain (schema-driven analyzer: pattern
+        # tokenize -> lowercase -> stop -> length 3..20 -> Harman
+        # S-stemmer); each SQL stage mirrors one chain component
+        "analyzed_token_counts": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                       AS raw
+              FROM documents),
+            lt AS (SELECT doc_id, lower(raw) AS t FROM toks),
+            fl AS (SELECT doc_id, t FROM lt
+                   WHERE t NOT IN ('the','and','for','with','that',
+                                   'this')
+                     AND length(t) BETWEEN 3 AND 20),
+            st AS (SELECT doc_id,
+                     CASE
+                       WHEN length(t) < 3 OR t NOT LIKE '%s' THEN t
+                       WHEN t LIKE '%ies' THEN
+                         CASE WHEN length(t) > 4
+                                   AND substr(t, -4, 1) NOT IN ('a','e')
+                              THEN substr(t, 1, length(t) - 3) || 'y'
+                              ELSE t END
+                       WHEN t LIKE '%es' THEN
+                         CASE WHEN substr(t, -3, 1) NOT IN ('a','e','o')
+                              THEN substr(t, 1, length(t) - 1)
+                              ELSE t END
+                       ELSE
+                         CASE WHEN substr(t, -2, 1) NOT IN ('u','s')
+                              THEN substr(t, 1, length(t) - 1)
+                              ELSE t END
+                     END AS t
+                   FROM fl)
+            SELECT doc_id, count(*) AS n_tokens,
+                   count(DISTINCT t) AS n_distinct
+            FROM st GROUP BY doc_id ORDER BY doc_id""",
         # engine: stages/multimodal.gif_decode_stats_pipeline — REAL
         # GIF89a bytes (LZW bitstream) round-trip through the
         # pure-Python decoder in the actor pool; oracle recomputes the

@@ -1215,6 +1215,11 @@ def build_index(ds: "ray.data.Dataset", out_dir: str, *,
              "num_partitions": num_partitions, "num_shards": num_shards,
              "dead_partitions": sorted(p for p, r in recs.items()
                                        if r["status"] == STATUS_DEAD)}
+    from ..tokenize.analyzer import ANALYZER_CONFIGS
+    if tokenizer in ANALYZER_CONFIGS:
+        # schema-driven analyzer: persist the config so readers in
+        # other processes re-register it from stats alone (analyzer.py)
+        stats["analyzer_config"] = ANALYZER_CONFIGS[tokenizer]
     atomic_write_bytes(os.path.join(out_dir, "stats.json"),
                        json.dumps(stats).encode())
     publish_epoch(out_dir)

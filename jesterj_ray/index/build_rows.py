@@ -358,6 +358,12 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
     if os.path.exists(stats_path):
         with open(stats_path) as f:
             base_stats = json.load(f)
+        if base_stats.get("analyzer_config") is not None:
+            # schema-driven analyzer: resolvable from the base's
+            # persisted config in a fresh process
+            from ..tokenize.analyzer import ensure_registered
+            ensure_registered(base_stats["tokenizer"],
+                              base_stats["analyzer_config"])
         if base_stats.get("tokenizer") != tokenizer or \
                 bool(base_stats.get("positions")) != bool(positions):
             raise ValueError(
@@ -550,6 +556,9 @@ def delta_reindex(paths, out_dir: str, *, text_col: str = "text",
                                        if r["status"] == STATUS_DEAD)}
     if change_col:
         stats["change_col"] = change_col
+    from ..tokenize.analyzer import ANALYZER_CONFIGS
+    if tokenizer in ANALYZER_CONFIGS:
+        stats["analyzer_config"] = ANALYZER_CONFIGS[tokenizer]
     atomic_write_bytes(os.path.join(out_dir, "stats.json"),
                        _json.dumps(stats).encode())
     publish_epoch(out_dir)
@@ -686,6 +695,11 @@ def build_index_rows(paths, out_dir: str, *, text_col: str = "text",
                                        if r["status"] == STATUS_DEAD)}
     if change_col:
         stats["change_col"] = change_col
+    from ..tokenize.analyzer import ANALYZER_CONFIGS
+    if tokenizer in ANALYZER_CONFIGS:
+        # schema-driven analyzer: persist the config so readers in
+        # other processes re-register it from stats alone
+        stats["analyzer_config"] = ANALYZER_CONFIGS[tokenizer]
     atomic_write_bytes(os.path.join(out_dir, "stats.json"),
                        json.dumps(stats).encode())
     publish_epoch(out_dir)

@@ -62,6 +62,12 @@ class IndexReader:
         self.n_docs = self.stats["n_docs"]
         self.avgdl = self.stats["avgdl"]
         self.num_shards = self.stats["num_shards"]
+        # schema-driven analyzers persist their config in stats.json —
+        # re-register so the index opens in any process (analyzer.py)
+        if self.stats.get("analyzer_config") is not None:
+            from ..tokenize.analyzer import ensure_registered
+            ensure_registered(self.stats["tokenizer"],
+                              self.stats["analyzer_config"])
         self.tokenizer = TOKENIZERS[self.stats["tokenizer"]]
         self._shard_cache: Dict[int, tuple] = {}
         # bounded cache of fully-decoded posting lists (hot query terms are

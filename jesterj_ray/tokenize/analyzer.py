@@ -1,0 +1,701 @@
+"""Schema-driven analyzer construction (r03 VERDICT depth gap #3).
+
+The reference builds Lucene analyzers from a Solr ``schema.xml`` at
+builder time (``ingest/utils/SolrSchemaUtil.java:134+`` — XPath over
+``fieldType/analyzer`` nodes, charFilter/tokenizer/filter factories
+resolved by class name, resources like stopword files loaded through a
+ClassSubPathResourceLoader; consumed by ``PreAnalyzeFields.java:189-212``).
+This module is that subsystem done natively: a declarative config —
+either a dict or a ``schema.xml`` fieldType — compiles to a plain
+``text -> List[str]`` callable assembled from the same three stages:
+
+    charFilters (str -> str)  ->  tokenizer (str -> tokens)
+                              ->  token filters (tokens -> tokens)
+
+Components cover the factories the reference's own schemas use
+(inventory over its test/example configsets): HTMLStrip / Mapping /
+PatternReplace char filters; Standard / Whitespace / Letter / Lowercase
+/ Keyword / Pattern / PathHierarchy tokenizers; LowerCase / Stop /
+SynonymGraph / FlattenGraph / PorterStem / EnglishPossessive /
+EnglishMinimalStem / KeywordMarker / WordDelimiterGraph / Length /
+PatternReplace / ASCIIFolding / Trim / Truncate / RemoveDuplicates /
+EdgeNGram / Shingle filters.  Solr factory class names
+(``solr.LowerCaseFilterFactory``) and short names (``lowercase``) both
+resolve.
+
+Semantics notes (pinned in tests/test_analyzer.py):
+
+- Tokens flow through the filter chain as (text, keyword) pairs —
+  KeywordMarker sets the flag and stemmers skip flagged tokens, the
+  Lucene KeywordAttribute contract.
+- ``standard`` approximates Lucene's UAX#29 tokenizer as maximal runs
+  of unicode word characters (minus ``_``) — exact for the ASCII
+  corpora here.
+- ``porterStem`` is the classic Porter (1980) algorithm (public
+  domain), lru-cached per unique token (vocab-bounded — the analyzer
+  runs inside map_batches actors, so the cache amortizes per worker).
+- ``englishMinimalStem`` is the plural-only S-stemmer (Harman 1991):
+  ies->y, es->e, drop trailing s — each guarded exactly as tested.
+- ``flattenGraph`` is the identity here (token lists are already
+  flat); present so reference schemas load unmodified.
+- Lowercasing is PYTHON ``str.lower`` full casing (repo invariant —
+  Arrow utf8_lower diverges on 'İ').
+
+Index integration: :func:`register_analyzer` installs the compiled
+chain into ``TOKENIZERS`` under a name AND records the config so
+``build_index_rows``/``build_index`` persist it in ``stats.json``
+(``analyzer_config``); ``IndexReader`` re-registers from stats at open,
+so an index built with a schema-driven analyzer opens in any process
+without ambient setup.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+import unicodedata
+from typing import Callable, Dict, List, Optional, Tuple
+
+Token = Tuple[str, bool]          # (text, keyword-protected)
+
+# ---------------------------------------------------------------- util
+
+_SOLR_CLASS = re.compile(
+    r"^(?:solr\.)?([A-Za-z0-9]+?)"
+    r"(?:CharFilterFactory|TokenizerFactory|TokenFilterFactory|"
+    r"FilterFactory|Factory)?$")
+
+
+def _norm(name: str) -> str:
+    """'solr.LowerCaseFilterFactory' / 'LowerCase' / 'lowercase' ->
+    'lowercase'."""
+    m = _SOLR_CLASS.match(name.strip())
+    return (m.group(1) if m else name).lower()
+
+
+def _bool(v, default=False) -> bool:
+    if v is None:
+        return default
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() in ("true", "1", "yes")
+
+
+def parse_word_list(text: str) -> List[str]:
+    """Solr stopwords.txt format: one entry per line, '#' comments."""
+    out = []
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if line:
+            out.append(line)
+    return out
+
+
+def parse_synonyms(text: str) -> Dict[str, List[str]]:
+    """Solr synonyms.txt: 'a, b, c' (symmetric group) and
+    'a, b => c, d' (explicit mapping) lines; '#' comments."""
+    table: Dict[str, List[str]] = {}
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if "=>" in line:
+            lhs, rhs = line.split("=>", 1)
+            outs = [w.strip() for w in rhs.split(",") if w.strip()]
+            for w in (x.strip() for x in lhs.split(",")):
+                if w:
+                    table[w] = outs
+        else:
+            group = [w.strip() for w in line.split(",") if w.strip()]
+            for w in group:
+                table[w] = group
+    return table
+
+
+# -------------------------------------------------------- char filters
+
+_HTML_TAG = re.compile(r"<[^>]*>")
+_HTML_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">",
+                  "&quot;": '"', "&apos;": "'", "&nbsp;": " "}
+
+
+def _cf_htmlstrip(spec) -> Callable[[str], str]:
+    def f(s: str) -> str:
+        s = _HTML_TAG.sub(" ", s)
+        for ent, ch in _HTML_ENTITIES.items():
+            s = s.replace(ent, ch)
+        return s
+    return f
+
+
+def _cf_patternreplace(spec) -> Callable[[str], str]:
+    rx = re.compile(spec["pattern"])
+    repl = spec.get("replacement", "")
+    return lambda s: rx.sub(repl, s)
+
+
+def _cf_mapping(spec) -> Callable[[str], str]:
+    # dict config; the schema.xml 'mapping="mapping.txt"' attribute
+    # resolves through resources as 'src => dst' lines
+    table = dict(spec["mapping"])
+    def f(s: str) -> str:
+        for src, dst in table.items():
+            s = s.replace(src, dst)
+        return s
+    return f
+
+
+CHAR_FILTERS = {"htmlstrip": _cf_htmlstrip,
+                "patternreplace": _cf_patternreplace,
+                "mapping": _cf_mapping}
+
+# ----------------------------------------------------------- tokenizers
+
+# UAX#29 approximation: word-char runs, plus MidLetter apostrophes
+# kept inside a token ("runner's" stays whole for EnglishPossessive)
+_STANDARD_RE = re.compile(r"[^\W_]+(?:['’][^\W_]+)*", re.UNICODE)
+_LETTER_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def _tk_standard(spec):
+    return lambda s: _STANDARD_RE.findall(s)
+
+
+def _tk_whitespace(spec):
+    return lambda s: s.split()
+
+
+def _tk_letter(spec):
+    return lambda s: _LETTER_RE.findall(s)
+
+
+def _tk_lowercase(spec):
+    return lambda s: _LETTER_RE.findall(s.lower())
+
+
+def _tk_keyword(spec):
+    return lambda s: [s] if s else []
+
+
+def _tk_pattern(spec):
+    rx = re.compile(spec["pattern"])
+    group = int(spec.get("group", -1))
+    if group >= 0:
+        return lambda s: [m.group(group) for m in rx.finditer(s)
+                          if m.group(group)]
+    return lambda s: [t for t in rx.split(s) if t]
+
+
+def _tk_pathhierarchy(spec):
+    delim = spec.get("delimiter", "/")
+    def f(s: str) -> List[str]:
+        parts = [p for p in s.split(delim) if p]
+        lead = s.startswith(delim)
+        out, acc = [], ""
+        for p in parts:
+            acc = f"{acc}{delim}{p}" if (acc or lead) else p
+            out.append(acc)
+        return out
+    return f
+
+
+TOKENIZER_FACTORIES = {"standard": _tk_standard,
+                       "whitespace": _tk_whitespace,
+                       "letter": _tk_letter,
+                       "lowercase": _tk_lowercase,
+                       "keyword": _tk_keyword,
+                       "pattern": _tk_pattern,
+                       "pathhierarchy": _tk_pathhierarchy}
+
+# -------------------------------------------------------- porter stemmer
+
+_VOWELS = set("aeiou")
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Porter's m: number of VC sequences in c*(VC)^m v*."""
+    m, prev_v = 0, False
+    for i in range(len(stem)):
+        v = not _is_cons(stem, i)
+        if prev_v and not v:
+            m += 1
+        prev_v = v
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return (len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1))
+
+
+def _cvc(w: str) -> bool:
+    return (len(w) >= 3 and _is_cons(w, len(w) - 3)
+            and not _is_cons(w, len(w) - 2) and _is_cons(w, len(w) - 1)
+            and w[-1] not in "wxy")
+
+
+@functools.lru_cache(maxsize=65536)
+def porter_stem(w: str) -> str:
+    """Classic Porter (1980) — the PorterStemFilter algorithm."""
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w, flag = w[:-2], True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w, flag = w[:-3], True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in (("ational", "ate"), ("tional", "tion"),
+                     ("enci", "ence"), ("anci", "ance"), ("izer", "ize"),
+                     ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+                     ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+                     ("ation", "ate"), ("ator", "ate"), ("alism", "al"),
+                     ("iveness", "ive"), ("fulness", "ful"),
+                     ("ousness", "ous"), ("aliti", "al"),
+                     ("iviti", "ive"), ("biliti", "ble")):
+        if w.endswith(suf):
+            if _measure(w[:-len(suf)]) > 0:
+                w = w[:-len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in (("icate", "ic"), ("ative", ""), ("alize", "al"),
+                     ("iciti", "ic"), ("ical", "ic"), ("ful", ""),
+                     ("ness", "")):
+        if w.endswith(suf):
+            if _measure(w[:-len(suf)]) > 0:
+                w = w[:-len(suf)] + rep
+            break
+    # step 4
+    for suf in ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+                "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+                "ous", "ive", "ize"):
+        if w.endswith(suf):
+            stem = w[:-len(suf)]
+            if suf == "ion" and not stem.endswith(("s", "t")):
+                break
+            if _measure(stem) > 1:
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+def s_stem(w: str) -> str:
+    """Harman (1991) S-stemmer — EnglishMinimalStem's plural-only cut."""
+    if len(w) < 3 or not w.endswith("s"):
+        return w
+    if w.endswith("ies"):
+        return w[:-3] + "y" if len(w) > 4 and w[-4] not in "ae" else w
+    if w.endswith("es"):
+        return w[:-1] if w[-3] not in "aeo" else w
+    return w[:-1] if w[-2] not in "us" else w
+
+
+# ------------------------------------------------------- token filters
+# each factory: spec -> (List[Token] -> List[Token])
+
+def _tf_lowercase(spec):
+    return lambda ts: [(t.lower(), kw) for t, kw in ts]
+
+
+def _tf_stop(spec):
+    words = spec.get("words", [])
+    if isinstance(words, str):
+        words = parse_word_list(words)
+    ic = _bool(spec.get("ignoreCase"), True)
+    stop = {w.lower() for w in words} if ic else set(words)
+    if ic:
+        return lambda ts: [(t, kw) for t, kw in ts
+                           if t.lower() not in stop]
+    return lambda ts: [(t, kw) for t, kw in ts if t not in stop]
+
+
+def _tf_synonym(spec):
+    syn = spec.get("synonyms", {})
+    if isinstance(syn, str):
+        syn = parse_synonyms(syn)
+    expand = _bool(spec.get("expand"), True)
+    ic = _bool(spec.get("ignoreCase"), False)
+    table = {(k.lower() if ic else k): v for k, v in syn.items()}
+    def f(ts: List[Token]) -> List[Token]:
+        out = []
+        for t, kw in ts:
+            key = t.lower() if ic else t
+            if key in table:
+                reps = table[key] if expand else table[key][:1]
+                out.extend((r, kw) for r in reps)
+            else:
+                out.append((t, kw))
+        return out
+    return f
+
+
+def _tf_flattengraph(spec):
+    return lambda ts: ts        # token lists are already flat
+
+
+def _tf_porterstem(spec):
+    return lambda ts: [(t if kw else porter_stem(t), kw) for t, kw in ts]
+
+
+def _tf_englishminimalstem(spec):
+    return lambda ts: [(t if kw else s_stem(t), kw) for t, kw in ts]
+
+
+def _tf_englishpossessive(spec):
+    def strip1(t: str) -> str:
+        return t[:-2] if len(t) > 2 and t.endswith(("'s", "’s")) \
+            else t
+    return lambda ts: [(strip1(t), kw) for t, kw in ts]
+
+
+def _tf_keywordmarker(spec):
+    prot = spec.get("protected", [])
+    if isinstance(prot, str):
+        prot = parse_word_list(prot)
+    ic = _bool(spec.get("ignoreCase"), False)
+    pset = {w.lower() for w in prot} if ic else set(prot)
+    def f(ts):
+        return [(t, kw or (t.lower() if ic else t) in pset)
+                for t, kw in ts]
+    return f
+
+
+_WD_SPLIT = re.compile(
+    r"[^0-9A-Za-z]+|(?<=[a-z])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])"
+    r"|(?<=[0-9])(?=[A-Za-z])|(?<=[A-Za-z])(?=[0-9])")
+
+
+def _tf_worddelimiter(spec):
+    preserve = _bool(spec.get("preserveOriginal"), False)
+    catenate = _bool(spec.get("catenateWords"), False)
+    def f(ts: List[Token]) -> List[Token]:
+        out = []
+        for t, kw in ts:
+            parts = [p for p in _WD_SPLIT.split(t) if p]
+            if preserve and parts != [t]:
+                out.append((t, kw))
+            out.extend((p, kw) for p in parts)
+            if catenate and len(parts) > 1:
+                out.append(("".join(parts), kw))
+        return out
+    return f
+
+
+def _tf_length(spec):
+    lo = int(spec.get("min", 0))
+    hi = int(spec.get("max", 1 << 30))
+    return lambda ts: [(t, kw) for t, kw in ts if lo <= len(t) <= hi]
+
+
+def _tf_patternreplace(spec):
+    rx = re.compile(spec["pattern"])
+    repl = spec.get("replacement", "")
+    return lambda ts: [(rx.sub(repl, t), kw) for t, kw in ts]
+
+
+def _tf_asciifolding(spec):
+    def fold(t: str) -> str:
+        return "".join(c for c in unicodedata.normalize("NFKD", t)
+                       if not unicodedata.combining(c))
+    return lambda ts: [(fold(t), kw) for t, kw in ts]
+
+
+def _tf_trim(spec):
+    return lambda ts: [(t.strip(), kw) for t, kw in ts]
+
+
+def _tf_truncate(spec):
+    n = int(spec.get("prefixLength", 5))
+    return lambda ts: [(t[:n], kw) for t, kw in ts]
+
+
+def _tf_removeduplicates(spec):
+    def f(ts: List[Token]) -> List[Token]:
+        out: List[Token] = []
+        for t, kw in ts:
+            if not out or out[-1][0] != t:
+                out.append((t, kw))
+        return out
+    return f
+
+
+def _tf_edgengram(spec):
+    lo = int(spec.get("minGramSize", 1))
+    hi = int(spec.get("maxGramSize", 2))
+    def f(ts: List[Token]) -> List[Token]:
+        out = []
+        for t, kw in ts:
+            for n in range(lo, min(hi, len(t)) + 1):
+                out.append((t[:n], kw))
+        return out
+    return f
+
+
+def _tf_shingle(spec):
+    lo = int(spec.get("minShingleSize", 2))
+    hi = int(spec.get("maxShingleSize", 2))
+    sep = spec.get("tokenSeparator", " ")
+    unigrams = _bool(spec.get("outputUnigrams"), True)
+    def f(ts: List[Token]) -> List[Token]:
+        words = [t for t, _ in ts]
+        out: List[Token] = []
+        for i in range(len(words)):
+            if unigrams:
+                out.append(ts[i])
+            for n in range(lo, hi + 1):
+                if i + n <= len(words):
+                    out.append((sep.join(words[i:i + n]), False))
+        return out
+    return f
+
+
+def _tf_drop_empty(spec):
+    return lambda ts: [(t, kw) for t, kw in ts if t]
+
+
+TOKEN_FILTERS = {"lowercase": _tf_lowercase,
+                 "stop": _tf_stop,
+                 "synonym": _tf_synonym,
+                 "synonymgraph": _tf_synonym,
+                 "flattengraph": _tf_flattengraph,
+                 "porterstem": _tf_porterstem,
+                 "englishminimalstem": _tf_englishminimalstem,
+                 "englishpossessive": _tf_englishpossessive,
+                 "keywordmarker": _tf_keywordmarker,
+                 "worddelimiter": _tf_worddelimiter,
+                 "worddelimitergraph": _tf_worddelimiter,
+                 "length": _tf_length,
+                 "patternreplace": _tf_patternreplace,
+                 "asciifolding": _tf_asciifolding,
+                 "trim": _tf_trim,
+                 "truncate": _tf_truncate,
+                 "removeduplicates": _tf_removeduplicates,
+                 "removeduplicatestoken": _tf_removeduplicates,
+                 "edgengram": _tf_edgengram,
+                 "shingle": _tf_shingle}
+
+# ------------------------------------------------------------ assembly
+
+
+def build_analyzer(config: dict) -> Callable[[str], List[str]]:
+    """Compile a declarative analyzer config into ``text -> tokens``.
+
+    Config shape (the dict analog of a schema.xml fieldType analyzer):
+    ``{"charFilters": [{"class": ...}, ...], "tokenizer": {"class":
+    ...}, "filters": [{"class": ...}, ...]}``.  Unknown component
+    classes raise (the reference fails schema load the same way)."""
+    cfs = []
+    for spec in config.get("charFilters", []):
+        name = _norm(spec["class"])
+        if name not in CHAR_FILTERS:
+            raise ValueError(f"unknown charFilter {spec['class']!r}")
+        cfs.append(CHAR_FILTERS[name](spec))
+    tok_spec = config.get("tokenizer") or {"class": "standard"}
+    tname = _norm(tok_spec["class"])
+    if tname not in TOKENIZER_FACTORIES:
+        raise ValueError(f"unknown tokenizer {tok_spec['class']!r}")
+    tokenize = TOKENIZER_FACTORIES[tname](tok_spec)
+    tfs = []
+    for spec in config.get("filters", []):
+        name = _norm(spec["class"])
+        if name not in TOKEN_FILTERS:
+            raise ValueError(f"unknown filter {spec['class']!r}")
+        tfs.append(TOKEN_FILTERS[name](spec))
+    tfs.append(_tf_drop_empty({}))   # stemming/replace can empty a token
+
+    def analyze(text: str) -> List[str]:
+        s = text
+        for cf in cfs:
+            s = cf(s)
+        ts: List[Token] = [(t, False) for t in tokenize(s)]
+        for tf in tfs:
+            ts = tf(ts)
+        return [t for t, _ in ts]
+
+    return analyze
+
+
+# ------------------------------------------------------ schema.xml load
+
+
+def load_schema_analyzers(xml_text: str,
+                          resources: Optional[Dict[str, str]] = None,
+                          analyzer_type: str = "index"
+                          ) -> Dict[str, dict]:
+    """Parse ``schema.xml`` fieldTypes into analyzer configs —
+    the SolrSchemaUtil.getFieldType / readAnalyzer analog.
+
+    ``resources`` maps file attributes (``words="stopwords.txt"``,
+    ``synonyms=...``, ``protected=...``, ``mapping=...``) to their
+    content, the ClassSubPathResourceLoader stand-in.  Returns
+    {fieldType name: config dict} for every fieldType with an analyzer
+    matching ``analyzer_type`` ('index' also accepts untyped analyzers,
+    Solr's rule)."""
+    import xml.etree.ElementTree as ET
+    res = resources or {}
+
+    def resource(fname: str) -> str:
+        if fname not in res:
+            raise ValueError(f"analyzer resource {fname!r} not provided")
+        return res[fname]
+
+    def component(el) -> dict:
+        spec = dict(el.attrib)
+        if "words" in spec:
+            spec["words"] = parse_word_list(resource(spec["words"]))
+        if "protected" in spec:
+            spec["protected"] = parse_word_list(
+                resource(spec["protected"]))
+        if "synonyms" in spec:
+            spec["synonyms"] = parse_synonyms(resource(spec["synonyms"]))
+        if "mapping" in spec:
+            pairs = {}
+            for line in resource(spec["mapping"]).splitlines():
+                line = line.split("#", 1)[0].strip()
+                if "=>" in line:
+                    src, dst = line.split("=>", 1)
+                    pairs[src.strip().strip('"')] = \
+                        dst.strip().strip('"')
+            spec["mapping"] = pairs
+        return spec
+
+    root = ET.fromstring(xml_text)
+    out: Dict[str, dict] = {}
+    for ft in root.iter("fieldType"):
+        name = ft.get("name")
+        chosen = None
+        for an in ft.findall("analyzer"):
+            at = an.get("type")
+            if at == analyzer_type or (analyzer_type == "index"
+                                       and at is None):
+                chosen = an
+                if at == analyzer_type:
+                    break
+        if chosen is None or name is None:
+            continue
+        cfg = {"charFilters": [component(e)
+                               for e in chosen.findall("charFilter")],
+               "filters": [component(e)
+                           for e in chosen.findall("filter")]}
+        tk = chosen.find("tokenizer")
+        if tk is not None:
+            cfg["tokenizer"] = component(tk)
+        out[name] = cfg
+    return out
+
+
+# --------------------------------------------------- registry plumbing
+
+ANALYZER_CONFIGS: Dict[str, dict] = {}
+
+
+def register_analyzer(name: str, config: dict) -> Callable[[str],
+                                                           List[str]]:
+    """Compile ``config`` and install it into the engine's TOKENIZERS
+    registry under ``name`` — indexes built with it persist the config
+    in stats.json (``analyzer_config``) so readers in other processes
+    re-register automatically."""
+    from .tokenizer import TOKENIZERS
+    fn = build_analyzer(config)
+    TOKENIZERS[name] = fn
+    ANALYZER_CONFIGS[name] = config
+    return fn
+
+
+def ensure_registered(name: str, config: Optional[dict]) -> None:
+    """Reader-side: make TOKENIZERS[name] resolvable from a persisted
+    config (no-op when already registered in this process)."""
+    from .tokenizer import TOKENIZERS
+    if name in TOKENIZERS or config is None:
+        return
+    register_analyzer(name, config)
+
+
+# ------------------------------------------------- actor-pool stage
+
+# FROZEN config for the SQL-oracled analyzed_token_counts query: every
+# component is exactly mirrored in DuckDB (pattern tokenize ->
+# lower() -> NOT IN -> length BETWEEN -> the S-stemmer CASE).  Edit
+# both sides together or the driver hash breaks.
+ENGLISH_COUNTS_CONFIG = {
+    "tokenizer": {"class": "pattern", "pattern": "[A-Za-z0-9]+",
+                  "group": 0},
+    "filters": [{"class": "lowercase"},
+                {"class": "stop",
+                 "words": ["the", "and", "for", "with", "that",
+                           "this"]},
+                {"class": "length", "min": 3, "max": 20},
+                {"class": "englishMinimalStem"}],
+}
+
+
+class AnalyzedTokenStats:
+    """Actor-pool stage: per-doc token counts through a compiled
+    analyzer chain — the chain compiles ONCE per actor in ``__init__``
+    (the reference builds its Lucene analyzer once per step via a
+    ThreadLocal factory, ``PreAnalyzeFields.java:189-212``).  Docs
+    whose chain output is empty are dropped (mirrors the SQL oracle's
+    GROUP BY semantics)."""
+
+    def __init__(self, config: dict, field: str = "text",
+                 id_col: str = "doc_id"):
+        self.analyze = build_analyzer(config)
+        self.field = field
+        self.id_col = id_col
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        ids, n_tok, n_dist = [], [], []
+        for did, v in zip(batch[self.id_col].to_pylist(),
+                          batch[self.field].to_pylist()):
+            ts = self.analyze(v or "")
+            if not ts:
+                continue
+            ids.append(did)
+            n_tok.append(len(ts))
+            n_dist.append(len(set(ts)))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "n_distinct": pa.array(n_dist, pa.int64())})
