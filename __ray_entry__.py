@@ -141,6 +141,13 @@ def _sha256_dedup(sf_dir: str):
 
 # ---------- text analysis ----------
 
+def _chunk_documents(sf_dir: str):
+    # LLM training-prep chunking: 64-token windows, stride 48 (16-token
+    # overlap); vectorized over the flattened token stream
+    from jesterj_ray.stages.chunking import chunk_documents
+    return chunk_documents(sf_dir, chunk_size=64, stride=48)
+
+
 def _analyzed_token_counts(sf_dir: str):
     # schema-driven analyzer chain (tokenize/analyzer.py, the
     # SolrSchemaUtil.readAnalyzer analog): pattern tokenize -> lowercase
@@ -696,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a current driver-checked row (r03 VERDICT #3)
         "gif_decode_stats": _gif_decode_stats,
         "analyzed_token_counts": _analyzed_token_counts,
+        "chunk_documents": _chunk_documents,
         "simhash_pairs": _simhash_pairs,
         "lsh_embedding_near_dup": _lsh_embedding_near_dup,
         "knn_cosine_top10": _knn,
@@ -1350,6 +1358,29 @@ ORDER BY r.qid, r.rank
               FROM ids i, oy, ox)
             SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
             FROM pix GROUP BY doc_id ORDER BY doc_id""",
+        # engine: stages/chunking.chunk_table — vectorized 64-token /
+        # stride-48 windows over the flattened token stream; boundary
+        # tokens + exact char mass pin every window edge
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+            nz AS (SELECT doc_id, tk, length(tk) AS n FROM toks
+                   WHERE length(tk) > 0),
+            starts AS (
+              SELECT doc_id, tk, n,
+                     unnest(generate_series(1, n, 48)) AS s
+              FROM nz)
+            SELECT doc_id,
+                   (s - 1) // 48 AS chunk_idx,
+                   LEAST(64, n - s + 1) AS n_tokens,
+                   tk[s] AS first_tok,
+                   tk[s + LEAST(64, n - s + 1) - 1] AS last_tok,
+                   length(array_to_string(
+                     tk[s : s + LEAST(64, n - s + 1) - 1], ''))
+                     AS n_chars
+            FROM starts ORDER BY doc_id, chunk_idx""",
         # engine: tokenize/analyzer.AnalyzedTokenStats over the FROZEN
         # ENGLISH_COUNTS_CONFIG chain (schema-driven analyzer: pattern
         # tokenize -> lowercase -> stop -> length 3..20 -> Harman
