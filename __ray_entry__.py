@@ -141,6 +141,13 @@ def _sha256_dedup(sf_dir: str):
 
 # ---------- text analysis ----------
 
+def _stratified_sample(sf_dir: str):
+    # deterministic k-per-lang sample (training-data mixing primitive):
+    # overflow-safe hash rank, block-local prune, O(k x groups) fold
+    from jesterj_ray.stages.sampling import sample_per_group
+    return sample_per_group(sf_dir, group_col="lang", k=5)
+
+
 def _chunk_documents(sf_dir: str):
     # LLM training-prep chunking: 64-token windows, stride 48 (16-token
     # overlap); vectorized over the flattened token stream
@@ -704,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gif_decode_stats": _gif_decode_stats,
         "analyzed_token_counts": _analyzed_token_counts,
         "chunk_documents": _chunk_documents,
+        "stratified_sample_per_lang": _stratified_sample,
         "simhash_pairs": _simhash_pairs,
         "lsh_embedding_near_dup": _lsh_embedding_near_dup,
         "knn_cosine_top10": _knn,
@@ -1358,6 +1366,22 @@ ORDER BY r.qid, r.rank
               FROM ids i, oy, ox)
             SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
             FROM pix GROUP BY doc_id ORDER BY doc_id""",
+        # engine: stages/sampling.sample_per_group — frozen
+        # overflow-safe hash rank (both sides evaluate it exactly in
+        # 64-bit), block-local per-group prune, O(k x groups) fold
+        "stratified_sample_per_lang": """
+            WITH h AS (
+              SELECT lang, doc_id,
+                     ((doc_id % 1000003) * 2654435761 + doc_id)
+                       % 1000000007 AS hh
+              FROM documents),
+            r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY hh, doc_id) AS rank
+              FROM h)
+            SELECT lang, rank, doc_id FROM r
+            WHERE rank <= 5 ORDER BY lang, rank""",
         # engine: stages/chunking.chunk_table — vectorized 64-token /
         # stride-48 windows over the flattened token stream; boundary
         # tokens + exact char mass pin every window edge

@@ -1,0 +1,81 @@
+"""Deterministic stratified sampling — the training-data mixing
+primitive (pick k docs per language / source / quality bucket, stably
+across reruns and cluster sizes).
+
+Selection rank is a FROZEN overflow-safe integer mix of the doc id
+(``h = ((id % 1000003) * 2654435761 + id) % 1000000007``), chosen so
+DuckDB evaluates it exactly in BIGINT (every intermediate < 2^63 —
+SQL BIGINT errors on overflow rather than wrapping, so a 64-bit
+splitmix is NOT SQL-expressible) and numpy evaluates it exactly in
+int64.  Rank ties break by id.  Knuth's multiplicative constant
+scatters sequential ids; the outer prime keeps the mix full-range.
+
+Distributed shape: each block prunes to its own k-smallest per group
+(vectorized lexsort + boundary mask — no per-group Python), so the
+driver fold sees at most k x groups x blocks candidate rows, never the
+corpus.  The same pattern serves any per-group top-k by deterministic
+score.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_M1, _M2, _P = 1000003, 2654435761, 1000000007
+
+
+def mix_rank(ids: np.ndarray) -> np.ndarray:
+    """The frozen selection hash (see module docstring); exact in
+    int64: (id % 1e6+3) * 2654435761 <= ~2.65e15, + id stays < 2^63
+    for any realistic id."""
+    ids = ids.astype(np.int64)
+    return ((ids % _M1) * _M2 + ids) % _P
+
+
+def _block_topk(t: pa.Table, *, group_col: str, id_col: str,
+                k: int) -> pa.Table:
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if ids.size == 0:
+        return t.append_column("h", pa.array([], pa.int64()))
+    h = mix_rank(ids)
+    groups = t[group_col].to_numpy(zero_copy_only=False)
+    codes, _ = pd.factorize(groups)
+    order = np.lexsort((ids, h, codes))
+    gsort = codes[order]
+    # rank within group = position - first position of the group
+    boundary = np.empty(gsort.size, dtype=bool)
+    boundary[0] = True
+    np.not_equal(gsort[1:], gsort[:-1], out=boundary[1:])
+    starts = np.flatnonzero(boundary)
+    first_of = np.repeat(starts, np.diff(np.append(starts, gsort.size)))
+    keep = order[(np.arange(gsort.size) - first_of) < k]
+    out = t.take(pa.array(np.sort(keep)))
+    return out.append_column("h", pa.array(h[np.sort(keep)], pa.int64()))
+
+
+def sample_per_group(sf_dir: str, *, table: str = "documents",
+                     group_col: str = "lang", id_col: str = "doc_id",
+                     k: int = 5, columns=None) -> pd.DataFrame:
+    """k deterministic docs per group: (group, rank 1..k, id).  The
+    driver fold is O(k x groups) — each block pre-prunes."""
+    import ray.data as rd
+    cols = list(dict.fromkeys([group_col, id_col] + (columns or [])))
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                         columns=cols, override_num_blocks=8)
+    cand = ds.map_batches(
+        _block_topk, batch_format="pyarrow",
+        fn_kwargs={"group_col": group_col, "id_col": id_col, "k": k}) \
+        .to_pandas()
+    if cand.empty:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "rank": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64)})
+    cand = cand.sort_values([group_col, "h", id_col], kind="mergesort")
+    cand["rank"] = cand.groupby(group_col, sort=False).cumcount() + 1
+    out = cand[cand["rank"] <= k][[group_col, "rank", id_col]]
+    out["rank"] = out["rank"].astype(np.int64)
+    return out.reset_index(drop=True)
