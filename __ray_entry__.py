@@ -141,6 +141,11 @@ def _sha256_dedup(sf_dir: str):
 
 # ---------- text analysis ----------
 
+def _bm25f_field_snippets(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import bm25f_field_snippets
+    return bm25f_field_snippets(sf_dir, "merge", 2)
+
+
 def _stratified_sample(sf_dir: str):
     # deterministic k-per-lang sample (training-data mixing primitive):
     # overflow-safe hash rank, block-local prune, O(k x groups) fold
@@ -712,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyzed_token_counts": _analyzed_token_counts,
         "chunk_documents": _chunk_documents,
         "stratified_sample_per_lang": _stratified_sample,
+        "bm25f_field_snippets": _bm25f_field_snippets,
         "simhash_pairs": _simhash_pairs,
         "lsh_embedding_near_dup": _lsh_embedding_near_dup,
         "knn_cosine_top10": _knn,
@@ -1366,6 +1372,26 @@ ORDER BY r.qid, r.rank
               FROM ids i, oy, ox)
             SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
             FROM pix GROUP BY doc_id ORDER BY doc_id""",
+        # engine: pipelines/flagship.bm25f_field_snippets — field-aware
+        # highlighting from the FULL-TEXT positional index (field
+        # positions by band arithmetic: title = first 8 tokens); window
+        # clamped to the field's own tokens
+        "bm25f_field_snippets": """
+            WITH tl AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id, 'title' AS field, toks[1:8] AS ft FROM tl
+              UNION ALL
+              SELECT doc_id, 'body' AS field, toks[9:] AS ft FROM tl),
+            p AS (SELECT doc_id, field, ft,
+                         list_position(ft, 'merge') AS lp FROM f)
+            SELECT doc_id, field, CAST(lp - 1 AS BIGINT) AS first_pos,
+                   array_to_string(ft[GREATEST(1, lp - 2) : lp + 2],
+                                   ' ') AS snippet
+            FROM p WHERE lp IS NOT NULL AND lp > 0
+            ORDER BY doc_id, field""",
         # engine: stages/sampling.sample_per_group — frozen
         # overflow-safe hash rank (both sides evaluate it exactly in
         # 64-bit), block-local per-group prune, O(k x groups) fold

@@ -217,6 +217,82 @@ def snippets_documents(sf_dir: str, term: str = "merge",
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def bm25f_field_snippets(sf_dir: str, term: str = "merge",
+                         width: int = 2) -> pd.DataFrame:
+    """Field-aware highlighting for the BM25F family (Solr highlights
+    per field; round-3 lead).  For each doc containing ``term``, one
+    row per FIELD where it occurs: the first occurrence's 0-based
+    position WITHIN that field and the +-``width`` token window clamped
+    to the field's own tokens.
+
+    No positional field indexes needed: the family's fields are
+    derived slices of the full-text token list (title = first N
+    tokens), so field positions come from the FULL-TEXT positional
+    index by band arithmetic — title hits are positions < N, body hits
+    are positions >= N shifted by -N.  One more payoff of
+    derived-from-input field boundaries."""
+    from ..tokenize.tokenizer import simple_tokenize
+    N = BM25F_TITLE_TOKENS
+    idx = documents_index_pos(sf_dir)
+    reader = IndexReader(idx)
+    docs, tfs, flat, starts = reader.positions(term)
+    rows = {"doc_id": [], "field": [], "first_pos": []}
+    if docs.size:
+        alive = reader.alive_mask(docs)
+        keys = reader.doc_keys(docs)
+        ends = np.append(starts[1:], flat.size)
+        for di in np.flatnonzero(alive):
+            ps = flat[starts[di]:ends[di]]
+            did = int(keys[di])
+            t_hits = ps[ps < N]
+            if t_hits.size:
+                rows["doc_id"].append(did)
+                rows["field"].append("title")
+                rows["first_pos"].append(int(t_hits[0]))
+            b_hits = ps[ps >= N]
+            if b_hits.size:
+                rows["doc_id"].append(did)
+                rows["field"].append("body")
+                rows["first_pos"].append(int(b_hits[0]) - N)
+    if not rows["doc_id"]:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "field": pd.Series([], dtype=object),
+                             "first_pos": pd.Series([], dtype=np.int64),
+                             "snippet": pd.Series([], dtype=object)})
+    lk = pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "field": pa.array(rows["field"], pa.string()),
+        "first_pos": pa.array(rows["first_pos"], pa.int64())})
+    lk_ref = ray.put(lk)
+
+    def cut(t: pa.Table) -> pa.Table:
+        hit = ray.get(lk_ref)
+        sel = pc.index_in(t["doc_id"], value_set=pc.unique(
+            hit["doc_id"]))
+        t = t.filter(pc.is_valid(sel))
+        toks_by_id = {int(d): simple_tokenize(x or "")
+                      for d, x in zip(t["doc_id"].to_pylist(),
+                                      t["text"].to_pylist())}
+        m = pc.is_in(hit["doc_id"], value_set=t["doc_id"])
+        h = hit.filter(m)
+        snips = []
+        for did, fld, p in zip(h["doc_id"].to_pylist(),
+                               h["field"].to_pylist(),
+                               h["first_pos"].to_pylist()):
+            toks = toks_by_id[int(did)]
+            ft = toks[:N] if fld == "title" else toks[N:]
+            snips.append(" ".join(ft[max(0, p - width):p + width + 1]))
+        return h.append_column("snippet", pa.array(snips, pa.string()))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"],
+                         override_num_blocks=8)
+    out = ds.map_batches(cut, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["first_pos"] = out["first_pos"].astype(np.int64)
+    return out.sort_values(["doc_id", "field"]).reset_index(drop=True)
+
+
 # exclusion (MUST_NOT) query set: qid 1 excludes a rare term, qid 2 two
 # hot terms, qid 3 a corpus-absent term (exclusion is a no-op there)
 NOT_QUERIES = [
