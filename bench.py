@@ -261,7 +261,8 @@ def run_bench() -> dict:
     asof_purchase_click(SF_DIR)
     timings["asof_join"] = time.time() - t0
 
-    # BM25F: per-field index family build (title/body, doc_key-partitioned)
+    # BM25F: per-field index family build (title/body over the
+    # materialized split, shuffle-free row build, change_col='text')
     # + the query loop over both field indexes
     from jesterj_ray.pipelines.flagship import (documents_bm25f_indexes,
                                                 _cache_dir)
@@ -277,6 +278,31 @@ def run_bench() -> dict:
         for q in DOC_QUERIES:
             fr.topk(q["query"], q["k"])
     timings["bm25f_local_120q"] = time.time() - t0
+
+    # BM25F family per-doc delta: mutate ONE doc in the materialized
+    # split, delta every field as a UNIT (change_col full-doc sha).
+    # The cached family/split get wiped at the next bench start, so the
+    # in-place mutation cannot leak across runs.
+    import glob as _glob
+
+    import pyarrow as pa
+
+    from jesterj_ray.index.bm25f import delta_reindex_fields
+    split_files = sorted(_glob.glob(os.path.join(
+        _cache_dir(SF_DIR, "docidxf3-split"), "split-*.parquet")))
+    st = pq.read_table(split_files[0])
+    cols = {c: st[c].to_pylist() for c in st.column_names}
+    cols["body"][0] = (cols["body"][0] or "") + " benchdeltatoken"
+    cols["text"][0] = (cols["text"][0] or "") + " benchdeltatoken"
+    tmp = split_files[0] + ".tmp"
+    pq.write_table(pa.table(cols), tmp, row_group_size=4096)
+    os.replace(tmp, split_files[0])
+    t0 = time.time()
+    fd = delta_reindex_fields(split_files, fdirs, change_col="text",
+                              key_col="doc_id", tokenizer="simple",
+                              docs_per_partition=1024, num_shards=4)
+    timings["bm25f_delta_1doc"] = time.time() - t0
+    assert all(s["reindexed_docs"] == 1 for s in fd.values()), fd
 
     headline = timings["index_build"]
     result = {
