@@ -81,9 +81,28 @@ def cmd_visualize(args) -> int:
 def cmd_build_index(args) -> int:
     import ray
     from jesterj_ray.index.build_rows import build_index_rows
+    tokenizer = args.tokenizer
+    if args.schema:
+        if not args.field_type:
+            raise SystemExit("--schema requires --field-type")
+        from jesterj_ray.tokenize.analyzer import (load_schema_analyzers,
+                                                   register_analyzer)
+        resources = {}
+        for spec in args.resource:
+            name, _, path = spec.partition("=")
+            with open(path or name) as f:
+                resources[name] = f.read()
+        with open(args.schema) as f:
+            cfgs = load_schema_analyzers(f.read(), resources)
+        if args.field_type not in cfgs:
+            raise SystemExit(
+                f"fieldType {args.field_type!r} not in schema "
+                f"(found: {sorted(cfgs)})")
+        tokenizer = f"schema:{args.field_type}"
+        register_analyzer(tokenizer, cfgs[args.field_type])
     owned = _ray_init(args.num_cpus)
     stats = build_index_rows(args.src, args.out, text_col=args.text_col,
-                             key_col=args.key_col, tokenizer=args.tokenizer,
+                             key_col=args.key_col, tokenizer=tokenizer,
                              docs_per_partition=args.docs_per_partition)
     print(json.dumps(stats))
     _ray_done(owned)
@@ -224,6 +243,17 @@ def main(argv=None) -> int:
     b.add_argument("--key-col", default=None)
     b.add_argument("--tokenizer", default="simple",
                    choices=["simple", "code"])
+    # schema-driven analyzer (SolrSchemaUtil analog): --schema + the
+    # fieldType to use; --resource name=path supplies stopword/synonym
+    # files the schema references.  Overrides --tokenizer.
+    b.add_argument("--schema", default=None,
+                   help="schema.xml path; build with a fieldType's "
+                        "analyzer chain instead of a frozen tokenizer")
+    b.add_argument("--field-type", default=None,
+                   help="fieldType name inside --schema")
+    b.add_argument("--resource", action="append", default=[],
+                   metavar="NAME=PATH",
+                   help="analyzer resource file (words/synonyms/...)")
     b.add_argument("--docs-per-partition", type=int, default=50_000)
     b.add_argument("--num-cpus", type=int, default=8)
 
@@ -232,8 +262,9 @@ def main(argv=None) -> int:
     d.add_argument("out")
     d.add_argument("--text-col", default="text")
     d.add_argument("--key-col", default=None)
-    d.add_argument("--tokenizer", default="simple",
-                   choices=["simple", "code"])
+    # no choices: schema-built indexes carry custom tokenizer names —
+    # delta validates against (and re-registers from) the base stats
+    d.add_argument("--tokenizer", default="simple")
     d.add_argument("--docs-per-partition", type=int, default=50_000)
     d.add_argument("--num-cpus", type=int, default=8)
 
