@@ -141,6 +141,13 @@ def _sha256_dedup(sf_dir: str):
 
 # ---------- text analysis ----------
 
+def _token_budget_mix(sf_dir: str):
+    # data-mixing primitive: cap each lang at 2000 training tokens,
+    # greedy fill in the frozen hash-rank order (crossing doc included)
+    from jesterj_ray.stages.sampling import mix_by_token_budget
+    return mix_by_token_budget(sf_dir, budget=2000)
+
+
 def _bm25f_field_snippets(sf_dir: str):
     from jesterj_ray.pipelines.flagship import bm25f_field_snippets
     return bm25f_field_snippets(sf_dir, "merge", 2)
@@ -717,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyzed_token_counts": _analyzed_token_counts,
         "chunk_documents": _chunk_documents,
         "stratified_sample_per_lang": _stratified_sample,
+        "token_budget_mix_per_lang": _token_budget_mix,
         "bm25f_field_snippets": _bm25f_field_snippets,
         "simhash_pairs": _simhash_pairs,
         "lsh_embedding_near_dup": _lsh_embedding_near_dup,
@@ -1372,6 +1380,29 @@ ORDER BY r.qid, r.rank
               FROM ids i, oy, ox)
             SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
             FROM pix GROUP BY doc_id ORDER BY doc_id""",
+        # engine: stages/sampling.mix_by_token_budget — greedy per-lang
+        # token-budget fill in the frozen hash order; the window cumsum
+        # carries the full (h, doc_id) tie-break (repo trap (e))
+        "token_budget_mix_per_lang": """
+            WITH t AS (
+              SELECT lang, doc_id,
+                     CAST(length(regexp_extract_all(lower(text),
+                                                    '[a-z0-9]+'))
+                          AS BIGINT) AS n_tok,
+                     ((doc_id % 1000003) * 2654435761 + doc_id)
+                       % 1000000007 AS h
+              FROM documents),
+            w AS (
+              SELECT lang, doc_id, n_tok,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY h, doc_id) AS rank,
+                     CAST(SUM(n_tok) OVER (PARTITION BY lang
+                                           ORDER BY h, doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum_tokens
+              FROM t)
+            SELECT lang, rank, doc_id, n_tok, cum_tokens FROM w
+            WHERE cum_tokens - n_tok < 2000 ORDER BY lang, rank""",
         # engine: pipelines/flagship.bm25f_field_snippets — field-aware
         # highlighting from the FULL-TEXT positional index (field
         # positions by band arithmetic: title = first 8 tokens); window

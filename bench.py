@@ -303,6 +303,11 @@ def run_bench() -> dict:
                               docs_per_partition=1024, num_shards=4)
     timings["bm25f_delta_1doc"] = time.time() - t0
     assert all(s["reindexed_docs"] == 1 for s in fd.values()), fd
+    # the delta MUTATED the persistent cache (split + family now hold
+    # benchdeltatoken): wipe so later consumers (the driver's
+    # correctness run!) rebuild pristine from documents.parquet
+    for tag in ("docidxf3-title", "docidxf3-body", "docidxf3-split"):
+        shutil.rmtree(_cache_dir(SF_DIR, tag), ignore_errors=True)
 
     headline = timings["index_build"]
     result = {

@@ -57,6 +57,81 @@ def _block_topk(t: pa.Table, *, group_col: str, id_col: str,
     return out.append_column("h", pa.array(h[np.sort(keep)], pa.int64()))
 
 
+def _block_budget_prune(t: pa.Table, *, group_col: str, id_col: str,
+                        text_col: str, budget: int) -> pa.Table:
+    """Keep rows that could still be within the group's token budget:
+    a doc whose IN-BLOCK predecessors (hash order) already hold
+    ``budget`` tokens is out globally too (global cum-before >=
+    in-block cum-before).  Survivors per group per block are bounded
+    by the budget (every doc has >= 0 tokens), never the corpus."""
+    import pyarrow.compute as pc
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tok = pc.count_substring_regex(
+        pc.utf8_lower(t[text_col]), pattern="[a-z0-9]+") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    out_cols = {group_col: t[group_col], id_col: t[id_col]}
+    if ids.size == 0:
+        return pa.table(out_cols | {
+            "n_tok": pa.array([], pa.int64()),
+            "h": pa.array([], pa.int64())})
+    h = mix_rank(ids)
+    codes, _ = pd.factorize(t[group_col].to_numpy(zero_copy_only=False))
+    order = np.lexsort((ids, h, codes))
+    gsort = codes[order]
+    csum = np.cumsum(n_tok[order])
+    boundary = np.empty(gsort.size, dtype=bool)
+    boundary[0] = True
+    np.not_equal(gsort[1:], gsort[:-1], out=boundary[1:])
+    starts = np.flatnonzero(boundary)
+    base = np.repeat(csum[starts] - n_tok[order][starts],
+                     np.diff(np.append(starts, gsort.size)))
+    cum_before = csum - n_tok[order] - base
+    keep = np.sort(order[cum_before < budget])
+    sel = pa.array(keep)
+    return pa.table({group_col: t[group_col].take(sel),
+                     id_col: t[id_col].take(sel),
+                     "n_tok": pa.array(n_tok[keep], pa.int64()),
+                     "h": pa.array(h[keep], pa.int64())})
+
+
+def mix_by_token_budget(sf_dir: str, *, budget: int = 2000,
+                        table: str = "documents",
+                        group_col: str = "lang",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> pd.DataFrame:
+    """Greedy token-budget fill per group — the data-MIXING primitive
+    (cap each language/source at N training tokens, deterministically):
+    docs enter in the frozen hash-rank order until the tokens BEFORE a
+    doc reach the budget (the crossing doc is included).  Emits (group,
+    rank, id, n_tok, cum_tokens); the driver fold sees at most
+    ~budget-bounded candidates per group per block (see
+    :func:`_block_budget_prune`)."""
+    import ray.data as rd
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                         columns=[group_col, id_col, text_col],
+                         override_num_blocks=8)
+    cand = ds.map_batches(
+        _block_budget_prune, batch_format="pyarrow",
+        fn_kwargs={"group_col": group_col, "id_col": id_col,
+                   "text_col": text_col, "budget": budget}).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "rank": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "n_tok": pd.Series([], dtype=np.int64),
+                             "cum_tokens": pd.Series([],
+                                                     dtype=np.int64)})
+    cand = cand.sort_values([group_col, "h", id_col], kind="mergesort")
+    g = cand.groupby(group_col, sort=False)
+    cand["cum_tokens"] = g["n_tok"].cumsum()
+    cand["rank"] = g.cumcount() + 1
+    out = cand[cand["cum_tokens"] - cand["n_tok"] < budget]
+    out = out[[group_col, "rank", id_col, "n_tok", "cum_tokens"]].copy()
+    for c in ("rank", "n_tok", "cum_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def sample_per_group(sf_dir: str, *, table: str = "documents",
                      group_col: str = "lang", id_col: str = "doc_id",
                      k: int = 5, columns=None) -> pd.DataFrame:
