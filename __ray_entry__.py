@@ -1389,8 +1389,8 @@ ORDER BY r.qid, r.rank
                      CAST(length(regexp_extract_all(lower(text),
                                                     '[a-z0-9]+'))
                           AS BIGINT) AS n_tok,
-                     ((doc_id % 1000003) * 2654435761 + doc_id)
-                       % 1000000007 AS h
+                     ((doc_id % 1000003) * 2654435761
+                      + doc_id % 1000000007) % 1000000007 AS h
               FROM documents),
             w AS (
               SELECT lang, doc_id, n_tok,
@@ -1429,8 +1429,8 @@ ORDER BY r.qid, r.rank
         "stratified_sample_per_lang": """
             WITH h AS (
               SELECT lang, doc_id,
-                     ((doc_id % 1000003) * 2654435761 + doc_id)
-                       % 1000000007 AS hh
+                     ((doc_id % 1000003) * 2654435761
+                      + doc_id % 1000000007) % 1000000007 AS hh
               FROM documents),
             r AS (
               SELECT lang, doc_id,

@@ -290,24 +290,28 @@ def run_bench() -> dict:
     from jesterj_ray.index.bm25f import delta_reindex_fields
     split_files = sorted(_glob.glob(os.path.join(
         _cache_dir(SF_DIR, "docidxf3-split"), "split-*.parquet")))
-    st = pq.read_table(split_files[0])
-    cols = {c: st[c].to_pylist() for c in st.column_names}
-    cols["body"][0] = (cols["body"][0] or "") + " benchdeltatoken"
-    cols["text"][0] = (cols["text"][0] or "") + " benchdeltatoken"
-    tmp = split_files[0] + ".tmp"
-    pq.write_table(pa.table(cols), tmp, row_group_size=4096)
-    os.replace(tmp, split_files[0])
-    t0 = time.time()
-    fd = delta_reindex_fields(split_files, fdirs, change_col="text",
-                              key_col="doc_id", tokenizer="simple",
-                              docs_per_partition=1024, num_shards=4)
-    timings["bm25f_delta_1doc"] = time.time() - t0
-    assert all(s["reindexed_docs"] == 1 for s in fd.values()), fd
-    # the delta MUTATED the persistent cache (split + family now hold
-    # benchdeltatoken): wipe so later consumers (the driver's
-    # correctness run!) rebuild pristine from documents.parquet
-    for tag in ("docidxf3-title", "docidxf3-body", "docidxf3-split"):
-        shutil.rmtree(_cache_dir(SF_DIR, tag), ignore_errors=True)
+    try:
+        st = pq.read_table(split_files[0])
+        cols = {c: st[c].to_pylist() for c in st.column_names}
+        cols["body"][0] = (cols["body"][0] or "") + " benchdeltatoken"
+        cols["text"][0] = (cols["text"][0] or "") + " benchdeltatoken"
+        tmp = split_files[0] + ".tmp"
+        pq.write_table(pa.table(cols), tmp, row_group_size=4096)
+        os.replace(tmp, split_files[0])
+        t0 = time.time()
+        fd = delta_reindex_fields(split_files, fdirs, change_col="text",
+                                  key_col="doc_id", tokenizer="simple",
+                                  docs_per_partition=1024, num_shards=4)
+        timings["bm25f_delta_1doc"] = time.time() - t0
+        assert all(s["reindexed_docs"] == 1 for s in fd.values()), fd
+    finally:
+        # the delta MUTATED the persistent cache (split + family now
+        # hold benchdeltatoken): wipe UNCONDITIONALLY — a failure
+        # part-way would otherwise leave a polluted cache that a later
+        # driver correctness run silently reuses
+        for tag in ("docidxf3-title", "docidxf3-body",
+                    "docidxf3-split"):
+            shutil.rmtree(_cache_dir(SF_DIR, tag), ignore_errors=True)
 
     headline = timings["index_build"]
     result = {

@@ -301,12 +301,19 @@ class BM25FShardedService(_ReopenMixin):
                            for s in range(n_slices)]
             any_dir = next(iter(field_dirs.values()))
         self._reopen = reopen_on_change
-        # tokenizer for the df round: all fields share one (stats.json)
+        # tokenizer for the df round: all fields share one (stats.json);
+        # schema-driven analyzers re-register from the persisted config
+        # (same open-in-any-process contract as IndexReader)
         import json
         import os
         with open(os.path.join(any_dir, "stats.json")) as f:
-            from ..tokenize.tokenizer import TOKENIZERS
-            self.tokenizer = TOKENIZERS[json.load(f)["tokenizer"]]
+            stats = json.load(f)
+        if stats.get("analyzer_config") is not None:
+            from ..tokenize.analyzer import ensure_registered
+            ensure_registered(stats["tokenizer"],
+                              stats["analyzer_config"])
+        from ..tokenize.tokenizer import TOKENIZERS
+        self.tokenizer = TOKENIZERS[stats["tokenizer"]]
 
     def _global_dfs(self, terms: List[str]):
         partials = ray.get([a.df_counts.remote(terms)

@@ -86,6 +86,8 @@ def _lzw_decode(blob: bytes, min_code_size: int, n_pixels: int
         if code == eoi:
             break
         if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW code out of range")
             entry = table[code]
         elif code < len(table):
             entry = table[code]

@@ -3,12 +3,15 @@ primitive (pick k docs per language / source / quality bucket, stably
 across reruns and cluster sizes).
 
 Selection rank is a FROZEN overflow-safe integer mix of the doc id
-(``h = ((id % 1000003) * 2654435761 + id) % 1000000007``), chosen so
-DuckDB evaluates it exactly in BIGINT (every intermediate < 2^63 —
+(``h = ((id % 1000003) * 2654435761 + id % 1000000007) %
+1000000007``), chosen so DuckDB evaluates it exactly in BIGINT for the
+WHOLE non-negative int64 domain (max intermediate ~2.66e15 + 1e9 —
 SQL BIGINT errors on overflow rather than wrapping, so a 64-bit
-splitmix is NOT SQL-expressible) and numpy evaluates it exactly in
+splitmix is NOT SQL-expressible) and numpy evaluates it identically in
 int64.  Rank ties break by id.  Knuth's multiplicative constant
 scatters sequential ids; the outer prime keeps the mix full-range.
+Ids must be NON-NEGATIVE: SQL ``%`` keeps the dividend's sign while
+numpy's is always non-negative, so negative ids would diverge.
 
 Distributed shape: each block prunes to its own k-smallest per group
 (vectorized lexsort + boundary mask — no per-group Python), so the
@@ -30,10 +33,14 @@ _M1, _M2, _P = 1000003, 2654435761, 1000000007
 
 def mix_rank(ids: np.ndarray) -> np.ndarray:
     """The frozen selection hash (see module docstring); exact in
-    int64: (id % 1e6+3) * 2654435761 <= ~2.65e15, + id stays < 2^63
-    for any realistic id."""
+    int64 for ALL non-negative ids: (id % 1e6+3) * 2654435761 <=
+    ~2.66e15, + (id % 1e9+7) stays far below 2^63 — no wrap on the
+    numpy side, no overflow error on the SQL side."""
     ids = ids.astype(np.int64)
-    return ((ids % _M1) * _M2 + ids) % _P
+    if ids.size and int(ids.min()) < 0:
+        raise ValueError("mix_rank ids must be non-negative "
+                         "(SQL % keeps the dividend's sign)")
+    return ((ids % _M1) * _M2 + ids % _P) % _P
 
 
 def _block_topk(t: pa.Table, *, group_col: str, id_col: str,

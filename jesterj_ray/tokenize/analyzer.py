@@ -646,10 +646,27 @@ def register_analyzer(name: str, config: dict) -> Callable[[str],
 
 def ensure_registered(name: str, config: Optional[dict]) -> None:
     """Reader-side: make TOKENIZERS[name] resolvable from a persisted
-    config (no-op when already registered in this process)."""
+    config.  No-op when the SAME config is already registered; a
+    different config under the same name raises — two indexes silently
+    sharing one chain would tokenize one of them wrongly (empty
+    results, never an error) which is exactly the misbuild class the
+    BM25F doc-space guard exists to prevent."""
     from .tokenizer import TOKENIZERS
-    if name in TOKENIZERS or config is None:
+    if config is None:
         return
+    if name in ANALYZER_CONFIGS:
+        if ANALYZER_CONFIGS[name] != config:
+            raise ValueError(
+                f"analyzer name {name!r} already registered in this "
+                "process with a DIFFERENT config — rename one fieldType "
+                "(configs must be identical to share a name)")
+        return
+    if name in TOKENIZERS:
+        # a frozen built-in (simple/code) name collides with a
+        # schema-driven config: never silently shadow either way
+        raise ValueError(
+            f"analyzer name {name!r} collides with a built-in "
+            "tokenizer; choose another fieldType/registration name")
     register_analyzer(name, config)
 
 

@@ -50,15 +50,21 @@ def test_block_prune_is_layout_invariant():
 
 
 def test_mix_rank_matches_sql_semantics():
-    """Every intermediate stays below 2^63 (DuckDB BIGINT errors on
-    overflow) and the numpy path equals the plain-python big-int
-    evaluation — the exactness both oracles rely on."""
-    ids = np.array([0, 1, 7, 10**6, 10**9, 10**12, 2**40, 2**52],
-                   dtype=np.int64)
+    """Every intermediate stays below 2^63 for the WHOLE non-negative
+    int64 domain (DuckDB BIGINT errors on overflow; numpy would wrap
+    silently — r04 review finding) and the numpy path equals the
+    plain-python big-int evaluation — the exactness both oracles rely
+    on.  Negative ids are refused (SQL % keeps the dividend's sign)."""
+    import pytest
+    ids = np.array([0, 1, 7, 10**6, 10**9, 10**12, 2**40, 2**52,
+                    2**63 - 1], dtype=np.int64)
     got = mix_rank(ids)
     for i, v in zip(ids.tolist(), got.tolist()):
-        assert v == ((i % 1000003) * 2654435761 + i) % 1000000007
-        assert (i % 1000003) * 2654435761 + i < 2**63
+        assert v == ((i % 1000003) * 2654435761 + i % 1000000007) \
+            % 1000000007
+        assert (i % 1000003) * 2654435761 + i % 1000000007 < 2**63
+    with pytest.raises(ValueError, match="non-negative"):
+        mix_rank(np.array([-1], dtype=np.int64))
 
 
 def test_token_budget_prune_is_layout_invariant_and_safe():
