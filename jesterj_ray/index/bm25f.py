@@ -240,6 +240,74 @@ def delta_reindex_fields(paths, field_dirs: Dict[str, str], *,
     return out
 
 
+def watch_and_reindex_fields(pattern: str, field_dirs: Dict[str, str], *,
+                             change_col: str,
+                             key_col: Optional[str] = None,
+                             tokenizer: str = "simple",
+                             interval_s: float = 5.0,
+                             max_cycles: Optional[int] = None,
+                             docs_per_partition: int = 50_000,
+                             num_shards: int = 8,
+                             compact_every: Optional[int] = None,
+                             on_publish=None):
+    """Continuous rescan loop for a WHOLE field family — the
+    ``build_rows.watch_and_reindex`` analog over BM25F (reference: the
+    interval scanner re-feeds changed docs and Solr updates every field
+    of the document at once, ``ScannerImpl.java:219-258,453-502``).
+
+    Cycle: glob ``pattern`` (the family's split parquet); first cycle
+    base-builds every field with ``change_col``; later cycles
+    :func:`delta_reindex_fields` (one changed doc re-tokenizes once per
+    field, doc spaces stay aligned).  ``compact_every=N`` compacts
+    every field after every N delta cycles — each field compacts from
+    identical tombstones/manifests, so alignment survives compaction
+    (BM25FReader's doc-space guard verifies).  ``on_publish(stats)``
+    fires after each cycle's epochs publish — pass a serving handle's
+    ``reopen`` there and queries keep serving across the loop
+    (tests/test_bm25f_delta.py pins the full
+    delta -> compact -> reopen -> parity cycle).
+
+    Yields per-cycle stats like watch_and_reindex."""
+    import glob as _glob
+    import time as _time
+
+    from ..state.manifest import Manifest
+    from .build_rows import build_index_rows
+    cycle = 0
+    while max_cycles is None or cycle < max_cycles:
+        if cycle:
+            _time.sleep(interval_s)
+        paths = sorted(_glob.glob(pattern))
+        if not paths:
+            yield {"cycle": cycle, "n_docs": 0, "paths": 0}
+            cycle += 1
+            continue
+        kw = dict(key_col=key_col, tokenizer=tokenizer,
+                  docs_per_partition=docs_per_partition,
+                  num_shards=num_shards)
+        first_dir = field_dirs[sorted(field_dirs)[0]]
+        if not Manifest(first_dir, "build").completed_partitions():
+            per = {f: build_index_rows(paths, d, text_col=f,
+                                       change_col=change_col, **kw)
+                   for f, d in sorted(field_dirs.items())}
+            stats = {"cycle": cycle, "mode": "base",
+                     "paths": len(paths), "fields": per}
+        else:
+            per = delta_reindex_fields(paths, field_dirs,
+                                       change_col=change_col, **kw)
+            stats = {"cycle": cycle, "mode": "delta",
+                     "paths": len(paths), "fields": per}
+            if compact_every and cycle % compact_every == 0:
+                from .compact import compact_index
+                stats["compaction"] = {
+                    f: compact_index(d)
+                    for f, d in sorted(field_dirs.items())}
+        if on_publish is not None:
+            on_publish(stats)
+        yield stats
+        cycle += 1
+
+
 class BM25FQueryActor:
     """Actor-pool stage: BM25F answers for batches of queries.
 
