@@ -25,9 +25,11 @@ resolve.
 
 Semantics notes (pinned in tests/test_analyzer.py):
 
-- Tokens flow through the filter chain as (text, keyword) pairs —
-  KeywordMarker sets the flag and stemmers skip flagged tokens, the
-  Lucene KeywordAttribute contract.
+- Tokens flow through the filter chain as (text, keyword, start, end)
+  tuples — KeywordMarker sets the flag and stemmers skip flagged
+  tokens (the Lucene KeywordAttribute contract); filters preserve the
+  source span (the OffsetAttribute contract), which is what
+  :func:`build_analyzer_with_offsets` hands to PreAnalyzeFields.
 - ``standard`` approximates Lucene's UAX#29 tokenizer as maximal runs
   of unicode word characters (minus ``_``) — exact for the ASCII
   corpora here.
@@ -56,7 +58,7 @@ import re
 import unicodedata
 from typing import Callable, Dict, List, Optional, Tuple
 
-Token = Tuple[str, bool]          # (text, keyword-protected)
+Token = Tuple[str, bool, int, int]   # (text, keyword, start, end)
 
 # ---------------------------------------------------------------- util
 
@@ -157,44 +159,70 @@ _STANDARD_RE = re.compile(r"[^\W_]+(?:['’][^\W_]+)*", re.UNICODE)
 _LETTER_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
 
 
+# tokenizers emit (text, start, end) — offsets into the string the
+# tokenizer SAW (post-charFilter / post-lower for 'lowercase'); token
+# filters preserve the source span (the Lucene OffsetAttribute rule),
+# which is what PreAnalyzeFields serializes
+
+_WS_RE = re.compile(r"\S+", re.UNICODE)
+
+
+def _spans(rx, s):
+    return [(m.group(), m.start(), m.end()) for m in rx.finditer(s)]
+
+
 def _tk_standard(spec):
-    return lambda s: _STANDARD_RE.findall(s)
+    return lambda s: _spans(_STANDARD_RE, s)
 
 
 def _tk_whitespace(spec):
-    return lambda s: s.split()
+    return lambda s: _spans(_WS_RE, s)
 
 
 def _tk_letter(spec):
-    return lambda s: _LETTER_RE.findall(s)
+    return lambda s: _spans(_LETTER_RE, s)
 
 
 def _tk_lowercase(spec):
-    return lambda s: _LETTER_RE.findall(s.lower())
+    return lambda s: _spans(_LETTER_RE, s.lower())
 
 
 def _tk_keyword(spec):
-    return lambda s: [s] if s else []
+    return lambda s: [(s, 0, len(s))] if s else []
 
 
 def _tk_pattern(spec):
     rx = re.compile(spec["pattern"])
     group = int(spec.get("group", -1))
     if group >= 0:
-        return lambda s: [m.group(group) for m in rx.finditer(s)
-                          if m.group(group)]
-    return lambda s: [t for t in rx.split(s) if t]
+        return lambda s: [(m.group(group), m.start(group),
+                           m.end(group))
+                          for m in rx.finditer(s) if m.group(group)]
+
+    def split_mode(s):
+        out, pos = [], 0
+        for m in rx.finditer(s):
+            if m.start() > pos:
+                out.append((s[pos:m.start()], pos, m.start()))
+            pos = max(pos, m.end())
+        if pos < len(s):
+            out.append((s[pos:], pos, len(s)))
+        return [t for t in out if t[0]]
+    return split_mode
 
 
 def _tk_pathhierarchy(spec):
     delim = spec.get("delimiter", "/")
-    def f(s: str) -> List[str]:
+
+    def f(s: str):
         parts = [p for p in s.split(delim) if p]
         lead = s.startswith(delim)
         out, acc = [], ""
         for p in parts:
             acc = f"{acc}{delim}{p}" if (acc or lead) else p
-            out.append(acc)
+            # end offset: prefix length (== original position unless
+            # repeated delimiters collapsed — documented approximation)
+            out.append((acc, 0, len(acc)))
         return out
     return f
 
@@ -336,7 +364,7 @@ def s_stem(w: str) -> str:
 # each factory: spec -> (List[Token] -> List[Token])
 
 def _tf_lowercase(spec):
-    return lambda ts: [(t.lower(), kw) for t, kw in ts]
+    return lambda ts: [(t.lower(), kw, s, e) for t, kw, s, e in ts]
 
 
 def _tf_stop(spec):
@@ -346,9 +374,9 @@ def _tf_stop(spec):
     ic = _bool(spec.get("ignoreCase"), True)
     stop = {w.lower() for w in words} if ic else set(words)
     if ic:
-        return lambda ts: [(t, kw) for t, kw in ts
-                           if t.lower() not in stop]
-    return lambda ts: [(t, kw) for t, kw in ts if t not in stop]
+        return lambda ts: [tk for tk in ts
+                           if tk[0].lower() not in stop]
+    return lambda ts: [tk for tk in ts if tk[0] not in stop]
 
 
 def _tf_synonym(spec):
@@ -360,13 +388,14 @@ def _tf_synonym(spec):
     table = {(k.lower() if ic else k): v for k, v in syn.items()}
     def f(ts: List[Token]) -> List[Token]:
         out = []
-        for t, kw in ts:
+        for t, kw, s, e in ts:
             key = t.lower() if ic else t
             if key in table:
                 reps = table[key] if expand else table[key][:1]
-                out.extend((r, kw) for r in reps)
+                # replacements inherit the source span (OffsetAttribute)
+                out.extend((r, kw, s, e) for r in reps)
             else:
-                out.append((t, kw))
+                out.append((t, kw, s, e))
         return out
     return f
 
@@ -376,18 +405,20 @@ def _tf_flattengraph(spec):
 
 
 def _tf_porterstem(spec):
-    return lambda ts: [(t if kw else porter_stem(t), kw) for t, kw in ts]
+    return lambda ts: [(t if kw else porter_stem(t), kw, s, e)
+                       for t, kw, s, e in ts]
 
 
 def _tf_englishminimalstem(spec):
-    return lambda ts: [(t if kw else s_stem(t), kw) for t, kw in ts]
+    return lambda ts: [(t if kw else s_stem(t), kw, s, e)
+                       for t, kw, s, e in ts]
 
 
 def _tf_englishpossessive(spec):
     def strip1(t: str) -> str:
         return t[:-2] if len(t) > 2 and t.endswith(("'s", "’s")) \
             else t
-    return lambda ts: [(strip1(t), kw) for t, kw in ts]
+    return lambda ts: [(strip1(t), kw, s, e) for t, kw, s, e in ts]
 
 
 def _tf_keywordmarker(spec):
@@ -397,8 +428,8 @@ def _tf_keywordmarker(spec):
     ic = _bool(spec.get("ignoreCase"), False)
     pset = {w.lower() for w in prot} if ic else set(prot)
     def f(ts):
-        return [(t, kw or (t.lower() if ic else t) in pset)
-                for t, kw in ts]
+        return [(t, kw or (t.lower() if ic else t) in pset, s, e)
+                for t, kw, s, e in ts]
     return f
 
 
@@ -412,13 +443,15 @@ def _tf_worddelimiter(spec):
     catenate = _bool(spec.get("catenateWords"), False)
     def f(ts: List[Token]) -> List[Token]:
         out = []
-        for t, kw in ts:
+        for t, kw, s, e in ts:
             parts = [p for p in _WD_SPLIT.split(t) if p]
             if preserve and parts != [t]:
-                out.append((t, kw))
-            out.extend((p, kw) for p in parts)
+                out.append((t, kw, s, e))
+            # sub-tokens keep the identifier-wide span (matches the
+            # repo's preanalyze.analyze_with_offsets convention)
+            out.extend((p, kw, s, e) for p in parts)
             if catenate and len(parts) > 1:
-                out.append(("".join(parts), kw))
+                out.append(("".join(parts), kw, s, e))
         return out
     return f
 
@@ -426,37 +459,38 @@ def _tf_worddelimiter(spec):
 def _tf_length(spec):
     lo = int(spec.get("min", 0))
     hi = int(spec.get("max", 1 << 30))
-    return lambda ts: [(t, kw) for t, kw in ts if lo <= len(t) <= hi]
+    return lambda ts: [tk for tk in ts if lo <= len(tk[0]) <= hi]
 
 
 def _tf_patternreplace(spec):
     rx = re.compile(spec["pattern"])
     repl = spec.get("replacement", "")
-    return lambda ts: [(rx.sub(repl, t), kw) for t, kw in ts]
+    return lambda ts: [(rx.sub(repl, t), kw, s, e)
+                       for t, kw, s, e in ts]
 
 
 def _tf_asciifolding(spec):
     def fold(t: str) -> str:
         return "".join(c for c in unicodedata.normalize("NFKD", t)
                        if not unicodedata.combining(c))
-    return lambda ts: [(fold(t), kw) for t, kw in ts]
+    return lambda ts: [(fold(t), kw, s, e) for t, kw, s, e in ts]
 
 
 def _tf_trim(spec):
-    return lambda ts: [(t.strip(), kw) for t, kw in ts]
+    return lambda ts: [(t.strip(), kw, s, e) for t, kw, s, e in ts]
 
 
 def _tf_truncate(spec):
     n = int(spec.get("prefixLength", 5))
-    return lambda ts: [(t[:n], kw) for t, kw in ts]
+    return lambda ts: [(t[:n], kw, s, e) for t, kw, s, e in ts]
 
 
 def _tf_removeduplicates(spec):
     def f(ts: List[Token]) -> List[Token]:
         out: List[Token] = []
-        for t, kw in ts:
-            if not out or out[-1][0] != t:
-                out.append((t, kw))
+        for tk in ts:
+            if not out or out[-1][0] != tk[0]:
+                out.append(tk)
         return out
     return f
 
@@ -466,9 +500,9 @@ def _tf_edgengram(spec):
     hi = int(spec.get("maxGramSize", 2))
     def f(ts: List[Token]) -> List[Token]:
         out = []
-        for t, kw in ts:
+        for t, kw, s, e in ts:
             for n in range(lo, min(hi, len(t)) + 1):
-                out.append((t[:n], kw))
+                out.append((t[:n], kw, s, e))
         return out
     return f
 
@@ -479,20 +513,22 @@ def _tf_shingle(spec):
     sep = spec.get("tokenSeparator", " ")
     unigrams = _bool(spec.get("outputUnigrams"), True)
     def f(ts: List[Token]) -> List[Token]:
-        words = [t for t, _ in ts]
+        words = [tk[0] for tk in ts]
         out: List[Token] = []
         for i in range(len(words)):
             if unigrams:
                 out.append(ts[i])
             for n in range(lo, hi + 1):
                 if i + n <= len(words):
-                    out.append((sep.join(words[i:i + n]), False))
+                    # shingle spans first token start .. last token end
+                    out.append((sep.join(words[i:i + n]), False,
+                                ts[i][2], ts[i + n - 1][3]))
         return out
     return f
 
 
 def _tf_drop_empty(spec):
-    return lambda ts: [(t, kw) for t, kw in ts if t]
+    return lambda ts: [tk for tk in ts if tk[0]]
 
 
 TOKEN_FILTERS = {"lowercase": _tf_lowercase,
@@ -519,13 +555,10 @@ TOKEN_FILTERS = {"lowercase": _tf_lowercase,
 # ------------------------------------------------------------ assembly
 
 
-def build_analyzer(config: dict) -> Callable[[str], List[str]]:
-    """Compile a declarative analyzer config into ``text -> tokens``.
-
-    Config shape (the dict analog of a schema.xml fieldType analyzer):
-    ``{"charFilters": [{"class": ...}, ...], "tokenizer": {"class":
-    ...}, "filters": [{"class": ...}, ...]}``.  Unknown component
-    classes raise (the reference fails schema load the same way)."""
+def _compile(config: dict):
+    """Shared chain compiler: (charFilters, tokenizer, tokenFilters).
+    Unknown component classes raise (the reference fails schema load
+    the same way)."""
     cfs = []
     for spec in config.get("charFilters", []):
         name = _norm(spec["class"])
@@ -544,15 +577,47 @@ def build_analyzer(config: dict) -> Callable[[str], List[str]]:
             raise ValueError(f"unknown filter {spec['class']!r}")
         tfs.append(TOKEN_FILTERS[name](spec))
     tfs.append(_tf_drop_empty({}))   # stemming/replace can empty a token
+    return cfs, tokenize, tfs
+
+
+def _run_chain(cfs, tokenize, tfs, text: str) -> List[Token]:
+    s = text
+    for cf in cfs:
+        s = cf(s)
+    ts: List[Token] = [(t, False, a, b) for t, a, b in tokenize(s)]
+    for tf in tfs:
+        ts = tf(ts)
+    return ts
+
+
+def build_analyzer(config: dict) -> Callable[[str], List[str]]:
+    """Compile a declarative analyzer config into ``text -> tokens``.
+
+    Config shape (the dict analog of a schema.xml fieldType analyzer):
+    ``{"charFilters": [{"class": ...}, ...], "tokenizer": {"class":
+    ...}, "filters": [{"class": ...}, ...]}``."""
+    cfs, tokenize, tfs = _compile(config)
 
     def analyze(text: str) -> List[str]:
-        s = text
-        for cf in cfs:
-            s = cf(s)
-        ts: List[Token] = [(t, False) for t in tokenize(s)]
-        for tf in tfs:
-            ts = tf(ts)
-        return [t for t, _ in ts]
+        return [tk[0] for tk in _run_chain(cfs, tokenize, tfs, text)]
+
+    return analyze
+
+
+def build_analyzer_with_offsets(config: dict
+                                ) -> Callable[[str], List[dict]]:
+    """Like :func:`build_analyzer` but emitting the pre-analyzed token
+    dicts ``{"t", "s", "e", "i"}`` the PreAnalyzeFields JSON format
+    wants (``tokenize/preanalyze.py``) — filters preserve each token's
+    source span (Lucene OffsetAttribute rule; derived tokens like
+    synonyms/word-delimiter parts inherit it, shingles span first to
+    last).  Offsets index the string the TOKENIZER saw: after char
+    filters, and after ``.lower()`` for the 'lowercase' tokenizer."""
+    cfs, tokenize, tfs = _compile(config)
+
+    def analyze(text: str) -> List[dict]:
+        return [{"t": t, "s": a, "e": b, "i": 1}
+                for t, _, a, b in _run_chain(cfs, tokenize, tfs, text)]
 
     return analyze
 

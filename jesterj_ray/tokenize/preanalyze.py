@@ -48,14 +48,37 @@ def analyze_with_offsets(text: str, tokenizer: str = "code") -> List[dict]:
     return out
 
 
+_OFFSET_ANALYZERS: dict = {}    # registered-config name -> compiled
+
+
 def pre_analyze_field(batch: pa.Table, *, field: str,
                       out_field: str = "", tokenizer: str = "code"
                       ) -> pa.Table:
-    """Emit the pre-analyzed JSON for each value of ``field``."""
+    """Emit the pre-analyzed JSON for each value of ``field``.
+
+    ``tokenizer``: 'simple'/'code' (frozen), or the name of a
+    schema-driven analyzer registered via
+    ``analyzer.register_analyzer`` — the reference's actual wiring
+    (PreAnalyzeFields consumes the schema-built Lucene analyzer);
+    offsets then follow the chain's OffsetAttribute rule
+    (:func:`..analyzer.build_analyzer_with_offsets`)."""
+    if tokenizer in ("simple", "code"):
+        analyze = lambda v: analyze_with_offsets(v, tokenizer)  # noqa: E731
+    else:
+        if tokenizer not in _OFFSET_ANALYZERS:
+            from .analyzer import (ANALYZER_CONFIGS,
+                                   build_analyzer_with_offsets)
+            if tokenizer not in ANALYZER_CONFIGS:
+                raise ValueError(
+                    f"unknown pre-analyze tokenizer {tokenizer!r}: "
+                    "not frozen and not a registered analyzer config")
+            _OFFSET_ANALYZERS[tokenizer] = build_analyzer_with_offsets(
+                ANALYZER_CONFIGS[tokenizer])
+        analyze = _OFFSET_ANALYZERS[tokenizer]
     vals = batch[field].to_pylist()
     payloads = []
     for v in vals:
-        toks = analyze_with_offsets(v or "", tokenizer)
+        toks = analyze(v or "")
         payloads.append(json.dumps({"v": "1", "str": v, "tokens": toks},
                                    ensure_ascii=False))
     return batch.append_column(out_field or f"{field}_preanalyzed",

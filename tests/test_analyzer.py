@@ -269,3 +269,62 @@ def test_index_end_to_end_with_registered_analyzer(ray_session,
     finally:
         TOKENIZERS.pop("en_stem_t1", None)
         ANALYZER_CONFIGS.pop("en_stem_t1", None)
+
+
+def test_offsets_chain():
+    """build_analyzer_with_offsets: tokenizer spans survive the filter
+    chain (OffsetAttribute rule); synonyms/shingles/possessive keep or
+    combine source spans; outputs match build_analyzer token-for-token."""
+    from jesterj_ray.tokenize.analyzer import build_analyzer_with_offsets
+    cfg = {"tokenizer": {"class": "standard"},
+           "filters": [{"class": "lowercase"},
+                       {"class": "englishPossessive"},
+                       {"class": "porterStem"}]}
+    text = "The Runner's ponies"
+    toks = build_analyzer_with_offsets(cfg)(text)
+    assert [t["t"] for t in toks] == \
+        build_analyzer(cfg)(text)
+    assert toks[0] == {"t": "the", "s": 0, "e": 3, "i": 1}
+    # "Runner's" spans 4..12 even after possessive-strip + stem
+    assert (toks[1]["t"], toks[1]["s"], toks[1]["e"]) == ("runner", 4, 12)
+    assert (toks[2]["t"], toks[2]["s"], toks[2]["e"]) == ("poni", 13, 19)
+    # shingles span first..last source token
+    cfg2 = {"tokenizer": {"class": "whitespace"},
+            "filters": [{"class": "shingle",
+                         "outputUnigrams": "false"}]}
+    sh = build_analyzer_with_offsets(cfg2)("aa bb cc")
+    assert [(t["t"], t["s"], t["e"]) for t in sh] == \
+        [("aa bb", 0, 5), ("bb cc", 3, 8)]
+    # synonym replacements inherit the source span
+    cfg3 = {"tokenizer": {"class": "whitespace"},
+            "filters": [{"class": "synonym",
+                         "synonyms": {"nyc": ["new", "york"]}}]}
+    sy = build_analyzer_with_offsets(cfg3)("in nyc")
+    assert [(t["t"], t["s"], t["e"]) for t in sy] == \
+        [("in", 0, 2), ("new", 3, 6), ("york", 3, 6)]
+
+
+def test_pre_analyze_with_registered_analyzer():
+    """pre_analyze_field consumes a registered schema-driven analyzer —
+    the reference's PreAnalyzeFields-over-schema wiring."""
+    import json as _json
+
+    from jesterj_ray.tokenize.preanalyze import pre_analyze_field
+    cfg = {"tokenizer": {"class": "standard"},
+           "filters": [{"class": "lowercase"},
+                       {"class": "stop", "words": ["the"]}]}
+    register_analyzer("pa_chain_t1", cfg)
+    try:
+        t = pa.table({"txt": pa.array(["The Cat sat"], pa.string())})
+        out = pre_analyze_field(t, field="txt", tokenizer="pa_chain_t1")
+        doc = _json.loads(out["txt_preanalyzed"][0].as_py())
+        assert doc["str"] == "The Cat sat"
+        assert [(x["t"], x["s"], x["e"]) for x in doc["tokens"]] == \
+            [("cat", 4, 7), ("sat", 8, 11)]
+        with pytest.raises(ValueError, match="unknown pre-analyze"):
+            pre_analyze_field(t, field="txt", tokenizer="nope_t9")
+    finally:
+        from jesterj_ray.tokenize.analyzer import ANALYZER_CONFIGS
+        from jesterj_ray.tokenize.tokenizer import TOKENIZERS
+        TOKENIZERS.pop("pa_chain_t1", None)
+        ANALYZER_CONFIGS.pop("pa_chain_t1", None)
