@@ -141,6 +141,25 @@ def _sha256_dedup(sf_dir: str):
 
 # ---------- text analysis ----------
 
+def _repetition_signals(sf_dir: str):
+    # Gopher-family duplicate-bigram fraction (repetition filter)
+    from jesterj_ray.stages.textstats import repetition_signals
+    out = _doc(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_signals, batch_format="pyarrow",
+        fn_kwargs={"field": "text"}).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _compression_ratio(sf_dir: str):
+    # rows-only: zlib has no SQL analog; pinned in pytest vs direct
+    # zlib recompute (tests/test_round4.py)
+    from jesterj_ray.stages.textstats import compression_ratio
+    out = _doc(sf_dir, ["doc_id", "text"]).map_batches(
+        compression_ratio, batch_format="pyarrow",
+        fn_kwargs={"field": "text"}).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _token_budget_mix(sf_dir: str):
     # data-mixing primitive: cap each lang at 2000 training tokens,
     # greedy fill in the frozen hash-rank order (crossing doc included)
@@ -726,6 +745,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_per_lang": _stratified_sample,
         "token_budget_mix_per_lang": _token_budget_mix,
         "bm25f_field_snippets": _bm25f_field_snippets,
+        "repetition_signals": _repetition_signals,
+        "compression_ratio": _compression_ratio,
         "simhash_pairs": _simhash_pairs,
         "lsh_embedding_near_dup": _lsh_embedding_near_dup,
         "knn_cosine_top10": _knn,
@@ -1380,6 +1401,29 @@ ORDER BY r.qid, r.rank
               FROM ids i, oy, ox)
             SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
             FROM pix GROUP BY doc_id ORDER BY doc_id""",
+        # engine: stages/textstats.repetition_signals — vectorized
+        # duplicate-bigram fraction (factorize + lexsort boundary
+        # counts); ratio rounds half-AWAY (floor(x*1e6+0.5)/1e6, the
+        # repo's rational-rounding rule) on both sides
+        "repetition_signals": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+            pos AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, length(tk) - 1)) AS i
+              FROM toks WHERE length(tk) > 1),
+            b AS (
+              SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg FROM pos),
+            agg AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     count(DISTINCT bg) AS n_distinct_bigrams
+              FROM b GROUP BY doc_id)
+            SELECT doc_id, n_bigrams, n_distinct_bigrams,
+                   floor((1 - n_distinct_bigrams * 1.0 / n_bigrams)
+                         * 1e6 + 0.5) / 1e6 AS dup_bigram_frac
+            FROM agg ORDER BY doc_id""",
         # engine: stages/sampling.mix_by_token_budget — greedy per-lang
         # token-budget fill in the frozen hash order; the window cumsum
         # carries the full (h, doc_id) tie-break (repo trap (e))

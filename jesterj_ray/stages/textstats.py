@@ -179,3 +179,88 @@ def fingerprint(batch: pa.Table, *, field: str,
         nonempty = np.flatnonzero(lens > 0)
         out[nonempty] = np.bitwise_xor.reduceat(mixed, doc_starts[nonempty])
     return batch.append_column(out_field, pa.array(out, pa.uint64()))
+
+
+def repetition_signals(batch: pa.Table, *, field: str,
+                       id_col: str = "doc_id") -> pa.Table:
+    """Gopher-family repetition signal: per-doc duplicate-BIGRAM
+    fraction (1 - distinct/total over adjacent token pairs) — a
+    standard pre-training quality filter (repeated boilerplate scores
+    high).  Docs with fewer than 2 tokens emit no row (mirrors the SQL
+    oracle's GROUP BY).
+
+    Vectorized end-to-end: one split kernel, token factorization,
+    bigram codes as int64 pairs, per-doc distinct counts via one
+    lexsort + boundary masks — no per-doc Python.
+
+    The fraction rounds with floor(x*1e6+0.5)/1e6: it is a
+    small-denominator RATIONAL, exactly the half-away-vs-half-even
+    class the repo rounding rule exists for (CLAUDE.md)."""
+    col = batch[field]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern_regex(pc.utf8_lower(col),
+                                   pattern="[^a-z0-9]+")
+    flat = pc.list_flatten(lists)
+    raw_lens = pc.list_value_length(lists).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n_docs = len(batch)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), raw_lens)[keep]
+    toks = flat.filter(pa.array(keep))
+    import pandas as _pd
+    codes = _pd.factorize(toks.to_numpy(zero_copy_only=False))[0] \
+        .astype(np.int64)
+    if codes.size:
+        same_doc = doc_of[1:] == doc_of[:-1]
+        v = int(codes.max()) + 1
+        bg_doc = doc_of[1:][same_doc]
+        bg = codes[:-1][same_doc] * v + codes[1:][same_doc]
+    else:
+        bg_doc = np.zeros(0, dtype=np.int64)
+        bg = np.zeros(0, dtype=np.int64)
+    if bg.size == 0:
+        return pa.table({
+            "doc_id": pa.array([], batch[id_col].type),
+            "n_bigrams": pa.array([], pa.int64()),
+            "n_distinct_bigrams": pa.array([], pa.int64()),
+            "dup_bigram_frac": pa.array([], pa.float64())})
+    order = np.lexsort((bg, bg_doc))
+    sd, sb = bg_doc[order], bg[order]
+    new_doc = np.empty(sd.size, dtype=bool)
+    new_doc[0] = True
+    np.not_equal(sd[1:], sd[:-1], out=new_doc[1:])
+    new_bg = new_doc | np.concatenate(
+        ([True], sb[1:] != sb[:-1]))
+    doc_ids_present = sd[new_doc]
+    seg = np.cumsum(new_doc) - 1
+    total = np.bincount(seg)
+    distinct = np.bincount(seg, weights=new_bg).astype(np.int64)
+    frac = 1.0 - distinct / total
+    frac = np.floor(frac * 1e6 + 0.5) / 1e6
+    return pa.table({
+        "doc_id": batch[id_col].take(pa.array(doc_ids_present)),
+        "n_bigrams": pa.array(total, pa.int64()),
+        "n_distinct_bigrams": pa.array(distinct, pa.int64()),
+        "dup_bigram_frac": pa.array(frac, pa.float64())})
+
+
+def compression_ratio(batch: pa.Table, *, field: str,
+                      id_col: str = "doc_id") -> pa.Table:
+    """zlib compression ratio per doc (compressed/raw bytes, level 6) —
+    the CCNet/Gopher "too compressible = boilerplate, too random =
+    noise" quality signal.  Inherently per-item (zlib has no batch
+    kernel); rows-only query, pinned in pytest against direct zlib."""
+    import zlib
+    ratios, ids = [], []
+    for did, v in zip(batch[id_col].to_pylist(),
+                      batch[field].to_pylist()):
+        raw = (v or "").encode()
+        if not raw:
+            continue
+        ids.append(did)
+        r = len(zlib.compress(raw, 6)) / len(raw)
+        ratios.append(np.floor(r * 1e6 + 0.5) / 1e6)
+    return pa.table({
+        "doc_id": pa.array(ids, batch[id_col].type),
+        "compression_ratio": pa.array(ratios, pa.float64())})

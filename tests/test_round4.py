@@ -186,3 +186,38 @@ def test_image_decoder_dispatches_all_three_formats(ray_session):
     dec = ImageDecoder(out_size=8, fake=False)
     with pytest.raises(NotImplementedError):
         dec._decode_one(b"\xff\xd8\xffJPEGISH")
+
+
+def test_repetition_signals_reference():
+    """dup-bigram fraction vs a transparent per-doc reference."""
+    from jesterj_ray.stages.textstats import repetition_signals
+    from jesterj_ray.tokenize.tokenizer import simple_tokenize
+    texts = ["a b a b a", "x y z", "", "solo", "t t t t t t",
+             "one two one two three one two", "A A a-a! a?"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = repetition_signals(t, field="text").to_pandas()
+    rows = []
+    for did, txt in enumerate(texts):
+        tk = simple_tokenize(txt)
+        bgs = [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        if not bgs:
+            continue
+        frac = 1 - len(set(bgs)) / len(bgs)
+        rows.append((did, len(bgs), len(set(bgs)),
+                     np.floor(frac * 1e6 + 0.5) / 1e6))
+    assert list(map(tuple, got.itertuples(index=False))) == rows
+
+
+def test_compression_ratio_reference():
+    import zlib
+
+    from jesterj_ray.stages.textstats import compression_ratio
+    texts = ["hello hello hello hello", "x", "", "entropy? 8f3k1!"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = compression_ratio(t, field="text").to_pandas()
+    want = [(i, np.floor(len(zlib.compress(s.encode(), 6))
+                         / len(s.encode()) * 1e6 + 0.5) / 1e6)
+            for i, s in enumerate(texts) if s]
+    assert list(map(tuple, got.itertuples(index=False))) == want
