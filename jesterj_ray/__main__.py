@@ -122,16 +122,29 @@ def cmd_delta_index(args) -> int:
 
 
 def cmd_watch(args) -> int:
+    import os
+
     import ray
-    from jesterj_ray.index.build_rows import watch_and_reindex
     owned = _ray_init(args.num_cpus)
-    for stats in watch_and_reindex(args.pattern, args.out,
-                                   interval_s=args.interval,
-                                   max_cycles=args.cycles,
-                                   text_col=args.text_col,
-                                   key_col=args.key_col,
-                                   tokenizer=args.tokenizer,
-                                   docs_per_partition=args.docs_per_partition):
+    if getattr(args, "fields", None):
+        from jesterj_ray.index.bm25f import watch_and_reindex_fields
+        fields = [f.strip() for f in args.fields.split(",") if f.strip()]
+        dirs = {f: os.path.join(args.out, f) for f in fields}
+        gen = watch_and_reindex_fields(
+            args.pattern, dirs, change_col=args.change_col,
+            key_col=args.key_col, tokenizer=args.tokenizer,
+            interval_s=args.interval, max_cycles=args.cycles,
+            docs_per_partition=args.docs_per_partition,
+            compact_every=args.compact_every)
+    else:
+        from jesterj_ray.index.build_rows import watch_and_reindex
+        gen = watch_and_reindex(
+            args.pattern, args.out, interval_s=args.interval,
+            max_cycles=args.cycles, text_col=args.text_col,
+            key_col=args.key_col, tokenizer=args.tokenizer,
+            docs_per_partition=args.docs_per_partition,
+            compact_every=args.compact_every)
+    for stats in gen:
         print(json.dumps(stats), flush=True)
     _ray_done(owned)
     return 0
@@ -279,6 +292,16 @@ def main(argv=None) -> int:
                    choices=["simple", "code"])
     w.add_argument("--docs-per-partition", type=int, default=50_000)
     w.add_argument("--num-cpus", type=int, default=8)
+    # BM25F family mode: watch a whole field family as a unit
+    # (index/bm25f.watch_and_reindex_fields) — one dir per field under
+    # OUT, change detection over --change-col (the full-doc column)
+    w.add_argument("--fields", default=None, metavar="F1,F2",
+                   help="comma-separated field columns: watch a BM25F "
+                        "family (dirs OUT/<field>) instead of one index")
+    w.add_argument("--change-col", default="text",
+                   help="full-document column for family change "
+                        "detection (with --fields)")
+    w.add_argument("--compact-every", type=int, default=None)
 
     m = sub.add_parser("mark")
     m.add_argument("out")
