@@ -141,6 +141,13 @@ def _sha256_dedup(sf_dir: str):
 
 # ---------- text analysis ----------
 
+def _repeated_ngram_spans(sf_dir: str):
+    # windowed approximation of suffix-array substring dedup (Lee et
+    # al. 2022): 15-token runs shared by >= 2 docs
+    from jesterj_ray.stages.dedup import repeated_ngram_spans
+    return repeated_ngram_spans(sf_dir, span=15, min_docs=2)
+
+
 def _repetition_signals(sf_dir: str):
     # Gopher-family duplicate-bigram fraction (repetition filter)
     from jesterj_ray.stages.textstats import repetition_signals
@@ -747,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_field_snippets": _bm25f_field_snippets,
         "repetition_signals": _repetition_signals,
         "compression_ratio": _compression_ratio,
+        "repeated_ngram_spans": _repeated_ngram_spans,
         "simhash_pairs": _simhash_pairs,
         "lsh_embedding_near_dup": _lsh_embedding_near_dup,
         "knn_cosine_top10": _knn,
@@ -1401,6 +1409,26 @@ ORDER BY r.qid, r.rank
               FROM ids i, oy, ox)
             SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
             FROM pix GROUP BY doc_id ORDER BY doc_id""",
+        # engine: stages/dedup.repeated_ngram_spans — per-block gram
+        # partials (block-distinct doc counts sum exactly: one block
+        # per doc), Ray groupby-sum, HAVING filter
+        "repeated_ngram_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+            pos AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, length(tk) - 14)) AS i
+              FROM toks WHERE length(tk) >= 15),
+            w AS (
+              SELECT doc_id,
+                     array_to_string(tk[i : i + 14], ' ') AS gram
+              FROM pos)
+            SELECT gram, COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_occ
+            FROM w GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY gram""",
         # engine: stages/textstats.repetition_signals — vectorized
         # duplicate-bigram fraction (factorize + lexsort boundary
         # counts); ratio rounds half-AWAY (floor(x*1e6+0.5)/1e6, the

@@ -802,3 +802,71 @@ def verify_jaccard_pairs_ds(pairs: "ray.data.Dataset",
                          "jaccard": pa.array(jac, pa.float64())})
 
     return j.map_batches(compute, batch_format="pyarrow")
+
+
+def repeated_ngram_spans(sf_dir: str, span: int = 15,
+                         min_docs: int = 2,
+                         num_blocks: int = 8) -> "pd.DataFrame":
+    """Repeated long-token-run detection — the practical windowed-hash
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    ``span``-token window that appears in >= ``min_docs`` distinct
+    documents, with its document and occurrence counts.  Downstream a
+    training pipeline masks or drops these spans (boilerplate,
+    licenses, templated text).
+
+    Distributed shape (the top_terms pre-aggregate idiom): each block
+    emits per-gram PARTIALS — occurrence count plus block-distinct doc
+    count, which sum to the global distinct count because every doc
+    lives in exactly one block — then one Ray groupby-sum over grams
+    and a vectorized filter.  Gram STRINGS are materialized here for
+    SQL-oracle parity; the 100-TB path exchanges 8-byte rolling hashes
+    instead and only re-reads text for the survivors."""
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..tokenize.tokenizer import simple_tokenize
+
+    def partials(t: pa.Table) -> pa.Table:
+        grams: List[str] = []
+        docs: List[int] = []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            tk = simple_tokenize(txt or "")
+            for i in range(len(tk) - span + 1):
+                grams.append(" ".join(tk[i:i + span]))
+                docs.append(did)
+        if not grams:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "occ_part": pa.array([], pa.int64()),
+                             "docs_part": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(np.asarray(grams, dtype=object),
+                                   sort=False)
+        occ = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        # block-local doc ranks keep the (gram, doc) dedup key inside
+        # int64 for ANY doc_id domain
+        dcodes, duniq = pd.factorize(np.asarray(docs, dtype=np.int64),
+                                     sort=False)
+        pair = np.unique(codes.astype(np.int64) * len(duniq)
+                         + dcodes.astype(np.int64))
+        ndocs = np.bincount(pair // len(duniq),
+                            minlength=len(uniq)).astype(np.int64)
+        return pa.table({"gram": pa.array(np.asarray(uniq, object),
+                                          pa.string()),
+                         "occ_part": pa.array(occ, pa.int64()),
+                         "docs_part": pa.array(ndocs, pa.int64())})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"],
+                         override_num_blocks=num_blocks)
+    tot = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("occ_part", alias_name="n_occ"),
+                                   Sum("docs_part",
+                                       alias_name="n_docs")) \
+        .to_pandas()
+    out = tot[tot["n_docs"] >= min_docs][["gram", "n_docs", "n_occ"]]
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_occ"] = out["n_occ"].astype(np.int64)
+    return out.sort_values("gram").reset_index(drop=True)

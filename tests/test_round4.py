@@ -221,3 +221,16 @@ def test_compression_ratio_reference():
                          / len(s.encode()) * 1e6 + 0.5) / 1e6)
             for i, s in enumerate(texts) if s]
     assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+def test_repeated_ngram_spans_layout_invariant(ray_session):
+    """Block-distinct doc partials sum to the exact global distinct
+    count at any block layout (each doc lives in exactly one block)."""
+    from jesterj_ray.stages.dedup import repeated_ngram_spans
+    sf = "/root/testdata/sf0.001"
+    base = repeated_ngram_spans(sf, span=10, num_blocks=1)
+    for nb in (3, 8):
+        got = repeated_ngram_spans(sf, span=10, num_blocks=nb)
+        assert got.equals(base), nb
+    assert (base["n_docs"] >= 2).all()
+    assert (base["n_occ"] >= base["n_docs"]).all()
