@@ -174,6 +174,11 @@ def _token_budget_mix(sf_dir: str):
     return mix_by_token_budget(sf_dir, budget=2000)
 
 
+def _bm25f_title_phrase(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import bm25f_title_phrase
+    return bm25f_title_phrase(sf_dir, "key vector", 10)
+
+
 def _bm25f_field_snippets(sf_dir: str):
     from jesterj_ray.pipelines.flagship import bm25f_field_snippets
     return bm25f_field_snippets(sf_dir, "merge", 2)
@@ -755,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": _repetition_signals,
         "compression_ratio": _compression_ratio,
         "repeated_ngram_spans": _repeated_ngram_spans,
+        "bm25f_title_phrase": _bm25f_title_phrase,
         "simhash_pairs": _simhash_pairs,
         "lsh_embedding_near_dup": _lsh_embedding_near_dup,
         "knn_cosine_top10": _knn,
@@ -1701,6 +1707,46 @@ ORDER BY r.qid, r.rank""",
             FROM documents d JOIN matched USING (doc_id)
             GROUP BY d.lang ORDER BY d.lang""",
         "bm25_topk_exhaustive": _bm25_sql(),
+        # engine: flagship.bm25f_title_phrase — phrase span constrained
+        # to the title band (positions 0..7) via the positional-key
+        # filter; BM25 scoring identical to phrase_topk
+        "bm25f_title_phrase": f"""
+WITH dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tl AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+matched AS (
+  SELECT DISTINCT tl.doc_id
+  FROM tl, unnest(generate_series(1, 7)) AS s(i)
+  WHERE length(tk) > i AND tk[i] = 'key' AND tk[i + 1] = 'vector'
+),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT t.term, t.doc_id, count(*) AS tf FROM toks t
+  WHERE t.term IN ('key', 'vector') GROUP BY t.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ('key', 'vector') GROUP BY term
+),
+scores AS (
+  SELECT m.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM matched m
+  JOIN tf ON tf.doc_id = m.doc_id
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
         "phrase_topk": f"""
 WITH dl AS (
   SELECT doc_id, length({_TOKS}) AS dl FROM documents

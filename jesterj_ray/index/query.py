@@ -412,15 +412,21 @@ class IndexReader:
             flat = seg_prefix - np.repeat(prev, tfs)
         return docs, tfs, flat, starts
 
-    def phrase_topk(self, query: str, k: int = 10):
+    def phrase_topk(self, query: str, k: int = 10,
+                    pos_range: Optional[Tuple[int, int]] = None):
         """Exact-phrase top-k: docs containing the query tokens as a
         CONSECUTIVE sequence, ranked by standard BM25 over the phrase's
         distinct terms (ascending doc_id ties).  Single-token phrases
-        reduce to topk()."""
+        reduce to topk().
+
+        ``pos_range=(lo, hi)``: accept only matches whose whole span
+        lies in token positions [lo, hi) — the field-scoped phrase for
+        derived-band fields (BM25F title = positions < N; body =
+        positions >= N), costing one vectorized key filter."""
         terms = self.tokenizer(query)
         if not terms:
             return []
-        if len(terms) == 1:
+        if len(terms) == 1 and pos_range is None:
             return self.topk(query, k)
         per_term = []
         for t in terms:
@@ -448,6 +454,14 @@ class IndexReader:
                 keys = term_keys
             else:
                 keys = keys[np.isin(keys, term_keys, assume_unique=True)]
+            if keys.size == 0:
+                return []
+        if pos_range is not None:
+            # every term's key for a match at start p encodes p + L, so
+            # the span filter is one arithmetic mask on the common keys
+            start = keys % M - L
+            keys = keys[(start >= pos_range[0])
+                        & (start + L <= pos_range[1])]
             if keys.size == 0:
                 return []
         matched_set = cand[np.unique(keys // M)]

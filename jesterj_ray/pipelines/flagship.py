@@ -217,6 +217,28 @@ def snippets_documents(sf_dir: str, term: str = "merge",
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def bm25f_title_phrase(sf_dir: str, phrase: str = "key vector",
+                       k: int = 10) -> pd.DataFrame:
+    """Field-scoped exact phrase (Solr ``title:"..."`` analog): the
+    phrase must lie entirely inside the TITLE band (first
+    ``BM25F_TITLE_TOKENS`` positions) — one vectorized key filter on
+    the full-text positional phrase machinery
+    (``IndexReader.phrase_topk(pos_range=...)``), no per-field
+    positional index.  Scores are standard full-text BM25 over the
+    phrase's distinct terms (same contract as ``phrase_topk``)."""
+    idx = documents_index_pos(sf_dir)
+    reader = IndexReader(idx)
+    hits = reader.phrase_topk(phrase, k,
+                              pos_range=(0, BM25F_TITLE_TOKENS))
+    ids = np.array([h[0] for h in hits], dtype=np.int64)
+    keys = reader.doc_keys(ids)
+    return pd.DataFrame({
+        "rank": pd.Series(np.arange(1, len(hits) + 1), dtype=np.int64),
+        "doc_id": pd.Series([int(x) for x in keys], dtype=np.int64),
+        "score": pd.Series([round(s, 6) for _, s in hits],
+                           dtype=np.float64)})
+
+
 def bm25f_field_snippets(sf_dir: str, term: str = "merge",
                          width: int = 2) -> pd.DataFrame:
     """Field-aware highlighting for the BM25F family (Solr highlights

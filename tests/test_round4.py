@@ -234,3 +234,43 @@ def test_repeated_ngram_spans_layout_invariant(ray_session):
         assert got.equals(base), nb
     assert (base["n_docs"] >= 2).all()
     assert (base["n_occ"] >= base["n_docs"]).all()
+
+
+def test_phrase_pos_range(ray_session, tmp_path):
+    """phrase_topk(pos_range=...): the whole span must fit the window —
+    band-edge matches included/excluded exactly; single-token phrases
+    take the positional path when scoped."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from jesterj_ray.index.build_rows import build_index_rows
+    from jesterj_ray.index.query import IndexReader
+    df = pd.DataFrame({
+        "rid": np.arange(4, dtype=np.int64),
+        "text": ["alpha beta w1 w2 w3 w4 w5 w6 body stuff",  # start 0
+                 "w0 w1 w2 w3 w4 w5 alpha beta tail",        # start 6
+                 "w0 w1 w2 w3 w4 w5 w6 alpha beta",          # start 7
+                 "x alpha y beta z"]})                       # no phrase
+    src = str(tmp_path / "p.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+    out = str(tmp_path / "pidx")
+    build_index_rows(src, out, text_col="text", key_col="rid",
+                     tokenizer="simple", docs_per_partition=4,
+                     num_shards=2, positions=True)
+    r = IndexReader(out)
+
+    def ids(hits):
+        return sorted(int(k) for k in r.doc_keys(
+            np.array([h[0] for h in hits], dtype=np.int64)))
+
+    assert ids(r.phrase_topk("alpha beta", 10)) == [0, 1, 2]
+    # title band [0, 8): doc 2's phrase (start 7, end 9) sticks out
+    assert ids(r.phrase_topk("alpha beta", 10,
+                             pos_range=(0, 8))) == [0, 1]
+    # body band [8, inf): none start at >= 8
+    assert ids(r.phrase_topk("alpha beta", 10,
+                             pos_range=(8, 1 << 30))) == []
+    # single token scoped: 'beta' at pos 1, 7, 8, 3
+    assert ids(r.phrase_topk("beta", 10, pos_range=(0, 8))) == [0, 1, 3]
+    assert ids(r.phrase_topk("beta", 10,
+                             pos_range=(8, 1 << 30))) == [2]
