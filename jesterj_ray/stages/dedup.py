@@ -804,40 +804,132 @@ def verify_jaccard_pairs_ds(pairs: "ray.data.Dataset",
     return j.map_batches(compute, batch_format="pyarrow")
 
 
+def _window_hashes(texts, docs, span: int):
+    """Vectorized u64 rolling hash per span-token window over a batch:
+    token blake2b hashes (cached per unique token) combined with
+    per-offset odd multipliers on ONE flat array, doc-boundary windows
+    masked out.  Returns (window_hash u64, doc_id) aligned arrays."""
+    toks_per_doc = [t for t in texts]
+    lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
+                       count=len(toks_per_doc))
+    flat = [tok for doc in toks_per_doc for tok in doc]
+    if not flat:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64))
+    th = _token_hashes(flat)
+    mix = (np.arange(1, span + 1, dtype=np.uint64)
+           * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    m = th.size
+    if m < span:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64))
+    h = th[: m - span + 1] * mix[0]
+    for j in range(1, span):
+        h = h ^ (th[j: m - span + 1 + j] * mix[j])
+    # a window starting at flat position i is valid iff it does not
+    # cross its doc's end
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    doc_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    pos_in_doc = np.arange(m, dtype=np.int64) - starts[doc_of]
+    valid = (pos_in_doc + span <= lens[doc_of])[: m - span + 1]
+    dids = np.asarray(docs, dtype=np.int64)[doc_of[: m - span + 1]]
+    return h[valid], dids[valid]
+
+
 def repeated_ngram_spans(sf_dir: str, span: int = 15,
                          min_docs: int = 2,
                          num_blocks: int = 8) -> "pd.DataFrame":
     """Repeated long-token-run detection — the practical windowed-hash
-    approximation of suffix-array substring dedup (Lee et al. 2022,
+    form of suffix-array substring dedup (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): every
     ``span``-token window that appears in >= ``min_docs`` distinct
     documents, with its document and occurrence counts.  Downstream a
     training pipeline masks or drops these spans (boilerplate,
     licenses, templated text).
 
-    Distributed shape (the top_terms pre-aggregate idiom): each block
-    emits per-gram PARTIALS — occurrence count plus block-distinct doc
-    count, which sum to the global distinct count because every doc
-    lives in exactly one block — then one Ray groupby-sum over grams
-    and a vectorized filter.  Gram STRINGS are materialized here for
-    SQL-oracle parity; the 100-TB path exchanges 8-byte rolling hashes
-    instead and only re-reads text for the survivors."""
+    Two passes, EXACT at any scale:
+
+    1. hash pre-filter — blocks emit per-WINDOW-HASH partials
+       (occurrence + block-distinct doc counts; block-distinct sums to
+       global distinct because each doc lives in one block), one Ray
+       groupby-sum, survivors = hashes with >= min_docs docs.  The
+       exchange is 8-byte hashes, never gram text.
+    2. string resolve — survivor hashes broadcast once (``ray.put``);
+       blocks re-scan and materialize gram STRINGS only for matching
+       windows (true repeats + the rare hash collision), then the same
+       groupby-sum keyed on the string with the final >= min_docs
+       filter.  Grouping pass 2 by the STRING makes collisions
+       harmless: colliding non-repeated grams simply fail the final
+       filter, so the result is exact, not approximate.
+
+    Window hashing is the vectorized flat-array kernel the minhash
+    shingler uses — no per-window Python in pass 1."""
     import os
 
+    import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     from ..tokenize.tokenizer import simple_tokenize
 
-    def partials(t: pa.Table) -> pa.Table:
+    def hash_partials(t: pa.Table) -> pa.Table:
+        toks = [simple_tokenize(x or "") for x in t["text"].to_pylist()]
+        h, dids = _window_hashes(toks, t["doc_id"].to_pylist(), span)
+        if h.size == 0:
+            return pa.table({"wh": pa.array([], pa.uint64()),
+                             "occ_part": pa.array([], pa.int64()),
+                             "docs_part": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(h, sort=False)
+        occ = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        dcodes, duniq = pd.factorize(dids, sort=False)
+        pair = np.unique(codes.astype(np.int64) * len(duniq) + dcodes)
+        ndocs = np.bincount(pair // len(duniq),
+                            minlength=len(uniq)).astype(np.int64)
+        return pa.table({"wh": pa.array(uniq.astype(np.uint64),
+                                        pa.uint64()),
+                         "occ_part": pa.array(occ, pa.int64()),
+                         "docs_part": pa.array(ndocs, pa.int64())})
+
+    def read():
+        return rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"], override_num_blocks=num_blocks)
+
+    agg = (Sum("occ_part", alias_name="n_occ"),
+           Sum("docs_part", alias_name="n_docs"))
+    cand = read().map_batches(hash_partials, batch_format="pyarrow") \
+        .groupby("wh").aggregate(*agg).to_pandas()
+    cand = cand[cand["n_docs"] >= min_docs]
+    empty = pd.DataFrame({"gram": pd.Series([], dtype=object),
+                          "n_docs": pd.Series([], dtype=np.int64),
+                          "n_occ": pd.Series([], dtype=np.int64)})
+    if cand.empty:
+        return empty
+    surv_ref = ray.put(np.sort(cand["wh"].to_numpy()
+                               .astype(np.uint64)))
+
+    def string_partials(t: pa.Table) -> pa.Table:
+        surv = ray.get(surv_ref)
+        toks = [simple_tokenize(x or "") for x in t["text"].to_pylist()]
+        h, dids = _window_hashes(toks, t["doc_id"].to_pylist(), span)
+        hit = np.zeros(h.size, dtype=bool)
+        if h.size:
+            pos = np.searchsorted(surv, h)
+            inb = pos < surv.size
+            hit[inb] = surv[pos[inb]] == h[inb]
         grams: List[str] = []
         docs: List[int] = []
-        for did, txt in zip(t["doc_id"].to_pylist(),
-                            t["text"].to_pylist()):
-            tk = simple_tokenize(txt or "")
-            for i in range(len(tk) - span + 1):
-                grams.append(" ".join(tk[i:i + span]))
-                docs.append(did)
+        if hit.any():
+            # walk only the SURVIVING windows (true repeats; the rare
+            # collision is filtered by the string groupby below)
+            lens = np.fromiter((len(x) for x in toks), dtype=np.int64,
+                               count=len(toks))
+            n_win = np.maximum(lens - span + 1, 0)
+            bounds = np.cumsum(n_win)
+            for w in np.flatnonzero(hit):
+                d = int(np.searchsorted(bounds, w, side="right"))
+                i = int(w - (bounds[d] - n_win[d]))
+                grams.append(" ".join(toks[d][i:i + span]))
+                docs.append(int(t["doc_id"][d].as_py()))
         if not grams:
             return pa.table({"gram": pa.array([], pa.string()),
                              "occ_part": pa.array([], pa.int64()),
@@ -845,12 +937,9 @@ def repeated_ngram_spans(sf_dir: str, span: int = 15,
         codes, uniq = pd.factorize(np.asarray(grams, dtype=object),
                                    sort=False)
         occ = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
-        # block-local doc ranks keep the (gram, doc) dedup key inside
-        # int64 for ANY doc_id domain
         dcodes, duniq = pd.factorize(np.asarray(docs, dtype=np.int64),
                                      sort=False)
-        pair = np.unique(codes.astype(np.int64) * len(duniq)
-                         + dcodes.astype(np.int64))
+        pair = np.unique(codes.astype(np.int64) * len(duniq) + dcodes)
         ndocs = np.bincount(pair // len(duniq),
                             minlength=len(uniq)).astype(np.int64)
         return pa.table({"gram": pa.array(np.asarray(uniq, object),
@@ -858,15 +947,11 @@ def repeated_ngram_spans(sf_dir: str, span: int = 15,
                          "occ_part": pa.array(occ, pa.int64()),
                          "docs_part": pa.array(ndocs, pa.int64())})
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"],
-                         override_num_blocks=num_blocks)
-    tot = ds.map_batches(partials, batch_format="pyarrow") \
-        .groupby("gram").aggregate(Sum("occ_part", alias_name="n_occ"),
-                                   Sum("docs_part",
-                                       alias_name="n_docs")) \
-        .to_pandas()
+    tot = read().map_batches(string_partials, batch_format="pyarrow") \
+        .groupby("gram").aggregate(*agg).to_pandas()
     out = tot[tot["n_docs"] >= min_docs][["gram", "n_docs", "n_occ"]]
+    if out.empty:
+        return empty
     out["n_docs"] = out["n_docs"].astype(np.int64)
     out["n_occ"] = out["n_occ"].astype(np.int64)
     return out.sort_values("gram").reset_index(drop=True)
