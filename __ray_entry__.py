@@ -174,6 +174,16 @@ def _token_budget_mix(sf_dir: str):
     return mix_by_token_budget(sf_dir, budget=2000)
 
 
+WEIGHTED_MIX_BUDGETS = {"en": 3000, "de": 1200, "es": 2000,
+                        "fr": 800, "zh": 1500}
+
+
+def _weighted_token_mix(sf_dir: str):
+    # weighted data-mixing recipe: per-lang token budgets
+    from jesterj_ray.stages.sampling import mix_by_token_budget
+    return mix_by_token_budget(sf_dir, budget=WEIGHTED_MIX_BUDGETS)
+
+
 def _bm25f_title_phrase(sf_dir: str):
     from jesterj_ray.pipelines.flagship import bm25f_title_phrase
     return bm25f_title_phrase(sf_dir, "key vector", 10)
@@ -761,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _compression_ratio,
         "repeated_ngram_spans": _repeated_ngram_spans,
         "bm25f_title_phrase": _bm25f_title_phrase,
+        "weighted_token_mix_per_lang": _weighted_token_mix,
         "simhash_pairs": _simhash_pairs,
         "lsh_embedding_near_dup": _lsh_embedding_near_dup,
         "knn_cosine_top10": _knn,
@@ -1481,6 +1492,31 @@ ORDER BY r.qid, r.rank
               FROM t)
             SELECT lang, rank, doc_id, n_tok, cum_tokens FROM w
             WHERE cum_tokens - n_tok < 2000 ORDER BY lang, rank""",
+        # engine: stages/sampling.mix_by_token_budget with per-lang
+        # budget dict (weighted training recipe); CASE mirrors the dict
+        "weighted_token_mix_per_lang": """
+            WITH t AS (
+              SELECT lang, doc_id,
+                     CAST(length(regexp_extract_all(lower(text),
+                                                    '[a-z0-9]+'))
+                          AS BIGINT) AS n_tok,
+                     ((doc_id % 1000003) * 2654435761
+                      + doc_id % 1000000007) % 1000000007 AS h,
+                     CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1200
+                               WHEN 'es' THEN 2000 WHEN 'fr' THEN 800
+                               WHEN 'zh' THEN 1500 ELSE 0 END AS b
+              FROM documents),
+            w AS (
+              SELECT lang, doc_id, n_tok, b,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY h, doc_id) AS rank,
+                     CAST(SUM(n_tok) OVER (PARTITION BY lang
+                                           ORDER BY h, doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum_tokens
+              FROM t)
+            SELECT lang, rank, doc_id, n_tok, cum_tokens FROM w
+            WHERE cum_tokens - n_tok < b ORDER BY lang, rank""",
         # engine: pipelines/flagship.bm25f_field_snippets — field-aware
         # highlighting from the FULL-TEXT positional index (field
         # positions by band arithmetic: title = first 8 tokens); window

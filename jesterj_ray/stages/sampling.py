@@ -65,7 +65,8 @@ def _block_topk(t: pa.Table, *, group_col: str, id_col: str,
 
 
 def _block_budget_prune(t: pa.Table, *, group_col: str, id_col: str,
-                        text_col: str, budget: int) -> pa.Table:
+                        text_col: str, budget,
+                        default_budget: int = 0) -> pa.Table:
     """Keep rows that could still be within the group's token budget:
     a doc whose IN-BLOCK predecessors (hash order) already hold
     ``budget`` tokens is out globally too (global cum-before >=
@@ -82,7 +83,9 @@ def _block_budget_prune(t: pa.Table, *, group_col: str, id_col: str,
             "n_tok": pa.array([], pa.int64()),
             "h": pa.array([], pa.int64())})
     h = mix_rank(ids)
-    codes, _ = pd.factorize(t[group_col].to_numpy(zero_copy_only=False))
+    codes_arr, uniq_groups = pd.factorize(
+        t[group_col].to_numpy(zero_copy_only=False))
+    codes = codes_arr
     order = np.lexsort((ids, h, codes))
     gsort = codes[order]
     csum = np.cumsum(n_tok[order])
@@ -93,7 +96,15 @@ def _block_budget_prune(t: pa.Table, *, group_col: str, id_col: str,
     base = np.repeat(csum[starts] - n_tok[order][starts],
                      np.diff(np.append(starts, gsort.size)))
     cum_before = csum - n_tok[order] - base
-    keep = np.sort(order[cum_before < budget])
+    # per-group budgets (weighted mixing): dict group -> budget, int
+    # for uniform; unknown groups use default_budget (0 = exclude)
+    if isinstance(budget, dict):
+        per_group = np.array([budget.get(g, default_budget)
+                              for g in uniq_groups], dtype=np.int64)
+        row_budget = per_group[gsort]
+    else:
+        row_budget = np.int64(budget)
+    keep = np.sort(order[cum_before < row_budget])
     sel = pa.array(keep)
     return pa.table({group_col: t[group_col].take(sel),
                      id_col: t[id_col].take(sel),
@@ -109,10 +120,12 @@ def mix_by_token_budget(sf_dir: str, *, budget: int = 2000,
     """Greedy token-budget fill per group — the data-MIXING primitive
     (cap each language/source at N training tokens, deterministically):
     docs enter in the frozen hash-rank order until the tokens BEFORE a
-    doc reach the budget (the crossing doc is included).  Emits (group,
-    rank, id, n_tok, cum_tokens); the driver fold sees at most
-    ~budget-bounded candidates per group per block (see
-    :func:`_block_budget_prune`)."""
+    doc reach the budget (the crossing doc is included).  ``budget``
+    may be a dict {group: tokens} for WEIGHTED mixes (the per-source
+    sampling weights of a training recipe; groups absent from the dict
+    get 0 = excluded).  Emits (group, rank, id, n_tok, cum_tokens);
+    the driver fold sees at most ~budget-bounded candidates per group
+    per block (see :func:`_block_budget_prune`)."""
     import ray.data as rd
     ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
                          columns=[group_col, id_col, text_col],
@@ -132,7 +145,12 @@ def mix_by_token_budget(sf_dir: str, *, budget: int = 2000,
     g = cand.groupby(group_col, sort=False)
     cand["cum_tokens"] = g["n_tok"].cumsum()
     cand["rank"] = g.cumcount() + 1
-    out = cand[cand["cum_tokens"] - cand["n_tok"] < budget]
+    if isinstance(budget, dict):
+        row_b = cand[group_col].map(
+            lambda x: budget.get(x, 0)).to_numpy(dtype=np.int64)
+    else:
+        row_b = budget
+    out = cand[cand["cum_tokens"] - cand["n_tok"] < row_b]
     out = out[[group_col, "rank", id_col, "n_tok", "cum_tokens"]].copy()
     for c in ("rank", "n_tok", "cum_tokens"):
         out[c] = out[c].astype(np.int64)
