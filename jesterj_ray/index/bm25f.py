@@ -285,8 +285,14 @@ def watch_and_reindex_fields(pattern: str, field_dirs: Dict[str, str], *,
         kw = dict(key_col=key_col, tokenizer=tokenizer,
                   docs_per_partition=docs_per_partition,
                   num_shards=num_shards)
-        first_dir = field_dirs[sorted(field_dirs)[0]]
-        if not Manifest(first_dir, "build").completed_partitions():
+        # base path whenever ANY field is incomplete: a crash mid-way
+        # through the first cycle's per-field builds must resume the
+        # missing fields (build_index_rows resume=True), not take the
+        # delta path and wedge on a permanently diverged family
+        all_complete = all(
+            Manifest(d, "build").completed_partitions()
+            for d in field_dirs.values())
+        if not all_complete:
             per = {f: build_index_rows(paths, d, text_col=f,
                                        change_col=change_col, **kw)
                    for f, d in sorted(field_dirs.items())}
@@ -302,6 +308,13 @@ def watch_and_reindex_fields(pattern: str, field_dirs: Dict[str, str], *,
                 stats["compaction"] = {
                     f: compact_index(d)
                     for f, d in sorted(field_dirs.items())}
+                # FTI history TTL, same as the single-index loop
+                # (build_rows.watch_and_reindex): an eternal family
+                # loop's status history stays time-bounded
+                stats["history_expired"] = sum(
+                    Manifest(d, stage).expire_history()
+                    for d in field_dirs.values()
+                    for stage in ("build", "merge"))
         if on_publish is not None:
             on_publish(stats)
         yield stats

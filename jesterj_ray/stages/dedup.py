@@ -115,6 +115,15 @@ def _token_hashes(tokens: List[str]) -> np.ndarray:
     return uh[codes]
 
 
+def _shingle_mix(k: int) -> np.ndarray:
+    """Per-offset odd multipliers for order-sensitive shingle/window
+    hashing — ONE definition shared by the minhash shingler and
+    repeated-span window hashes (divergence would silently split the
+    two kernels' hash spaces)."""
+    return (np.arange(1, k + 1, dtype=np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+
+
 def _batch_signatures(texts: List[str], k: int) -> np.ndarray:
     """Vectorized minhash for a whole batch: shingle hashes are combined
     from consecutive token hashes on ONE flat array (boundary-masked), and
@@ -128,8 +137,7 @@ def _batch_signatures(texts: List[str], k: int) -> np.ndarray:
         return sigs
     th = _token_hashes(flat_tokens)
     # shingle hash over k consecutive token hashes (order-sensitive mix)
-    mix = np.array([(0x9E3779B97F4A7C15 * (i + 1) | 1) & 0xFFFFFFFFFFFFFFFF
-                    for i in range(k)], dtype=np.uint64)
+    mix = _shingle_mix(k)
     m = th.size
     if m >= k:
         sh = th[: m - k + 1] * mix[0]
@@ -816,8 +824,7 @@ def _window_hashes(texts, docs, span: int):
     if not flat:
         return (np.empty(0, np.uint64), np.empty(0, np.int64))
     th = _token_hashes(flat)
-    mix = (np.arange(1, span + 1, dtype=np.uint64)
-           * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    mix = _shingle_mix(span)
     m = th.size
     if m < span:
         return (np.empty(0, np.uint64), np.empty(0, np.int64))
@@ -921,6 +928,7 @@ def repeated_ngram_spans(sf_dir: str, span: int = 15,
         if hit.any():
             # walk only the SURVIVING windows (true repeats; the rare
             # collision is filtered by the string groupby below)
+            did_list = t["doc_id"].to_pylist()
             lens = np.fromiter((len(x) for x in toks), dtype=np.int64,
                                count=len(toks))
             n_win = np.maximum(lens - span + 1, 0)
@@ -929,7 +937,7 @@ def repeated_ngram_spans(sf_dir: str, span: int = 15,
                 d = int(np.searchsorted(bounds, w, side="right"))
                 i = int(w - (bounds[d] - n_win[d]))
                 grams.append(" ".join(toks[d][i:i + span]))
-                docs.append(int(t["doc_id"][d].as_py()))
+                docs.append(int(did_list[d]))
         if not grams:
             return pa.table({"gram": pa.array([], pa.string()),
                              "occ_part": pa.array([], pa.int64()),

@@ -65,8 +65,7 @@ def _block_topk(t: pa.Table, *, group_col: str, id_col: str,
 
 
 def _block_budget_prune(t: pa.Table, *, group_col: str, id_col: str,
-                        text_col: str, budget,
-                        default_budget: int = 0) -> pa.Table:
+                        text_col: str, budget) -> pa.Table:
     """Keep rows that could still be within the group's token budget:
     a doc whose IN-BLOCK predecessors (hash order) already hold
     ``budget`` tokens is out globally too (global cum-before >=
@@ -97,9 +96,10 @@ def _block_budget_prune(t: pa.Table, *, group_col: str, id_col: str,
                      np.diff(np.append(starts, gsort.size)))
     cum_before = csum - n_tok[order] - base
     # per-group budgets (weighted mixing): dict group -> budget, int
-    # for uniform; unknown groups use default_budget (0 = exclude)
+    # for uniform; unknown groups get 0 = excluded (the driver fold
+    # applies the same rule — keep them in lockstep)
     if isinstance(budget, dict):
-        per_group = np.array([budget.get(g, default_budget)
+        per_group = np.array([budget.get(g, 0)
                               for g in uniq_groups], dtype=np.int64)
         row_budget = per_group[gsort]
     else:

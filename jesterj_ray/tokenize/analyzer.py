@@ -622,6 +622,28 @@ def build_analyzer_with_offsets(config: dict
     return analyze
 
 
+def build_preanalyzer(config: dict):
+    """PreAnalyzeFields variant: ``text -> (analyzed_text, tokens)``
+    where ``analyzed_text`` is the POST-charFilter string the offsets
+    index — the pre-analyzed JSON stores THAT string so ``str[s:e]``
+    always lands on the token (Lucene maps offsets back to source via
+    correctOffset(); storing the filtered text is the exact-by-
+    construction alternative here)."""
+    cfs, tokenize, tfs = _compile(config)
+
+    def analyze(text: str):
+        s = text
+        for cf in cfs:
+            s = cf(s)
+        ts: List[Token] = [(t, False, a, b) for t, a, b in tokenize(s)]
+        for tf in tfs:
+            ts = tf(ts)
+        return s, [{"t": t, "s": a, "e": b, "i": 1}
+                   for t, _, a, b in ts]
+
+    return analyze
+
+
 # ------------------------------------------------------ schema.xml load
 
 

@@ -48,38 +48,48 @@ def analyze_with_offsets(text: str, tokenizer: str = "code") -> List[dict]:
     return out
 
 
-_OFFSET_ANALYZERS: dict = {}    # registered-config name -> compiled
+_OFFSET_ANALYZERS: dict = {}    # serialized CONFIG -> compiled (so a
+#                                 re-registered name never serves stale)
 
 
 def pre_analyze_field(batch: pa.Table, *, field: str,
-                      out_field: str = "", tokenizer: str = "code"
+                      out_field: str = "", tokenizer="code"
                       ) -> pa.Table:
     """Emit the pre-analyzed JSON for each value of ``field``.
 
-    ``tokenizer``: 'simple'/'code' (frozen), or the name of a
-    schema-driven analyzer registered via
-    ``analyzer.register_analyzer`` — the reference's actual wiring
-    (PreAnalyzeFields consumes the schema-built Lucene analyzer);
-    offsets then follow the chain's OffsetAttribute rule
-    (:func:`..analyzer.build_analyzer_with_offsets`)."""
+    ``tokenizer``: 'simple'/'code' (frozen), a CONFIG DICT (the
+    schema-driven analyzer — pass the dict in ``fn_kwargs`` so it
+    travels to Ray workers, which do NOT share the driver's
+    registration globals), or a registered analyzer NAME
+    (driver-local convenience).  Config chains store the
+    POST-charFilter text as ``str`` so the emitted offsets index the
+    stored string exactly (:func:`..analyzer.build_preanalyzer`) —
+    the reference's PreAnalyzeFields-consumes-the-schema-analyzer
+    wiring."""
     if tokenizer in ("simple", "code"):
-        analyze = lambda v: analyze_with_offsets(v, tokenizer)  # noqa: E731
+        def analyze(v):
+            return v, analyze_with_offsets(v, tokenizer)
     else:
-        if tokenizer not in _OFFSET_ANALYZERS:
-            from .analyzer import (ANALYZER_CONFIGS,
-                                   build_analyzer_with_offsets)
-            if tokenizer not in ANALYZER_CONFIGS:
-                raise ValueError(
-                    f"unknown pre-analyze tokenizer {tokenizer!r}: "
-                    "not frozen and not a registered analyzer config")
-            _OFFSET_ANALYZERS[tokenizer] = build_analyzer_with_offsets(
-                ANALYZER_CONFIGS[tokenizer])
-        analyze = _OFFSET_ANALYZERS[tokenizer]
+        from .analyzer import ANALYZER_CONFIGS, build_preanalyzer
+        if isinstance(tokenizer, dict):
+            cfg = tokenizer
+        elif tokenizer in ANALYZER_CONFIGS:
+            cfg = ANALYZER_CONFIGS[tokenizer]
+        else:
+            raise ValueError(
+                f"unknown pre-analyze tokenizer {tokenizer!r}: not "
+                "frozen, not a config dict, and not registered in "
+                "this process (inside map_batches pass the CONFIG "
+                "DICT — workers don't see driver registrations)")
+        key = json.dumps(cfg, sort_keys=True)
+        if key not in _OFFSET_ANALYZERS:
+            _OFFSET_ANALYZERS[key] = build_preanalyzer(cfg)
+        analyze = _OFFSET_ANALYZERS[key]
     vals = batch[field].to_pylist()
     payloads = []
     for v in vals:
-        toks = analyze(v or "")
-        payloads.append(json.dumps({"v": "1", "str": v, "tokens": toks},
+        s, toks = analyze(v or "")
+        payloads.append(json.dumps({"v": "1", "str": s, "tokens": toks},
                                    ensure_ascii=False))
     return batch.append_column(out_field or f"{field}_preanalyzed",
                                pa.array(payloads, pa.string()))

@@ -328,3 +328,29 @@ def test_pre_analyze_with_registered_analyzer():
         from jesterj_ray.tokenize.tokenizer import TOKENIZERS
         TOKENIZERS.pop("pa_chain_t1", None)
         ANALYZER_CONFIGS.pop("pa_chain_t1", None)
+
+
+def test_pre_analyze_config_dict_in_ray_workers(ray_session):
+    """The schema-analyzer pre-analyze path inside map_batches: the
+    CONFIG DICT travels via fn_kwargs (workers don't share driver
+    registration globals), and a charFilter chain stores the FILTERED
+    text as 'str' so offsets index the stored string exactly."""
+    import json as _json
+
+    import ray.data as rd
+
+    from jesterj_ray.tokenize.preanalyze import pre_analyze_field
+    cfg = {"charFilters": [{"class": "patternReplace",
+                            "pattern": "&", "replacement": "and"}],
+           "tokenizer": {"class": "standard"},
+           "filters": [{"class": "lowercase"}]}
+    ds = rd.from_items([{"txt": "Fish & Chips"}],
+                       override_num_blocks=1)
+    out = ds.map_batches(pre_analyze_field, batch_format="pyarrow",
+                         fn_kwargs={"field": "txt",
+                                    "tokenizer": cfg}).to_pandas()
+    doc = _json.loads(out["txt_preanalyzed"][0])
+    assert doc["str"] == "Fish and Chips"     # post-charFilter text
+    for tk in doc["tokens"]:
+        assert doc["str"][tk["s"]:tk["e"]].lower() == tk["t"]
+    assert [t["t"] for t in doc["tokens"]] == ["fish", "and", "chips"]
