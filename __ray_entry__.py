@@ -178,6 +178,16 @@ WEIGHTED_MIX_BUDGETS = {"en": 3000, "de": 1200, "es": 2000,
                         "fr": 800, "zh": 1500}
 
 
+def _facet_pivot(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import facet_pivot_documents
+    return facet_pivot_documents(sf_dir, "dup stream", "lang", "source")
+
+
+def _bm25_grouped_topk(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import bm25_grouped_topk
+    return bm25_grouped_topk(sf_dir, "merge sort", "lang", 3)
+
+
 def _weighted_token_mix(sf_dir: str):
     # weighted data-mixing recipe: per-lang token budgets
     from jesterj_ray.stages.sampling import mix_by_token_budget
@@ -772,6 +782,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_ngram_spans": _repeated_ngram_spans,
         "bm25f_title_phrase": _bm25f_title_phrase,
         "weighted_token_mix_per_lang": _weighted_token_mix,
+        "facet_pivot": _facet_pivot,
+        "bm25_grouped_topk": _bm25_grouped_topk,
         "simhash_pairs": _simhash_pairs,
         "lsh_embedding_near_dup": _lsh_embedding_near_dup,
         "knn_cosine_top10": _knn,
@@ -1742,6 +1754,58 @@ ORDER BY r.qid, r.rank""",
             SELECT d.lang, count(*) AS n
             FROM documents d JOIN matched USING (doc_id)
             GROUP BY d.lang ORDER BY d.lang""",
+        # engine: flagship.facet_pivot_documents — Solr facet.pivot:
+        # two-level counts over the disjunctive match set
+        "facet_pivot": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ), matched AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN ('dup', 'stream')
+            )
+            SELECT d.lang, d.source, count(*) AS n
+            FROM documents d JOIN matched USING (doc_id)
+            GROUP BY d.lang, d.source ORDER BY d.lang, d.source""",
+        # engine: flagship.bm25_grouped_topk — Solr result grouping
+        # (group.field): top-3 BM25 hits per lang; BOTH sides order by
+        # the ROUNDED score + doc_id so sub-1e-6 summation-order
+        # differences cannot flip group ranks
+        "bm25_grouped_topk": f"""
+WITH dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT t.term, t.doc_id, count(*) AS tf FROM toks t
+  WHERE t.term IN ('merge', 'sort') GROUP BY t.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ('merge', 'sort') GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         round(sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ),
+               6) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT d.lang, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY sc.score DESC, sc.doc_id) AS grank
+  FROM scores sc JOIN documents d USING (doc_id)
+)
+SELECT lang, CAST(grank AS BIGINT) AS grank, doc_id, score
+FROM ranked WHERE grank <= 3 ORDER BY lang, grank""",
         "bm25_topk_exhaustive": _bm25_sql(),
         # engine: flagship.bm25f_title_phrase — phrase span constrained
         # to the title band (positions 0..7) via the positional-key

@@ -217,6 +217,89 @@ def snippets_documents(sf_dir: str, term: str = "merge",
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def facet_pivot_documents(sf_dir: str, query: str = "dup stream",
+                          f1: str = "lang", f2: str = "source"
+                          ) -> pd.DataFrame:
+    """Two-level pivot facet (Solr ``facet.pivot=f1,f2`` analog):
+    counts per (f1, f2) pair over the query's disjunctive match set.
+    Same broadcast-match-set + partial-aggregate shape as
+    :func:`facet_counts_documents` — the pivot only widens the group
+    key, never the exchange."""
+    from ..index.bm25 import dedup_keep_order
+    from ..pipelines.relational import partial_groupby_sum
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    parts = []
+    for t in dedup_keep_order(reader.tokenizer(query)):
+        docs, _ = reader.postings(t)
+        docs = docs[reader.alive_mask(docs)]
+        if docs.size:
+            parts.append(np.array(
+                [int(k) for k in reader.doc_keys(docs)], dtype=np.int64))
+    if not parts:
+        return pd.DataFrame({f1: pd.Series([], dtype=object),
+                             f2: pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
+    matched_ref = ray.put(pa.array(np.unique(np.concatenate(parts))))
+
+    def keep_matched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"],
+                                 value_set=ray.get(matched_ref)))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", f1, f2],
+                         override_num_blocks=8)
+    out = partial_groupby_sum(ds, [f1, f2], [],
+                              prep=keep_matched).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out[[f1, f2, "n"]].sort_values([f1, f2]) \
+        .reset_index(drop=True)
+
+
+def bm25_grouped_topk(sf_dir: str, query: str = "merge sort",
+                      group_field: str = "lang", per_group: int = 3
+                      ) -> pd.DataFrame:
+    """Result grouping (Solr ``group.field`` / collapse analog): the
+    top ``per_group`` BM25 hits WITHIN each value of a metadata field.
+    Scores identical to plain topk; group attachment is a bounded
+    driver join over the match set (a 100-TB variant pushes group-aware
+    heaps into the serving slices)."""
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    hits = reader.topk(query, reader.n_docs)     # full matched ranking
+    if not hits:
+        return pd.DataFrame({group_field: pd.Series([], dtype=object),
+                             "grank": pd.Series([], dtype=np.int64),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    ids = np.array([h[0] for h in hits], dtype=np.int64)
+    keys = np.array([int(k) for k in reader.doc_keys(ids)],
+                    dtype=np.int64)
+    matched_ref = ray.put(pa.array(np.unique(keys)))
+
+    def keep_matched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"],
+                                 value_set=ray.get(matched_ref)))
+
+    meta = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", group_field],
+                           override_num_blocks=8) \
+        .map_batches(keep_matched, batch_format="pyarrow").to_pandas()
+    df = pd.DataFrame({"doc_id": keys,
+                       "score": [round(s, 6) for _, s in hits]})
+    df = df.merge(meta, on="doc_id", how="inner")
+    # hits are already (score desc, engine-docID asc); re-sort by the
+    # oracle's visible tie-break (score desc, doc_id asc) in case
+    # engine docIDs and doc_keys order ever diverge
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True],
+                        kind="mergesort")
+    df["grank"] = df.groupby(group_field, sort=False).cumcount() + 1
+    out = df[df["grank"] <= per_group]
+    out = out[[group_field, "grank", "doc_id", "score"]].copy()
+    out["grank"] = out["grank"].astype(np.int64)
+    return out.sort_values([group_field, "grank"]).reset_index(drop=True)
+
+
 def bm25f_title_phrase(sf_dir: str, phrase: str = "key vector",
                        k: int = 10) -> pd.DataFrame:
     """Field-scoped exact phrase (Solr ``title:"..."`` analog): the
