@@ -212,9 +212,26 @@ def cmd_query(args) -> int:
     disjunctive (default), exhaustive, conjunctive (--and), exclusion
     (--not TERMS), phrase (--phrase), boosted (term^2.5 syntax,
     --boosted), prefix (--prefix) or fuzzy (--fuzzy [edits])."""
+    import os
+
     import numpy as np
     from jesterj_ray.index.query import IndexReader
+    if getattr(args, "fields", None):
+        from jesterj_ray.index.bm25f import BM25FReader
+        fields = [f.strip() for f in args.fields.split(",") if f.strip()]
+        fr = BM25FReader({f: os.path.join(args.index_dir, f)
+                          for f in fields})
+        hits = fr.topk(args.query, args.k)
+        keys = fr.doc_keys(np.array([h[0] for h in hits],
+                                    dtype=np.int64))
+        for rank, ((_, score), key) in enumerate(zip(hits, keys), 1):
+            print(f"{rank}\t{key}\t{score:.6f}")
+        return 0
     reader = IndexReader(args.index_dir)
+    if getattr(args, "explain", None):
+        print(json.dumps(reader.explain(args.query, args.explain),
+                         indent=2))
+        return 0
     if args.phrase:
         hits = reader.phrase_topk(args.query, args.k)
     elif args.conjunctive:
@@ -344,6 +361,11 @@ def main(argv=None) -> int:
                    help="treat the query as a term prefix (prefix*)")
     q.add_argument("--fuzzy", type=int, default=None, metavar="EDITS",
                    help="expand to terms within EDITS Levenshtein edits")
+    q.add_argument("--explain", default=None, metavar="DOC_KEY",
+                   help="print the BM25 score breakdown for one doc "
+                        "(Solr debugQuery analog) instead of top-k")
+    q.add_argument("--fields", default=None, metavar="F1,F2",
+                   help="query a BM25F family (dirs INDEX_DIR/<field>)")
 
     args = p.parse_args(argv)
     return {"run": cmd_run, "visualize": cmd_visualize,

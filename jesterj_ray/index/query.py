@@ -524,6 +524,55 @@ class IndexReader:
                 out[int(j)] = v
         return out
 
+    def doc_id_of_key(self, doc_key: str) -> Optional[int]:
+        """Reverse doc_key -> engine docID lookup (fetchById analog):
+        one vectorized ``pc.index`` per loaded partition's key column
+        (rank within the doc table IS the docID's low bits)."""
+        import pyarrow.compute as _pc
+        for pid, arr in self._doc_key.items():
+            i = _pc.index(arr, pa.scalar(doc_key, arr.type)).as_py()
+            if i >= 0:
+                return (int(pid) << DOC_BITS) | int(i)
+        return None
+
+    def explain(self, query: str, doc_key: str) -> dict:
+        """Score breakdown for one document (Solr debugQuery / Lucene
+        Explanation analog): per distinct term its tf in the doc, df,
+        idf, the length norm, and the BM25 contribution — contributions
+        sum EXACTLY to the doc's :meth:`topk` score (same helpers, same
+        float order; pinned in tests)."""
+        did = self.doc_id_of_key(doc_key)
+        if did is None:
+            raise KeyError(f"doc_key {doc_key!r} not in this index")
+        arr = np.array([did], dtype=np.int64)
+        dense = int(self.dense_of(arr)[0])
+        dl = int(self.doc_len(arr)[0])
+        dead = bool(self._tombstone[dense])
+        norm = 1.0 - B + B * dl / self.avgdl
+        out = {"doc_key": doc_key, "doc_id": int(did), "dl": dl,
+               "avgdl": self.avgdl, "n_docs": self.n_docs,
+               "norm": norm, "tombstoned": dead, "k1": K1, "b": B,
+               "terms": [], "score": 0.0}
+        if dead:
+            return out
+        total = 0.0
+        for t in dedup_keep_order(self.tokenizer(query)):
+            docs, tfs = self.postings(t)
+            pos = int(np.searchsorted(docs, did))
+            tf = int(tfs[pos]) if pos < docs.size and docs[pos] == did \
+                else 0
+            e = self.term_entry(t)
+            df = self._df_alive(e, self.dense_of(docs)) if e else 0
+            contrib = float(self._term_contrib(arr, np.array([tf]),
+                                               df)[0]) if tf else 0.0
+            out["terms"].append({
+                "term": t, "tf": tf, "df": df,
+                "idf": idf(self.n_docs, df) if df else 0.0,
+                "contribution": contrib})
+            total += contrib
+        out["score"] = total
+        return out
+
     # ---- scoring ----
 
     def _term_contrib(self, docs: np.ndarray, tfs: np.ndarray, df: int) -> np.ndarray:

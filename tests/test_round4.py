@@ -274,3 +274,41 @@ def test_phrase_pos_range(ray_session, tmp_path):
     assert ids(r.phrase_topk("beta", 10, pos_range=(0, 8))) == [0, 1, 3]
     assert ids(r.phrase_topk("beta", 10,
                              pos_range=(8, 1 << 30))) == [2]
+
+
+def test_explain_sums_to_topk_score(ray_session, tmp_path):
+    """IndexReader.explain (Solr debugQuery analog): per-term
+    contributions sum exactly to the doc's topk score; absent terms
+    contribute 0; unknown keys raise."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from jesterj_ray.index.build_rows import build_index_rows
+    from jesterj_ray.index.query import IndexReader
+    rng = np.random.default_rng(8)
+    vocab = ["alpha", "beta", "gamma", "omega"] + \
+        [f"w{i}" for i in range(30)]
+    df = pd.DataFrame({
+        "rid": np.arange(120, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, size=int(n)))
+                 for n in rng.integers(3, 25, size=120)]})
+    src = str(tmp_path / "e.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+    out = str(tmp_path / "eidx")
+    build_index_rows(src, out, text_col="text", key_col="rid",
+                     tokenizer="simple", docs_per_partition=64,
+                     num_shards=2)
+    r = IndexReader(out)
+    hits = r.topk("alpha omega zzznope", 120)
+    keys = r.doc_keys(np.array([h[0] for h in hits], dtype=np.int64))
+    assert hits
+    for (did, score), key in list(zip(hits, keys))[:20]:
+        ex = r.explain("alpha omega zzznope", key)
+        assert ex["doc_id"] == did
+        assert ex["score"] == pytest.approx(score, abs=1e-12)
+        assert ex["score"] == pytest.approx(
+            sum(t["contribution"] for t in ex["terms"]), abs=1e-15)
+        absent = [t for t in ex["terms"] if t["term"] == "zzznope"][0]
+        assert absent["tf"] == 0 and absent["contribution"] == 0.0
+    with pytest.raises(KeyError):
+        r.explain("alpha", "nosuchkey")
