@@ -178,6 +178,14 @@ WEIGHTED_MIX_BUDGETS = {"en": 3000, "de": 1200, "es": 2000,
                         "fr": 800, "zh": 1500}
 
 
+def _bm25f_qf_topk(sf_dir: str):
+    # query-time field boosting (Solr edismax qf=title^4 body^0.5):
+    # same family indexes, different weights at query time
+    from jesterj_ray.pipelines.flagship import bm25f_topk_documents
+    return bm25f_topk_documents(sf_dir,
+                                weights={"title": 4.0, "body": 0.5})
+
+
 def _facet_pivot(sf_dir: str):
     from jesterj_ray.pipelines.flagship import facet_pivot_documents
     return facet_pivot_documents(sf_dir, "dup stream", "lang", "source")
@@ -784,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_token_mix_per_lang": _weighted_token_mix,
         "facet_pivot": _facet_pivot,
         "bm25_grouped_topk": _bm25_grouped_topk,
+        "bm25f_qf_topk": _bm25f_qf_topk,
         "simhash_pairs": _simhash_pairs,
         "lsh_embedding_near_dup": _lsh_embedding_near_dup,
         "knn_cosine_top10": _knn,
@@ -915,7 +924,7 @@ ORDER BY r.qid, r.rank
 """
 
 
-def _bm25f_sql() -> str:
+def _bm25f_sql(wt: float = 2.0, wb: float = 1.0) -> str:
     # BM25F over derived fields: title = first N tokens, body = the rest
     # (same split pipelines/flagship._split_title_body makes — slicing the
     # token list here is tokenization-identical to slicing the lowered
@@ -953,8 +962,8 @@ df AS (
 tfa AS (
   SELECT tf.qid, tf.term, tf.doc_id,
          sum(CASE WHEN tf.fld = 't'
-                  THEN 2.0 * tf.tf / (1.0 - 0.75 + 0.75 * fdl.dl_t / s.avg_t)
-                  ELSE 1.0 * tf.tf / (1.0 - 0.75 + 0.75 * fdl.dl_b / s.avg_b)
+                  THEN {wt} * tf.tf / (1.0 - 0.75 + 0.75 * fdl.dl_t / s.avg_t)
+                  ELSE {wb} * tf.tf / (1.0 - 0.75 + 0.75 * fdl.dl_b / s.avg_b)
              END) AS tfa
   FROM tf JOIN fdl USING (doc_id) CROSS JOIN stats s
   GROUP BY tf.qid, tf.term, tf.doc_id
@@ -1098,6 +1107,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25f_topk": _bm25f_sql(),
+        # engine: bm25f_topk_documents(weights={'title':4,'body':0.5})
+        # — Solr edismax qf query-time boosting, same family indexes
+        "bm25f_qf_topk": _bm25f_sql(4.0, 0.5),
         # engine: flagship.more_like_this_documents (Solr MLT analog:
         # the seed doc's top-10 tf*idf terms form a disjunctive query;
         # the seed is excluded and ranks renumber over survivors)

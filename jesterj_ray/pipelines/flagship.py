@@ -508,9 +508,12 @@ def documents_bm25f_indexes(sf_dir: str) -> dict:
 
 
 def bm25f_topk_documents(sf_dir: str,
-                         queries: Optional[List[dict]] = None
+                         queries: Optional[List[dict]] = None,
+                         weights: Optional[dict] = None
                          ) -> pd.DataFrame:
-    """BM25F top-k over the derived title/body fields (title weight 2x).
+    """BM25F top-k over the derived title/body fields (title weight 2x
+    by default; ``weights`` overrides per query run — Solr edismax
+    ``qf=title^4 body^0.5`` query-time field boosting).
 
     Same query set / output contract as ``bm25_topk_documents``; scored
     by ``index.bm25f.BM25FQueryActor`` actors over the two field
@@ -523,9 +526,11 @@ def bm25f_topk_documents(sf_dir: str,
         "query": pa.array([q["query"] for q in qs], pa.string()),
         "k": pa.array([q["k"] for q in qs], pa.int64()),
     }))
-    hits = qds.map_batches(BM25FQueryActor, fn_constructor_kwargs={
-        "field_dirs": dirs},
-        batch_format="pandas", concurrency=2).to_pandas()
+    kw = {"field_dirs": dirs}
+    if weights is not None:
+        kw["weights"] = weights
+    hits = qds.map_batches(BM25FQueryActor, fn_constructor_kwargs=kw,
+                           batch_format="pandas", concurrency=2).to_pandas()
     if hits.empty:
         return pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
                              "rank": pd.Series([], dtype=np.int64),
