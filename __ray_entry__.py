@@ -178,6 +178,11 @@ WEIGHTED_MIX_BUDGETS = {"en": 3000, "de": 1200, "es": 2000,
                         "fr": 800, "zh": 1500}
 
 
+def _spellcheck(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import spellcheck_documents
+    return spellcheck_documents(sf_dir)
+
+
 def _bm25f_qf_topk(sf_dir: str):
     # query-time field boosting (Solr edismax qf=title^4 body^0.5):
     # same family indexes, different weights at query time
@@ -793,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_pivot": _facet_pivot,
         "bm25_grouped_topk": _bm25_grouped_topk,
         "bm25f_qf_topk": _bm25f_qf_topk,
+        "spellcheck_suggest": _spellcheck,
         "simhash_pairs": _simhash_pairs,
         "lsh_embedding_near_dup": _lsh_embedding_near_dup,
         "knn_cosine_top10": _knn,
@@ -1766,6 +1772,30 @@ ORDER BY r.qid, r.rank""",
             SELECT d.lang, count(*) AS n
             FROM documents d JOIN matched USING (doc_id)
             GROUP BY d.lang ORDER BY d.lang""",
+        # engine: flagship.spellcheck_documents / IndexReader.suggest —
+        # Solr SpellCheckComponent: (dist asc, df desc, term) is fully
+        # integer-keyed, so no float-tie risk
+        "spellcheck_suggest": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ),
+            v AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                  GROUP BY term),
+            q(word) AS (VALUES ('qery'), ('streem'), ('sart'),
+                        ('bach')),
+            c AS (
+              SELECT q.word, v.term, v.df,
+                     levenshtein(q.word, v.term) AS dist
+              FROM q, v WHERE levenshtein(q.word, v.term) <= 2),
+            r AS (
+              SELECT word, term, dist, df,
+                     row_number() OVER (PARTITION BY word
+                                        ORDER BY dist, df DESC, term)
+                       AS rank
+              FROM c)
+            SELECT word, CAST(rank AS BIGINT) AS rank,
+                   term AS suggestion, dist, CAST(df AS BIGINT) AS df
+            FROM r WHERE rank <= 5 ORDER BY word, rank""",
         # engine: flagship.facet_pivot_documents — Solr facet.pivot:
         # two-level counts over the disjunctive match set
         "facet_pivot": f"""

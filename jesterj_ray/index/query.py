@@ -711,6 +711,30 @@ class IndexReader:
         mask = _edit_leq_batch(word, cands, max_edits)
         return sorted(cands.filter(pa.array(mask)).to_pylist())[:max_terms]
 
+    def suggest(self, word: str, max_edits: int = 2, n: int = 5
+                ) -> List[Tuple[str, int, int]]:
+        """Spellcheck suggestions (Solr SpellCheckComponent analog):
+        the ``n`` dictionary terms closest to ``word``, ordered by
+        (edit distance asc, df desc, term asc) — distance from the
+        batched banded DP's expansion, df from the term dictionary.
+        Exact-match df>0 words still return alternatives (Solr's
+        'more popular' suggestions behavior is the caller's filter)."""
+        cands = self.terms_within_edits(word, max_edits,
+                                        max_terms=1 << 30)
+        out = []
+        for c in cands:
+            d = 0 if c == word else next(
+                d for d in range(1, max_edits + 1)
+                if _edit_distance_leq(word, c, d))
+            e = self.term_entry(c)
+            if e is None:
+                continue
+            docs, _ = self.postings(c)
+            df = self._df_alive(e, self.dense_of(docs))
+            out.append((c, d, int(df)))
+        out.sort(key=lambda x: (x[1], -x[2], x[0]))
+        return out[:n]
+
     def topk_fuzzy(self, word: str, k: int = 10, max_edits: int = 1,
                    max_terms: int = 50) -> List[Tuple[int, float]]:
         """Fuzzy BM25 top-k (Lucene ``word~1`` analog): expand to the

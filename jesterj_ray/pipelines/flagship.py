@@ -217,6 +217,35 @@ def snippets_documents(sf_dir: str, term: str = "merge",
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def spellcheck_documents(sf_dir: str,
+                         words=("qery", "streem", "sart", "bach"),
+                         max_edits: int = 2, n: int = 5
+                         ) -> pd.DataFrame:
+    """Spellcheck suggestions (Solr SpellCheckComponent analog) for a
+    set of misspelled query words: top-n vocabulary terms by (edit
+    distance, df desc, term) — fully integer-keyed ordering, no float
+    tie risk.  Expansion is the batched banded Levenshtein
+    (``IndexReader.suggest``)."""
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    rows = {"word": [], "rank": [], "suggestion": [], "dist": [],
+            "df": []}
+    for w in words:
+        for r, (term, dist, df) in enumerate(
+                reader.suggest(w, max_edits, n), 1):
+            rows["word"].append(w)
+            rows["rank"].append(r)
+            rows["suggestion"].append(term)
+            rows["dist"].append(dist)
+            rows["df"].append(df)
+    return pd.DataFrame({
+        "word": pd.Series(rows["word"], dtype=object),
+        "rank": pd.Series(rows["rank"], dtype=np.int64),
+        "suggestion": pd.Series(rows["suggestion"], dtype=object),
+        "dist": pd.Series(rows["dist"], dtype=np.int64),
+        "df": pd.Series(rows["df"], dtype=np.int64)})
+
+
 def facet_pivot_documents(sf_dir: str, query: str = "dup stream",
                           f1: str = "lang", f2: str = "source"
                           ) -> pd.DataFrame:
