@@ -216,11 +216,31 @@ def cmd_query(args) -> int:
 
     import numpy as np
     from jesterj_ray.index.query import IndexReader
+    mode_flags = [name for name, on in [
+        ("--phrase", args.phrase), ("--and", args.conjunctive),
+        ("--not", bool(args.exclude)), ("--boosted", args.boosted),
+        ("--prefix", args.prefix), ("--fuzzy", args.fuzzy is not None),
+        ("--exhaustive", args.exhaustive)] if on]
     if getattr(args, "fields", None):
+        if mode_flags or getattr(args, "explain", None):
+            raise SystemExit(
+                f"--fields supports plain BM25F top-k only (got: "
+                f"{' '.join(mode_flags) or '--explain'})")
         from jesterj_ray.index.bm25f import BM25FReader
         fields = [f.strip() for f in args.fields.split(",") if f.strip()]
+        weights = {f: 1.0 for f in fields}
+        for spec in (args.weights or "").split(","):
+            if not spec.strip():
+                continue
+            fname, _, w = spec.partition("=")
+            if fname.strip() not in weights:
+                raise SystemExit(f"--weights field {fname!r} not in "
+                                 f"--fields {fields}")
+            weights[fname.strip()] = float(w)
         fr = BM25FReader({f: os.path.join(args.index_dir, f)
-                          for f in fields})
+                          for f in fields},
+                         weights=weights,
+                         b={f: 0.75 for f in fields})
         hits = fr.topk(args.query, args.k)
         keys = fr.doc_keys(np.array([h[0] for h in hits],
                                     dtype=np.int64))
@@ -229,6 +249,10 @@ def cmd_query(args) -> int:
         return 0
     reader = IndexReader(args.index_dir)
     if getattr(args, "explain", None):
+        if mode_flags:
+            raise SystemExit(
+                f"--explain covers the plain disjunctive score only "
+                f"(got: {' '.join(mode_flags)})")
         print(json.dumps(reader.explain(args.query, args.explain),
                          indent=2))
         return 0
@@ -366,6 +390,9 @@ def main(argv=None) -> int:
                         "(Solr debugQuery analog) instead of top-k")
     q.add_argument("--fields", default=None, metavar="F1,F2",
                    help="query a BM25F family (dirs INDEX_DIR/<field>)")
+    q.add_argument("--weights", default=None, metavar="F=W,F=W",
+                   help="per-field weights with --fields (edismax qf; "
+                        "default 1.0 per listed field)")
 
     args = p.parse_args(argv)
     return {"run": cmd_run, "visualize": cmd_visualize,

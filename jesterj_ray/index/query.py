@@ -721,17 +721,29 @@ class IndexReader:
         'more popular' suggestions behavior is the caller's filter)."""
         cands = self.terms_within_edits(word, max_edits,
                                         max_terms=1 << 30)
+        if not cands:
+            return []
+        # exact distances from the SAME batched DP at tighter bounds
+        # (max_edits is tiny, so <= max_edits extra vector passes over
+        # the already-band-filtered candidates — no per-term Python)
+        arr = pa.array(cands, pa.string())
+        dist = np.full(len(cands), max_edits, dtype=np.int64)
+        for dd in range(max_edits - 1, -1, -1):
+            dist[_edit_leq_batch(word, arr, dd)] = dd
         out = []
-        for c in cands:
-            d = 0 if c == word else next(
-                d for d in range(1, max_edits + 1)
-                if _edit_distance_leq(word, c, d))
+        for c, dd in zip(cands, dist.tolist()):
             e = self.term_entry(c)
             if e is None:
                 continue
-            docs, _ = self.postings(c)
-            df = self._df_alive(e, self.dense_of(docs))
-            out.append((c, d, int(df)))
+            if self._exact_stats and self._tombstone.any():
+                # alive-df needs the decoded postings; otherwise the
+                # dictionary df is exact — don't decode (and don't
+                # evict hot query terms from the postings LRU)
+                docs, _ = self.postings(c)
+                df = self._df_alive(e, self.dense_of(docs))
+            else:
+                df = int(e["df"])
+            out.append((c, int(dd), int(df)))
         out.sort(key=lambda x: (x[1], -x[2], x[0]))
         return out[:n]
 

@@ -246,14 +246,12 @@ def spellcheck_documents(sf_dir: str,
         "df": pd.Series(rows["df"], dtype=np.int64)})
 
 
-def facet_pivot_documents(sf_dir: str, query: str = "dup stream",
-                          f1: str = "lang", f2: str = "source"
-                          ) -> pd.DataFrame:
-    """Two-level pivot facet (Solr ``facet.pivot=f1,f2`` analog):
-    counts per (f1, f2) pair over the query's disjunctive match set.
-    Same broadcast-match-set + partial-aggregate shape as
-    :func:`facet_counts_documents` — the pivot only widens the group
-    key, never the exchange."""
+def _facet_over_match_set(sf_dir: str, query: str,
+                          fields: List[str]) -> pd.DataFrame:
+    """Shared facet core: counts per value-tuple of ``fields`` over the
+    query's disjunctive match set.  ONE definition of the
+    broadcast-match-set + partial-aggregate shape (facet.field and
+    facet.pivot differ only in group-key arity)."""
     from ..index.bm25 import dedup_keep_order
     from ..pipelines.relational import partial_groupby_sum
     idx = documents_index(sf_dir)
@@ -261,13 +259,13 @@ def facet_pivot_documents(sf_dir: str, query: str = "dup stream",
     parts = []
     for t in dedup_keep_order(reader.tokenizer(query)):
         docs, _ = reader.postings(t)
-        docs = docs[reader.alive_mask(docs)]
+        docs = docs[reader.alive_mask(docs)]  # deleted docs don't facet
         if docs.size:
             parts.append(np.array(
                 [int(k) for k in reader.doc_keys(docs)], dtype=np.int64))
     if not parts:
-        return pd.DataFrame({f1: pd.Series([], dtype=object),
-                             f2: pd.Series([], dtype=object),
+        return pd.DataFrame({**{f: pd.Series([], dtype=object)
+                                for f in fields},
                              "n": pd.Series([], dtype=np.int64)})
     matched_ref = ray.put(pa.array(np.unique(np.concatenate(parts))))
 
@@ -276,13 +274,20 @@ def facet_pivot_documents(sf_dir: str, query: str = "dup stream",
                                  value_set=ray.get(matched_ref)))
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", f1, f2],
+                         columns=["doc_id"] + fields,
                          override_num_blocks=8)
-    out = partial_groupby_sum(ds, [f1, f2], [],
+    out = partial_groupby_sum(ds, fields, [],
                               prep=keep_matched).to_pandas()
     out["n"] = out["n"].astype(np.int64)
-    return out[[f1, f2, "n"]].sort_values([f1, f2]) \
-        .reset_index(drop=True)
+    return out[fields + ["n"]].sort_values(fields).reset_index(drop=True)
+
+
+def facet_pivot_documents(sf_dir: str, query: str = "dup stream",
+                          f1: str = "lang", f2: str = "source"
+                          ) -> pd.DataFrame:
+    """Two-level pivot facet (Solr ``facet.pivot=f1,f2`` analog): the
+    pivot only widens the group key, never the exchange."""
+    return _facet_over_match_set(sf_dir, query, [f1, f2])
 
 
 def bm25_grouped_topk(sf_dir: str, query: str = "merge sort",
@@ -776,37 +781,14 @@ def facet_counts_documents(sf_dir: str, query: str = "dup stream",
     disjunctive match set from the INDEX's postings), counted per value
     of a metadata column.
 
-    Scale shape: the match-set docIDs broadcast once (``ray.put``) and
-    each documents block filters with a vectorized ``is_in`` then
-    collapses to <= |facet values| rows (partial_groupby_sum) — no
-    shuffle; assumes the match-id set fits the object store (true for
-    any query a user would facet; a 100-TB-match facet would instead
-    attach match flags during index scoring)."""
-    from ..index.bm25 import dedup_keep_order
-    from ..pipelines.relational import partial_groupby_sum
-    idx = documents_index(sf_dir)
-    reader = IndexReader(idx)
-    parts = []
-    for t in dedup_keep_order(reader.tokenizer(query)):
-        docs, _ = reader.postings(t)
-        docs = docs[reader.alive_mask(docs)]  # deleted docs don't facet
-        if docs.size:
-            parts.append(np.array([int(k) for k in reader.doc_keys(docs)],
-                                  dtype=np.int64))
-    if not parts:
-        return pd.DataFrame({field: pd.Series([], dtype=object),
-                             "n": pd.Series([], dtype=np.int64)})
-    matched_ref = ray.put(pa.array(np.unique(np.concatenate(parts))))
-
-    def keep_matched(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(matched_ref)))
-
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", field], override_num_blocks=8)
-    agg = partial_groupby_sum(ds, [field], [], prep=keep_matched)
-    out = agg.to_pandas()
-    out["n"] = out["n"].astype(np.int64)
-    return out[[field, "n"]].sort_values(field).reset_index(drop=True)
+    Scale shape (shared core :func:`_facet_over_match_set`): the
+    match-set docIDs broadcast once (``ray.put``) and each documents
+    block filters with a vectorized ``is_in`` then collapses to
+    <= |facet values| rows (partial_groupby_sum) — no shuffle; assumes
+    the match-id set fits the object store (true for any query a user
+    would facet; a 100-TB-match facet would instead attach match flags
+    during index scoring)."""
+    return _facet_over_match_set(sf_dir, query, [field])
 
 
 def term_postings(sf_dir: str, term: str = "merge") -> pd.DataFrame:
