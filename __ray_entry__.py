@@ -178,6 +178,13 @@ WEIGHTED_MIX_BUDGETS = {"en": 3000, "de": 1200, "es": 2000,
                         "fr": 800, "zh": 1500}
 
 
+def _heavy_hitter_terms(sf_dir: str):
+    # two-pass exact heavy hitters: Misra-Gries candidates (O(blocks*k)
+    # exchange, no-miss guarantee) -> broadcast exact verify
+    from jesterj_ray.stages.sketch import heavy_hitter_terms
+    return heavy_hitter_terms(sf_dir, phi=0.02, k=64)
+
+
 def _spellcheck(sf_dir: str):
     from jesterj_ray.pipelines.flagship import spellcheck_documents
     return spellcheck_documents(sf_dir)
@@ -799,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_grouped_topk": _bm25_grouped_topk,
         "bm25f_qf_topk": _bm25f_qf_topk,
         "spellcheck_suggest": _spellcheck,
+        "heavy_hitter_terms": _heavy_hitter_terms,
         "simhash_pairs": _simhash_pairs,
         "lsh_embedding_near_dup": _lsh_embedding_near_dup,
         "knn_cosine_top10": _knn,
@@ -1772,6 +1780,18 @@ ORDER BY r.qid, r.rank""",
             SELECT d.lang, count(*) AS n
             FROM documents d JOIN matched USING (doc_id)
             GROUP BY d.lang ORDER BY d.lang""",
+        # engine: stages/sketch.heavy_hitter_terms — MG summaries then
+        # exact candidate verify; equals the plain GROUP BY exactly
+        "heavy_hitter_terms": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9]+')) AS term
+              FROM documents),
+            tot AS (SELECT count(*) AS n FROM toks)
+            SELECT term, count(*) AS n_occ
+            FROM toks CROSS JOIN tot
+            GROUP BY term, tot.n HAVING count(*) >= 0.02 * tot.n
+            ORDER BY term""",
         # engine: flagship.spellcheck_documents / IndexReader.suggest —
         # Solr SpellCheckComponent: (dist asc, df desc, term) is fully
         # integer-keyed, so no float-tie risk

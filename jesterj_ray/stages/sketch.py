@@ -231,3 +231,189 @@ def tdigest_quantiles(ds, col: str, qs, delta: int = 100):
         for blob in t["digest"].to_pylist():
             merged.merge(TDigest.from_bytes(blob, delta))
     return [merged.quantile(q) for q in qs]
+
+
+# ---- Misra-Gries heavy hitters ----
+
+def mg_summary(values, k: int) -> dict:
+    """One block's Misra-Gries summary (<= k counters): every item with
+    true frequency > n/(k+1) is guaranteed a counter; counts
+    underestimate by at most the summary's ``decrement`` total.
+    Vectorized per block: exact value counts first (np.unique), then
+    the MG reduction applies to the COUNTED distincts."""
+    import pandas as pd
+    arr = np.asarray(list(values), dtype=object)
+    if arr.size == 0:
+        return {"counts": {}, "dec": 0, "n": 0}
+    codes, uniq = pd.factorize(arr, sort=False)
+    cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    if len(uniq) <= k:
+        return {"counts": dict(zip(uniq.tolist(), cnt.tolist())),
+                "dec": 0, "n": int(arr.size)}
+    # keep top-k by (count, value) and charge the k+1-th count as the
+    # uniform decrement (the batched form of MG's repeated decrements)
+    order = np.lexsort((np.asarray(uniq, dtype=object), -cnt))
+    thresh = int(cnt[order[k]])
+    kept = order[:k]
+    counts = {uniq[i]: int(cnt[i]) - thresh for i in kept
+              if int(cnt[i]) > thresh}
+    return {"counts": counts, "dec": thresh, "n": int(arr.size)}
+
+
+def mg_merge(a: dict, b: dict, k: int) -> dict:
+    """Associative MG merge (Agarwal et al. 2013: merged summaries keep
+    the n/(k+1) guarantee): add counters, then reduce back to k by
+    subtracting the (k+1)-largest merged count."""
+    counts: dict = dict(a["counts"])
+    for v, c in b["counts"].items():
+        counts[v] = counts.get(v, 0) + c
+    dec = a["dec"] + b["dec"]
+    if len(counts) > k:
+        vals = sorted(counts.values(), reverse=True)
+        thresh = vals[k]
+        counts = {v: c - thresh for v, c in counts.items()
+                  if c > thresh}
+        dec += thresh
+    return {"counts": counts, "dec": dec, "n": a["n"] + b["n"]}
+
+
+def heavy_hitters(ds, col: str, k: int = 16, phi: float = 0.01):
+    """Items with frequency >= phi*n (plus count bounds): per-block MG
+    summaries merge associatively — the exchange is O(blocks x k),
+    never vocabulary-sized.  Returns a pandas frame (value, count_lo,
+    count_hi) for candidates whose UPPER bound clears phi*n; MG
+    guarantees no true phi-heavy item is missed when k >= 1/phi."""
+    import pandas as pd
+    if k < int(1.0 / phi):
+        raise ValueError("need k >= 1/phi for the no-miss guarantee")
+
+    def block(t: pa.Table) -> pa.Table:
+        import json as _json
+        s = mg_summary(t[col].to_pylist(), k)
+        return pa.table({"summary": pa.array([_json.dumps(s)],
+                                             pa.string())})
+
+    parts = [r["summary"] for r in
+             ds.map_batches(block, batch_format="pyarrow").take_all()]
+    import json as _json
+    acc = {"counts": {}, "dec": 0, "n": 0}
+    for p in parts:
+        acc = mg_merge(acc, _json.loads(p), k)
+    n = acc["n"]
+    rows = [(v, int(c), int(c) + acc["dec"])
+            for v, c in acc["counts"].items()
+            if int(c) + acc["dec"] >= phi * n]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return pd.DataFrame(rows, columns=["value", "count_lo", "count_hi"])
+
+
+# ---- mergeable Bloom filter ----
+
+class BloomFilter:
+    """Mergeable Bloom filter (bitwise-OR union) — the bounded-memory
+    seenPreviously set for corpus-scale change detection: m bits,
+    h double-hashed probes per item (Kirsch-Mitzenmacher), false
+    positives only, never false negatives.  Vectorized add/contains."""
+
+    def __init__(self, m_bits: int = 1 << 20, h: int = 7,
+                 bits: np.ndarray = None):
+        if m_bits & (m_bits - 1):
+            raise ValueError("m_bits must be a power of two")
+        self.m = m_bits
+        self.h = h
+        self.bits = bits if bits is not None else \
+            np.zeros(m_bits // 8, dtype=np.uint8)
+
+    def _positions(self, values) -> np.ndarray:
+        hv = _hash64(values)
+        h1 = hv & np.uint64(self.m - 1)
+        h2 = ((hv >> np.uint64(32)) | np.uint64(1)) & np.uint64(self.m - 1)
+        i = np.arange(self.h, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :])
+                & np.uint64(self.m - 1)).ravel()
+
+    def add(self, values) -> None:
+        pos = self._positions(values)
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+
+    def contains(self, values) -> np.ndarray:
+        vals = list(values)
+        if not vals:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(vals)
+        hit = (self.bits[(pos >> np.uint64(3)).astype(np.int64)]
+               >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return hit.reshape(self.h, len(vals)).all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (self.m, self.h) != (other.m, other.h):
+            raise ValueError("bloom params must match to merge")
+        return BloomFilter(self.m, self.h, self.bits | other.bits)
+
+
+def heavy_hitter_terms(sf_dir: str, phi: float = 0.02, k: int = 64):
+    """EXACT phi-heavy tokens over the documents token stream, at
+    sketch-shaped cost: pass 1 folds per-block Misra-Gries summaries
+    (O(blocks x k) exchange; no phi-heavy item can be missed with
+    k >= 1/phi), pass 2 broadcasts the candidate set and sums exact
+    per-block counts for candidates only — so the result equals the
+    full GROUP BY the SQL oracle runs, while the engine never
+    exchanges vocabulary-sized state."""
+    import json as _json
+    import os
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def read():
+        return rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["text"], override_num_blocks=8)
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"].combine_chunks()
+                          if isinstance(t["text"], pa.ChunkedArray)
+                          else t["text"]), pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        toks = flat.filter(pc.not_equal(flat, "")).to_pylist()
+        return pa.table({"summary": pa.array(
+            [_json.dumps(mg_summary(toks, k))], pa.string())})
+
+    acc = {"counts": {}, "dec": 0, "n": 0}
+    for r in read().map_batches(block_summary,
+                                batch_format="pyarrow").take_all():
+        acc = mg_merge(acc, _json.loads(r["summary"]), k)
+    n = acc["n"]
+    cand = sorted(v for v, c in acc["counts"].items()
+                  if c + acc["dec"] >= phi * n)
+    if not cand:
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "n_occ": pd.Series([], dtype=np.int64)})
+    cand_ref = ray.put(pa.array(cand, pa.string()))
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"].combine_chunks()
+                          if isinstance(t["text"], pa.ChunkedArray)
+                          else t["text"]), pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        flat = flat.filter(pc.is_in(flat, value_set=cands))
+        idx = pc.index_in(flat, value_set=cands)
+        cnt = np.bincount(idx.to_numpy(zero_copy_only=False),
+                          minlength=len(cands)) if len(flat) else \
+            np.zeros(len(cands), dtype=np.int64)
+        return pa.table({"term": cands,
+                         "c_part": pa.array(cnt.astype(np.int64),
+                                            pa.int64())})
+
+    parts = read().map_batches(exact_counts,
+                               batch_format="pyarrow").to_pandas()
+    tot = parts.groupby("term", sort=True)["c_part"].sum().reset_index()
+    out = tot[tot["c_part"] >= phi * n].rename(
+        columns={"c_part": "n_occ"})
+    out["n_occ"] = out["n_occ"].astype(np.int64)
+    return out.sort_values("term").reset_index(drop=True)

@@ -160,3 +160,46 @@ def test_contamination_half_away_rounding(ray_session):
     assert out["n_grams"].tolist() == [128]
     assert out["n_hit"].tolist() == [1]
     assert out["ratio"].tolist() == [0.007813]
+
+
+def test_misra_gries_no_miss_and_bounds():
+    """MG guarantee: at any block split, every item with true frequency
+    > n/(k+1) keeps a counter, and lo <= true <= lo + dec."""
+    import numpy as np
+
+    from jesterj_ray.stages.sketch import mg_merge, mg_summary
+    rng = np.random.default_rng(0)
+    data = ["hot"] * 500 + ["warm"] * 200 + \
+        [f"c{i}" for i in rng.integers(0, 400, 2000)]
+    rng.shuffle(data)
+    k = 20
+    for nb in (1, 3, 16, 64):
+        acc = {"counts": {}, "dec": 0, "n": 0}
+        for ch in np.array_split(np.asarray(data, dtype=object), nb):
+            acc = mg_merge(acc, mg_summary(ch, k), k)
+        assert acc["n"] == len(data)
+        assert len(acc["counts"]) <= k
+        for item, true in (("hot", 500), ("warm", 200)):
+            lo = acc["counts"].get(item, 0)
+            assert true > acc["n"] / (k + 1)    # phi-heavy premise
+            assert lo > 0                        # no-miss
+            assert lo <= true <= lo + acc["dec"]
+
+
+def test_bloom_filter_membership_and_merge():
+    import numpy as np
+
+    from jesterj_ray.stages.sketch import BloomFilter
+    bf = BloomFilter(1 << 16, 7)
+    keys = [f"k{i}" for i in range(5000)]
+    bf.add(keys)
+    assert bf.contains(keys).all()               # never false negative
+    fp = bf.contains([f"x{i}" for i in range(20000)]).mean()
+    assert fp < 0.02                             # ~0.2% at this load
+    other = BloomFilter(1 << 16, 7)
+    other.add(["only-in-other"])
+    merged = bf.merge(other)
+    assert merged.contains(["only-in-other", "k123"]).all()
+    with pytest.raises(ValueError):
+        bf.merge(BloomFilter(1 << 15, 7))
+    assert bf.contains([]).size == 0
