@@ -203,3 +203,25 @@ def test_bloom_filter_membership_and_merge():
     with pytest.raises(ValueError):
         bf.merge(BloomFilter(1 << 15, 7))
     assert bf.contains([]).size == 0
+
+
+def test_heavy_hitters_dataset_entrypoint(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jesterj_ray.stages.sketch import heavy_hitters
+    rng = np.random.default_rng(1)
+    vals = ["big"] * 400 + ["mid"] * 120 + \
+        [f"t{i}" for i in rng.integers(0, 300, 1500)]
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.string())}))
+    ds = ds.repartition(6)
+    out = heavy_hitters(ds, "v", k=32, phi=0.05)
+    assert "big" in set(out["value"])            # 400/2020 ~ 20%
+    assert "mid" in set(out["value"])            # ~6%
+    for _, r in out.iterrows():
+        true = vals.count(r["value"])
+        assert r["count_lo"] <= true <= r["count_hi"]
+    with pytest.raises(ValueError, match="1/phi"):
+        heavy_hitters(ds, "v", k=4, phi=0.05)
