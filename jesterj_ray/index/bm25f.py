@@ -223,6 +223,25 @@ def delta_reindex_fields(paths, field_dirs: Dict[str, str], *,
 
     Returns {field: delta_reindex stats}."""
     from .build_rows import delta_reindex
+    # PRE-FLIGHT alignment check (ADVICE r04): per field, the delta's
+    # outcome is a deterministic function of (input, change_col, this
+    # bookkeeping state) — manifest diff classification + overlay
+    # catalog + tombstones.  If the states already disagree (e.g. a
+    # field was delta'd alone through the single-index API), abort
+    # BEFORE any field mutates: no epoch flips, no stats/tombstone
+    # overwrite, and serving keeps answering from the current epochs
+    # instead of hitting BM25FReader's refuse-to-open cliff.
+    pre = _family_diff_state(field_dirs)
+    if len(set(pre.values())) > 1:
+        groups: Dict[str, List[str]] = {}
+        for f, s in pre.items():
+            groups.setdefault(s, []).append(f)
+        raise RuntimeError(
+            "field family bookkeeping diverged BEFORE the delta — "
+            f"fields grouped by state: {sorted(groups.values())}; "
+            "a field was likely delta'd alone.  Nothing was written; "
+            "run a full family rebuild (build_index_rows per field "
+            "with change_col) to realign the doc spaces")
     out: Dict[str, Dict] = {}
     for f in sorted(field_dirs):
         out[f] = delta_reindex(
@@ -230,6 +249,8 @@ def delta_reindex_fields(paths, field_dirs: Dict[str, str], *,
             tokenizer=tokenizer, docs_per_partition=docs_per_partition,
             num_shards=num_shards, positions=positions,
             change_col=change_col)
+    # post-hoc cross-check (defense in depth; should be unreachable
+    # when the pre-flight passed)
     sig = {f: (s["reindexed_docs"], s["tombstoned"],
                tuple(s["delta_partitions"]))
            for f, s in out.items()}
@@ -237,6 +258,39 @@ def delta_reindex_fields(paths, field_dirs: Dict[str, str], *,
         raise RuntimeError(
             f"field family delta diverged: {sig} — the fields no longer "
             "share a doc space; run a full rebuild of the family")
+    return out
+
+
+def _family_diff_state(field_dirs: Dict[str, str]) -> Dict[str, str]:
+    """Per-field sha1 over exactly the bookkeeping that determines a
+    delta round's outcome: per-pid (status, input_fingerprint,
+    docs_seen) from the build manifest, the delta overlay catalog, and
+    the tombstone set.  With ``change_col`` change detection the stored
+    per-doc shas are full-document shas shared by every field, so equal
+    states here guarantee equal (changed set, delta pids, tombstones)
+    across the family."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    from ..state.manifest import Manifest
+    out: Dict[str, str] = {}
+    for f, d in sorted(field_dirs.items()):
+        recs = Manifest(d, "build").all()
+        mrec = {str(pid): (r.get("status"), r.get("input_fingerprint"),
+                           r.get("docs_seen"))
+                for pid, r in recs.items()}
+        state = [mrec]
+        for name in ("delta_overlay.json", "tombstones.json",
+                     "tombstones.pending.json"):
+            p = _os.path.join(d, name)
+            if _os.path.exists(p):
+                with open(p) as fh:
+                    state.append(_json.load(fh))
+            else:
+                state.append(None)
+        out[f] = hashlib.sha1(
+            _json.dumps(state, sort_keys=True).encode()).hexdigest()
     return out
 
 

@@ -246,13 +246,26 @@ def mg_summary(values, k: int) -> dict:
     if arr.size == 0:
         return {"counts": {}, "dec": 0, "n": 0}
     codes, uniq = pd.factorize(arr, sort=False)
+    # pd.factorize maps null values (None/NaN) to code -1, which would
+    # crash np.bincount; count them explicitly as the None item so a
+    # null-heavy column still surfaces nulls as a heavy hitter
+    null_cnt = int((codes < 0).sum())
+    if null_cnt:
+        codes = codes[codes >= 0]
+    uniq = list(uniq.tolist())
     cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    if null_cnt:
+        uniq.append(None)
+        cnt = np.append(cnt, np.int64(null_cnt))
     if len(uniq) <= k:
-        return {"counts": dict(zip(uniq.tolist(), cnt.tolist())),
+        return {"counts": dict(zip(uniq, cnt.tolist())),
                 "dec": 0, "n": int(arr.size)}
     # keep top-k by (count, value) and charge the k+1-th count as the
-    # uniform decrement (the batched form of MG's repeated decrements)
-    order = np.lexsort((np.asarray(uniq, dtype=object), -cnt))
+    # uniform decrement (the batched form of MG's repeated decrements);
+    # ties break by stringified value so null sorts deterministically
+    skey = np.empty(len(uniq), dtype=object)
+    skey[:] = [(v is None, str(v)) for v in uniq]
+    order = np.lexsort((skey, -cnt))
     thresh = int(cnt[order[k]])
     kept = order[:k]
     counts = {uniq[i]: int(cnt[i]) - thresh for i in kept
@@ -286,25 +299,41 @@ def heavy_hitters(ds, col: str, k: int = 16, phi: float = 0.01):
     import pandas as pd
     if k < int(1.0 / phi):
         raise ValueError("need k >= 1/phi for the no-miss guarantee")
+    val_type = ds.schema().base_schema.field(col).type
 
     def block(t: pa.Table) -> pa.Table:
-        import json as _json
+        # one row per block: typed counter values (never JSON dict keys,
+        # which would stringify ints and cannot hold nulls)
         s = mg_summary(t[col].to_pylist(), k)
-        return pa.table({"summary": pa.array([_json.dumps(s)],
-                                             pa.string())})
+        vals = list(s["counts"].keys())
+        return pa.table({
+            "values": pa.array([vals], pa.list_(val_type)),
+            "counts": pa.array([[int(c) for c in s["counts"].values()]],
+                               pa.list_(pa.int64())),
+            "dec": pa.array([s["dec"]], pa.int64()),
+            "n": pa.array([s["n"]], pa.int64())})
 
-    parts = [r["summary"] for r in
-             ds.map_batches(block, batch_format="pyarrow").take_all()]
-    import json as _json
     acc = {"counts": {}, "dec": 0, "n": 0}
-    for p in parts:
-        acc = mg_merge(acc, _json.loads(p), k)
+    parts = ds.map_batches(block, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    for t in ray.get(parts.to_arrow_refs()):
+        if t.num_rows == 0 or t.num_columns == 0:
+            continue  # empty pass-through block (fn not invoked)
+        for i in range(t.num_rows):
+            s = {"counts": dict(zip(t["values"][i].as_py(),
+                                    t["counts"][i].as_py())),
+                 "dec": t["dec"][i].as_py(), "n": t["n"][i].as_py()}
+            acc = mg_merge(acc, s, k)
     n = acc["n"]
     rows = [(v, int(c), int(c) + acc["dec"])
             for v, c in acc["counts"].items()
             if int(c) + acc["dec"] >= phi * n]
-    rows.sort(key=lambda r: (-r[2], r[0]))
-    return pd.DataFrame(rows, columns=["value", "count_lo", "count_hi"])
+    rows.sort(key=lambda r: (-r[2], r[0] is None, str(r[0])))
+    out = pd.DataFrame({
+        "value": pa.array([r[0] for r in rows], val_type).to_pandas(),
+        "count_lo": pd.Series([r[1] for r in rows], dtype=np.int64),
+        "count_hi": pd.Series([r[2] for r in rows], dtype=np.int64)})
+    return out
 
 
 # ---- mergeable Bloom filter ----
@@ -366,6 +395,12 @@ def heavy_hitter_terms(sf_dir: str, phi: float = 0.02, k: int = 64):
     import pandas as pd
     import pyarrow.compute as pc
     import ray.data as rd
+
+    if k < int(1.0 / phi):
+        # same no-miss precondition heavy_hitters enforces: with
+        # k < 1/phi the MG candidate pass can drop a true phi-heavy
+        # term and the "EXACT" promise above silently breaks
+        raise ValueError("need k >= 1/phi for the no-miss guarantee")
 
     def read():
         return rd.read_parquet(

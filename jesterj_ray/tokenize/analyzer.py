@@ -371,7 +371,10 @@ def _tf_stop(spec):
     words = spec.get("words", [])
     if isinstance(words, str):
         words = parse_word_list(words)
-    ic = _bool(spec.get("ignoreCase"), True)
+    # Lucene/Solr StopFilterFactory defaults ignoreCase=false — match
+    # it so a reference schema.xml loaded unmodified filters the same
+    # token set (StopFilterFactory.java; pinned in test_analyzer)
+    ic = _bool(spec.get("ignoreCase"), False)
     stop = {w.lower() for w in words} if ic else set(words)
     if ic:
         return lambda ts: [tk for tk in ts

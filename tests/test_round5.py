@@ -1,0 +1,125 @@
+"""Regression tests for the round-4 ADVICE findings (round-5 fixes):
+
+1. heavy_hitters crashed on null column values (pd.factorize -> code -1
+   -> np.bincount negative) and stringified non-string counter values
+   through its JSON exchange.
+2. heavy_hitter_terms documented but did not enforce k >= 1/phi.
+3. The stop filter defaulted ignoreCase=True where Lucene/Solr
+   StopFilterFactory defaults false.
+4. delta_reindex_fields detected family divergence only after every
+   field had been delta'd + epoch-published (availability cliff).
+"""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+
+def test_heavy_hitters_nulls_and_int64_values(ray_session):
+    """ADVICE #1: nulls must count (not crash), and an int64 column must
+    come back as ints, never JSON-stringified keys."""
+    from jesterj_ray.stages.sketch import heavy_hitters
+    vals = [7] * 400 + [None] * 300 + [11] * 50 + \
+        [int(i) for i in range(200)]
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    ds = ds.repartition(5)
+    out = heavy_hitters(ds, "v", k=32, phi=0.05)
+    got = {None if pd.isna(v) else int(v) for v in out["value"]}
+    assert 7 in got                       # ~42%
+    assert None in got                    # ~32% of rows are null
+    non_null = [v for v in out["value"] if not pd.isna(v)]
+    assert all(not isinstance(v, str) for v in non_null)
+    for _, r in out.iterrows():
+        v = None if pd.isna(r["value"]) else int(r["value"])
+        true = sum(1 for x in vals if x == v) if v is not None \
+            else sum(1 for x in vals if x is None)
+        assert r["count_lo"] <= true <= r["count_hi"]
+
+
+def test_mg_summary_null_values():
+    from jesterj_ray.stages.sketch import mg_merge, mg_summary
+    s = mg_summary(["a", None, "a", None, None, "b"], k=8)
+    assert s["counts"]["a"] == 2 and s["counts"][None] == 3
+    m = mg_merge(s, mg_summary([None, "b"], k=8), k=8)
+    assert m["counts"][None] == 4 and m["n"] == 8
+    # reduction path (len > k) with nulls present must not crash
+    s2 = mg_summary(["x", "y", "z", None, None], k=2)
+    assert s2["n"] == 5
+
+
+def test_heavy_hitter_terms_guard():
+    """ADVICE #2: phi < 1/k breaks the no-miss precondition -> raise."""
+    from jesterj_ray.stages.sketch import heavy_hitter_terms
+    with pytest.raises(ValueError, match="1/phi"):
+        heavy_hitter_terms("/nonexistent", phi=0.001, k=64)
+
+
+def test_stop_filter_lucene_case_default():
+    """ADVICE #3: StopFilterFactory defaults ignoreCase=false — 'The'
+    survives a lowercase stop list unless ignoreCase is set."""
+    from jesterj_ray.tokenize.analyzer import build_analyzer
+    base = {"tokenizer": {"class": "whitespace"}}
+    keep = build_analyzer({**base, "filters": [
+        {"class": "stop", "words": ["the"]}]})
+    assert keep("The theater the") == ["The", "theater"]
+    fold = build_analyzer({**base, "filters": [
+        {"class": "stop", "words": ["the"], "ignoreCase": "true"}]})
+    assert fold("The theater the") == ["theater"]
+
+
+def test_family_delta_preflight_aborts_before_any_epoch(ray_session,
+                                                        tmp_path):
+    """ADVICE #4: a family whose bookkeeping already diverged must abort
+    BEFORE any field mutates — every field's epoch.json and stats.json
+    stay byte-identical, so serving never hits the refuse-to-open cliff
+    mid-family."""
+    from jesterj_ray.index.build_rows import build_index_rows, delta_reindex
+    from jesterj_ray.index.bm25f import delta_reindex_fields
+
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "omega"] + \
+        [f"w{i}" for i in range(30)]
+    n = 120
+    titles = [" ".join(rng.choice(vocab, size=3)) for _ in range(n)]
+    bodies = [" ".join(rng.choice(vocab, size=12)) for _ in range(n)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "title": titles, "body": bodies,
+        "text": [f"{t} {b}" for t, b in zip(titles, bodies)]})
+    src = str(tmp_path / "fam.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src,
+                   row_group_size=64)
+    dirs = {f: str(tmp_path / f"idx_{f}") for f in ("title", "body")}
+    for f, d in dirs.items():
+        build_index_rows(src, d, text_col=f, key_col="doc_id",
+                         tokenizer="simple", docs_per_partition=64,
+                         num_shards=4, change_col="text")
+
+    # diverge: delta ONE field alone through the single-index API
+    df.loc[3, "body"] = df.loc[3, "body"] + " solobody"
+    df.loc[3, "text"] = f"{df.loc[3, 'title']} {df.loc[3, 'body']}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src,
+                   row_group_size=64)
+    delta_reindex(src, dirs["body"], text_col="body", key_col="doc_id",
+                  tokenizer="simple", docs_per_partition=64,
+                  num_shards=4, change_col="text")
+
+    def snap(d):
+        out = {}
+        for name in ("epoch.json", "stats.json", "tombstones.json"):
+            p = os.path.join(d, name)
+            out[name] = open(p, "rb").read() if os.path.exists(p) else None
+        return out
+
+    before = {f: snap(d) for f, d in dirs.items()}
+    with pytest.raises(RuntimeError, match="BEFORE the delta"):
+        delta_reindex_fields(src, dirs, change_col="text",
+                             key_col="doc_id", tokenizer="simple",
+                             docs_per_partition=64, num_shards=4)
+    assert {f: snap(d) for f, d in dirs.items()} == before
