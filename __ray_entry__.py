@@ -414,6 +414,11 @@ def _png_decode_stats(sf_dir: str):
     return png_decode_stats_pipeline(sf_dir)
 
 
+def _html_extract_fields(sf_dir: str):
+    from jesterj_ray.stages.html import html_extract_fields_pipeline
+    return html_extract_fields_pipeline(sf_dir)
+
+
 def _gif_decode_stats(sf_dir: str):
     from jesterj_ray.stages.multimodal import gif_decode_stats_pipeline
     return gif_decode_stats_pipeline(sf_dir)
@@ -791,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict order = driver iteration order: entries lacking a
         # CORRECTNESS_r03 row come FIRST so every operator regains
         # a current driver-checked row (r03 VERDICT #3)
+        "html_extract_fields": _html_extract_fields,
         "gif_decode_stats": _gif_decode_stats,
         "analyzed_token_counts": _analyzed_token_counts,
         "chunk_documents": _chunk_documents,
@@ -1650,6 +1656,23 @@ ORDER BY r.qid, r.rank
             SELECT doc_id, count(*) AS n_tokens,
                    count(DISTINCT t) AS n_distinct
             FROM st GROUP BY doc_id ORDER BY doc_id""",
+        # engine: stages/html.html_extract_fields_pipeline — REAL
+        # stdlib-HTMLParser extraction (the Tika slot,
+        # TikaProcessor.java:50-84) over HTML synthesized from the
+        # documents table; oracle recomputes the expected text/title/
+        # metadata directly from the synthesis template — CDATA,
+        # head-leak, entity-decode or whitespace bugs all break the hash
+        "html_extract_fields": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text ||
+                     ' tail <tag> ' || CAST(doc_id % 13 AS VARCHAR),
+                     '\\s+', ' ', 'g')) AS content,
+                   'text/html' AS content_type,
+                   'author' || CAST(doc_id % 7 AS VARCHAR) AS dc_creator,
+                   'Document ' || CAST(doc_id AS VARCHAR) || ' & Co'
+                     AS title
+            FROM documents ORDER BY doc_id""",
         # engine: stages/multimodal.gif_decode_stats_pipeline — REAL
         # GIF89a bytes (LZW bitstream) round-trip through the
         # pure-Python decoder in the actor pool; oracle recomputes the

@@ -73,6 +73,55 @@ def test_stop_filter_lucene_case_default():
     assert fold("The theater the") == ["theater"]
 
 
+def test_html_sanitize_tika_parity():
+    """TikaProcessor.java:90-100 — letters survive, EVERYTHING else
+    (digits included) becomes underscore."""
+    from jesterj_ray.stages.html import sanitize_field
+    assert sanitize_field("dc:creator") == "dc_creator"
+    assert sanitize_field("og:image2") == "og_image_"
+    assert sanitize_field("X-Parsed-By") == "X_Parsed_By"
+    assert sanitize_field("") == ""
+
+
+def test_html_extract_semantics():
+    from jesterj_ray.stages.html import extract_html
+    html = (b'<html><head><title>T &amp; U</title>'
+            b'<meta name="a:b" content="v1"/>'
+            b'<meta http-equiv="C-D" content="v2">'
+            b'<style>p { x: 1 }</style></head>'
+            b'<body><!-- no --><p>one <b>two</b>\nthree</p>'
+            b'<script>var s = "</p>" + (1 < 2);</script>'
+            b'<div>four &lt;five&gt;</div></body></html>')
+    text, title, metas = extract_html(html)
+    assert text == "one two three four <five>"   # no head/script leak
+    assert title == "T & U"
+    assert metas == {"a:b": "v1", "C-D": "v2"}
+    assert extract_html("") == ("", None, {})
+    assert extract_html(None) == ("", None, {})
+
+
+def test_html_extractor_stage_options():
+    from jesterj_ray.stages.html import HtmlExtractor
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "raw_html": pa.array(
+            ["<html><head><title>A</title>"
+             '<meta name="k:1" content="m"/></head>'
+             "<body>hello world</body></html>",
+             "<body>plain</body>"], pa.string())})
+    ex = HtmlExtractor(meta_fields=["k:1"], suffix="_t", max_chars=8,
+                       replace_raw=True)
+    out = ex(t)
+    assert out.column_names == ["doc_id", "content", "title_t", "k___t",
+                                "raw_html"]
+    assert out["content"].to_pylist() == ["hello wo", "plain"]
+    assert out["title_t"].to_pylist() == ["A", None]
+    assert out["k___t"].to_pylist() == ["m", None]
+    assert out["raw_html"].to_pylist() == out["content"].to_pylist()
+    with pytest.raises(ValueError, match="colliding"):
+        HtmlExtractor(meta_fields=["a:b", "a-b"])
+
+
 def test_family_delta_preflight_aborts_before_any_epoch(ray_session,
                                                         tmp_path):
     """ADVICE #4: a family whose bookkeeping already diverged must abort
