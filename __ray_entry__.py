@@ -523,6 +523,26 @@ def _ngram_jaccard(sf_dir: str):
     return v.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _dedup_drops_exact(sf_dir: str):
+    """Exact END-TO-END dedup drop-set cross-check (r04 VERDICT #2):
+    exact-Jaccard pairs feed the DISTRIBUTED min-label component
+    propagation (stages/dedup.min_label_components — the same engine
+    minhash_dedup_drops uses); DuckDB recomputes the component minima
+    with a recursive reachability CTE over the same exact pairs, so the
+    components algorithm itself gains an oracle row."""
+    import ray.data as rd
+    from jesterj_ray.stages.dedup import (min_label_components,
+                                          ngram_jaccard_exact_pairs)
+    pairs = ngram_jaccard_exact_pairs(_doc(sf_dir, ["doc_id", "text"]),
+                                      text_field="text",
+                                      id_field="doc_id", threshold=0.5)
+    edges = rd.from_pandas(pairs[["id_a", "id_b"]])
+    labels = min_label_components(edges).to_pandas()
+    labels["node"] = labels["node"].astype(np.int64)
+    labels["label"] = labels["label"].astype(np.int64)
+    return labels.sort_values("node").reset_index(drop=True)
+
+
 def _ngram_jaccard_exact(sf_dir: str):
     from jesterj_ray.stages.dedup import ngram_jaccard_exact_pairs
     out = ngram_jaccard_exact_pairs(_doc(sf_dir, ["doc_id", "text"]),
@@ -797,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CORRECTNESS_r03 row come FIRST so every operator regains
         # a current driver-checked row (r03 VERDICT #3)
         "html_extract_fields": _html_extract_fields,
+        "dedup_drops_exact": _dedup_drops_exact,
         "gif_decode_stats": _gif_decode_stats,
         "analyzed_token_counts": _analyzed_token_counts,
         "chunk_documents": _chunk_documents,
@@ -2045,6 +2066,37 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             FROM documents, (SELECT unnest(range(1, 64)) AS i)
             WHERE i <= length(string_split(
                 regexp_replace(text, ' the ', chr(10), 'g'), chr(10)))""",
+        # engine: exact-Jaccard pairs -> DISTRIBUTED min-label
+        # propagation (stages/dedup.min_label_components); oracle =
+        # recursive reachability closure over the same pairs, label =
+        # min over {node} + reachable set — exact component minima
+        "dedup_drops_exact": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            grams AS (SELECT DISTINCT doc_id,
+                             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                      FROM toks, (SELECT unnest(range(1, 4000)) AS i)
+                      WHERE i + 2 <= length(w)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams
+                      GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             count(*) AS c
+                      FROM grams a JOIN grams b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b FROM inter
+                      JOIN sizes sa ON sa.doc_id = id_a
+                      JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            reach AS (SELECT a AS node, b AS m FROM edges
+                      UNION
+                      SELECT r.node, e.b FROM reach r
+                      JOIN edges e ON e.a = r.m)
+            SELECT node, CAST(least(node, min(m)) AS BIGINT) AS label
+            FROM reach GROUP BY node ORDER BY node""",
         # exact all-pairs word-3-gram Jaccard (documents.text is
         # single-space separated with >= 10 words per doc, so the
         # standard gram construction alone is the full set semantics)
