@@ -59,28 +59,98 @@ class LangId:
     def __init__(self, text_field: str = "text"):
         self.text_field = text_field
         self.profiles = [(lang, _LANG_MARKERS[lang]) for lang in self.LANGS]
+        # one index_in against the marker UNION + a per-lang bool LUT
+        # replaces an is_in scan per language (markers overlap: 'la',
+        # 'que', ... belong to several languages)
+        self._union = sorted(set().union(
+            *(m for lang, m in self.profiles if m)))
+        self._union_arr = pa.array(self._union, pa.string())
+        self._lut = np.zeros((len(self.profiles), len(self._union) + 1),
+                             dtype=bool)   # last slot = "not a marker"
+        for i, (_, markers) in enumerate(self.profiles):
+            for m in markers:
+                self._lut[i, self._union.index(m)] = True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_field].to_pylist()
-        preds: List[str] = []
-        scores: List[float] = []
-        for t in texts:
-            t = t or ""
-            toks = [w for w in _WS_SPLIT.split(t) if w]
-            n = max(1, len(toks))
-            cjk = len(_CJK_RE.findall(t))
-            best_lang, best = "en", -1.0
-            for lang, markers in self.profiles:
-                if lang == "zh":
-                    s = cjk / max(1, len(t))
-                else:
-                    s = sum(1 for w in toks if w.lower() in markers) / n
-                if s > best:
-                    best_lang, best = lang, s
-            preds.append(best_lang)
-            scores.append(best)
-        return batch.append_column("lang_pred", pa.array(preds, pa.string())) \
-                    .append_column("lang_score", pa.array(scores, pa.float64()))
+        """Vectorized scoring (r04 VERDICT #5 — the old per-row,
+        per-profile Python loop was O(rows x langs) interpreter work):
+        one regex split per batch, token->row map via
+        list_parent_indices, one ``is_in`` probe per marker set with
+        segmented ``np.bincount`` sums, CJK/length via count kernels.
+        Numerically identical to :meth:`score_one` (pinned by test):
+        int/int -> IEEE double everywhere, argmax first-max-wins ==
+        the scalar loop's replace-on-strict-> tie rule."""
+        txt = batch[self.text_field]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        nrows = len(txt)
+        # fast path: plain space split — identical post-empty-filter
+        # token set whenever no other ASCII whitespace occurs in the
+        # batch (the common corpus case); regex-class split otherwise
+        n_other_ws = pc.sum(pc.count_substring_regex(
+            txt, pattern="[\t\n\v\f\r]")).as_py() or 0
+        lists = pc.split_pattern(txt, pattern=" ") if n_other_ws == 0 \
+            else pc.split_pattern_regex(txt, pattern="[\t\n\v\f\r ]+")
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists) \
+            .to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        # markers are ASCII-lowercase; for ASCII tokens utf8_lower ==
+        # str.lower, and no non-ASCII token can lower to an ASCII
+        # marker under either casing — so the vectorized probe matches
+        # the scalar w.lower() semantics (test_langid_vector_parity)
+        flat_low = pc.utf8_lower(flat)
+        n_tok = np.bincount(parents[nonempty], minlength=nrows) \
+            if len(parents) else np.zeros(nrows, dtype=np.int64)
+        n_safe = np.maximum(1, n_tok).astype(np.float64)
+        cjk = pc.count_substring_regex(txt, pattern="[一-鿿]") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        n_chars = np.maximum(1, pc.utf8_length(txt)
+                             .to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        # marker id per token (len(union) = "no marker"), then per-lang
+        # membership via the LUT over only the matched tokens
+        mid = pc.fill_null(pc.index_in(flat_low,
+                                       value_set=self._union_arr),
+                           len(self._union)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        matched = mid < len(self._union)
+        pm, im = parents[matched], mid[matched]
+        mat = np.empty((len(self.profiles), nrows), dtype=np.float64)
+        for i, (lang, markers) in enumerate(self.profiles):
+            if lang == "zh":
+                mat[i] = cjk / n_chars
+                continue
+            sel = self._lut[i, im]
+            cnt = np.bincount(pm[sel], minlength=nrows) \
+                if pm.size else np.zeros(nrows, dtype=np.int64)
+            mat[i] = cnt / n_safe
+        best = mat.argmax(axis=0) if nrows else \
+            np.zeros(0, dtype=np.int64)
+        preds = np.asarray(self.LANGS, dtype=object)[best]
+        scores = mat[best, np.arange(nrows)] if nrows else \
+            np.zeros(0, dtype=np.float64)
+        return batch.append_column(
+            "lang_pred", pa.array(preds.tolist(), pa.string())) \
+            .append_column("lang_score", pa.array(scores, pa.float64()))
+
+    def score_one(self, t: str) -> tuple:
+        """Scalar reference semantics (the pre-vectorization loop) —
+        kept as the parity pin for the vectorized path."""
+        t = t or ""
+        toks = [w for w in _WS_SPLIT.split(t) if w]
+        n = max(1, len(toks))
+        cjk = len(_CJK_RE.findall(t))
+        best_lang, best = "en", -1.0
+        for lang, markers in self.profiles:
+            if lang == "zh":
+                s = cjk / max(1, len(t))
+            else:
+                s = sum(1 for w in toks if w.lower() in markers) / n
+            if s > best:
+                best_lang, best = lang, s
+        return best_lang, best
 
 
 def quality_score(batch: pa.Table, *, field: str) -> pa.Table:

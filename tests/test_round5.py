@@ -73,6 +73,32 @@ def test_stop_filter_lucene_case_default():
     assert fold("The theater the") == ["theater"]
 
 
+def test_langid_vector_parity():
+    """The vectorized LangId batch path must equal the scalar reference
+    loop on adversarial inputs: unicode whitespace inside tokens, CJK,
+    mixed case, ties, empties, nulls."""
+    from jesterj_ray.stages.textstats import LangId
+    texts = [
+        "the cat and the dog is in it",
+        "le chat et la maison est pour que",
+        "el perro y la casa es para que",
+        "der hund und die katze ist für nicht",
+        "中文文本处理 test",
+        "THE AND OF TO A IN IS",              # case folding
+        "le la el y",                          # fr/es tie -> first wins
+        "", None, "   ", " nbsp glued",  # unicode ws stays glued
+        "word\tword\nword\fmix the",
+        "一" * 3,                          # pure CJK
+    ]
+    st = LangId()
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    out = st(batch)
+    got = list(zip(out["lang_pred"].to_pylist(),
+                   out["lang_score"].to_pylist()))
+    want = [st.score_one(t) for t in texts]
+    assert got == want
+
+
 def test_html_sanitize_tika_parity():
     """TikaProcessor.java:90-100 — letters survive, EVERYTHING else
     (digits included) becomes underscore."""
