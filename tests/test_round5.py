@@ -99,6 +99,22 @@ def test_langid_vector_parity():
     assert got == want
 
 
+def test_mix_block_count_independence(ray_session):
+    """r04 VERDICT #6: the token-budget mix's two-level fold must give
+    the same answer at any block split (8 vs 64), uniform and weighted."""
+    from jesterj_ray.stages.sampling import mix_by_token_budget
+    sf = "/root/testdata/sf0.001"
+    a = mix_by_token_budget(sf, budget=800, num_blocks=8)
+    b = mix_by_token_budget(sf, budget=800, num_blocks=64)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    w = {"en": 600, "fr": 200}
+    aw = mix_by_token_budget(sf, budget=w, num_blocks=8)
+    bw = mix_by_token_budget(sf, budget=w, num_blocks=64)
+    pd.testing.assert_frame_equal(aw, bw)
+    assert set(aw["lang"]) <= set(w)
+
+
 def test_html_sanitize_tika_parity():
     """TikaProcessor.java:90-100 — letters survive, EVERYTHING else
     (digits included) becomes underscore."""
