@@ -208,6 +208,11 @@ def _bm25_grouped_topk(sf_dir: str):
     return bm25_grouped_topk(sf_dir, "merge sort", "lang", 3)
 
 
+def _collapse_expand_topk(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import collapse_expand_topk
+    return collapse_expand_topk(sf_dir, "merge sort", "source", 5, 2)
+
+
 def _weighted_token_mix(sf_dir: str):
     # weighted data-mixing recipe: per-lang token budgets
     from jesterj_ray.stages.sampling import mix_by_token_budget
@@ -818,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a current driver-checked row (r03 VERDICT #3)
         "html_extract_fields": _html_extract_fields,
         "dedup_drops_exact": _dedup_drops_exact,
+        "collapse_expand_topk": _collapse_expand_topk,
         "gif_decode_stats": _gif_decode_stats,
         "analyzed_token_counts": _analyzed_token_counts,
         "chunk_documents": _chunk_documents,
@@ -1912,6 +1918,61 @@ ranked AS (
 )
 SELECT lang, CAST(grank AS BIGINT) AS grank, doc_id, score
 FROM ranked WHERE grank <= 3 ORDER BY lang, grank""",
+        # engine: flagship.collapse_expand_topk — Solr field collapsing
+        # ({!collapse}) + ExpandComponent: best hit per source re-ranked
+        # as the main list (top-5 heads), then the next 2 hits of each
+        # surviving head's group as the expand section; both sides rank
+        # by ROUNDED score + doc_id (the grouped-topk tie rule)
+        "collapse_expand_topk": f"""
+WITH dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT t.term, t.doc_id, count(*) AS tf FROM toks t
+  WHERE t.term IN ('merge', 'sort') GROUP BY t.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ('merge', 'sort') GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         round(sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ),
+               6) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT d.source AS grp, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY sc.score DESC, sc.doc_id) AS grank
+  FROM scores sc JOIN documents d USING (doc_id)
+),
+heads AS (
+  SELECT grp, doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM ranked WHERE grank = 1
+),
+th AS (SELECT * FROM heads WHERE rnk <= 5)
+SELECT kind, grp, rnk, doc_id, score FROM (
+  SELECT 'head' AS kind, grp, CAST(rnk AS BIGINT) AS rnk,
+         doc_id, score
+  FROM th
+  UNION ALL
+  SELECT 'expand' AS kind, r.grp, CAST(r.grank - 1 AS BIGINT) AS rnk,
+         r.doc_id, r.score
+  FROM ranked r JOIN th USING (grp)
+  WHERE r.grank BETWEEN 2 AND 3
+) ORDER BY kind, grp, rnk""",
         "bm25_topk_exhaustive": _bm25_sql(),
         # engine: flagship.bm25f_title_phrase — phrase span constrained
         # to the title band (positions 0..7) via the positional-key

@@ -334,6 +334,65 @@ def bm25_grouped_topk(sf_dir: str, query: str = "merge sort",
     return out.sort_values([group_field, "grank"]).reset_index(drop=True)
 
 
+def collapse_expand_topk(sf_dir: str, query: str = "merge sort",
+                         group_field: str = "source", k: int = 5,
+                         expand_rows: int = 2) -> pd.DataFrame:
+    """Solr field collapsing + expand second phase (r04 VERDICT #4;
+    CollapsingQParserPlugin ``{!collapse field=...}`` + the
+    ExpandComponent): the MAIN list keeps only the best-scoring hit per
+    ``group_field`` value, re-ranked among themselves (top ``k``
+    heads); the EXPAND section returns, for each surviving head's
+    group, the next ``expand_rows`` hits of that group in score order.
+
+    Output rows: (kind 'head'|'expand', group, rnk, doc_id, score) —
+    head rnk = position in the collapsed main list, expand rnk =
+    position within its group's expand list.  Both sides of the oracle
+    rank by (ROUNDED score desc, doc_id) so sub-1e-6 summation-order
+    flips cannot reorder (the bm25_grouped_topk rule)."""
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    hits = reader.topk(query, reader.n_docs)
+    empty = pd.DataFrame({"kind": pd.Series([], dtype=object),
+                          "grp": pd.Series([], dtype=object),
+                          "rnk": pd.Series([], dtype=np.int64),
+                          "doc_id": pd.Series([], dtype=np.int64),
+                          "score": pd.Series([], dtype=np.float64)})
+    if not hits:
+        return empty
+    ids = np.array([h[0] for h in hits], dtype=np.int64)
+    keys = np.array([int(x) for x in reader.doc_keys(ids)],
+                    dtype=np.int64)
+    matched_ref = ray.put(pa.array(np.unique(keys)))
+
+    def keep_matched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"],
+                                 value_set=ray.get(matched_ref)))
+
+    meta = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", group_field],
+                           override_num_blocks=8) \
+        .map_batches(keep_matched, batch_format="pyarrow").to_pandas()
+    df = pd.DataFrame({"doc_id": keys,
+                       "score": [round(s, 6) for _, s in hits]})
+    df = df.merge(meta, on="doc_id", how="inner")
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True],
+                        kind="mergesort")
+    df["grank"] = df.groupby(group_field, sort=False).cumcount() + 1
+    heads = df[df["grank"] == 1].copy()     # already in score order
+    heads["rnk"] = np.arange(1, len(heads) + 1, dtype=np.int64)
+    heads = heads[heads["rnk"] <= k]
+    exp = df[df[group_field].isin(heads[group_field])
+             & df["grank"].between(2, 1 + expand_rows)].copy()
+    exp["rnk"] = (exp["grank"] - 1).astype(np.int64)
+    heads["kind"] = "head"
+    exp["kind"] = "expand"
+    out = pd.concat([heads, exp], ignore_index=True)
+    out = out.rename(columns={group_field: "grp"})
+    out = out[["kind", "grp", "rnk", "doc_id", "score"]]
+    out["rnk"] = out["rnk"].astype(np.int64)
+    return out.sort_values(["kind", "grp", "rnk"]).reset_index(drop=True)
+
+
 def bm25f_title_phrase(sf_dir: str, phrase: str = "key vector",
                        k: int = 10) -> pd.DataFrame:
     """Field-scoped exact phrase (Solr ``title:"..."`` analog): the
