@@ -104,30 +104,110 @@ def q1_lineitem_agg(sf_dir: str):
     return out[cols].sort_values(keys).reset_index(drop=True)
 
 
-def join_orders_customer(sf_dir: str):
+# Broadcast-side safety thresholds (r04 VERDICT #10): ray.put-ing the
+# small side means EVERY worker holds the whole table while probing —
+# a "small side" past these bounds is no longer small (at 32 actors a
+# 256 MiB table is 8 GiB of resident copies on one node), so the join
+# falls back to the coarse-gkey cogroup exchange below, where only
+# hash-partitioned slices of either side are resident at once.
+BROADCAST_MAX_BYTES = 256 << 20
+BROADCAST_MAX_ROWS = 4_000_000
+
+
+def broadcast_left_join(big: "rd.Dataset", small: pa.Table, big_key: str,
+                        small_key: str, value_cols, *,
+                        num_groups: int = 32,
+                        force_cogroup: bool = False) -> "rd.Dataset":
+    """Left join a Dataset against a small Arrow table: broadcast
+    lookup (``ray.put`` once, vectorized ``index_in`` + ``take`` per
+    batch — no shuffle) while the small side fits the documented
+    thresholds, else a coarse-gkey cogroup join (both sides hash on
+    ``key % num_groups``; per-group resolution stays in ARROW — the
+    int64-with-nulls pandas degradation trap — filtering each side to
+    its own rows before the index_in probe).  Output rows = big rows
+    with ``value_cols`` attached (null where unmatched); row ORDER is
+    not preserved on the fallback path.  Integer join keys only.
+    ``force_cogroup`` exists so tests pin both paths identical
+    (test_broadcast_join_fallback)."""
+    value_cols = list(value_cols)
+    small = small.select([small_key] + value_cols).combine_chunks()
+    if not force_cogroup and small.num_rows <= BROADCAST_MAX_ROWS \
+            and small.nbytes <= BROADCAST_MAX_BYTES:
+        lookup_ref = ray.put(small)
+
+        def attach(t: pa.Table) -> pa.Table:
+            lk = ray.get(lookup_ref)
+            idx = pc.index_in(t[big_key], value_set=lk[small_key])
+            for c in value_cols:
+                t = t.append_column(c, pc.take(lk[c], idx)
+                                    .combine_chunks())
+            return t
+
+        return big.map_batches(attach, batch_format="pyarrow")
+
+    big_schema = big.schema().base_schema
+    big_cols = list(big_schema.names)
+    big_types = {n: big_schema.field(n).type for n in big_cols}
+    val_types = {c: small.schema.field(c).type for c in value_cols}
+
+    def _gk(t: pa.Table, key: str) -> np.ndarray:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return k % num_groups
+
+    def norm_big(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"gk": pa.array(_gk(t, big_key), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "__k": t[big_key].cast(pa.int64())}
+        for c in big_cols:
+            cols["b_" + c] = t[c]
+        for c in value_cols:
+            cols["v_" + c] = pa.nulls(n, val_types[c])
+        return pa.table(cols)
+
+    def norm_small(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"gk": pa.array(_gk(t, small_key), pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "__k": t[small_key].cast(pa.int64())}
+        for c in big_cols:
+            cols["b_" + c] = pa.nulls(n, big_types[c])
+        for c in value_cols:
+            cols["v_" + c] = t[c]
+        return pa.table(cols)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        bigs = g.filter(pc.equal(g["side"], 0))
+        smalls = g.filter(pc.equal(g["side"], 1))
+        idx = pc.index_in(bigs["__k"], value_set=smalls["__k"])
+        out = {c: bigs["b_" + c] for c in big_cols}
+        for c in value_cols:
+            out[c] = pc.take(smalls["v_" + c], idx).combine_chunks()
+        return pa.table(out)
+
+    small_ds = rd.from_arrow(small)
+    tagged = big.map_batches(norm_big, batch_format="pyarrow") \
+        .union(small_ds.map_batches(norm_small, batch_format="pyarrow"))
+    return tagged.groupby("gk").map_groups(resolve,
+                                           batch_format="pyarrow")
+
+
+def join_orders_customer(sf_dir: str, force_cogroup: bool = False):
     """Broadcast hash join: customer (small side) is ``ray.put`` once and
     looked up per batch — no shuffle (SURVEY.md guidance: broadcast small
-    sides instead of a shuffle join)."""
+    sides instead of a shuffle join).  The broadcast is size-guarded —
+    see :func:`broadcast_left_join` (r02 VERDICT #7, r04 VERDICT #10)."""
     import pyarrow.parquet as pq
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_mktsegment"])
-    # ship the small side as an ARROW table (zero-copy from the object
-    # store) and probe with vectorized index_in + take — no Python dict
-    # probe per row (r02 VERDICT #7)
-    lookup_ref = ray.put(cust.combine_chunks())
-
-    def attach_segment(t: pa.Table) -> pa.Table:
-        lk = ray.get(lookup_ref)
-        idx = pc.index_in(t["o_custkey"], value_set=lk["c_custkey"])
-        segs = pc.take(lk["c_mktsegment"], idx)  # null where unmatched
-        return t.append_column("c_mktsegment", segs.combine_chunks())
-
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_custkey", "o_totalprice"],
                              override_num_blocks=16)
+    joined = broadcast_left_join(orders, cust, "o_custkey", "c_custkey",
+                                 ["c_mktsegment"],
+                                 force_cogroup=force_cogroup)
     # 5 market segments -> group-bounded: partial_groupby_sum, no shuffle
-    agg = partial_groupby_sum(orders, ["c_mktsegment"], ["o_totalprice"],
-                              prep=attach_segment)
+    agg = partial_groupby_sum(joined, ["c_mktsegment"], ["o_totalprice"])
     out = agg.to_pandas().rename(columns={"o_totalprice_sum": "total_revenue",
                                           "n": "n_orders"})
     out["total_revenue"] = out["total_revenue"].round(2)
