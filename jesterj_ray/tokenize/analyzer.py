@@ -151,6 +151,138 @@ CHAR_FILTERS = {"htmlstrip": _cf_htmlstrip,
                 "patternreplace": _cf_patternreplace,
                 "mapping": _cf_mapping}
 
+
+# ---- charFilter offset correction (r04 VERDICT #3) ----
+#
+# Lucene's charFilters remember where they edited the text so
+# OffsetAttribute spans can be mapped BACK to the original field value
+# (BaseCharFilter.correctOffset; the reference serializes those
+# corrected offsets, PreAnalyzeFields.java:76-87).  The default chains
+# here instead store the post-charFilter string (exact by
+# construction); the offset-aware variants below provide the Lucene
+# behavior: each filter emits an OffsetMap of its edits, maps compose
+# in reverse, and token (s, e) come out indexing the ORIGINAL string.
+
+class OffsetMap:
+    """Output->input offset correction for one transform's edit list.
+
+    Identity regions shift by the cumulative length delta; offsets
+    INSIDE a replacement map position-wise into the replaced source
+    span, clamped to its end (so a token starting mid-replacement
+    points at real source text, and a token ending at a replacement
+    boundary ends at the source boundary)."""
+
+    def __init__(self, edits):
+        """``edits`` = ascending, non-overlapping (in_start, in_end,
+        out_len) triples on the INPUT string."""
+        self.out_starts: List[int] = []
+        self.out_ends: List[int] = []
+        self.in_starts: List[int] = []
+        self.in_ends: List[int] = []
+        self.shifts: List[int] = []      # in = out + shift after edit i
+        shift = 0
+        for a, b, L in edits:
+            self.out_starts.append(a - shift)
+            self.out_ends.append(a - shift + L)
+            self.in_starts.append(a)
+            self.in_ends.append(b)
+            shift += (b - a) - L
+            self.shifts.append(shift)
+
+    def correct(self, o: int) -> int:
+        import bisect
+        i = bisect.bisect_right(self.out_starts, o) - 1
+        if i < 0:
+            return o
+        if o < self.out_ends[i]:
+            return min(self.in_starts[i] + (o - self.out_starts[i]),
+                       self.in_ends[i])
+        return o + self.shifts[i]
+
+
+def _apply_edits(s: str, edits) -> tuple:
+    """Apply ascending (start, end, replacement) edits to ``s``;
+    returns (out_string, OffsetMap)."""
+    parts = []
+    pos = 0
+    triples = []
+    for a, b, repl in edits:
+        parts.append(s[pos:a])
+        parts.append(repl)
+        triples.append((a, b, len(repl)))
+        pos = b
+    parts.append(s[pos:])
+    return "".join(parts), OffsetMap(triples)
+
+
+def _literal_edits(s: str, src: str, dst: str):
+    """Left-to-right non-overlapping occurrences — str.replace parity."""
+    out = []
+    i = 0
+    while True:
+        j = s.find(src, i)
+        if j < 0:
+            return out
+        out.append((j, j + len(src), dst))
+        i = j + len(src)
+
+
+def _ocf_patternreplace(spec):
+    rx = re.compile(spec["pattern"])
+    repl = spec.get("replacement", "")
+
+    def f(s: str):
+        edits = [(m.start(), m.end(), m.expand(repl))
+                 for m in rx.finditer(s)]
+        return _apply_edits(s, edits)
+    return f
+
+
+def _ocf_mapping(spec):
+    table = dict(spec["mapping"])
+
+    def f(s: str):
+        # sequential per-pair replace, one OffsetMap per pair — exactly
+        # the plain filter's str.replace-in-table-order semantics
+        maps = []
+        for src, dst in table.items():
+            s, m = _apply_edits(s, _literal_edits(s, src, dst))
+            maps.append(m)
+        return s, _ComposedMap(maps)
+    return f
+
+
+def _ocf_htmlstrip(spec):
+    def f(s: str):
+        maps = []
+        s, m = _apply_edits(
+            s, [(mt.start(), mt.end(), " ")
+                for mt in _HTML_TAG.finditer(s)])
+        maps.append(m)
+        for ent, ch in _HTML_ENTITIES.items():
+            s, m = _apply_edits(s, _literal_edits(s, ent, ch))
+            maps.append(m)
+        return s, _ComposedMap(maps)
+    return f
+
+
+class _ComposedMap:
+    """Sequential transforms' maps composed: correct() walks them in
+    reverse (last applied corrects first)."""
+
+    def __init__(self, maps):
+        self.maps = list(maps)
+
+    def correct(self, o: int) -> int:
+        for m in reversed(self.maps):
+            o = m.correct(o)
+        return o
+
+
+OFFSET_CHAR_FILTERS = {"htmlstrip": _ocf_htmlstrip,
+                       "patternreplace": _ocf_patternreplace,
+                       "mapping": _ocf_mapping}
+
 # ----------------------------------------------------------- tokenizers
 
 # UAX#29 approximation: word-char runs, plus MidLetter apostrophes
@@ -625,14 +757,65 @@ def build_analyzer_with_offsets(config: dict
     return analyze
 
 
-def build_preanalyzer(config: dict):
+def _compile_offset_cfs(config: dict):
+    """The offset-aware charFilter chain for ``correct_offsets`` modes
+    (every built-in charFilter has an offset-aware variant; a custom
+    one without it fails loudly rather than emitting wrong offsets)."""
+    ocfs = []
+    for spec in config.get("charFilters", []):
+        name = _norm(spec["class"])
+        if name not in OFFSET_CHAR_FILTERS:
+            raise ValueError(
+                f"charFilter {spec['class']!r} has no offset-aware "
+                "variant — corrected offsets unavailable for this chain")
+        ocfs.append(OFFSET_CHAR_FILTERS[name](spec))
+    return ocfs
+
+
+def build_analyzer_with_corrected_offsets(config: dict
+                                          ) -> Callable[[str], List[dict]]:
+    """Lucene ``correctOffset`` parity (r04 VERDICT #3): like
+    :func:`build_analyzer_with_offsets`, but every token's (s, e)
+    indexes the ORIGINAL field value — charFilter edits are mapped
+    back through each filter's :class:`OffsetMap`, exactly what the
+    reference serializes (``PreAnalyzeFields.java:76-87``, Lucene
+    ``OffsetAttribute`` after ``BaseCharFilter.correctOffset``)."""
+    ocfs = _compile_offset_cfs(config)
+    cfs, tokenize, tfs = _compile(config)
+    del cfs  # the offset-aware chain replaces the plain one
+
+    def analyze(text: str) -> List[dict]:
+        s = text
+        maps = []
+        for ocf in ocfs:
+            s, m = ocf(s)
+            maps.append(m)
+        comp = _ComposedMap(maps)
+        ts: List[Token] = [(t, False, a, b) for t, a, b in tokenize(s)]
+        for tf in tfs:
+            ts = tf(ts)
+        return [{"t": t, "s": comp.correct(a), "e": comp.correct(b),
+                 "i": 1} for t, _, a, b in ts]
+
+    return analyze
+
+
+def build_preanalyzer(config: dict, correct_offsets: bool = False):
     """PreAnalyzeFields variant: ``text -> (analyzed_text, tokens)``
     where ``analyzed_text`` is the POST-charFilter string the offsets
     index — the pre-analyzed JSON stores THAT string so ``str[s:e]``
     always lands on the token (Lucene maps offsets back to source via
     correctOffset(); storing the filtered text is the exact-by-
-    construction alternative here)."""
+    construction alternative here).
+
+    ``correct_offsets=True`` is the Lucene-parity mode (r04 VERDICT
+    #3): ``analyzed_text`` is the ORIGINAL text and every (s, e) is
+    corrected back through the charFilter OffsetMaps — what the
+    reference's serialized token stream holds."""
     cfs, tokenize, tfs = _compile(config)
+    if correct_offsets:
+        corrected = build_analyzer_with_corrected_offsets(config)
+        return lambda text: (text, corrected(text))
 
     def analyze(text: str):
         s = text

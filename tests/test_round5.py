@@ -60,6 +60,72 @@ def test_heavy_hitter_terms_guard():
         heavy_hitter_terms("/nonexistent", phi=0.001, k=64)
 
 
+def test_correct_offsets_mapping_filter():
+    """r04 VERDICT #3: a length-CHANGING mapping charFilter must yield
+    token offsets into the ORIGINAL string (Lucene correctOffset)."""
+    from jesterj_ray.tokenize.analyzer import (
+        build_analyzer_with_corrected_offsets, build_analyzer_with_offsets)
+    cfg = {"charFilters": [{"class": "mapping",
+                            "mapping": {"ß": "ss", "œ": "oe"}}],
+           "tokenizer": {"class": "whitespace"}}
+    src = "straße cœur X"
+    toks = build_analyzer_with_corrected_offsets(cfg)(src)
+    assert [(t["t"], t["s"], t["e"]) for t in toks] == \
+        [("strasse", 0, 6), ("coeur", 7, 11), ("X", 12, 13)]
+    for t in toks[2:]:                       # untouched region: exact
+        assert src[t["s"]:t["e"]] == t["t"]
+    # the default (post-charFilter) mode is unchanged
+    post = build_analyzer_with_offsets(cfg)(src)
+    assert [(t["t"], t["s"], t["e"]) for t in post] == \
+        [("strasse", 0, 7), ("coeur", 8, 13), ("X", 14, 15)]
+
+
+def test_correct_offsets_patternreplace_and_htmlstrip():
+    from jesterj_ray.tokenize.analyzer import (
+        build_analyzer_with_corrected_offsets, build_preanalyzer)
+    cfg = {"charFilters": [{"class": "patternReplace",
+                            "pattern": "[0-9]+", "replacement": "N"}],
+           "tokenizer": {"class": "whitespace"}}
+    src = "a11 b222 c"
+    toks = build_analyzer_with_corrected_offsets(cfg)(src)
+    assert [(t["t"], t["s"], t["e"]) for t in toks] == \
+        [("aN", 0, 3), ("bN", 4, 8), ("c", 9, 10)]
+    cfg = {"charFilters": [{"class": "htmlStrip"}],
+           "tokenizer": {"class": "whitespace"}}
+    src = "<b>hi</b> &amp; yo"
+    toks = build_analyzer_with_corrected_offsets(cfg)(src)
+    # 'hi' sits at [3,5) in the source; '&' covers the entity [10,15);
+    # 'yo' at [16,18)
+    assert [(t["t"], t["s"], t["e"]) for t in toks] == \
+        [("hi", 3, 5), ("&", 10, 15), ("yo", 16, 18)]
+    assert src[3:5] == "hi" and src[10:15] == "&amp;" \
+        and src[16:18] == "yo"
+    # preanalyzer Lucene-parity mode: original text + corrected spans
+    pre = build_preanalyzer(cfg, correct_offsets=True)
+    stext, ptoks = pre(src)
+    assert stext == src
+    assert [(t["t"], t["s"], t["e"]) for t in ptoks] == \
+        [("hi", 3, 5), ("&", 10, 15), ("yo", 16, 18)]
+
+
+def test_correct_offsets_growing_edit_and_composition():
+    """A growing replacement followed by a shrinking one: corrections
+    compose in reverse through both maps."""
+    from jesterj_ray.tokenize.analyzer import \
+        build_analyzer_with_corrected_offsets
+    cfg = {"charFilters": [
+        {"class": "mapping", "mapping": {"x": "xxx"}},   # grow 1->3
+        {"class": "patternReplace", "pattern": "b+",
+         "replacement": "B"}],                            # shrink
+        "tokenizer": {"class": "whitespace"}}
+    src = "x bbb end"
+    toks = build_analyzer_with_corrected_offsets(cfg)(src)
+    # post-filters string: "xxx B end"
+    assert [(t["t"], t["s"], t["e"]) for t in toks] == \
+        [("xxx", 0, 1), ("B", 2, 5), ("end", 6, 9)]
+    assert src[2:5] == "bbb" and src[6:9] == "end"
+
+
 def test_stop_filter_lucene_case_default():
     """ADVICE #3: StopFilterFactory defaults ignoreCase=false — 'The'
     survives a lowercase stop list unless ignoreCase is set."""
