@@ -680,6 +680,24 @@ def _lsh_embedding_near_dup(sf_dir: str):
     return out
 
 
+def _knn_hnsw(sf_dir: str):
+    """Sharded HNSW top-10 (rows-only: graph search is approximate by
+    design); recall >= 0.9 vs the oracle-checked exhaustive
+    knn_cosine_top10 pinned by tests/test_hnsw.py."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from jesterj_ray.ann.hnsw import build_hnsw, hnsw_topk
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(emb_path).to_pandas()
+    qvec = np.asarray(q.loc[q["vec_id"] == 0, "embedding"].iloc[0],
+                      dtype=np.float32)
+    graphs = build_hnsw(rd.read_parquet(emb_path), num_shards=4)
+    out = hnsw_topk(graphs, qvec[None, :], k=10, ef_search=64)
+    out = out[["rank", "vec_id", "score"]].copy()
+    out["score"] = out["score"].round(6)
+    return out.reset_index(drop=True)
+
+
 def _knn_lsh(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -824,6 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract_fields": _html_extract_fields,
         "dedup_drops_exact": _dedup_drops_exact,
         "collapse_expand_topk": _collapse_expand_topk,
+        "knn_hnsw_top10": _knn_hnsw,
         "gif_decode_stats": _gif_decode_stats,
         "analyzed_token_counts": _analyzed_token_counts,
         "chunk_documents": _chunk_documents,
