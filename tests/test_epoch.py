@@ -254,3 +254,79 @@ def test_bm25f_service_reopens_after_family_delta_and_compaction(
     assert svc.topk("omega alpha", 15) == fresh.topk("omega alpha", 15)
     assert svc.topk("omega alpha", 15) != before
     svc.shutdown()
+
+
+def test_epoch_chaos_concurrent_reader_writer(ray_session, tmp_path):
+    """r04 VERDICT #8: delta+compact writer cycles in a background
+    thread while a ShardedQueryService answers queries — every answer
+    must equal SOME published epoch's snapshot (never a torn view), or
+    surface as an honest IndexChangedError; after the dust settles the
+    service equals a fresh reader."""
+    import threading
+    import time
+
+    from jesterj_ray.index.compact import compact_index
+    from jesterj_ray.index.serving import (ShardedQueryService,
+                                           _caused_by_index_change)
+    df = _docs(260, seed=11)
+    src = str(tmp_path / "chaos.parquet")
+    _write(df, src)
+    out = str(tmp_path / "idx")
+    build_index_rows(src, out, **KW)
+    queries = ["omega", "alpha", "gamma beta"]
+    k = 15
+    snapshots = {q: [IndexReader(out).topk(q, k)] for q in queries}
+    snap_lock = threading.Lock()
+    writer_err = []
+
+    def writer():
+        try:
+            for cycle in range(3):
+                df.loc[7, "text"] = df.loc[7, "text"] + " omega"
+                df.loc[90 + cycle, "text"] = "gamma beta gamma"
+                _write(df, src)
+                delta_reindex(src, out, **KW)
+                with snap_lock:
+                    r = IndexReader(out)
+                    for q in queries:
+                        snapshots[q].append(r.topk(q, k))
+                time.sleep(0.05)
+                compact_index(out)
+                with snap_lock:
+                    r = IndexReader(out)
+                    for q in queries:
+                        snapshots[q].append(r.topk(q, k))
+                time.sleep(0.05)
+        except BaseException as e:          # surfaced in the main thread
+            writer_err.append(e)
+
+    svc = ShardedQueryService(out, n_slices=2, reopen_on_change=True)
+    try:
+        for q in queries:
+            assert svc.topk(q, k) == snapshots[q][0]
+        t = threading.Thread(target=writer)
+        t.start()
+        observed = {q: [] for q in queries}
+        errors = 0
+        while t.is_alive():
+            for q in queries:
+                try:
+                    observed[q].append(svc.topk(q, k))
+                except Exception as e:
+                    assert _caused_by_index_change(e), e
+                    errors += 1
+            time.sleep(0.01)
+        t.join()
+        assert not writer_err, writer_err
+        # every observed answer is a published snapshot — never torn
+        for q in queries:
+            assert observed[q], "no queries overlapped the chaos window"
+            for ans in observed[q]:
+                assert ans in snapshots[q], (q, ans)
+        # convergence: post-chaos service == fresh reader
+        svc.reopen()
+        fresh = IndexReader(out)
+        for q in queries:
+            assert svc.topk(q, k) == fresh.topk(q, k)
+    finally:
+        svc.shutdown()
