@@ -424,6 +424,11 @@ def _html_extract_fields(sf_dir: str):
     return html_extract_fields_pipeline(sf_dir)
 
 
+def _redact_pii(sf_dir: str):
+    from jesterj_ray.stages.redact import redact_pii_pipeline
+    return redact_pii_pipeline(sf_dir)
+
+
 def _gif_decode_stats(sf_dir: str):
     from jesterj_ray.stages.multimodal import gif_decode_stats_pipeline
     return gif_decode_stats_pipeline(sf_dir)
@@ -843,6 +848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_drops_exact": _dedup_drops_exact,
         "collapse_expand_topk": _collapse_expand_topk,
         "knn_hnsw_top10": _knn_hnsw,
+        "redact_pii": _redact_pii,
         "gif_decode_stats": _gif_decode_stats,
         "analyzed_token_counts": _analyzed_token_counts,
         "chunk_documents": _chunk_documents,
@@ -1719,6 +1725,62 @@ ORDER BY r.qid, r.rank
                    'Document ' || CAST(doc_id AS VARCHAR) || ' & Co'
                      AS title
             FROM documents ORDER BY doc_id""",
+        # engine: stages/redact.redact_pii_pipeline — vectorized RE2
+        # redaction chain (URL -> EMAIL -> IP -> PHONE, counts before
+        # each replace); the oracle recomputes the WHOLE redaction with
+        # DuckDB's own RE2 regexp_replace over the same injected text —
+        # the chain is frozen on both sides (stages/redact.py)
+        "redact_pii": """
+            WITH s0 AS (
+              SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+                     '@ex' || CAST(doc_id % 9 AS VARCHAR) ||
+                     '.example.com or https://site' ||
+                     CAST(doc_id % 7 AS VARCHAR) || '.example/p/' ||
+                     CAST(doc_id AS VARCHAR) || '?u=a' ||
+                     CAST(doc_id AS VARCHAR) || '@b.co node 10.' ||
+                     CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+                     CAST(doc_id % 200 AS VARCHAR) || ' tel ' ||
+                     CAST(200 + doc_id % 700 AS VARCHAR) || '-' ||
+                     CAST(100 + doc_id % 900 AS VARCHAR) || '-' ||
+                     CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+              FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(t,
+                       'https?://[^\\s]+')) AS BIGINT) AS n_url,
+                     regexp_replace(t, 'https?://[^\\s]+', '<URL>',
+                                    'g') AS t
+              FROM s0),
+            s2 AS (
+              SELECT doc_id, n_url,
+                     CAST(length(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                       )) AS BIGINT) AS n_email,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t
+              FROM s1),
+            s3 AS (
+              SELECT doc_id, n_url, n_email,
+                     CAST(length(regexp_extract_all(t,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+                       )) AS BIGINT) AS n_ip,
+                     regexp_replace(t,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g') AS t
+              FROM s2),
+            s4 AS (
+              SELECT doc_id, n_url, n_email, n_ip,
+                     CAST(length(regexp_extract_all(t,
+                       '\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b'))
+                       AS BIGINT) AS n_phone,
+                     regexp_replace(t, '\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b',
+                                    '<PHONE>', 'g') AS t
+              FROM s3)
+            SELECT doc_id, t AS text_redacted, n_url, n_email, n_ip,
+                   n_phone
+            FROM s4 ORDER BY doc_id""",
         # engine: stages/multimodal.gif_decode_stats_pipeline — REAL
         # GIF89a bytes (LZW bitstream) round-trip through the
         # pure-Python decoder in the actor pool; oracle recomputes the

@@ -216,6 +216,27 @@ def test_broadcast_left_join_rows(ray_session):
     assert outs[True]["k"].dtype == np.int64
 
 
+def test_redact_pii_chain_semantics():
+    """Rule order is load-bearing: a URL-embedded email redacts as part
+    of the URL (and counts as URL only); IPs never count as phones."""
+    from jesterj_ray.stages.redact import redact_pii
+    t = pa.table({"text": pa.array([
+        "mail a.b+c@x-y.org now",
+        "see https://h.example/p?e=z@q.io trailing",
+        "ip 192.168.0.1 phone 555-123-4567",
+        "no pii at all", ""], pa.string())})
+    out = redact_pii(t, field="text")
+    got = out["text_redacted"].to_pylist()
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "see <URL> trailing"
+    assert got[2] == "ip <IP> phone <PHONE>"
+    assert got[3] == "no pii at all" and got[4] == ""
+    assert out["n_email"].to_pylist() == [1, 0, 0, 0, 0]
+    assert out["n_url"].to_pylist() == [0, 1, 0, 0, 0]
+    assert out["n_ip"].to_pylist() == [0, 0, 1, 0, 0]
+    assert out["n_phone"].to_pylist() == [0, 0, 1, 0, 0]
+
+
 def test_html_sanitize_tika_parity():
     """TikaProcessor.java:90-100 — letters survive, EVERYTHING else
     (digits included) becomes underscore."""
