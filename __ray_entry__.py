@@ -429,6 +429,47 @@ def _redact_pii(sf_dir: str):
     return redact_pii_pipeline(sf_dir)
 
 
+def _markdown_extract(sf_dir: str):
+    from jesterj_ray.stages.markdown import markdown_extract_pipeline
+    return markdown_extract_pipeline(sf_dir)
+
+
+def _markdown_sql() -> str:
+    """Oracle built FROM the frozen chain itself (stages/markdown.py),
+    so the two sides cannot drift: DuckDB re-runs the identical RE2
+    rewrites over the same synthesized markdown."""
+    from jesterj_ray.stages.markdown import MARKDOWN_CHAIN
+    expr = "md"
+    for pat, repl in MARKDOWN_CHAIN:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                 '> quoted intro ' || CAST(doc_id % 5 AS VARCHAR) ||
+                 chr(10) ||
+                 '**' || string_split(text, ' ')[1] || '** and *' ||
+                 CAST(doc_id % 3 AS VARCHAR) || 'th* _note_ plus `code'
+                 || CAST(doc_id % 7 AS VARCHAR) || '`' || chr(10) ||
+                 '[link ' || CAST(doc_id AS VARCHAR) ||
+                 '](https://ex.com/' || CAST(doc_id AS VARCHAR) ||
+                 ') ![img ' || CAST(doc_id % 11 AS VARCHAR) ||
+                 '](pic' || CAST(doc_id AS VARCHAR) || '.png)' ||
+                 chr(10) ||
+                 '```' || chr(10) || 'hidden ' ||
+                 CAST(doc_id AS VARCHAR) || ' block' || chr(10) ||
+                 '```' || chr(10) ||
+                 '- item one' || chr(10) ||
+                 '2. item ' || CAST(doc_id % 13 AS VARCHAR) || chr(10)
+                 || '---' || chr(10) ||
+                 CASE WHEN position(' ' IN text) > 0
+                      THEN substr(text, position(' ' IN text) + 1)
+                      ELSE '' END AS md
+          FROM documents)
+        SELECT doc_id, {expr} AS text_md FROM s ORDER BY doc_id"""
+
+
 def _gif_decode_stats(sf_dir: str):
     from jesterj_ray.stages.multimodal import gif_decode_stats_pipeline
     return gif_decode_stats_pipeline(sf_dir)
@@ -849,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_expand_topk": _collapse_expand_topk,
         "knn_hnsw_top10": _knn_hnsw,
         "redact_pii": _redact_pii,
+        "markdown_extract": _markdown_extract,
         "gif_decode_stats": _gif_decode_stats,
         "analyzed_token_counts": _analyzed_token_counts,
         "chunk_documents": _chunk_documents,
@@ -1781,6 +1823,10 @@ ORDER BY r.qid, r.rank
             SELECT doc_id, t AS text_redacted, n_url, n_email, n_ip,
                    n_phone
             FROM s4 ORDER BY doc_id""",
+        # engine: stages/markdown.markdown_extract_pipeline — oracle
+        # string is generated from the SAME frozen MARKDOWN_CHAIN the
+        # engine applies (see _markdown_sql)
+        "markdown_extract": _markdown_sql(),
         # engine: stages/multimodal.gif_decode_stats_pipeline — REAL
         # GIF89a bytes (LZW bitstream) round-trip through the
         # pure-Python decoder in the actor pool; oracle recomputes the

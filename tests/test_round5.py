@@ -237,6 +237,17 @@ def test_redact_pii_chain_semantics():
     assert out["n_phone"].to_pylist() == [0, 0, 1, 0, 0]
 
 
+def test_markdown_to_text_constructs():
+    from jesterj_ray.stages.markdown import markdown_to_text
+    md = ("## Head\n> quote\n**bold** *it* _u_ `c`\n"
+          "[txt](http://u) ![alt](i.png)\n```\ndrop me\n```\n"
+          "- a\n+ b\n3. c\n---\ntail")
+    t = pa.table({"x": pa.array([md, "", "plain"], pa.string())})
+    out = markdown_to_text(t, field="x")
+    assert out["text_md"].to_pylist() == [
+        "Head quote bold it u c txt alt a b c tail", "", "plain"]
+
+
 def test_html_sanitize_tika_parity():
     """TikaProcessor.java:90-100 — letters survive, EVERYTHING else
     (digits included) becomes underscore."""
