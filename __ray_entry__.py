@@ -236,6 +236,32 @@ def _stratified_sample(sf_dir: str):
     return sample_per_group(sf_dir, group_col="lang", k=5)
 
 
+def _paragraph_dedup(sf_dir: str):
+    # Dolma/RefinedWeb boilerplate pass (stages/paragraphs.py):
+    # paragraph explode (doc-local) -> exact_dedup keep-first by
+    # (doc_id, pidx) -> coarse-gkey reassembly; paragraph structure
+    # synthesized deterministically (flat corpus), oracle mirrors it
+    from jesterj_ray.stages.paragraphs import paragraph_dedup_pipeline
+    return paragraph_dedup_pipeline(sf_dir)
+
+
+def _gopher_rules(sf_dir: str):
+    # Gopher §A1.1 quality-rule table (stages/gopher.py): frozen
+    # vectorized signal formulas + rule bands, verdicts on the rounded
+    # columns; min_words=20 / min_stop_distinct=1 scale the 50-word
+    # floor and 2-stop-word rule to this synthetic corpus
+    from jesterj_ray.stages.gopher import gopher_rules_pipeline
+    return gopher_rules_pipeline(sf_dir)
+
+
+def _lm_perplexity(sf_dir: str):
+    # CCNet-family quality signal: corpus-trained add-0.5 bigram LM,
+    # per-doc self-perplexity (stages/lm.py — model trained in one
+    # count pass, broadcast once, scoring vectorized per batch)
+    from jesterj_ray.stages.lm import lm_perplexity_pipeline
+    return lm_perplexity_pipeline(sf_dir)
+
+
 def _chunk_documents(sf_dir: str):
     # LLM training-prep chunking: 64-token windows, stride 48 (16-token
     # overlap); vectorized over the flattened token stream
@@ -885,6 +911,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict order = driver iteration order: entries lacking a
         # CORRECTNESS_r03 row come FIRST so every operator regains
         # a current driver-checked row (r03 VERDICT #3)
+        "lm_perplexity": _lm_perplexity,
+        "gopher_rules": _gopher_rules,
+        "paragraph_dedup": _paragraph_dedup,
         "html_extract_fields": _html_extract_fields,
         "dedup_drops_exact": _dedup_drops_exact,
         "collapse_expand_topk": _collapse_expand_topk,
@@ -1767,6 +1796,167 @@ ORDER BY r.qid, r.rank
                    'Document ' || CAST(doc_id AS VARCHAR) || ' & Co'
                      AS title
             FROM documents ORDER BY doc_id""",
+        # engine: stages/paragraphs.paragraph_dedup_pipeline —
+        # paragraph-level keep-first dedup over deterministically
+        # synthesized paragraph structure (8-word groups, shared
+        # prepend for doc_id%3==0 at pidx 0, shared append at pidx
+        # 999999); winner = min (doc_id, pidx) == row_number ORDER BY
+        "paragraph_dedup": """
+            WITH tl AS (
+              SELECT doc_id,
+                     regexp_extract_all(text,
+                       '[^\\t\\n\\v\\f\\r ]+') AS ws
+              FROM documents),
+            grp AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws), 8)) AS s
+              FROM tl WHERE len(ws) > 0),
+            paras0 AS (
+              SELECT doc_id, (s - 1) // 8 + 1 AS pidx,
+                     array_to_string(ws[s : least(s + 7, len(ws))],
+                                     ' ') AS ptext
+              FROM grp),
+            paras AS (
+              SELECT * FROM paras0
+              UNION ALL
+              SELECT doc_id, 0,
+                     'breaking update follow this channel now'
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, 999999,
+                     'subscribe to the newsletter for weekly updates'
+              FROM documents),
+            win AS (
+              SELECT doc_id, pidx, ptext,
+                     row_number() OVER (PARTITION BY ptext
+                                        ORDER BY doc_id, pidx) AS rn
+              FROM paras),
+            before AS (SELECT doc_id,
+                              CAST(count(*) AS BIGINT) AS n_paras
+                       FROM paras GROUP BY doc_id)
+            SELECT w.doc_id, b.n_paras,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(w.ptext, chr(10) || chr(10)
+                              ORDER BY w.pidx) AS text_clean
+            FROM win w JOIN before b USING (doc_id)
+            WHERE w.rn = 1
+            GROUP BY w.doc_id, b.n_paras
+            ORDER BY w.doc_id""",
+        # engine: stages/gopher.gopher_rules_pipeline — Gopher §A1.1
+        # quality rules; every signal formula and rule band mirrored
+        # (words = non-empty ASCII-ws segments; '...'/'#' symbol
+        # counts; per-line bullet/ellipsis; 8-stop-word distinct hits;
+        # verdicts on the ROUNDED ratios so both sides compare equal)
+        "gopher_rules": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(text,
+                       '[^\\t\\n\\v\\f\\r ]+') AS ws
+              FROM documents),
+            flat AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(SUM(length(wd)) AS BIGINT) AS char_mass,
+                     CAST(SUM(CASE WHEN regexp_matches(wd, '[A-Za-z]')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha
+              FROM flat GROUP BY doc_id),
+            base AS (
+              SELECT d.doc_id,
+                     COALESCE(a.n_words, 0) AS n_words,
+                     CAST(COALESCE(a.char_mass, 0) AS DOUBLE)
+                       AS char_mass,
+                     CAST(COALESCE(a.n_alpha, 0) AS DOUBLE) AS n_alpha,
+                     CAST(length(regexp_extract_all(d.text, '#'))
+                          + length(regexp_extract_all(d.text,
+                              '\\.\\.\\.')) AS DOUBLE) AS n_sym,
+                     CAST(length(regexp_extract_all(d.text, '\\n')) + 1
+                          AS DOUBLE) AS n_lines,
+                     CAST(length(regexp_extract_all(d.text,
+                       '(?m)^[-*•]')) AS DOUBLE) AS n_bullet,
+                     CAST(length(regexp_extract_all(d.text,
+                       '(?m)\\.\\.\\.$')) AS DOUBLE) AS n_ell,
+                     CAST((CASE WHEN regexp_matches(lower(d.text),
+                             '\\bthe\\b') THEN 1 ELSE 0 END)
+                        + (CASE WHEN regexp_matches(lower(d.text),
+                             '\\bbe\\b') THEN 1 ELSE 0 END)
+                        + (CASE WHEN regexp_matches(lower(d.text),
+                             '\\bto\\b') THEN 1 ELSE 0 END)
+                        + (CASE WHEN regexp_matches(lower(d.text),
+                             '\\bof\\b') THEN 1 ELSE 0 END)
+                        + (CASE WHEN regexp_matches(lower(d.text),
+                             '\\band\\b') THEN 1 ELSE 0 END)
+                        + (CASE WHEN regexp_matches(lower(d.text),
+                             '\\bthat\\b') THEN 1 ELSE 0 END)
+                        + (CASE WHEN regexp_matches(lower(d.text),
+                             '\\bhave\\b') THEN 1 ELSE 0 END)
+                        + (CASE WHEN regexp_matches(lower(d.text),
+                             '\\bwith\\b') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_stop
+              FROM documents d LEFT JOIN agg a USING (doc_id)),
+            r AS (
+              SELECT doc_id, n_words,
+                round(char_mass / greatest(n_words, 1), 6)
+                  AS mean_word_len,
+                round(n_sym / greatest(n_words, 1), 6) AS symbol_ratio,
+                round(n_bullet / n_lines, 6) AS bullet_ratio,
+                round(n_ell / n_lines, 6) AS ellipsis_ratio,
+                round(n_alpha / greatest(n_words, 1), 6)
+                  AS frac_alpha_words,
+                n_stop AS n_stop_distinct
+              FROM base)
+            SELECT *,
+                   (n_words BETWEEN 20 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.1
+                    AND bullet_ratio <= 0.9
+                    AND ellipsis_ratio <= 0.3
+                    AND frac_alpha_words >= 0.8
+                    AND n_stop_distinct >= 1) AS gopher_pass
+            FROM r ORDER BY doc_id""",
+        # engine: stages/lm.lm_perplexity_pipeline — corpus-trained
+        # add-0.5 bigram LM (CCNet-style quality signal); the oracle
+        # retrains the SAME frozen model in SQL: first token scores
+        # (c_u+0.5)/(T+0.5V), later tokens (c_b+0.5)/(c_u(prev)+0.5V);
+        # 6dp rounding (irrational sums — plain round safe)
+        "lm_perplexity": """
+            WITH tl AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+            pos AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, len(tk))) AS i
+              FROM tl WHERE len(tk) > 0),
+            toks AS (SELECT doc_id, i, tk[i] AS t FROM pos),
+            ug AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+                   FROM toks GROUP BY t),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM toks),
+            vv AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM ug),
+            seq AS (SELECT doc_id, i, t,
+                           lag(t) OVER (PARTITION BY doc_id
+                                        ORDER BY i) AS p
+                    FROM toks),
+            bg AS (SELECT p AS w1, t AS w2,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM seq WHERE p IS NOT NULL GROUP BY p, t),
+            lp AS (SELECT s.doc_id,
+                     CASE WHEN s.p IS NULL
+                       THEN ln((u1.c + 0.5) / (tot.T + 0.5 * vv.V))
+                       ELSE ln((COALESCE(b.c, 0) + 0.5)
+                               / (up.c + 0.5 * vv.V))
+                     END AS l
+                   FROM seq s
+                   JOIN ug u1 ON u1.t = s.t
+                   LEFT JOIN ug up ON up.t = s.p
+                   LEFT JOIN bg b ON b.w1 = s.p AND b.w2 = s.t
+                   CROSS JOIN tot CROSS JOIN vv),
+            agg AS (SELECT doc_id,
+                           CAST(count(*) AS BIGINT) AS n_tokens,
+                           SUM(l) / count(*) AS avg
+                    FROM lp GROUP BY doc_id)
+            SELECT doc_id, n_tokens, round(avg, 6) AS avg_logprob,
+                   round(exp(-avg), 6) AS ppl
+            FROM agg ORDER BY doc_id""",
         # engine: stages/redact.redact_pii_pipeline — vectorized RE2
         # redaction chain (URL -> EMAIL -> IP -> PHONE, counts before
         # each replace); the oracle recomputes the WHOLE redaction with
