@@ -236,6 +236,30 @@ def _stratified_sample(sf_dir: str):
     return sample_per_group(sf_dir, group_col="lang", k=5)
 
 
+def _terms_component(sf_dir: str):
+    # Solr TermsComponent: prefix term enumeration with df, ordered
+    # df desc then term (flagship.terms_component — segment-dict scan)
+    from jesterj_ray.pipelines.flagship import terms_component
+    return terms_component(sf_dir, prefix="s", limit=30)
+
+
+def _stats_component(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import stats_component
+    return stats_component(sf_dir, query="merge sort", field="n_chars")
+
+
+def _range_facets(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import range_facets
+    return range_facets(sf_dir, query="dup stream", field="n_chars",
+                        start=0, end=600, gap=50)
+
+
+def _cursor_pages(sf_dir: str):
+    from jesterj_ray.pipelines.flagship import cursor_pages
+    return cursor_pages(sf_dir, query="merge sort", page_size=5,
+                        pages=(2, 3))
+
+
 def _paragraph_dedup(sf_dir: str):
     # Dolma/RefinedWeb boilerplate pass (stages/paragraphs.py):
     # paragraph explode (doc-local) -> exact_dedup keep-first by
@@ -914,6 +938,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _lm_perplexity,
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
+        "terms_component": _terms_component,
+        "stats_component": _stats_component,
+        "range_facets": _range_facets,
+        "cursor_pages": _cursor_pages,
         "html_extract_fields": _html_extract_fields,
         "dedup_drops_exact": _dedup_drops_exact,
         "collapse_expand_topk": _collapse_expand_topk,
@@ -1796,6 +1824,89 @@ ORDER BY r.qid, r.rank
                    'Document ' || CAST(doc_id AS VARCHAR) || ' & Co'
                      AS title
             FROM documents ORDER BY doc_id""",
+        # engine: flagship.terms_component — Solr TermsComponent
+        # (terms.prefix/limit): segment-dict (term, df) scan; df in the
+        # index == count(DISTINCT doc_id) by construction
+        "terms_component": f"""
+            SELECT term, count(DISTINCT doc_id) AS df FROM (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            WHERE term LIKE 's%'
+            GROUP BY term ORDER BY df DESC, term LIMIT 30""",
+        # engine: flagship.stats_component — Solr StatsComponent over
+        # the disjunctive match set of 'merge sort'; mean/stddev are
+        # rationals -> half-away rounding on both sides (repo rule);
+        # stddev is SAMPLE (ddof=1 / stddev_samp)
+        "stats_component": f"""
+            WITH m AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+              WHERE term IN ('merge', 'sort'))
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(d.n_chars) AS BIGINT) AS min_v,
+                   CAST(max(d.n_chars) AS BIGINT) AS max_v,
+                   CAST(sum(d.n_chars) AS BIGINT) AS sum_v,
+                   round(avg(d.n_chars), 6) AS mean_v,
+                   round(stddev_samp(d.n_chars), 6) AS stddev_v
+            FROM documents d JOIN m USING (doc_id)""",
+        # engine: flagship.range_facets — Solr facet.range over
+        # n_chars in [0,600) gap 50 among 'dup stream' matches; every
+        # bucket emitted (zeros included)
+        "range_facets": f"""
+            WITH m AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+              WHERE term IN ('dup', 'stream')),
+            v AS (SELECT d.n_chars AS v
+                  FROM documents d JOIN m USING (doc_id)
+                  WHERE d.n_chars >= 0 AND d.n_chars < 600),
+            b AS (SELECT (v // 50) * 50 AS bucket_start,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM v GROUP BY 1),
+            g AS (SELECT unnest(generate_series(0, 550, 50))
+                    AS bucket_start)
+            SELECT CAST(g.bucket_start AS BIGINT) AS bucket_start,
+                   CAST(COALESCE(b.n, 0) AS BIGINT) AS n
+            FROM g LEFT JOIN b USING (bucket_start)
+            ORDER BY bucket_start""",
+        # engine: flagship.cursor_pages — Solr cursorMark deep paging:
+        # total order (ROUNDED score desc, doc_id) — the grouped-topk
+        # tie rule — pages 2 and 3 of 5
+        "cursor_pages": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+            dl AS (
+              SELECT doc_id, length({_TOKS}) AS dl FROM documents),
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('merge'), ('sort')),
+            tf AS (
+              SELECT q.term, t.doc_id, count(*) AS tf
+              FROM toks t JOIN qterms q USING (term)
+              GROUP BY q.term, t.doc_id),
+            df AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM toks
+              WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+            scores AS (
+              SELECT tf.doc_id,
+                     round(sum( ln((s.n - df.df + 0.5) / (df.df + 0.5)
+                                   + 1)
+                          * tf.tf * (1.2 + 1.0)
+                          / (tf.tf + 1.2 * (1.0 - 0.75
+                                            + 0.75 * dl.dl / s.avgdl))
+                          ), 6) AS score
+              FROM tf JOIN df USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats s
+              GROUP BY tf.doc_id),
+            ranked AS (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS rnk
+              FROM scores)
+            SELECT CAST(p.page AS BIGINT) AS page,
+                   CAST(r.rnk AS BIGINT) AS rnk, r.doc_id, r.score
+            FROM ranked r JOIN (VALUES (2), (3)) AS p(page)
+              ON r.rnk > (p.page - 1) * 5 AND r.rnk <= p.page * 5
+            ORDER BY p.page, r.rnk""",
         # engine: stages/paragraphs.paragraph_dedup_pipeline —
         # paragraph-level keep-first dedup over deterministically
         # synthesized paragraph structure (8-word groups, shared

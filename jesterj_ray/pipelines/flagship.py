@@ -883,3 +883,159 @@ def corpus_index_pipeline(n_rows: int = 500, *, out_dir: Optional[str] = None,
     hits = qds.map_batches(QueryActor, fn_constructor_kwargs={"index_dir": out},
                            batch_format="pandas", concurrency=2).to_pandas()
     return hits.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+# ---- Solr-parity late components: terms / stats / range facets / cursor ----
+
+def _away6(x):
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
+def _match_doc_ids(reader: IndexReader, query: str) -> np.ndarray:
+    """Disjunctive match set as ORIGINAL doc ids (alive only) — the
+    shared first phase of stats/range-facet components."""
+    from ..index.bm25 import dedup_keep_order
+    parts = []
+    for t in dedup_keep_order(reader.tokenizer(query)):
+        docs, _ = reader.postings(t)
+        docs = docs[reader.alive_mask(docs)]
+        if docs.size:
+            parts.append(np.array(
+                [int(k) for k in reader.doc_keys(docs)], dtype=np.int64))
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def terms_component(sf_dir: str, prefix: str = "s", limit: int = 30
+                    ) -> pd.DataFrame:
+    """Solr TermsComponent (``terms.prefix`` + ``terms.limit``): index
+    terms starting with ``prefix`` with their document frequencies,
+    ordered df desc then term.  Reads only the segment dictionaries'
+    (term, df) columns — vocab-bounded, never corpus-bounded; summing
+    df per term makes the scan generation-safe (delta segments split a
+    term across files)."""
+    idx = documents_index(sf_dir)
+    import pyarrow.parquet as pq
+    seg_dir = os.path.join(idx, "segments")
+    parts = [pq.read_table(os.path.join(seg_dir, f),
+                           columns=["term", "df"])
+             for f in sorted(os.listdir(seg_dir))
+             if f.endswith(".parquet")]
+    t = pa.concat_tables(parts)
+    t = t.filter(pc.starts_with(t["term"], prefix)).to_pandas()
+    t = t.groupby("term", as_index=False)["df"].sum()
+    t = t.sort_values(["df", "term"], ascending=[False, True],
+                      kind="mergesort").head(limit)
+    t["df"] = t["df"].astype(np.int64)
+    return t.reset_index(drop=True)
+
+
+def stats_component(sf_dir: str, query: str = "merge sort",
+                    field: str = "n_chars") -> pd.DataFrame:
+    """Solr StatsComponent (``stats.field`` over a query's match set):
+    count/min/max/sum/mean/stddev(sample) of a numeric field across
+    the disjunctive matches.  The match set broadcasts once
+    (``ray.put``); the stats fold is Ray Data's distributed aggregate
+    over a pruned two-column read."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+    idx = documents_index(sf_dir)
+    matched = _match_doc_ids(IndexReader(idx), query)
+    matched_ref = ray.put(pa.array(matched))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"],
+                                 value_set=ray.get(matched_ref)))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", field],
+                         override_num_blocks=8) \
+        .map_batches(keep, batch_format="pyarrow")
+    agg = ds.aggregate(Count(), Min(field), Max(field), Sum(field),
+                       Mean(field), Std(field, ddof=1))
+    if not agg or not agg.get("count()"):
+        # SQL semantics of an empty match set: n=0, aggregates NULL
+        return pd.DataFrame({
+            "n": pd.Series([0], dtype=np.int64),
+            "min_v": pd.Series([np.nan]), "max_v": pd.Series([np.nan]),
+            "sum_v": pd.Series([np.nan]), "mean_v": pd.Series([np.nan]),
+            "stddev_v": pd.Series([np.nan])})
+    return pd.DataFrame({
+        "n": pd.Series([int(agg["count()"])], dtype=np.int64),
+        "min_v": pd.Series([int(agg[f"min({field})"])], dtype=np.int64),
+        "max_v": pd.Series([int(agg[f"max({field})"])], dtype=np.int64),
+        "sum_v": pd.Series([int(agg[f"sum({field})"])], dtype=np.int64),
+        "mean_v": pd.Series(_away6([agg[f"mean({field})"]]),
+                            dtype=np.float64),
+        "stddev_v": pd.Series(_away6([agg[f"std({field})"]]),
+                              dtype=np.float64)})
+
+
+def range_facets(sf_dir: str, query: str = "dup stream",
+                 field: str = "n_chars", start: int = 0, end: int = 600,
+                 gap: int = 50) -> pd.DataFrame:
+    """Solr ``facet.range``: bucket counts of a numeric field over the
+    query's match set, every bucket emitted (zeros included) —
+    distributed partial bucket counts + one tiny (bucket, n) groupby,
+    the facet-component exchange shape."""
+    idx = documents_index(sf_dir)
+    matched = _match_doc_ids(IndexReader(idx), query)
+    matched_ref = ray.put(pa.array(matched))
+    nb = (end - start) // gap
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["doc_id"],
+                              value_set=ray.get(matched_ref)))
+        v = t[field].to_numpy(zero_copy_only=False)
+        v = v[(v >= start) & (v < end)]
+        b = (v - start) // gap
+        c = np.bincount(b, minlength=nb).astype(np.int64)
+        return pa.table({
+            "bucket_start": pa.array(start + np.arange(nb) * gap,
+                                     pa.int64()),
+            "n": pa.array(c, pa.int64())})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", field],
+                         override_num_blocks=8) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket_start").sum("n")
+    out = pd.DataFrame(ds.take_all()).rename(columns={"sum(n)": "n"})
+    full = pd.DataFrame({"bucket_start": start + np.arange(nb) * gap})
+    out = full.merge(out, on="bucket_start", how="left").fillna(0)
+    out["bucket_start"] = out["bucket_start"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("bucket_start").reset_index(drop=True)
+
+
+def cursor_pages(sf_dir: str, query: str = "merge sort",
+                 page_size: int = 5, pages=(2, 3)) -> pd.DataFrame:
+    """Solr cursorMark deep paging: stable total order
+    (ROUNDED score desc, doc_id asc — the bm25_grouped_topk tie rule,
+    so sub-1e-6 summation-order flips cannot reorder either side),
+    pages fetched beyond the first.  Output (page, rnk, doc_id,
+    score)."""
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    need = page_size * max(pages)
+    hits = reader.topk(query, reader.n_docs)
+    if not hits:
+        return pd.DataFrame({"page": pd.Series([], dtype=np.int64),
+                             "rnk": pd.Series([], dtype=np.int64),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    ids = np.array([int(k) for k in reader.doc_keys(
+        np.array([h[0] for h in hits], dtype=np.int64))], dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids,
+                       "score": _away6([s for _, s in hits])})
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True],
+                        kind="mergesort").head(need)
+    df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    out = []
+    for p in pages:
+        page = df[(df["rnk"] > (p - 1) * page_size)
+                  & (df["rnk"] <= p * page_size)].copy()
+        page["page"] = np.int64(p)
+        out.append(page)
+    res = pd.concat(out, ignore_index=True)
+    return res[["page", "rnk", "doc_id", "score"]]
