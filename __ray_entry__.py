@@ -236,6 +236,15 @@ def _stratified_sample(sf_dir: str):
     return sample_per_group(sf_dir, group_col="lang", k=5)
 
 
+def _repeated_substring_spans(sf_dir: str):
+    # EXACT suffix-array-equivalent mask regions (Lee et al. 2022):
+    # maximal per-doc token regions covered by >=15-token substrings
+    # occurring >=2 times corpus-wide (stages/dedup.py — hash
+    # pre-filter, exact string recount, vectorized island merge)
+    from jesterj_ray.stages.dedup import repeated_substring_spans
+    return repeated_substring_spans(sf_dir, span=15, min_occ=2)
+
+
 def _terms_component(sf_dir: str):
     # Solr TermsComponent: prefix term enumeration with df, ordered
     # df desc then term (flagship.terms_component — segment-dict scan)
@@ -938,6 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _lm_perplexity,
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
+        "repeated_substring_spans": _repeated_substring_spans,
         "terms_component": _terms_component,
         "stats_component": _stats_component,
         "range_facets": _range_facets,
@@ -1824,6 +1834,45 @@ ORDER BY r.qid, r.rank
                    'Document ' || CAST(doc_id AS VARCHAR) || ' & Co'
                      AS title
             FROM documents ORDER BY doc_id""",
+        # engine: stages/dedup.repeated_substring_spans — the EXACT
+        # variable-length repeated-substring mask (union of repeated
+        # 15-gram windows merged into maximal islands == the
+        # suffix-array drop regions); oracle recomputes grams, the
+        # >=2-occurrence set, and the gaps-and-islands merge in SQL
+        "repeated_substring_spans": f"""
+            WITH tl AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+            st AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, len(tk) - 14)) AS s
+              FROM tl WHERE len(tk) >= 15),
+            grams AS (
+              SELECT doc_id, s,
+                     array_to_string(tk[s : s + 14], ' ') AS g
+              FROM st),
+            rep AS (SELECT g FROM grams GROUP BY g
+                    HAVING count(*) >= 2),
+            hits AS (SELECT doc_id, s FROM grams
+                     WHERE g IN (SELECT g FROM rep)),
+            brkt AS (
+              SELECT doc_id, s,
+                     CASE WHEN s - lag(s) OVER (PARTITION BY doc_id
+                                                ORDER BY s) <= 15
+                          THEN 0 ELSE 1 END AS brk
+              FROM hits),
+            gid AS (
+              SELECT doc_id, s,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+              FROM brkt)
+            SELECT doc_id,
+                   CAST(min(s) - 1 AS BIGINT) AS span_start,
+                   CAST(max(s) - 1 + 15 AS BIGINT) AS span_end,
+                   CAST(max(s) - min(s) + 15 AS BIGINT) AS span_tokens
+            FROM gid GROUP BY doc_id, isl
+            ORDER BY doc_id, span_start""",
         # engine: flagship.terms_component — Solr TermsComponent
         # (terms.prefix/limit): segment-dict (term, df) scan; df in the
         # index == count(DISTINCT doc_id) by construction

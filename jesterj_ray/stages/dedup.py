@@ -812,22 +812,25 @@ def verify_jaccard_pairs_ds(pairs: "ray.data.Dataset",
     return j.map_batches(compute, batch_format="pyarrow")
 
 
-def _window_hashes(texts, docs, span: int):
+def _window_hashes_pos(texts, docs, span: int):
     """Vectorized u64 rolling hash per span-token window over a batch:
     token blake2b hashes (cached per unique token) combined with
     per-offset odd multipliers on ONE flat array, doc-boundary windows
-    masked out.  Returns (window_hash u64, doc_id) aligned arrays."""
+    masked out.  Returns (window_hash u64, doc_id, pos_in_doc) aligned
+    arrays — pos is the 0-based token index of the window start."""
     toks_per_doc = [t for t in texts]
     lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
                        count=len(toks_per_doc))
     flat = [tok for doc in toks_per_doc for tok in doc]
+    empty = (np.empty(0, np.uint64), np.empty(0, np.int64),
+             np.empty(0, np.int64))
     if not flat:
-        return (np.empty(0, np.uint64), np.empty(0, np.int64))
+        return empty
     th = _token_hashes(flat)
     mix = _shingle_mix(span)
     m = th.size
     if m < span:
-        return (np.empty(0, np.uint64), np.empty(0, np.int64))
+        return empty
     h = th[: m - span + 1] * mix[0]
     for j in range(1, span):
         h = h ^ (th[j: m - span + 1 + j] * mix[j])
@@ -839,7 +842,13 @@ def _window_hashes(texts, docs, span: int):
     pos_in_doc = np.arange(m, dtype=np.int64) - starts[doc_of]
     valid = (pos_in_doc + span <= lens[doc_of])[: m - span + 1]
     dids = np.asarray(docs, dtype=np.int64)[doc_of[: m - span + 1]]
-    return h[valid], dids[valid]
+    return h[valid], dids[valid], pos_in_doc[: m - span + 1][valid]
+
+
+def _window_hashes(texts, docs, span: int):
+    """(window_hash, doc_id) view of ``_window_hashes_pos``."""
+    h, dids, _ = _window_hashes_pos(texts, docs, span)
+    return h, dids
 
 
 def repeated_ngram_spans(sf_dir: str, span: int = 15,
@@ -882,7 +891,7 @@ def repeated_ngram_spans(sf_dir: str, span: int = 15,
         toks = [simple_tokenize(x or "") for x in t["text"].to_pylist()]
         h, dids = _window_hashes(toks, t["doc_id"].to_pylist(), span)
         if h.size == 0:
-            return pa.table({"wh": pa.array([], pa.uint64()),
+            return pa.table({"wh": pa.array([], pa.int64()),
                              "occ_part": pa.array([], pa.int64()),
                              "docs_part": pa.array([], pa.int64())})
         codes, uniq = pd.factorize(h, sort=False)
@@ -891,8 +900,12 @@ def repeated_ngram_spans(sf_dir: str, span: int = 15,
         pair = np.unique(codes.astype(np.int64) * len(duniq) + dcodes)
         ndocs = np.bincount(pair // len(duniq),
                             minlength=len(uniq)).astype(np.int64)
-        return pa.table({"wh": pa.array(uniq.astype(np.uint64),
-                                        pa.uint64()),
+        # wh ships as the int64 REINTERPRETATION of the u64 hash: a
+        # uint64 Arrow column makes the groupby's output fall back to
+        # pickled-object blocks (top-bit hashes overflow int64)
+        return pa.table({"wh": pa.array(
+                             uniq.astype(np.uint64).view(np.int64),
+                             pa.int64()),
                          "occ_part": pa.array(occ, pa.int64()),
                          "docs_part": pa.array(ndocs, pa.int64())})
 
@@ -912,7 +925,7 @@ def repeated_ngram_spans(sf_dir: str, span: int = 15,
     if cand.empty:
         return empty
     surv_ref = ray.put(np.sort(cand["wh"].to_numpy()
-                               .astype(np.uint64)))
+                               .astype(np.int64)))
 
     def string_partials(t: pa.Table) -> pa.Table:
         surv = ray.get(surv_ref)
@@ -920,9 +933,10 @@ def repeated_ngram_spans(sf_dir: str, span: int = 15,
         h, dids = _window_hashes(toks, t["doc_id"].to_pylist(), span)
         hit = np.zeros(h.size, dtype=bool)
         if h.size:
-            pos = np.searchsorted(surv, h)
+            hq = h.view(np.int64)   # same reinterpretation as wh
+            pos = np.searchsorted(surv, hq)
             inb = pos < surv.size
-            hit[inb] = surv[pos[inb]] == h[inb]
+            hit[inb] = surv[pos[inb]] == hq[inb]
         grams: List[str] = []
         docs: List[int] = []
         if hit.any():
@@ -963,3 +977,147 @@ def repeated_ngram_spans(sf_dir: str, span: int = 15,
     out["n_docs"] = out["n_docs"].astype(np.int64)
     out["n_occ"] = out["n_occ"].astype(np.int64)
     return out.sort_values("gram").reset_index(drop=True)
+
+
+def repeated_substring_spans(sf_dir: str, span: int = 15,
+                             min_occ: int = 2,
+                             num_blocks: int = 8,
+                             num_groups: int = 16) -> "pd.DataFrame":
+    """EXACT repeated-substring mask regions — the suffix-array dedup
+    answer (Lee et al. 2022) in its L-gram-coverage form.
+
+    The suffix-array method masks every token position covered by a
+    substring of >= ``span`` tokens that occurs >= ``min_occ`` times in
+    the corpus.  That region set equals the union of all ``span``-token
+    windows whose gram occurs >= ``min_occ`` times (any substring of
+    length >= span occurring twice covers its positions with repeated
+    span-windows, and every repeated span-window is itself such a
+    substring) — so exact L-gram counting + interval merge IS the
+    exact variable-length mask, with no suffix array in sight.  Unlike
+    ``repeated_ngram_spans`` (which reports the repeated GRAMS), this
+    returns the per-document MAXIMAL merged regions, arbitrary-length.
+
+    Distributed shape: pass 1 is the hash pre-filter from
+    ``repeated_ngram_spans`` (8-byte hash partials, one groupby-sum;
+    text never shuffles).  Pass 2 re-scans and emits
+    (gram, doc_id, pos) ONLY for surviving windows; an exact
+    string-keyed groupby drops hash collisions (< min_occ survivors),
+    then positions flow through a coarse doc-gkey exchange where each
+    doc's sorted hit positions merge into maximal islands with one
+    vectorized diff/cumsum pass.  Output: (doc_id, span_start,
+    span_end, span_tokens), 0-based token indices, end exclusive.
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..tokenize.tokenizer import simple_tokenize
+
+    def read():
+        return rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"], override_num_blocks=num_blocks)
+
+    def hash_partials(t: pa.Table) -> pa.Table:
+        toks = [simple_tokenize(x or "") for x in t["text"].to_pylist()]
+        h, _, _ = _window_hashes_pos(toks, t["doc_id"].to_pylist(),
+                                     span)
+        if h.size == 0:
+            return pa.table({"wh": pa.array([], pa.int64()),
+                             "occ_part": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(h, sort=False)
+        occ = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        # int64 reinterpretation — see repeated_ngram_spans
+        return pa.table({"wh": pa.array(
+                             uniq.astype(np.uint64).view(np.int64),
+                             pa.int64()),
+                         "occ_part": pa.array(occ, pa.int64())})
+
+    cand = read().map_batches(hash_partials, batch_format="pyarrow") \
+        .groupby("wh").aggregate(Sum("occ_part", alias_name="n_occ")) \
+        .to_pandas()
+    cand = cand[cand["n_occ"] >= min_occ]
+    empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "span_start": pd.Series([], dtype=np.int64),
+        "span_end": pd.Series([], dtype=np.int64),
+        "span_tokens": pd.Series([], dtype=np.int64)})
+    if cand.empty:
+        return empty
+    surv_ref = ray.put(np.sort(cand["wh"].to_numpy().astype(np.int64)))
+
+    def hit_rows(t: pa.Table) -> pa.Table:
+        surv = ray.get(surv_ref)
+        toks = [simple_tokenize(x or "") for x in t["text"].to_pylist()]
+        h, dids, pos = _window_hashes_pos(
+            toks, t["doc_id"].to_pylist(), span)
+        out = {"gram": pa.array([], pa.string()),
+               "doc_id": pa.array([], pa.int64()),
+               "pos": pa.array([], pa.int64())}
+        if h.size == 0:
+            return pa.table(out)
+        hq = h.view(np.int64)       # same reinterpretation as wh
+        loc = np.searchsorted(surv, hq)
+        inb = loc < surv.size
+        hit = np.zeros(h.size, dtype=bool)
+        hit[inb] = surv[loc[inb]] == hq[inb]
+        if not hit.any():
+            return pa.table(out)
+        # gram strings materialize ONLY for candidate windows
+        did_list = t["doc_id"].to_pylist()
+        by_doc = {int(d): tl for d, tl in zip(did_list, toks)}
+        idx = np.flatnonzero(hit)
+        grams = [" ".join(by_doc[int(dids[w])][pos[w]:pos[w] + span])
+                 for w in idx]
+        return pa.table({
+            "gram": pa.array(grams, pa.string()),
+            "doc_id": pa.array(dids[idx], pa.int64()),
+            "pos": pa.array(pos[idx], pa.int64())})
+
+    def exact_filter(g: pd.DataFrame) -> pd.DataFrame:
+        # string-keyed occurrence recount: hash collisions fail here
+        n = g.groupby("gram")["pos"].transform("size")
+        out = g[n >= min_occ]
+        return out[["doc_id", "pos"]]
+
+    def add_gkey(t: pa.Table) -> pa.Table:
+        g = t["doc_id"].to_numpy(zero_copy_only=False) % num_groups
+        return t.append_column("__gkey", pa.array(g, pa.int64()))
+
+    def merge_islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"])
+        d = g["doc_id"].to_numpy()
+        p = g["pos"].to_numpy()
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            same = d[1:] == d[:-1]
+            close = p[1:] - p[:-1] <= span
+            brk[1:] = (~(same & close)).astype(np.int64)
+        isl = np.cumsum(brk) - 1
+        n_isl = isl[-1] + 1 if len(g) else 0
+        lo = np.full(n_isl, np.iinfo(np.int64).max, dtype=np.int64)
+        hi = np.zeros(n_isl, dtype=np.int64)
+        np.minimum.at(lo, isl, p)
+        np.maximum.at(hi, isl, p)
+        first = np.flatnonzero(brk)
+        return pd.DataFrame({
+            "doc_id": d[first],
+            "span_start": lo,
+            "span_end": hi + span,
+            "span_tokens": hi + span - lo})
+
+    hits = read().map_batches(hit_rows, batch_format="pyarrow")
+    exact = hits.groupby("gram") \
+        .map_groups(exact_filter, batch_format="pandas")
+    out = exact.map_batches(add_gkey, batch_format="pyarrow") \
+        .groupby("__gkey") \
+        .map_groups(merge_islands, batch_format="pandas") \
+        .to_pandas()
+    if out.empty:
+        return empty
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["doc_id", "span_start"]) \
+        .reset_index(drop=True)
