@@ -236,6 +236,23 @@ def _stratified_sample(sf_dir: str):
     return sample_per_group(sf_dir, group_col="lang", k=5)
 
 
+def _url_domain_filter(sf_dir: str):
+    # C4/RefinedWeb-style domain blocklist pass (stages/urls.py):
+    # vectorized RE2 domain capture + broadcast blocklist is_in probe;
+    # url synthesized deterministically (corpus has none), oracle
+    # mirrors the synthesis
+    from jesterj_ray.stages.urls import url_domain_filter_pipeline
+    return url_domain_filter_pipeline(sf_dir)
+
+
+def _facet_stats(sf_dir: str):
+    # Solr JSON Facet API (terms facet + sub-aggregations):
+    # per-lang doc count + sum/mean n_chars over the match set
+    from jesterj_ray.pipelines.flagship import facet_stats
+    return facet_stats(sf_dir, query="dup stream", facet_field="lang",
+                       stat_field="n_chars")
+
+
 def _repeated_substring_spans(sf_dir: str):
     # EXACT suffix-array-equivalent mask regions (Lee et al. 2022):
     # maximal per-doc token regions covered by >=15-token substrings
@@ -948,6 +965,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
         "repeated_substring_spans": _repeated_substring_spans,
+        "url_domain_filter": _url_domain_filter,
+        "facet_stats": _facet_stats,
         "terms_component": _terms_component,
         "stats_component": _stats_component,
         "range_facets": _range_facets,
@@ -1834,6 +1853,42 @@ ORDER BY r.qid, r.rank
                    'Document ' || CAST(doc_id AS VARCHAR) || ' & Co'
                      AS title
             FROM documents ORDER BY doc_id""",
+        # engine: stages/urls.url_domain_filter_pipeline — domain
+        # extraction (RE2 authority capture) + frozen blocklist
+        # verdict over a synthesized url column (oracle mirrors both)
+        "url_domain_filter": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://site' || CAST(doc_id % 23 AS VARCHAR)
+                     || '.example.'
+                     || CASE WHEN doc_id % 2 = 0 THEN 'com'
+                             ELSE 'org' END
+                     || '/p/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            x AS (
+              SELECT doc_id,
+                     regexp_extract(url, '^https?://([^/]+)', 1)
+                       AS domain
+              FROM u)
+            SELECT doc_id, domain,
+                   domain NOT IN ('site3.example.com',
+                                  'site7.example.org',
+                                  'site11.example.org') AS kept
+            FROM x ORDER BY doc_id""",
+        # engine: flagship.facet_stats — Solr JSON Facet API terms
+        # facet with sub-stats (count + sum/mean n_chars per lang over
+        # the 'dup stream' match set); mean is a rational -> half-away
+        # rounding both sides
+        "facet_stats": f"""
+            WITH m AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+              WHERE term IN ('dup', 'stream'))
+            SELECT d.lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(d.n_chars) AS BIGINT) AS sum_v,
+                   round(avg(d.n_chars), 6) AS mean_v
+            FROM documents d JOIN m USING (doc_id)
+            GROUP BY d.lang ORDER BY d.lang""",
         # engine: stages/dedup.repeated_substring_spans — the EXACT
         # variable-length repeated-substring mask (union of repeated
         # 15-gram windows merged into maximal islands == the

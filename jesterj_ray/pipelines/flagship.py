@@ -1039,3 +1039,34 @@ def cursor_pages(sf_dir: str, query: str = "merge sort",
         out.append(page)
     res = pd.concat(out, ignore_index=True)
     return res[["page", "rnk", "doc_id", "score"]]
+
+
+def facet_stats(sf_dir: str, query: str = "dup stream",
+                facet_field: str = "lang", stat_field: str = "n_chars"
+                ) -> pd.DataFrame:
+    """Solr JSON Facet API nested aggregation (``json.facet`` with a
+    terms facet carrying sub-aggregations): per facet-field value over
+    the query's match set, the doc count plus sum/mean of a numeric
+    field.  Same shuffle-free partial-aggregate exchange as
+    ``_facet_over_match_set`` — the sub-stats only widen each partial
+    row, never the row count."""
+    from ..pipelines.relational import partial_groupby_sum
+    idx = documents_index(sf_dir)
+    matched = _match_doc_ids(IndexReader(idx), query)
+    matched_ref = ray.put(pa.array(matched))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"],
+                                 value_set=ray.get(matched_ref)))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", facet_field, stat_field],
+                         override_num_blocks=8)
+    out = partial_groupby_sum(ds, [facet_field], [stat_field],
+                              prep=keep).to_pandas()
+    out = out.rename(columns={f"{stat_field}_sum": "sum_v"})
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_v"] = out["sum_v"].astype(np.int64)
+    out["mean_v"] = _away6(out["sum_v"] / out["n"])
+    return out[[facet_field, "n", "sum_v", "mean_v"]] \
+        .sort_values(facet_field).reset_index(drop=True)

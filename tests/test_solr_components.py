@@ -62,3 +62,42 @@ def test_cursor_pages_stable_and_disjoint(ray_session):
     # rounded-score ordering is monotone non-increasing
     s = list(a["score"])
     assert all(s[i] >= s[i + 1] for i in range(len(s) - 1))
+
+
+def test_facet_stats_consistency(ray_session):
+    from jesterj_ray.pipelines.flagship import facet_stats
+    from jesterj_ray.pipelines.flagship import stats_component
+    out = facet_stats(SF, query="merge", facet_field="lang",
+                      stat_field="n_chars")
+    st = stats_component(SF, query="merge")
+    assert out["n"].sum() == st["n"][0]          # facets tile the match set
+    assert out["sum_v"].sum() == st["sum_v"][0]
+    assert (out["mean_v"] * out["n"] - out["sum_v"]).abs().max() < 0.5
+    assert list(out["lang"]) == sorted(out["lang"])
+
+
+def test_url_domain_filter_semantics(ray_session):
+    import pyarrow as pa
+    import ray
+    from jesterj_ray.stages.urls import DomainFilter, extract_domain
+    t = pa.table({"url": pa.array([
+        "https://site3.example.com/p/1",
+        "http://ok.example.net/x",
+        "not a url at all",
+    ], pa.string())})
+    d = extract_domain(t, url_col="url")
+    assert d["domain"].to_pylist() == ["site3.example.com",
+                                       "ok.example.net", None]
+    f = DomainFilter(("site3.example.com",), url_col="url")(t)
+    # blocked, kept, and unparseable-kept (null domain never blocks)
+    assert f["kept"].to_pylist() == [False, True, True]
+
+
+def test_url_pipeline_blocklist_bites(ray_session):
+    from jesterj_ray.stages.urls import url_domain_filter_pipeline
+    out = url_domain_filter_pipeline(SF).to_pandas()
+    assert len(out) > 0
+    assert (~out["kept"]).sum() > 0              # some docs blocked
+    blocked = out[~out["kept"]]["domain"].unique()
+    assert set(blocked) <= {"site3.example.com", "site7.example.org",
+                            "site11.example.org"}
