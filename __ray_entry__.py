@@ -236,6 +236,15 @@ def _stratified_sample(sf_dir: str):
     return sample_per_group(sf_dir, group_col="lang", k=5)
 
 
+def _phrase_slop_topk(sf_dir: str):
+    # Lucene sloppy phrase ("merge sort"~2, ordered core): positional
+    # chain propagation with gap <= slop+1, BM25 scoring tail shared
+    # with the exact phrase (index/query.phrase_slop_topk)
+    from jesterj_ray.pipelines.flagship import phrase_slop_topk_documents
+    return phrase_slop_topk_documents(sf_dir, "merge sort", slop=2,
+                                      k=10)
+
+
 def _url_domain_filter(sf_dir: str):
     # C4/RefinedWeb-style domain blocklist pass (stages/urls.py):
     # vectorized RE2 domain capture + broadcast blocklist is_in probe;
@@ -967,6 +976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_substring_spans": _repeated_substring_spans,
         "url_domain_filter": _url_domain_filter,
         "facet_stats": _facet_stats,
+        "phrase_slop_topk": _phrase_slop_topk,
         "terms_component": _terms_component,
         "stats_component": _stats_component,
         "range_facets": _range_facets,
@@ -1853,6 +1863,53 @@ ORDER BY r.qid, r.rank
                    'Document ' || CAST(doc_id AS VARCHAR) || ' & Co'
                      AS title
             FROM documents ORDER BY doc_id""",
+        # engine: flagship.phrase_slop_topk_documents — sloppy phrase
+        # "merge sort"~2 (ordered, every gap <= slop+1); matched set
+        # via a positions self-join, scoring tail identical to
+        # phrase_topk (BM25 over the phrase's distinct terms)
+        "phrase_slop_topk": f"""
+WITH tl AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tl),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+pos AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+  FROM tl WHERE len(tk) > 0),
+tk2 AS (SELECT doc_id, i, tk[i] AS t FROM pos),
+matched AS (
+  SELECT DISTINCT a.doc_id
+  FROM tk2 a JOIN tk2 b
+    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 3
+  WHERE a.t = 'merge' AND b.t = 'sort'
+),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT t.term, t.doc_id, count(*) AS tf FROM toks t
+  WHERE t.term IN ('merge', 'sort') GROUP BY t.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ('merge', 'sort') GROUP BY term
+),
+scores AS (
+  SELECT m.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM matched m
+  JOIN tf ON tf.doc_id = m.doc_id
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
         # engine: stages/urls.url_domain_filter_pipeline — domain
         # extraction (RE2 authority capture) + frozen blocklist
         # verdict over a synthesized url column (oracle mirrors both)

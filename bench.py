@@ -186,6 +186,24 @@ def run_bench() -> dict:
             threshold=0.6, concurrency=min(4, NUM_CPUS)).count()),
         ("simhash_pairs", lambda: simhash_near_dup_pairs(
             _docs_ds(), text_field="text", id_field="doc_id").count()),
+        # r05: corpus bigram-LM train + score (CCNet-style signal)
+        ("lm_perplexity", lambda: __import__(
+            "jesterj_ray.stages.lm", fromlist=["x"])
+            .lm_perplexity_pipeline(
+                SF_DIR, concurrency=min(4, NUM_CPUS // 2)).count()),
+        # r05: exact repeated-substring mask regions (2 scans + islands)
+        ("substring_spans", lambda: __import__(
+            "jesterj_ray.stages.dedup", fromlist=["x"])
+            .repeated_substring_spans(
+                SF_DIR, span=15, min_occ=2,
+                num_blocks=NUM_CPUS).shape[0]),
+        # r05: sharded HNSW build + 16-query fan-out search
+        ("hnsw_build_16q", lambda: (lambda m: m.hnsw_topk(
+            m.build_hnsw(rd.read_parquet(
+                os.path.join(SF_DIR, "embeddings.parquet")),
+                num_shards=4),
+            qvecs, k=10, ef_search=64))(__import__(
+                "jesterj_ray.ann.hnsw", fromlist=["x"]))),
     ]
     samples: dict = {name: [] for name, _ in supporting}
     for _pass in range(2):

@@ -465,11 +465,17 @@ class IndexReader:
             if keys.size == 0:
                 return []
         matched_set = cand[np.unique(keys // M)]
+        return self._score_phrase_matches(matched_set, terms, k)
+
+    def _score_phrase_matches(self, matched_set: np.ndarray, terms,
+                              k: int):
+        """Shared phrase tail: tombstone filter + BM25 over the
+        phrase's distinct terms, ascending doc_id ties."""
         if self._tombstone.any():
             matched_set = matched_set[~self._tombstone[
                 self.dense_of(matched_set)]]
-            if matched_set.size == 0:
-                return []
+        if matched_set.size == 0:
+            return []
         scores = np.zeros(matched_set.size, dtype=np.float64)
         for t in dedup_keep_order(terms):
             docs, tfs = self.postings(t)
@@ -481,6 +487,55 @@ class IndexReader:
                                               tfs[pos[hit]], df)
         order = np.lexsort((matched_set, -scores))[:k]
         return [(int(matched_set[i]), float(scores[i])) for i in order]
+
+    def phrase_slop_topk(self, query: str, slop: int = 0, k: int = 10):
+        """Sloppy phrase (Lucene ``"a b"~N``'s ordered core): docs
+        containing the query tokens at strictly increasing positions
+        with every consecutive gap <= ``slop`` extra tokens
+        (p_{i+1} - p_i in [1, slop+1]) — slop 0 is the exact phrase.
+        Scoring and ties identical to ``phrase_topk`` (BM25 over the
+        phrase's distinct terms; Lucene's proximity-weighted variant is
+        an intentional divergence, documented for SQL-oracle parity).
+
+        Vectorized chain propagation: term i+1's candidate (doc, pos)
+        keys survive iff key - g is a surviving key of term i for some
+        g in 1..slop+1 — (slop+1) ``isin`` passes per term, no per-doc
+        Python."""
+        terms = self.tokenizer(query)
+        if not terms:
+            return []
+        if len(terms) == 1:
+            return self.topk(query, k)
+        if slop == 0:
+            return self.phrase_topk(query, k)
+        per_term = []
+        for t in terms:
+            docs, tfs, pos, starts = self.positions(t)
+            if docs.size == 0:
+                return []
+            per_term.append((docs, tfs, pos, starts))
+        cand = per_term[0][0]
+        for docs, *_ in per_term[1:]:
+            cand = cand[np.isin(cand, docs, assume_unique=True)]
+        if cand.size == 0:
+            return []
+        L = len(terms)
+        max_pos = max(int(p[2].max()) if p[2].size else 0
+                      for p in per_term)
+        M = max_pos + (slop + 1) * L + 2
+        c0, p0 = self._candidate_positions(per_term[0], cand)
+        reach = c0.astype(np.int64) * M + p0
+        for i in range(1, L):
+            ci, pi = self._candidate_positions(per_term[i], cand)
+            keys_i = ci.astype(np.int64) * M + pi
+            ok = np.zeros(keys_i.size, dtype=bool)
+            for g in range(1, slop + 2):
+                ok |= np.isin(keys_i - g, reach, assume_unique=True)
+            reach = keys_i[ok]
+            if reach.size == 0:
+                return []
+        matched_set = cand[np.unique(reach // M)]
+        return self._score_phrase_matches(matched_set, terms, k)
 
     @staticmethod
     def _doc_positions(pt, did) -> np.ndarray:

@@ -1070,3 +1070,24 @@ def facet_stats(sf_dir: str, query: str = "dup stream",
     out["mean_v"] = _away6(out["sum_v"] / out["n"])
     return out[[facet_field, "n", "sum_v", "mean_v"]] \
         .sort_values(facet_field).reset_index(drop=True)
+
+
+def phrase_slop_topk_documents(sf_dir: str, phrase: str = "merge sort",
+                               slop: int = 2, k: int = 10
+                               ) -> pd.DataFrame:
+    """Sloppy-phrase top-k (Lucene ``"a b"~N`` ordered core) over the
+    positional documents index; columns match the SQL oracle
+    (positions self-join with gap <= slop+1 + BM25 over the phrase's
+    distinct terms)."""
+    idx = documents_index_pos(sf_dir)
+    reader = IndexReader(idx)
+    hits = reader.phrase_slop_topk(phrase, slop=slop, k=k)
+    ids = np.array([h[0] for h in hits], dtype=np.int64)
+    orig = np.array([int(x) for x in reader.doc_keys(ids)],
+                    dtype=np.int64) if ids.size else \
+        np.empty(0, dtype=np.int64)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+        "doc_id": orig,
+        "score": np.round([h[1] for h in hits], 6).astype(np.float64),
+    })

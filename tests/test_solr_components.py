@@ -101,3 +101,41 @@ def test_url_pipeline_blocklist_bites(ray_session):
     blocked = out[~out["kept"]]["domain"].unique()
     assert set(blocked) <= {"site3.example.com", "site7.example.org",
                             "site11.example.org"}
+
+
+def test_phrase_slop_semantics(ray_session, tmp_path):
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from jesterj_ray.index.build_rows import build_index_rows
+    from jesterj_ray.index.query import IndexReader
+    texts = [
+        (0, "alpha merge sort beta"),            # exact
+        (1, "merge quick sort now"),             # gap 1
+        (2, "merge one two sort"),               # gap 2
+        (3, "merge a b c sort"),                 # gap 3 (too far at ~2)
+        (4, "sort then merge"),                  # wrong order
+        (5, "merge merge zz sort"),              # chain via 2nd merge
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _ in texts], pa.int64()),
+        "text": pa.array([t for _, t in texts], pa.string())}),
+        os.path.join(str(tmp_path), "d.parquet"))
+    idx = os.path.join(str(tmp_path), "idx")
+    build_index_rows(os.path.join(str(tmp_path), "d.parquet"), idx,
+                     text_col="text", key_col="doc_id",
+                     tokenizer="simple", docs_per_partition=4,
+                     num_shards=2, positions=True)
+    r = IndexReader(idx)
+    got = {d for d, _ in r.phrase_slop_topk("merge sort", slop=2, k=10)}
+    keys = {int(k) for k in r.doc_keys(
+        __import__("numpy").array(sorted(got), dtype="int64"))}
+    assert keys == {0, 1, 2, 5}
+    # slop 0 falls back to the exact phrase
+    got0 = {d for d, _ in r.phrase_slop_topk("merge sort", slop=0, k=10)}
+    keys0 = {int(k) for k in r.doc_keys(
+        __import__("numpy").array(sorted(got0), dtype="int64"))}
+    assert keys0 == {0}
+    # slop 3 admits doc 3 as well
+    got3 = {d for d, _ in r.phrase_slop_topk("merge sort", slop=3, k=10)}
+    assert len(got3) == 5
