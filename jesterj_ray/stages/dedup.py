@@ -1000,9 +1000,11 @@ def repeated_substring_spans(sf_dir: str, span: int = 15,
     Distributed shape: pass 1 is the hash pre-filter from
     ``repeated_ngram_spans`` (8-byte hash partials, one groupby-sum;
     text never shuffles).  Pass 2 re-scans and emits
-    (gram, doc_id, pos) ONLY for surviving windows; an exact
-    string-keyed groupby drops hash collisions (< min_occ survivors),
-    then positions flow through a coarse doc-gkey exchange where each
+    (gram, doc_id, pos) ONLY for surviving windows, exchanged on a
+    COARSE window-hash key (equal grams always co-locate; ~num_groups
+    groups, not one per gram); an exact per-STRING recount inside each
+    group drops hash collisions (< min_occ survivors), then positions
+    flow through a coarse doc-gkey exchange where each
     doc's sorted hit positions merge into maximal islands with one
     vectorized diff/cumsum pass.  Output: (doc_id, span_start,
     span_end, span_tokens), 0-based token indices, end exclusive.
@@ -1054,6 +1056,7 @@ def repeated_substring_spans(sf_dir: str, span: int = 15,
         h, dids, pos = _window_hashes_pos(
             toks, t["doc_id"].to_pylist(), span)
         out = {"gram": pa.array([], pa.string()),
+               "__hk": pa.array([], pa.int64()),
                "doc_id": pa.array([], pa.int64()),
                "pos": pa.array([], pa.int64())}
         if h.size == 0:
@@ -1071,8 +1074,12 @@ def repeated_substring_spans(sf_dir: str, span: int = 15,
         idx = np.flatnonzero(hit)
         grams = [" ".join(by_doc[int(dids[w])][pos[w]:pos[w] + span])
                  for w in idx]
+        # coarse exchange key from the window hash: equal grams always
+        # share it, so the exact per-STRING recount stays group-local —
+        # num_groups groups instead of one tiny map_groups per gram
         return pa.table({
             "gram": pa.array(grams, pa.string()),
+            "__hk": pa.array(hq[idx] % num_groups, pa.int64()),
             "doc_id": pa.array(dids[idx], pa.int64()),
             "pos": pa.array(pos[idx], pa.int64())})
 
@@ -1109,7 +1116,7 @@ def repeated_substring_spans(sf_dir: str, span: int = 15,
             "span_tokens": hi + span - lo})
 
     hits = read().map_batches(hit_rows, batch_format="pyarrow")
-    exact = hits.groupby("gram") \
+    exact = hits.groupby("__hk") \
         .map_groups(exact_filter, batch_format="pandas")
     out = exact.map_batches(add_gkey, batch_format="pyarrow") \
         .groupby("__gkey") \
