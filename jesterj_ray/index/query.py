@@ -722,6 +722,29 @@ class IndexReader:
                 found.update(_pc.unique(hits).to_pylist())
         return sorted(found)[:max_terms]
 
+    def prefix_term_dfs(self, prefix: str):
+        """(term, df) pairs for every index term starting with
+        ``prefix`` — the Solr TermsComponent primitive.  Reads only the
+        EPOCH-PINNED light term-index columns already resident per
+        shard (so a concurrent writer cycle yields IndexChangedError,
+        never a torn or over-counted scan); df sums a term's chunk
+        rows within and generations across segment files.  Lucene
+        docFreq semantics: tombstoned docs still count (deleted docs
+        decay from df only at merge/compact), matching Solr's
+        terms.component behavior."""
+        import pyarrow.compute as _pc
+        agg: dict = {}
+        for shard in range(self.num_shards):
+            states = self._load_shard(shard) or []
+            for st in states:
+                light = st["light"]
+                sub = light.filter(
+                    _pc.starts_with(light["term"], prefix))
+                for t, d in zip(sub["term"].to_pylist(),
+                                sub["df"].to_pylist()):
+                    agg[t] = agg.get(t, 0) + int(d)
+        return agg
+
     def topk_prefix(self, prefix: str, k: int = 10, max_terms: int = 50
                     ) -> List[Tuple[int, float]]:
         """Prefix (wildcard ``prefix*``) BM25 top-k — Lucene

@@ -887,8 +887,19 @@ def corpus_index_pipeline(n_rows: int = 500, *, out_dir: Optional[str] = None,
 
 # ---- Solr-parity late components: terms / stats / range facets / cursor ----
 
-def _away6(x):
-    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+from ..stages.gopher import _away6  # ONE half-away rounding definition
+
+
+def _keep_matched_fn(matched: np.ndarray):
+    """Broadcast-match-set filter factory: ``ray.put`` the doc-id set
+    once, return the per-batch ``is_in`` probe (the shape every
+    match-set component shares)."""
+    matched_ref = ray.put(pa.array(matched))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"],
+                                 value_set=ray.get(matched_ref)))
+    return keep
 
 
 def _match_doc_ids(reader: IndexReader, query: str) -> np.ndarray:
@@ -911,23 +922,19 @@ def terms_component(sf_dir: str, prefix: str = "s", limit: int = 30
                     ) -> pd.DataFrame:
     """Solr TermsComponent (``terms.prefix`` + ``terms.limit``): index
     terms starting with ``prefix`` with their document frequencies,
-    ordered df desc then term.  Reads only the segment dictionaries'
-    (term, df) columns — vocab-bounded, never corpus-bounded; summing
-    df per term makes the scan generation-safe (delta segments split a
-    term across files)."""
+    ordered df desc then term.  Goes through ``IndexReader`` (r05
+    self-review fix: a raw ``os.listdir`` of segments/ bypassed the
+    epoch pin, so a concurrent writer cycle could over-count df from
+    an unpublished generation or crash mid-compaction instead of
+    raising ``IndexChangedError``); vocab-bounded, never
+    corpus-bounded.  df is Lucene docFreq (tombstones still count)."""
     idx = documents_index(sf_dir)
-    import pyarrow.parquet as pq
-    seg_dir = os.path.join(idx, "segments")
-    parts = [pq.read_table(os.path.join(seg_dir, f),
-                           columns=["term", "df"])
-             for f in sorted(os.listdir(seg_dir))
-             if f.endswith(".parquet")]
-    t = pa.concat_tables(parts)
-    t = t.filter(pc.starts_with(t["term"], prefix)).to_pandas()
-    t = t.groupby("term", as_index=False)["df"].sum()
+    agg = IndexReader(idx).prefix_term_dfs(prefix)
+    t = pd.DataFrame({"term": list(agg.keys()),
+                      "df": np.asarray(list(agg.values()),
+                                       dtype=np.int64)})
     t = t.sort_values(["df", "term"], ascending=[False, True],
                       kind="mergesort").head(limit)
-    t["df"] = t["df"].astype(np.int64)
     return t.reset_index(drop=True)
 
 
@@ -940,13 +947,7 @@ def stats_component(sf_dir: str, query: str = "merge sort",
     over a pruned two-column read."""
     from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
     idx = documents_index(sf_dir)
-    matched = _match_doc_ids(IndexReader(idx), query)
-    matched_ref = ray.put(pa.array(matched))
-
-    def keep(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["doc_id"],
-                                 value_set=ray.get(matched_ref)))
-
+    keep = _keep_matched_fn(_match_doc_ids(IndexReader(idx), query))
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", field],
                          override_num_blocks=8) \
@@ -1052,13 +1053,7 @@ def facet_stats(sf_dir: str, query: str = "dup stream",
     row, never the row count."""
     from ..pipelines.relational import partial_groupby_sum
     idx = documents_index(sf_dir)
-    matched = _match_doc_ids(IndexReader(idx), query)
-    matched_ref = ray.put(pa.array(matched))
-
-    def keep(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["doc_id"],
-                                 value_set=ray.get(matched_ref)))
-
+    keep = _keep_matched_fn(_match_doc_ids(IndexReader(idx), query))
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", facet_field, stat_field],
                          override_num_blocks=8)

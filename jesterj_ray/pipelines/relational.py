@@ -130,6 +130,13 @@ def broadcast_left_join(big: "rd.Dataset", small: pa.Table, big_key: str,
     ``force_cogroup`` exists so tests pin both paths identical
     (test_broadcast_join_fallback)."""
     value_cols = list(value_cols)
+    clash = set(value_cols) & set(big.schema().base_schema.names)
+    if clash:
+        # the broadcast path would append a DUPLICATE column while the
+        # cogroup path would overwrite the big side's — refuse rather
+        # than let the two paths return different schemas
+        raise ValueError(f"value_cols collide with big-side columns: "
+                         f"{sorted(clash)}")
     small = small.select([small_key] + value_cols).combine_chunks()
     if not force_cogroup and small.num_rows <= BROADCAST_MAX_ROWS \
             and small.nbytes <= BROADCAST_MAX_BYTES:

@@ -43,17 +43,20 @@ GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _WS = "[\\t\\n\\v\\f\\r ]"
 
 
-def _away6(x: np.ndarray) -> np.ndarray:
-    return np.floor(x * 1e6 + 0.5) / 1e6
+def _away6(x) -> np.ndarray:
+    """Half-AWAY-from-zero 6dp rounding (the repo rule for rationals —
+    matches SQL round()); shared by flagship's components too."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
 
 
 def gopher_signals(batch: pa.Table, *, field: str,
                    id_col: str = "doc_id") -> pa.Table:
     """All signals, vectorized; one output row per input row."""
+    from ..tokenize.tokenizer import lower_column
     txt = batch[field]
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.combine_chunks()
-    low = pc.utf8_lower(txt)
+    low = lower_column(txt)   # Python/DuckDB full casing (oracle parity)
     words = pc.split_pattern_regex(txt, pattern=_WS + "+")
     flat = pc.list_flatten(words)
     raw_lens = pc.list_value_length(words).fill_null(0) \
@@ -134,7 +137,8 @@ def gopher_rules_pipeline(sf_dir: str, *, min_words: int = 20,
     of the 8 stop words) so the verdict column has both outcomes.
     """
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=16)
     out = ds.map_batches(gopher_signals, batch_format="pyarrow",
                          fn_kwargs={"field": "text"}) \
             .map_batches(apply_rules, batch_format="pyarrow",

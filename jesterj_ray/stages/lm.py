@@ -57,10 +57,14 @@ def _flat_tokens(batch: pa.Table, field: str):
     Same kernel chain as ``textstats.repetition_signals``: one lowercase
     + split pass, empty-string filter, ``np.repeat`` doc offsets.
     """
+    from ..tokenize.tokenizer import lower_column
     col = batch[field]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    lists = pc.split_pattern_regex(pc.utf8_lower(col),
+    # lower_column = Python/DuckDB full casing (utf8_lower diverges on
+    # 'İ'-class codepoints and would split tokens differently than the
+    # oracle's lower())
+    lists = pc.split_pattern_regex(lower_column(col),
                                    pattern="[^a-z0-9]+")
     flat = pc.list_flatten(lists)
     raw_lens = pc.list_value_length(lists).fill_null(0) \
@@ -203,7 +207,8 @@ class PerplexityScorer:
             "ppl": pa.array(np.round(np.exp(-avg), 6), pa.float64())})
 
 
-def lm_perplexity_pipeline(sf_dir: str, *, concurrency: int = 2):
+def lm_perplexity_pipeline(sf_dir: str, *, concurrency: int = 2,
+                           num_blocks: int = 16):
     """documents → train corpus bigram LM → score every doc.
 
     Returns (doc_id, n_tokens, avg_logprob, ppl) sorted by doc_id;
@@ -214,8 +219,11 @@ def lm_perplexity_pipeline(sf_dir: str, *, concurrency: int = 2):
     actor pool equal to the whole cluster starves its own upstream
     (observed as a deadlock at concurrency=4 on a 4-CPU test session).
     """
+    # override_num_blocks: tiny test parquet would otherwise fan into
+    # O(100) sub-MB blocks and scheduling would dominate (CLAUDE.md)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=num_blocks)
     lm = train_bigram_lm(ds, field="text")
     ref = ray.put(lm)
     scored = ds.map_batches(

@@ -150,6 +150,7 @@ def _synth_paragraphs(batch: pa.Table, *, field: str = "text",
 
 def paragraph_dedup_pipeline(sf_dir: str, *, num_groups: int = 16):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=16)
     paras = ds.map_batches(_synth_paragraphs, batch_format="pyarrow")
     return dedup_paragraphs(paras, num_groups=num_groups)

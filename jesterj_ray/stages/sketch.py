@@ -262,9 +262,11 @@ def mg_summary(values, k: int) -> dict:
                 "dec": 0, "n": int(arr.size)}
     # keep top-k by (count, value) and charge the k+1-th count as the
     # uniform decrement (the batched form of MG's repeated decrements);
-    # ties break by stringified value so null sorts deterministically
+    # ties break in NATIVE value order (None last) — str(v) order would
+    # silently flip which of two tied numerics survives ('10' < '9');
+    # columns are homogeneously typed so native comparison is total
     skey = np.empty(len(uniq), dtype=object)
-    skey[:] = [(v is None, str(v)) for v in uniq]
+    skey[:] = [(v is None, v) for v in uniq]
     order = np.lexsort((skey, -cnt))
     thresh = int(cnt[order[k]])
     kept = order[:k]
@@ -328,9 +330,18 @@ def heavy_hitters(ds, col: str, k: int = 16, phi: float = 0.01):
     rows = [(v, int(c), int(c) + acc["dec"])
             for v, c in acc["counts"].items()
             if int(c) + acc["dec"] >= phi * n]
-    rows.sort(key=lambda r: (-r[2], r[0] is None, str(r[0])))
+    rows.sort(key=lambda r: (-r[2], r[0] is None,
+                             0 if r[0] is None else r[0]))
+    arr = pa.array([r[0] for r in rows], val_type)
+    # int64 + nulls would degrade to float64 in pandas and corrupt
+    # values >= 2^53 (the CLAUDE.md int64-with-nulls trap): keep exact
+    # Python ints as objects when both conditions hold
+    if pa.types.is_integer(val_type) and arr.null_count:
+        value_series = arr.to_pandas(integer_object_nulls=True)
+    else:
+        value_series = arr.to_pandas()
     out = pd.DataFrame({
-        "value": pa.array([r[0] for r in rows], val_type).to_pandas(),
+        "value": value_series,
         "count_lo": pd.Series([r[1] for r in rows], dtype=np.int64),
         "count_hi": pd.Series([r[2] for r in rows], dtype=np.int64)})
     return out

@@ -96,11 +96,12 @@ class LangId:
         parents = pc.list_parent_indices(lists) \
             .to_numpy(zero_copy_only=False)
         nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        # markers are ASCII-lowercase; for ASCII tokens utf8_lower ==
-        # str.lower, and no non-ASCII token can lower to an ASCII
-        # marker under either casing — so the vectorized probe matches
-        # the scalar w.lower() semantics (test_langid_vector_parity)
-        flat_low = pc.utf8_lower(flat)
+        # Python-casing lower (r05 self-review fix: utf8_lower's SIMPLE
+        # mapping sends 'İN' -> 'in', a marker hit the scalar
+        # w.lower() path would NOT make; lower_column is utf8_lower on
+        # all-ASCII batches and exact str.lower otherwise)
+        from ..tokenize.tokenizer import lower_column
+        flat_low = lower_column(flat)
         n_tok = np.bincount(parents[nonempty], minlength=nrows) \
             if len(parents) else np.zeros(nrows, dtype=np.int64)
         n_safe = np.maximum(1, n_tok).astype(np.float64)

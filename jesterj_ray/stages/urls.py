@@ -74,7 +74,8 @@ def url_domain_filter_pipeline(sf_dir: str,
     with its verdict so the filter is auditable (the C4 practice of
     logging removals)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"])
+                               columns=["doc_id"],
+                               override_num_blocks=16)
     ref = ray.put(tuple(blocklist))
     out = ds.map_batches(_synth_url, batch_format="pyarrow") \
         .map_batches(DomainFilter, batch_format="pyarrow",

@@ -95,3 +95,26 @@ TOKENIZERS = {"simple": simple_tokenize, "code": code_tokenize}
 
 # the DuckDB expression exactly equivalent to simple_tokenize(text)
 SIMPLE_TOKENIZE_SQL = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
+
+
+def lower_column(col):
+    """Python ``str.lower`` (full-casing) semantics for an Arrow string
+    column.  Arrow's ``utf8_lower`` does SIMPLE 1:1 case mapping and
+    diverges from Python/DuckDB full casing on SpecialCasing
+    codepoints ('İ' U+0130 -> 'i' vs 'i̇'; CLAUDE.md pins Python
+    casing for every tokenizer/query path).  All-ASCII batches — the
+    common corpus case, checked with one vectorized kernel — take the
+    zero-copy ``utf8_lower`` path, which is identical there; any batch
+    containing a non-ASCII byte falls back to per-row ``str.lower``,
+    which is exact everywhere."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    if isinstance(col, _pa.ChunkedArray):
+        col = col.combine_chunks()
+    filled = _pc.fill_null(col, "")
+    non_ascii = _pc.sum(_pc.count_substring_regex(
+        filled, pattern="[^\\x00-\\x7F]")).as_py() or 0
+    if non_ascii == 0:
+        return _pc.utf8_lower(col)
+    return _pa.array([None if v is None else v.lower()
+                      for v in col.to_pylist()], _pa.string())

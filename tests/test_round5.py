@@ -347,3 +347,53 @@ def test_family_delta_preflight_aborts_before_any_epoch(ray_session,
                              key_col="doc_id", tokenizer="simple",
                              docs_per_partition=64, num_shards=4)
     assert {f: snap(d) for f, d in dirs.items()} == before
+
+
+def test_langid_vector_parity_special_casing():
+    """r05 self-review fix: Arrow utf8_lower's SIMPLE mapping sends
+    'İN' (U+0130) to marker 'in'; Python full casing does not.  The
+    vectorized path must match the scalar str.lower reference."""
+    from jesterj_ray.stages.textstats import LangId
+    texts = ["İN İN İN the", "le İN et la de un est"]
+    st = LangId()
+    out = st(pa.table({"text": pa.array(texts, pa.string())}))
+    got = list(zip(out["lang_pred"].to_pylist(),
+                   out["lang_score"].to_pylist()))
+    want = [st.score_one(t) for t in texts]
+    assert got == want
+
+
+def test_heavy_hitters_huge_int64_with_nulls(ray_session):
+    """r05 self-review fix: int64 + nulls must not degrade to float64
+    (values >= 2^53 would corrupt)."""
+    import ray.data as rd
+    from jesterj_ray.stages.sketch import heavy_hitters
+    big = (1 << 60) + 3
+    vals = [big] * 400 + [None] * 300 + [7] * 50
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    out = heavy_hitters(ds.repartition(3), "v", k=32, phi=0.05)
+    got = {None if pd.isna(v) else int(v) for v in out["value"]}
+    assert big in got          # exact, not 1152921504606846976.0
+    assert None in got
+
+
+def test_heavy_hitters_native_tie_order(ray_session):
+    """r05 self-review fix: count-tied values order NATIVELY in the
+    output (stringified order would emit [10, 100, 9])."""
+    import ray.data as rd
+    from jesterj_ray.stages.sketch import heavy_hitters
+    vals = [9] * 5 + [10] * 5 + [100] * 5
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    out = heavy_hitters(ds, "v", k=32, phi=0.1)
+    assert [int(v) for v in out["value"]] == [9, 10, 100]
+
+
+def test_broadcast_join_value_col_collision(ray_session):
+    import ray.data as rd
+    from jesterj_ray.pipelines.relational import broadcast_left_join
+    big = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                  "tag": pa.array(["a", "b"])}))
+    small = pa.table({"k": pa.array([1], pa.int64()),
+                      "tag": pa.array(["x"])})
+    with pytest.raises(ValueError, match="collide"):
+        broadcast_left_join(big, small, "k", "k", ["tag"])
