@@ -304,6 +304,13 @@ def _paragraph_dedup(sf_dir: str):
     return paragraph_dedup_pipeline(sf_dir)
 
 
+def _ccnet_buckets(sf_dir: str):
+    # CCNet head/middle/tail (Wenzek et al. 2020): per-lang ppl
+    # terciles (exact quantile_disc cutoffs) label every doc
+    from jesterj_ray.stages.lm import ccnet_buckets_pipeline
+    return ccnet_buckets_pipeline(sf_dir)
+
+
 def _gopher_rules(sf_dir: str):
     # Gopher §A1.1 quality-rule table (stages/gopher.py): frozen
     # vectorized signal formulas + rule bands, verdicts on the rounded
@@ -971,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CORRECTNESS_r03 row come FIRST so every operator regains
         # a current driver-checked row (r03 VERDICT #3)
         "lm_perplexity": _lm_perplexity,
+        "ccnet_buckets": _ccnet_buckets,
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
         "repeated_substring_spans": _repeated_substring_spans,
@@ -2185,6 +2193,57 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
                     AND frac_alpha_words >= 0.8
                     AND n_stop_distinct >= 1) AS gopher_pass
             FROM r ORDER BY doc_id""",
+        # engine: stages/lm.ccnet_buckets_pipeline — CCNet
+        # head/middle/tail: the lm_perplexity model's per-doc ppl cut
+        # at per-lang terciles (quantile_disc ties-low over the
+        # ROUNDED ppl, same as the engine's exact grouped quantile)
+        "ccnet_buckets": """
+            WITH tl AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+            pos AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, len(tk))) AS i
+              FROM tl WHERE len(tk) > 0),
+            toks AS (SELECT doc_id, i, tk[i] AS t FROM pos),
+            ug AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+                   FROM toks GROUP BY t),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM toks),
+            vv AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM ug),
+            seq AS (SELECT doc_id, i, t,
+                           lag(t) OVER (PARTITION BY doc_id
+                                        ORDER BY i) AS p
+                    FROM toks),
+            bg AS (SELECT p AS w1, t AS w2,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM seq WHERE p IS NOT NULL GROUP BY p, t),
+            lp AS (SELECT s.doc_id,
+                     CASE WHEN s.p IS NULL
+                       THEN ln((u1.c + 0.5) / (tot.T + 0.5 * vv.V))
+                       ELSE ln((COALESCE(b.c, 0) + 0.5)
+                               / (up.c + 0.5 * vv.V))
+                     END AS l
+                   FROM seq s
+                   JOIN ug u1 ON u1.t = s.t
+                   LEFT JOIN ug up ON up.t = s.p
+                   LEFT JOIN bg b ON b.w1 = s.p AND b.w2 = s.t
+                   CROSS JOIN tot CROSS JOIN vv),
+            agg AS (SELECT doc_id, SUM(l) / count(*) AS avg
+                    FROM lp GROUP BY doc_id),
+            pp AS (SELECT a.doc_id, d.lang,
+                          round(exp(-a.avg), 6) AS ppl
+                   FROM agg a JOIN documents d USING (doc_id)),
+            cuts AS (SELECT lang,
+                            quantile_disc(ppl, 1.0/3) AS c1,
+                            quantile_disc(ppl, 2.0/3) AS c2
+                     FROM pp GROUP BY lang)
+            SELECT p.doc_id, p.lang, p.ppl,
+                   CASE WHEN p.ppl <= c.c1 THEN 'head'
+                        WHEN p.ppl <= c.c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM pp p JOIN cuts c USING (lang)
+            ORDER BY p.doc_id""",
         # engine: stages/lm.lm_perplexity_pipeline — corpus-trained
         # add-0.5 bigram LM (CCNet-style quality signal); the oracle
         # retrains the SAME frozen model in SQL: first token scores

@@ -161,11 +161,12 @@ class PerplexityScorer:
     from the object store (``__init__``), scoring fully vectorized."""
 
     def __init__(self, model_ref, *, field: str = "text",
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", keep_cols=()):
         self.lm: BigramLM = ray.get(model_ref) \
             if isinstance(model_ref, ray.ObjectRef) else model_ref
         self.field = field
         self.id_col = id_col
+        self.keep_cols = tuple(keep_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lm = self.lm
@@ -173,11 +174,14 @@ class PerplexityScorer:
         n_docs = len(batch)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         if toks.size == 0:
-            return pa.table({
+            cols = {
                 "doc_id": pa.array([], batch[self.id_col].type),
                 "n_tokens": pa.array([], pa.int64()),
                 "avg_logprob": pa.array([], pa.float64()),
-                "ppl": pa.array([], pa.float64())})
+                "ppl": pa.array([], pa.float64())}
+            for c in self.keep_cols:
+                cols[c] = pa.array([], batch[c].type)
+            return pa.table(cols)
         iu = lm.vocab_index.get_indexer(toks).astype(np.int64)
         cu = np.where(iu >= 0, lm.ucounts[np.maximum(iu, 0)], 0.0)
         a, V, T = ALPHA, lm.V, lm.T
@@ -200,11 +204,18 @@ class PerplexityScorer:
         ns = np.bincount(doc_of, minlength=n_docs)
         nz = np.flatnonzero(ns > 0)
         avg = sums[nz] / ns[nz]
-        return pa.table({
+        cols = {
             "doc_id": pa.array(ids[nz], batch[self.id_col].type),
             "n_tokens": pa.array(ns[nz], pa.int64()),
             "avg_logprob": pa.array(np.round(avg, 6), pa.float64()),
-            "ppl": pa.array(np.round(np.exp(-avg), 6), pa.float64())})
+            "ppl": pa.array(np.round(np.exp(-avg), 6), pa.float64())}
+        take = pa.array(nz, pa.int64())
+        for c in self.keep_cols:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[c] = col.take(take)
+        return pa.table(cols)
 
 
 def lm_perplexity_pipeline(sf_dir: str, *, concurrency: int = 2,
@@ -231,3 +242,58 @@ def lm_perplexity_pipeline(sf_dir: str, *, concurrency: int = 2,
         fn_constructor_kwargs={"model_ref": ref},
         concurrency=concurrency)
     return scored.sort("doc_id")
+
+
+def ccnet_buckets_pipeline(sf_dir: str, *, concurrency: int = 2,
+                           num_blocks: int = 16):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020): score
+    every document with the corpus LM, cut each language's perplexity
+    distribution at its terciles, label docs by value cutoff —
+    ``head`` (ppl <= q1/3), ``middle`` (<= q2/3), ``tail``.
+
+    Cutoffs use the repo's EXACT grouped quantile (quantile_disc
+    parity, ties low) over the 6dp-ROUNDED ppl so the SQL oracle
+    computes identical boundaries.  The counting-quantile exchange is
+    value-domain-sized — fine here; at 100 TB swap the cutoff stage
+    for the mergeable t-digest (``stages/sketch``) and accept its
+    rank-error band.  Labeling is one broadcast of the
+    (lang -> c1, c2) table + a vectorized compare per batch.
+
+    Output (doc_id, lang, ppl, bucket) sorted by doc_id; zero-token
+    docs are dropped (no perplexity), exactly as ``lm_perplexity``.
+    """
+    from ..pipelines.relational import grouped_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"],
+                               override_num_blocks=num_blocks)
+    lm = train_bigram_lm(ds, field="text")
+    ref = ray.put(lm)
+    scored = ds.map_batches(
+        PerplexityScorer, batch_format="pyarrow",
+        fn_constructor_kwargs={"model_ref": ref,
+                               "keep_cols": ("lang",)},
+        concurrency=concurrency)
+    cuts = grouped_quantiles(scored.select_columns(["lang", "ppl"]),
+                             "lang", "ppl",
+                             quantiles=((1, 3), (2, 3)))
+    cut_map = {r["lang"]: (float(r["q1_3"]), float(r["q2_3"]))
+               for _, r in cuts.iterrows()}
+    cut_ref = ray.put(cut_map)
+
+    def label(t: pa.Table) -> pa.Table:
+        cm = ray.get(cut_ref)
+        langs = t["lang"].to_pylist()
+        ppl = t["ppl"].to_numpy(zero_copy_only=False)
+        c1 = np.array([cm[la][0] for la in langs], dtype=np.float64)
+        c2 = np.array([cm[la][1] for la in langs], dtype=np.float64)
+        bucket = np.where(ppl <= c1, "head",
+                          np.where(ppl <= c2, "middle", "tail"))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "ppl": t["ppl"],
+            "bucket": pa.array(bucket.tolist(), pa.string())})
+
+    return scored.map_batches(label, batch_format="pyarrow") \
+        .sort("doc_id")

@@ -113,3 +113,26 @@ def test_pipeline_smoke_sorted(ray_session):
     assert list(out["doc_id"]) == sorted(out["doc_id"])
     assert (out["ppl"] > 0).all()
     assert (out["avg_logprob"] < 0).all()
+
+
+def test_ccnet_buckets(ray_session):
+    from jesterj_ray.stages.lm import ccnet_buckets_pipeline
+    out = ccnet_buckets_pipeline("/root/testdata/sf0.001").to_pandas()
+    assert set(out["bucket"].unique()) == {"head", "middle", "tail"}
+    # per-lang: buckets are value-monotone (every head ppl <= every
+    # middle ppl <= every tail ppl) and roughly tercile-sized
+    for lang, g in out.groupby("lang"):
+        h = g[g["bucket"] == "head"]["ppl"]
+        m = g[g["bucket"] == "middle"]["ppl"]
+        t = g[g["bucket"] == "tail"]["ppl"]
+        if len(h) and len(m):
+            assert h.max() <= m.min()
+        if len(m) and len(t):
+            assert m.max() <= t.min()
+        n = len(g)
+        if n >= 9:
+            assert len(h) >= 1 and len(t) >= 1
+    # same docs as lm_perplexity (zero-token docs dropped identically)
+    from jesterj_ray.stages.lm import lm_perplexity_pipeline
+    lp = lm_perplexity_pipeline("/root/testdata/sf0.001").to_pandas()
+    assert list(out["doc_id"]) == list(lp["doc_id"])
