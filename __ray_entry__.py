@@ -304,6 +304,15 @@ def _paragraph_dedup(sf_dir: str):
     return paragraph_dedup_pipeline(sf_dir)
 
 
+def _knn_pq(sf_dir: str):
+    """Product-quantization ADC top-10 (rows-only: approximate by
+    construction); recall vs oracle-PASS knn_cosine_top10 pinned in
+    tests/test_pq.py (mean >= 0.8 at 3x overfetch, deterministic
+    training at any parallelism)."""
+    from jesterj_ray.ann.pq import knn_pq_pipeline
+    return knn_pq_pipeline(sf_dir)
+
+
 def _ccnet_buckets(sf_dir: str):
     # CCNet head/middle/tail (Wenzek et al. 2020): per-lang ppl
     # terciles (exact quantile_disc cutoffs) label every doc
@@ -979,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a current driver-checked row (r03 VERDICT #3)
         "lm_perplexity": _lm_perplexity,
         "ccnet_buckets": _ccnet_buckets,
+        "knn_pq_top10": _knn_pq,
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
         "repeated_substring_spans": _repeated_substring_spans,
