@@ -304,6 +304,21 @@ def _paragraph_dedup(sf_dir: str):
     return paragraph_dedup_pipeline(sf_dir)
 
 
+def _q3_top_orders(sf_dir: str):
+    # TPC-H Q3 analog: two broadcast small sides + one streamed
+    # lineitem pass, key-partitioned partial-revenue groupby,
+    # per-block top-k, (blocks x k) driver merge
+    from jesterj_ray.pipelines.relational import q3_top_orders
+    return q3_top_orders(sf_dir)
+
+
+def _synonym_topk(sf_dir: str):
+    # query-time synonym expansion (SynonymGraphFilter OR semantics):
+    # "merge sort" + {merge->join, sort->order}, per-term idf
+    from jesterj_ray.pipelines.flagship import synonym_topk_documents
+    return synonym_topk_documents(sf_dir, "merge sort", k=10)
+
+
 def _knn_pq(sf_dir: str):
     """Product-quantization ADC top-10 (rows-only: approximate by
     construction); recall vs oracle-PASS knn_cosine_top10 pinned in
@@ -989,6 +1004,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _lm_perplexity,
         "ccnet_buckets": _ccnet_buckets,
         "knn_pq_top10": _knn_pq,
+        "synonym_topk": _synonym_topk,
+        "q3_top_orders": _q3_top_orders,
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
         "repeated_substring_spans": _repeated_substring_spans,
@@ -2203,6 +2220,61 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
                     AND frac_alpha_words >= 0.8
                     AND n_stop_distinct >= 1) AS gopher_pass
             FROM r ORDER BY doc_id""",
+        # engine: relational.q3_top_orders — TPC-H Q3 shipping
+        # priority: rank = (2dp revenue desc, o_orderdate, l_orderkey)
+        "q3_top_orders": """
+            WITH c AS (SELECT c_custkey FROM customer
+                       WHERE c_mktsegment = 'BUILDING'),
+            o AS (SELECT o_orderkey, o_orderdate, o_orderpriority
+                  FROM orders JOIN c ON o_custkey = c_custkey
+                  WHERE o_orderdate < TIMESTAMP '1998-06-01'),
+            r AS (SELECT l_orderkey,
+                         round(sum(l_extendedprice * (1 - l_discount)),
+                               2) AS revenue
+                  FROM lineitem JOIN o ON l_orderkey = o_orderkey
+                  WHERE l_shipdate > TIMESTAMP '1998-06-01'
+                  GROUP BY l_orderkey)
+            SELECT CAST(row_number() OVER (
+                     ORDER BY revenue DESC, o.o_orderdate, l_orderkey)
+                     AS BIGINT) AS rank,
+                   l_orderkey, revenue,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o.o_orderpriority
+            FROM r JOIN o ON l_orderkey = o_orderkey
+            ORDER BY revenue DESC, o.o_orderdate, l_orderkey
+            LIMIT 10""",
+        # engine: flagship.synonym_topk_documents — query-time synonym
+        # expansion ({merge->join, sort->order}, OR semantics, per-term
+        # idf); ROUNDED-score total order (grouped-topk tie rule)
+        "synonym_topk": f"""
+WITH qterms(term) AS (VALUES ('merge'), ('join'), ('sort'), ('order')),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, length({_TOKS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT q.term, t.doc_id, count(*) AS tf
+  FROM toks t JOIN qterms q USING (term)
+  GROUP BY q.term, t.doc_id),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         round(sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75
+                                + 0.75 * dl.dl / s.avgdl)) ), 6)
+           AS score
+  FROM tf JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
         # engine: stages/lm.ccnet_buckets_pipeline — CCNet
         # head/middle/tail: the lm_perplexity model's per-doc ppl cut
         # at per-lang terciles (quantile_disc ties-low over the

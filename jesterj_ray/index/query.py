@@ -836,6 +836,26 @@ class IndexReader:
             return []
         return self._topk_from_dense(self._scores_buf, touched, k)
 
+    def topk_synonyms(self, query: str, synonyms: dict, k: int = 10):
+        """Query-time synonym expansion (Solr SynonymGraphFilter at
+        query time, OR semantics): each query term expands to its
+        synonym group, the DISTINCT expanded set scores disjunctively,
+        each term with its own idf.  (Lucene's SynonymQuery blends df
+        across the group; per-term idf is an intentional, documented
+        divergence so the SQL oracle mirrors exactly.)"""
+        terms = self.tokenizer(query)
+        expanded = []
+        for t in terms:
+            expanded.append(t)
+            expanded.extend(synonyms.get(t, ()))
+        expanded = dedup_keep_order(expanded)
+        if not expanded:
+            return []
+        touched = self._score_disjunctive(expanded)
+        if touched.size == 0:
+            return []
+        return self._topk_from_dense(self._scores_buf, touched, k)
+
     def topk_boosted(self, query: str, k: int = 10
                      ) -> List[Tuple[int, float]]:
         """Disjunctive BM25 with per-term boosts — Lucene/Solr

@@ -1086,3 +1086,30 @@ def phrase_slop_topk_documents(sf_dir: str, phrase: str = "merge sort",
         "doc_id": orig,
         "score": np.round([h[1] for h in hits], 6).astype(np.float64),
     })
+
+
+# frozen demo synonym map over the corpus vocabulary (oracle mirrors)
+SYNONYMS = {"merge": ("join",), "sort": ("order",)}
+
+
+def synonym_topk_documents(sf_dir: str, query: str = "merge sort",
+                           k: int = 10) -> pd.DataFrame:
+    """Query-time synonym expansion top-k: ranks on the rounded-score
+    total order (the grouped-topk tie rule) so sub-1e-6 summation
+    flips cannot reorder either side."""
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    hits = reader.topk_synonyms(query, SYNONYMS, reader.n_docs)
+    if not hits:
+        return pd.DataFrame({"rank": pd.Series([], dtype=np.int64),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    ids = np.array([int(x) for x in reader.doc_keys(
+        np.array([h[0] for h in hits], dtype=np.int64))],
+        dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids,
+                       "score": _away6([s for _, s in hits])})
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True],
+                        kind="mergesort").head(k)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rank", "doc_id", "score"]].reset_index(drop=True)

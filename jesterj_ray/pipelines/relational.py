@@ -963,3 +963,93 @@ def _retention_partials(ds: "rd.Dataset", num_groups: int) -> "rd.Dataset":
     return ds.map_batches(pairs, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("gkey").map_groups(resolve, batch_format="pandas")
+
+
+Q3_DATE = np.datetime64("1998-06-01")
+Q3_SEGMENT = "BUILDING"
+
+
+def q3_top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3-style shipping-priority query: top-k orders by revenue
+    sum(l_extendedprice * (1 - l_discount)) over BUILDING-segment
+    customers' orders placed before Q3_DATE with lineitems shipped
+    after it.
+
+    Shape: customer and the filtered orders both broadcast (each is a
+    documented-small side: segment customers, date-filtered orders);
+    lineitem — the big table — streams once through a pruned read,
+    each block collapsing to (l_orderkey, rev) partials; one
+    key-partitioned groupby of those SMALL rows (order cardinality is
+    data-sized, so the fold cannot live on the driver); per-block
+    local top-k then a (blocks x k) driver merge.  Rank =
+    (2dp-ROUNDED revenue desc, o_orderdate asc, l_orderkey asc) on
+    both sides."""
+    import pyarrow.parquet as pq
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    ckeys = cust.filter(pc.equal(cust["c_mktsegment"], Q3_SEGMENT)
+                        )["c_custkey"].combine_chunks()
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey",
+                                    "o_orderdate", "o_orderpriority"])
+    omask = pc.and_(pc.is_in(orders["o_custkey"], value_set=ckeys),
+                    pc.less(orders["o_orderdate"],
+                            pa.scalar(Q3_DATE.astype("datetime64[us]")
+                                      .item())))
+    orders = orders.filter(omask)
+    okeys_ref = ray.put(orders["o_orderkey"].combine_chunks())
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"],
+                         override_num_blocks=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_in(t["l_orderkey"],
+                                value_set=ray.get(okeys_ref)),
+                       pc.greater(t["l_shipdate"],
+                                  pa.scalar(Q3_DATE
+                                            .astype("datetime64[us]")
+                                            .item())))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(1.0, t["l_discount"]))
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(
+                zero_copy_only=False),
+            "rev": rev.to_numpy(zero_copy_only=False)})
+        g = df.groupby("l_orderkey", sort=False)["rev"].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").sum("rev")
+
+    def block_top(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(
+                zero_copy_only=False),
+            "rev": np.round(t["sum(rev)"].to_numpy(
+                zero_copy_only=False), 2)})
+        return pa.Table.from_pandas(
+            df.sort_values(["rev", "l_orderkey"],
+                           ascending=[False, True]).head(k),
+            preserve_index=False)
+
+    top = agg.map_batches(block_top, batch_format="pyarrow") \
+        .to_pandas()
+    meta = orders.select(["o_orderkey", "o_orderdate",
+                          "o_orderpriority"]).to_pandas()
+    out = top.merge(meta, left_on="l_orderkey", right_on="o_orderkey")
+    out = out.sort_values(["rev", "o_orderdate", "l_orderkey"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(k)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out = out.rename(columns={"rev": "revenue"})
+    out["o_orderdate"] = pd.to_datetime(out["o_orderdate"]) \
+        .dt.strftime("%Y-%m-%d")
+    return out[["rank", "l_orderkey", "revenue", "o_orderdate",
+                "o_orderpriority"]].reset_index(drop=True)

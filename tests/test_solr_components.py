@@ -139,3 +139,30 @@ def test_phrase_slop_semantics(ray_session, tmp_path):
     # slop 3 admits doc 3 as well
     got3 = {d for d, _ in r.phrase_slop_topk("merge sort", slop=3, k=10)}
     assert len(got3) == 5
+
+
+def test_synonym_expansion_widens_matches(ray_session):
+    from jesterj_ray.index.query import IndexReader
+    from jesterj_ray.pipelines.flagship import (SYNONYMS,
+                                                documents_index)
+    r = IndexReader(documents_index(SF))
+    plain = {d for d, _ in r.topk("merge sort", r.n_docs)}
+    syn = {d for d, _ in r.topk_synonyms("merge sort", SYNONYMS,
+                                         r.n_docs)}
+    assert plain <= syn
+    only_syn = {d for d, _ in r.topk("join order", r.n_docs)} - plain
+    if only_syn:                      # docs matching only via synonyms
+        assert only_syn <= syn
+    # no synonyms for the terms -> identical to plain topk
+    assert {d for d, _ in r.topk_synonyms("customer", SYNONYMS, 10)} \
+        == {d for d, _ in r.topk("customer", 10)}
+
+
+def test_q3_top_orders_shape(ray_session):
+    from jesterj_ray.pipelines.relational import q3_top_orders
+    a = q3_top_orders(SF)
+    assert list(a["rank"]) == list(range(1, len(a) + 1))
+    revs = list(a["revenue"])
+    assert revs == sorted(revs, reverse=True)
+    b = q3_top_orders(SF)
+    assert a.equals(b)
