@@ -304,6 +304,14 @@ def _paragraph_dedup(sf_dir: str):
     return paragraph_dedup_pipeline(sf_dir)
 
 
+def _c4_line_filter(sf_dir: str):
+    # C4 line-level cleaning (Raffel et al. 2020 §2.2): per-line
+    # terminal-punct / >=5-word / no-javascript rules + page-level
+    # lorem/brace/>=3-line rules; doc-local, zero shuffle
+    from jesterj_ray.stages.c4 import c4_line_filter_pipeline
+    return c4_line_filter_pipeline(sf_dir)
+
+
 def _q3_top_orders(sf_dir: str):
     # TPC-H Q3 analog: two broadcast small sides + one streamed
     # lineitem pass, key-partitioned partial-revenue groupby,
@@ -1006,6 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq_top10": _knn_pq,
         "synonym_topk": _synonym_topk,
         "q3_top_orders": _q3_top_orders,
+        "c4_line_filter": _c4_line_filter,
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
         "repeated_substring_spans": _repeated_substring_spans,
@@ -2220,6 +2229,64 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
                     AND frac_alpha_words >= 0.8
                     AND n_stop_distinct >= 1) AS gopher_pass
             FROM r ORDER BY doc_id""",
+        # engine: stages/c4.c4_line_filter_pipeline — C4 §2.2 cleaning
+        # over deterministically synthesized line structure (6-word
+        # lines, '.' withheld on (doc_id+lidx)%4==0, lorem/brace
+        # injections); every rule + the synthesis mirrored here
+        "c4_line_filter": """
+            WITH tl AS (
+              SELECT doc_id,
+                     regexp_extract_all(text,
+                       '[^\\t\\n\\v\\f\\r ]+') AS ws
+              FROM documents),
+            grp AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws), 6)) AS s
+              FROM tl WHERE len(ws) > 0),
+            body AS (
+              SELECT doc_id, (s - 1) // 6 + 1 AS lidx,
+                     array_to_string(ws[s : least(s + 5, len(ws))],
+                                     ' ')
+                     || CASE WHEN (doc_id + (s - 1) // 6 + 1) % 4 != 0
+                             THEN '.' ELSE '' END AS line
+              FROM grp),
+            lines AS (
+              SELECT * FROM body
+              UNION ALL
+              SELECT doc_id, 0, 'lorem ipsum dolor.'
+              FROM documents WHERE doc_id % 41 = 0
+              UNION ALL
+              SELECT doc_id, 999999, 'function() {'
+              FROM documents WHERE doc_id % 37 = 0),
+            fl AS (
+              SELECT doc_id, lidx, line,
+                     (regexp_matches(line, '[.!?]$')
+                      AND CAST(length(regexp_extract_all(line,
+                          '[^ ]+')) AS BIGINT) >= 5
+                      AND NOT contains(lower(line), 'javascript'))
+                       AS keep_line,
+                     contains(lower(line), 'lorem ipsum') AS lorem,
+                     contains(line, '{') AS brace
+              FROM lines),
+            pg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(SUM(CASE WHEN keep_line THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_kept,
+                     (NOT bool_or(lorem) AND NOT bool_or(brace)
+                      AND SUM(CASE WHEN keep_line THEN 1 ELSE 0 END)
+                          >= 3) AS page_kept
+              FROM fl GROUP BY doc_id),
+            txt AS (
+              SELECT f.doc_id,
+                     string_agg(f.line, chr(10) ORDER BY f.lidx)
+                       AS text_clean
+              FROM fl f JOIN pg USING (doc_id)
+              WHERE f.keep_line AND pg.page_kept
+              GROUP BY f.doc_id)
+            SELECT p.doc_id, p.n_lines, p.n_kept, p.page_kept,
+                   t.text_clean
+            FROM pg p LEFT JOIN txt t USING (doc_id)
+            ORDER BY p.doc_id""",
         # engine: relational.q3_top_orders — TPC-H Q3 shipping
         # priority: rank = (2dp revenue desc, o_orderdate, l_orderkey)
         "q3_top_orders": """
