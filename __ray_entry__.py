@@ -262,6 +262,13 @@ def _facet_stats(sf_dir: str):
                        stat_field="n_chars")
 
 
+def _repeated_substring_removal(sf_dir: str):
+    # the REMOVAL step of exact substring dedup: cut every masked
+    # token, rejoin (stages/dedup.repeated_substring_removal)
+    from jesterj_ray.stages.dedup import repeated_substring_removal
+    return repeated_substring_removal(sf_dir, span=15, min_occ=2)
+
+
 def _repeated_substring_spans(sf_dir: str):
     # EXACT suffix-array-equivalent mask regions (Lee et al. 2022):
     # maximal per-doc token regions covered by >=15-token substrings
@@ -1018,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
         "repeated_substring_spans": _repeated_substring_spans,
+        "repeated_substring_removal": _repeated_substring_removal,
         "url_domain_filter": _url_domain_filter,
         "facet_stats": _facet_stats,
         "phrase_slop_topk": _phrase_slop_topk,
@@ -1954,6 +1962,57 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
          AS rank,
        doc_id, round(score, 6) AS score
 FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
+        # engine: stages/dedup.repeated_substring_removal — the
+        # removal step: every token under a repeated-15-gram mask cut,
+        # survivors rejoined in position order
+        "repeated_substring_removal": """
+            WITH tl AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+            tpos AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, len(tk))) AS i
+              FROM tl WHERE len(tk) > 0),
+            toks AS (SELECT doc_id, i, tk[i] AS t FROM tpos),
+            st AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, len(tk) - 14)) AS s
+              FROM tl WHERE len(tk) >= 15),
+            grams AS (
+              SELECT doc_id, s,
+                     array_to_string(tk[s : s + 14], ' ') AS g
+              FROM st),
+            rep AS (SELECT g FROM grams GROUP BY g
+                    HAVING count(*) >= 2),
+            hits AS (SELECT doc_id, s FROM grams
+                     WHERE g IN (SELECT g FROM rep)),
+            mask AS (
+              SELECT DISTINCT doc_id, i FROM (
+                SELECT doc_id,
+                       unnest(generate_series(s, s + 14)) AS i
+                FROM hits)),
+            kept AS (
+              SELECT k.doc_id, k.i, k.t FROM toks k
+              LEFT JOIN mask m
+                ON k.doc_id = m.doc_id AND k.i = m.i
+              WHERE m.doc_id IS NULL),
+            base AS (SELECT doc_id,
+                            CAST(count(*) AS BIGINT) AS n_tokens
+                     FROM toks GROUP BY doc_id),
+            mcnt AS (SELECT doc_id,
+                            CAST(count(*) AS BIGINT) AS n_masked
+                     FROM mask GROUP BY doc_id),
+            txt AS (SELECT doc_id,
+                           string_agg(t, ' ' ORDER BY i)
+                             AS text_deduped
+                    FROM kept GROUP BY doc_id)
+            SELECT b.doc_id, b.n_tokens,
+                   CAST(COALESCE(m.n_masked, 0) AS BIGINT) AS n_masked,
+                   t.text_deduped
+            FROM base b LEFT JOIN mcnt m USING (doc_id)
+            LEFT JOIN txt t USING (doc_id)
+            ORDER BY b.doc_id""",
         # engine: stages/urls.url_domain_filter_pipeline — domain
         # extraction (RE2 authority capture) + frozen blocklist
         # verdict over a synthesized url column (oracle mirrors both)

@@ -1128,3 +1128,65 @@ def repeated_substring_spans(sf_dir: str, span: int = 15,
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["doc_id", "span_start"]) \
         .reset_index(drop=True)
+
+
+def repeated_substring_removal(sf_dir: str, span: int = 15,
+                               min_occ: int = 2,
+                               num_blocks: int = 8,
+                               num_groups: int = 16) -> "pd.DataFrame":
+    """Apply the exact mask regions: cut every token covered by a
+    repeated >= ``span``-token substring (``repeated_substring_spans``)
+    out of each document — the REMOVAL step of Lee et al. substring
+    dedup (detection alone doesn't shrink the corpus).
+
+    Output: (doc_id, n_tokens, n_masked, text_deduped) for every doc
+    with >= 1 token; ``text_deduped`` is NULL when everything was
+    masked.  The span table broadcasts once (``ray.put``) — masked
+    regions are a small fraction of a real corpus; if they ever
+    approach corpus scale, the honest exchange is the coarse doc-gkey
+    cogroup used by ``stages/paragraphs`` (spans and docs co-shuffled
+    on doc_id) — documented fallback, not implemented here.
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from ..tokenize.tokenizer import simple_tokenize
+
+    spans = repeated_substring_spans(sf_dir, span=span, min_occ=min_occ,
+                                     num_blocks=num_blocks,
+                                     num_groups=num_groups)
+    by_doc: dict = {}
+    for r in spans.itertuples():
+        by_doc.setdefault(int(r.doc_id), []).append(
+            (int(r.span_start), int(r.span_end)))
+    spans_ref = ray.put(by_doc)
+
+    def apply(t: pa.Table) -> pa.Table:
+        sp = ray.get(spans_ref)
+        ids = t["doc_id"].to_pylist()
+        out_id, out_n, out_m, out_txt = [], [], [], []
+        for d, txt in zip(ids, t["text"].to_pylist()):
+            toks = simple_tokenize(txt or "")
+            if not toks:
+                continue
+            keep = np.ones(len(toks), dtype=bool)
+            for s, e in sp.get(int(d), ()):
+                keep[s:e] = False
+            kept = [tok for tok, k in zip(toks, keep) if k]
+            out_id.append(int(d))
+            out_n.append(len(toks))
+            out_m.append(int((~keep).sum()))
+            out_txt.append(" ".join(kept) if kept else None)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "n_masked": pa.array(out_m, pa.int64()),
+            "text_deduped": pa.array(out_txt, pa.string())})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"],
+                         override_num_blocks=num_blocks)
+    out = ds.map_batches(apply, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

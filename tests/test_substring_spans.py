@@ -123,3 +123,30 @@ def test_block_layout_independence(ray_session, tmp_path):
     ref = _brute_spans(texts, 10, 2).sort_values(
         ["doc_id", "span_start"]).reset_index(drop=True)
     assert a.equals(ref)
+
+
+def test_removal_applies_masks(ray_session, tmp_path):
+    from jesterj_ray.stages.dedup import (repeated_substring_removal,
+                                          repeated_substring_spans)
+    shared = WORDS[:12]
+    texts = [
+        (0, _mk(["zero0", "zero1"] + shared + ["zero2"])),
+        (1, _mk(["one0"] + shared + ["one1", "one2"])),
+        (2, _mk([f"u{i}" for i in range(15)])),
+        (3, _mk(shared)),                 # fully masked doc
+        (4, _mk(shared)),
+    ]
+    sf = _write(tmp_path, texts)
+    out = repeated_substring_removal(sf, span=8, min_occ=2,
+                                     num_blocks=2).set_index("doc_id")
+    spans = repeated_substring_spans(sf, span=8, min_occ=2,
+                                     num_blocks=2)
+    # masked counts agree with the span table
+    per_doc = spans.groupby("doc_id")["span_tokens"].sum()
+    for d in out.index:
+        assert out.loc[d, "n_masked"] == per_doc.get(d, 0)
+    assert out.loc[0, "text_deduped"] == "zero0 zero1 zero2"
+    assert out.loc[1, "text_deduped"] == "one0 one1 one2"
+    assert out.loc[2, "n_masked"] == 0
+    assert out.loc[3, "text_deduped"] is None     # everything masked
+    assert out.loc[3, "n_masked"] == out.loc[3, "n_tokens"]
