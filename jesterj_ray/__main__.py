@@ -196,6 +196,15 @@ def cmd_repartition(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Consistent point-in-time backup of the epoch-pinned file set
+    (no Ray needed; see index/epoch.snapshot_index)."""
+    from jesterj_ray.index.epoch import snapshot_index
+    n = snapshot_index(args.index_dir, args.dest)
+    print(json.dumps({"snapshot_epoch": n, "dest": args.dest}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Fold tombstones + generation segments out of a delta-built index
     (docids renumber; pause serving — see index/compact.py)."""
@@ -363,6 +372,10 @@ def main(argv=None) -> int:
     rp.add_argument("--slices", type=int, default=4)
     rp.add_argument("--num-cpus", type=int, default=8)
 
+    sn = sub.add_parser("snapshot")
+    sn.add_argument("index_dir")
+    sn.add_argument("dest")
+
     cp = sub.add_parser("compact")
     cp.add_argument("index_dir")
     cp.add_argument("--num-cpus", type=int, default=8)
@@ -400,6 +413,7 @@ def main(argv=None) -> int:
             "watch": cmd_watch, "mark": cmd_mark,
             "delete-docs": cmd_delete_docs, "status": cmd_status,
             "repartition": cmd_repartition, "compact": cmd_compact,
+            "snapshot": cmd_snapshot,
             "query": cmd_query}[args.cmd](args)
 
 

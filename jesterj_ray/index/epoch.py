@@ -128,3 +128,61 @@ def check_pinned(index_dir: str, epoch: Optional[dict],
         raise IndexChangedError(
             f"{relpath} changed under epoch {epoch['epoch']} "
             f"({want} -> {got}) — reopen the reader")
+
+
+def snapshot_index(index_dir: str, dest_dir: str,
+                   max_retries: int = 3) -> int:
+    """Consistent point-in-time backup (Solr replication handler /
+    Lucene SnapshotDeletionPolicy analog): copy EXACTLY the file set
+    pinned by the current epoch, verifying each file's fingerprint
+    AFTER copying — a concurrent writer cycle that replaces a pinned
+    file mid-copy is detected and the snapshot retries from the new
+    epoch rather than shipping a torn mixture.  The destination is
+    itself a valid epoch'd index (epoch.json written LAST), so restore
+    is just "open the directory".  Epoch-less indexes snapshot via a
+    one-shot publish first.
+
+    Returns the epoch number the snapshot captured.  Raises
+    ``IndexChangedError`` after ``max_retries`` racing cycles.
+    """
+    import shutil
+    import tempfile
+
+    if read_epoch(index_dir) is None:
+        publish_epoch(index_dir)
+    last_err: Optional[Exception] = None
+    for _ in range(max_retries):
+        epoch = read_epoch(index_dir)
+        tmp = tempfile.mkdtemp(prefix=".snap-",
+                               dir=os.path.dirname(
+                                   os.path.abspath(dest_dir)) or ".")
+        try:
+            for rel in sorted(epoch["files"]):
+                src = os.path.join(index_dir, rel)
+                dst = os.path.join(tmp, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    shutil.copy2(src, dst)
+                    # verify-AFTER-copy: unchanged fingerprint proves
+                    # the bytes copied were the pinned version
+                    check_pinned(index_dir, epoch, rel)
+                except IndexChangedError as e:
+                    last_err = e
+                    raise
+            atomic_write_bytes(
+                os.path.join(tmp, EPOCH_FILE),
+                json.dumps({"epoch": int(epoch["epoch"]),
+                            "files": epoch["files"]}).encode())
+            if os.path.isdir(dest_dir):
+                shutil.rmtree(dest_dir)
+            os.replace(tmp, dest_dir)
+            return int(epoch["epoch"])
+        except IndexChangedError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    raise IndexChangedError(
+        f"snapshot of {index_dir} raced {max_retries} writer cycles: "
+        f"{last_err}")

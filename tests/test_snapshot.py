@@ -1,0 +1,95 @@
+"""Epoch-pinned snapshot/restore (index/epoch.snapshot_index):
+consistency, restorability, torn-copy detection under a racing
+writer."""
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from jesterj_ray.index.build_rows import build_index_rows, delta_reindex
+from jesterj_ray.index.epoch import (IndexChangedError, read_epoch,
+                                     snapshot_index)
+from jesterj_ray.index.query import IndexReader
+
+
+def _mk_index(tmp_path, n=40):
+    src = os.path.join(str(tmp_path), "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"alpha doc{i} beta merge gamma w{i % 7}"
+                          for i in range(n)], pa.string())}), src)
+    idx = os.path.join(str(tmp_path), "idx")
+    build_index_rows(src, idx, text_col="text", key_col="doc_id",
+                     tokenizer="simple", docs_per_partition=16,
+                     num_shards=2)
+    return src, idx
+
+
+def test_snapshot_restores_identically(ray_session, tmp_path):
+    src, idx = _mk_index(tmp_path)
+    dest = os.path.join(str(tmp_path), "snap")
+    n = snapshot_index(idx, dest)
+    assert n == read_epoch(idx)["epoch"]
+    assert read_epoch(dest)["epoch"] == n
+    a = IndexReader(idx).topk("merge alpha", 10)
+    b = IndexReader(dest).topk("merge alpha", 10)
+    assert a == b
+    # snapshot survives destruction of the original
+    shutil.rmtree(idx)
+    assert IndexReader(dest).topk("merge alpha", 10) == a
+
+
+def test_snapshot_is_point_in_time(ray_session, tmp_path):
+    src, idx = _mk_index(tmp_path)
+    dest = os.path.join(str(tmp_path), "snap")
+    before = IndexReader(idx).topk("zzznewterm", 5)
+    snapshot_index(idx, dest)
+    # mutate the ORIGINAL after the snapshot
+    t = pq.read_table(src)
+    texts = t["text"].to_pylist()
+    texts[0] += " zzznewterm"
+    pq.write_table(pa.table({"doc_id": t["doc_id"],
+                             "text": pa.array(texts, pa.string())}),
+                   src)
+    d = delta_reindex(src, idx, text_col="text", key_col="doc_id",
+                      tokenizer="simple", docs_per_partition=16,
+                      num_shards=2)
+    assert d["reindexed_docs"] == 1
+    assert len(IndexReader(idx).topk("zzznewterm", 5)) == 1
+    assert IndexReader(dest).topk("zzznewterm", 5) == before == []
+
+
+def test_snapshot_detects_racing_writer(tmp_path, monkeypatch):
+    # simulate a writer replacing a pinned file mid-copy: patch
+    # check_pinned to fail once, assert retry succeeds from the new
+    # epoch; with persistent failure the snapshot raises
+    import jesterj_ray.index.epoch as ep
+    os.makedirs(os.path.join(str(tmp_path), "i"))
+    idx = os.path.join(str(tmp_path), "i")
+    with open(os.path.join(idx, "stats.json"), "w") as f:
+        f.write("{}")
+    ep.publish_epoch(idx)
+    calls = {"n": 0}
+    real = ep.check_pinned
+
+    def flaky(index_dir, epoch, rel):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise IndexChangedError("simulated racing writer")
+        return real(index_dir, epoch, rel)
+
+    monkeypatch.setattr(ep, "check_pinned", flaky)
+    dest = os.path.join(str(tmp_path), "s")
+    assert ep.snapshot_index(idx, dest) == read_epoch(idx)["epoch"]
+    assert os.path.exists(os.path.join(dest, "stats.json"))
+
+    def always(index_dir, epoch, rel):
+        raise IndexChangedError("permanent churn")
+
+    monkeypatch.setattr(ep, "check_pinned", always)
+    with pytest.raises(IndexChangedError, match="raced"):
+        ep.snapshot_index(idx, os.path.join(str(tmp_path), "s2"),
+                          max_retries=2)
