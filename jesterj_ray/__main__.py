@@ -196,6 +196,15 @@ def cmd_repartition(args) -> int:
     return 0
 
 
+def cmd_delete_query(args) -> int:
+    """Tombstone every alive doc matching the query (deleteByQuery)."""
+    from jesterj_ray.index.query import delete_by_query
+    n = delete_by_query(args.index_dir, args.query,
+                        mode="and" if args.conjunctive else "or")
+    print(json.dumps({"deleted": n}))
+    return 0
+
+
 def cmd_snapshot(args) -> int:
     """Consistent point-in-time backup of the epoch-pinned file set
     (no Ray needed; see index/epoch.snapshot_index)."""
@@ -358,6 +367,11 @@ def main(argv=None) -> int:
     m.add_argument("pid", type=int)
     m.add_argument("status", choices=["dirty", "force"])
 
+    dq = sub.add_parser("delete-query")
+    dq.add_argument("index_dir")
+    dq.add_argument("query")
+    dq.add_argument("--and", dest="conjunctive", action="store_true")
+
     dd = sub.add_parser("delete-docs")
     dd.add_argument("index_dir")
     dd.add_argument("keys", nargs="+")
@@ -413,7 +427,7 @@ def main(argv=None) -> int:
             "watch": cmd_watch, "mark": cmd_mark,
             "delete-docs": cmd_delete_docs, "status": cmd_status,
             "repartition": cmd_repartition, "compact": cmd_compact,
-            "snapshot": cmd_snapshot,
+            "snapshot": cmd_snapshot, "delete-query": cmd_delete_query,
             "query": cmd_query}[args.cmd](args)
 
 

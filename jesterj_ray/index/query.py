@@ -1102,6 +1102,35 @@ def delete_docs(index_dir: str, doc_keys) -> int:
     return len(dead)
 
 
+def delete_by_query(index_dir: str, query: str, *,
+                    mode: str = "or") -> int:
+    """Solr deleteByQuery analog: tombstone every ALIVE document whose
+    text matches ``query`` — disjunctive by default, ``mode='and'``
+    for conjunctive.  Matching reads the index's own postings (the
+    query engine's match set, not a corpus rescan); the tombstone
+    write is the same atomic rewrite + epoch publish as deleteById.
+    Returns how many documents were newly tombstoned."""
+    from ..index.bm25 import dedup_keep_order
+    reader = IndexReader(index_dir)
+    terms = dedup_keep_order(reader.tokenizer(query))
+    if not terms:
+        return 0
+    sets = []
+    for t in terms:
+        docs, _ = reader.postings(t)
+        sets.append(docs[reader.alive_mask(docs)])
+    if mode == "and":
+        matched = sets[0]
+        for s in sets[1:]:
+            matched = matched[np.isin(matched, s, assume_unique=True)]
+    else:
+        matched = np.unique(np.concatenate(sets)) if sets else \
+            np.zeros(0, dtype=np.int64)
+    if matched.size == 0:
+        return 0
+    return delete_docs(index_dir, reader.doc_keys(matched))
+
+
 class QueryActor:
     """Actor-pool stage: answer batches of queries against one index.
 

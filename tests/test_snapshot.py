@@ -93,3 +93,22 @@ def test_snapshot_detects_racing_writer(tmp_path, monkeypatch):
     with pytest.raises(IndexChangedError, match="raced"):
         ep.snapshot_index(idx, os.path.join(str(tmp_path), "s2"),
                           max_retries=2)
+
+
+def test_delete_by_query(ray_session, tmp_path):
+    from jesterj_ray.index.query import delete_by_query
+    src, idx = _mk_index(tmp_path)
+    r0 = IndexReader(idx)
+    n_w3 = len(r0.topk("w3", 100))
+    assert n_w3 > 0
+    # OR semantics: every doc containing w3 dies
+    assert delete_by_query(idx, "w3") == n_w3
+    r1 = IndexReader(idx)
+    assert r1.topk("w3", 100) == []
+    # other docs still alive and searchable
+    assert len(r1.topk("merge", 100)) == 40 - n_w3
+    # repeat is a no-op (already tombstoned)
+    assert delete_by_query(idx, "w3") == 0
+    # AND semantics: only docs with BOTH terms die
+    n_both = len(r1.topk_and("w1 doc1", 100))
+    assert delete_by_query(idx, "w1 doc1", mode="and") == n_both
