@@ -311,6 +311,14 @@ def _paragraph_dedup(sf_dir: str):
     return paragraph_dedup_pipeline(sf_dir)
 
 
+def _email_extract(sf_dir: str):
+    # Tika slot, third slice: REAL stdlib RFC-822 parsing (headers +
+    # first text/plain body) over synthesized .eml bytes; oracle
+    # recomputes the expected fields from the synthesis template
+    from jesterj_ray.stages.email_extract import email_extract_pipeline
+    return email_extract_pipeline(sf_dir)
+
+
 def _c4_line_filter(sf_dir: str):
     # C4 line-level cleaning (Raffel et al. 2020 §2.2): per-line
     # terminal-punct / >=5-word / no-javascript rules + page-level
@@ -1022,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_topk": _synonym_topk,
         "q3_top_orders": _q3_top_orders,
         "c4_line_filter": _c4_line_filter,
+        "email_extract": _email_extract,
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
         "repeated_substring_spans": _repeated_substring_spans,
@@ -2288,6 +2297,19 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
                     AND frac_alpha_words >= 0.8
                     AND n_stop_distinct >= 1) AS gopher_pass
             FROM r ORDER BY doc_id""",
+        # engine: stages/email_extract.email_extract_pipeline — real
+        # stdlib RFC-822 parse of synthesized single-part messages;
+        # any header-decode / body-framing bug breaks the hash
+        "email_extract": """
+            SELECT doc_id,
+                   'doc ' || CAST(doc_id AS VARCHAR) || ' report'
+                     AS subject,
+                   'sender' || CAST(doc_id % 13 AS VARCHAR)
+                     || '@example.com' AS from_addr,
+                   'list' || CAST(doc_id % 5 AS VARCHAR)
+                     || '@example.org' AS to_addr,
+                   text || chr(13) || chr(10) AS body
+            FROM documents ORDER BY doc_id""",
         # engine: stages/c4.c4_line_filter_pipeline — C4 §2.2 cleaning
         # over deterministically synthesized line structure (6-word
         # lines, '.' withheld on (doc_id+lidx)%4==0, lorem/brace
