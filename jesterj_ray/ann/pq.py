@@ -143,8 +143,13 @@ def pq_topk(codes_ds: "ray.data.Dataset", books: np.ndarray,
             for qi in range(lt.shape[0]):
                 # sum LUT entries along the code columns
                 s = lt[qi][np.arange(m)[None, :], codes].sum(axis=1)
-                idx = np.argpartition(-s, kk - 1)[:kk]
-                order = np.lexsort((ids[idx], -s[idx]))
+                # PQ scores tie whenever codes collide: keep ALL rows
+                # at the k-th boundary score so the (score, vec_id)
+                # tie-break is exact and block-layout-independent
+                # (the _topk_from_dense rule)
+                kth = np.partition(-s, kk - 1)[kk - 1]
+                idx = np.flatnonzero(-s <= kth)
+                order = np.lexsort((ids[idx], -s[idx]))[:kk]
                 sel = idx[order]
                 out_q.extend([qi] * sel.size)
                 out_id.extend(ids[sel].tolist())
@@ -175,12 +180,15 @@ def knn_pq_pipeline(sf_dir: str, *, k: int = 10, m: int = 8,
     import pyarrow.parquet as pq
     import ray.data as rd
     path = os.path.join(sf_dir, "embeddings.parquet")
+    # materialize: train and encode both consume the read; the query
+    # vector comes from a pushed-down single-row filter, not a full
+    # driver read (r05 self-review #7)
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"],
-                         override_num_blocks=8)
+                         override_num_blocks=8).materialize()
     books = train_pq(ds, m=m, k=kc)
     codes = encode_pq(ds, books)
-    t = pq.read_table(path).to_pandas()
-    qvec = np.asarray(t.loc[t["vec_id"] == 0, "embedding"].iloc[0],
-                      dtype=np.float32)
+    qt = pq.read_table(path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(qt["embedding"][0].as_py(), dtype=np.float32)
     out = pq_topk(codes, books, qvec[None, :], k=k)
     return out[["rank", "vec_id", "score"]]

@@ -162,7 +162,14 @@ def snapshot_index(index_dir: str, dest_dir: str,
                 dst = os.path.join(tmp, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 try:
-                    shutil.copy2(src, dst)
+                    try:
+                        shutil.copy2(src, dst)
+                    except FileNotFoundError:
+                        # compaction unlinked the pinned file before
+                        # the copy — same writer race as a replaced
+                        # file; retry from the new epoch
+                        raise IndexChangedError(
+                            f"{rel} unlinked mid-snapshot") from None
                     # verify-AFTER-copy: unchanged fingerprint proves
                     # the bytes copied were the pinned version
                     check_pinned(index_dir, epoch, rel)
@@ -173,9 +180,17 @@ def snapshot_index(index_dir: str, dest_dir: str,
                 os.path.join(tmp, EPOCH_FILE),
                 json.dumps({"epoch": int(epoch["epoch"]),
                             "files": epoch["files"]}).encode())
+            # commit-then-destroy: the previous backup is moved aside
+            # and removed only AFTER the new one is in place — a crash
+            # mid-snapshot can never leave the user with NO backup
+            old = None
             if os.path.isdir(dest_dir):
-                shutil.rmtree(dest_dir)
+                old = dest_dir.rstrip(os.sep) + ".old"
+                shutil.rmtree(old, ignore_errors=True)
+                os.replace(dest_dir, old)
             os.replace(tmp, dest_dir)
+            if old is not None:
+                shutil.rmtree(old, ignore_errors=True)
             return int(epoch["epoch"])
         except IndexChangedError:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -1110,7 +1110,6 @@ def delete_by_query(index_dir: str, query: str, *,
     query engine's match set, not a corpus rescan); the tombstone
     write is the same atomic rewrite + epoch publish as deleteById.
     Returns how many documents were newly tombstoned."""
-    from ..index.bm25 import dedup_keep_order
     reader = IndexReader(index_dir)
     terms = dedup_keep_order(reader.tokenizer(query))
     if not terms:
@@ -1128,7 +1127,11 @@ def delete_by_query(index_dir: str, query: str, *,
             np.zeros(0, dtype=np.int64)
     if matched.size == 0:
         return 0
-    return delete_docs(index_dir, reader.doc_keys(matched))
+    delete_docs(index_dir, reader.doc_keys(matched))
+    # matched counts LOGICAL newly-dead docs; delete_docs' own count
+    # also includes superseded delta rows of the same key (r05
+    # self-review #4), so it is not the caller-facing number
+    return int(matched.size)
 
 
 class QueryActor:

@@ -998,6 +998,13 @@ def q3_top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
                                       .item())))
     orders = orders.filter(omask)
     okeys_ref = ray.put(orders["o_orderkey"].combine_chunks())
+    # block-local top-k must prune under the FULL final tie order
+    # (rev desc, o_orderdate, l_orderkey) — a revenue tie at a block's
+    # k-th boundary would otherwise evict the globally-ranked row
+    # (r05 self-review #3); the date lookup is the same broadcast
+    dates_ref = ray.put(dict(zip(
+        orders["o_orderkey"].to_pylist(),
+        orders["o_orderdate"].to_pylist())))
 
     ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey", "l_extendedprice",
@@ -1029,15 +1036,18 @@ def q3_top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .groupby("l_orderkey").sum("rev")
 
     def block_top(t: pa.Table) -> pa.Table:
+        dmap = ray.get(dates_ref)
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
         df = pd.DataFrame({
-            "l_orderkey": t["l_orderkey"].to_numpy(
-                zero_copy_only=False),
+            "l_orderkey": okey,
             "rev": np.round(t["sum(rev)"].to_numpy(
-                zero_copy_only=False), 2)})
-        return pa.Table.from_pandas(
-            df.sort_values(["rev", "l_orderkey"],
-                           ascending=[False, True]).head(k),
-            preserve_index=False)
+                zero_copy_only=False), 2),
+            "__dt": [dmap[int(x)] for x in okey]})
+        df = df.sort_values(["rev", "__dt", "l_orderkey"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df.drop(columns="__dt"),
+                                    preserve_index=False)
 
     top = agg.map_batches(block_top, batch_format="pyarrow") \
         .to_pandas()

@@ -86,10 +86,15 @@ def c4_filter_lines(batch: pa.Table, *, min_words: int = MIN_WORDS,
     sel = np.flatnonzero(keep_line & page_kept[doc_of])
     if sel.size:
         order = sel[np.lexsort((lidx[sel], doc_of[sel]))]
-        line_list = lines.to_pylist()
-        bounds = np.flatnonzero(np.diff(doc_of[order]) != 0) + 1
-        for seg in np.split(order, bounds):
-            texts[doc_of[seg[0]]] = sep.join(line_list[i] for i in seg)
+        # only SURVIVING lines of kept pages convert to Python (r05
+        # self-review #9 — most lines are discarded on real corpora)
+        kept_lines = lines.take(pa.array(order, pa.int64())).to_pylist()
+        odoc = doc_of[order]
+        bounds = np.flatnonzero(np.diff(odoc) != 0) + 1
+        starts = np.concatenate([[0], bounds])
+        for s, seg in zip(starts, np.split(np.arange(order.size),
+                                           bounds)):
+            texts[odoc[s]] = sep.join(kept_lines[i] for i in seg)
     return pa.table({
         "doc_id": pa.array(docs, pa.int64()),
         "n_lines": pa.array(n_lines.astype(np.int64), pa.int64()),

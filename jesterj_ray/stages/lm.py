@@ -273,7 +273,9 @@ def ccnet_buckets_pipeline(sf_dir: str, *, concurrency: int = 2,
         PerplexityScorer, batch_format="pyarrow",
         fn_constructor_kwargs={"model_ref": ref,
                                "keep_cols": ("lang",)},
-        concurrency=concurrency)
+        concurrency=concurrency).materialize()
+    # materialize: cuts AND label both consume `scored` — without it
+    # Ray re-executes the whole scoring pass twice (r05 self-review #6)
     cuts = grouped_quantiles(scored.select_columns(["lang", "ppl"]),
                              "lang", "ppl",
                              quantiles=((1, 3), (2, 3)))

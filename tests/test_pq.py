@@ -57,3 +57,18 @@ def test_pipeline_query_smoke(ray_session):
     assert list(out["rank"]) == list(range(1, 11))
     # the query vector itself must be its own top hit (code distance 0)
     assert out["vec_id"].iloc[0] == 0
+
+
+def test_pq_topk_block_layout_independent(ray_session):
+    """r05 self-review #2: boundary ties resolve by (score, vec_id)
+    regardless of block layout."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from jesterj_ray.ann.pq import encode_pq, pq_topk, train_pq
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    qvecs = np.asarray(t["embedding"].to_list()[:4], dtype=np.float32)
+    books = train_pq(_emb_ds(), m=4, k=8)    # tiny codes -> many ties
+    codes = encode_pq(_emb_ds(), books).materialize()
+    a = pq_topk(codes, books, qvecs, k=10)
+    b = pq_topk(codes.repartition(17), books, qvecs, k=10)
+    assert a.equals(b)

@@ -112,3 +112,45 @@ def test_delete_by_query(ray_session, tmp_path):
     # AND semantics: only docs with BOTH terms die
     n_both = len(r1.topk_and("w1 doc1", 100))
     assert delete_by_query(idx, "w1 doc1", mode="and") == n_both
+
+
+def test_delete_by_query_counts_logical_docs(ray_session, tmp_path):
+    """r05 self-review #4: a delta-reindexed doc has two rows in
+    docs/*.parquet; deleting it must count ONE logical doc."""
+    from jesterj_ray.index.query import delete_by_query
+    src, idx = _mk_index(tmp_path, n=20)
+    t = pq.read_table(src)
+    texts = t["text"].to_pylist()
+    texts[4] = "alpha doc4x beta merge gamma zzztarget"
+    pq.write_table(pa.table({"doc_id": t["doc_id"],
+                             "text": pa.array(texts, pa.string())}),
+                   src)
+    d = delta_reindex(src, idx, text_col="text", key_col="doc_id",
+                      tokenizer="simple", docs_per_partition=16,
+                      num_shards=2)
+    assert d["reindexed_docs"] == 1
+    assert delete_by_query(idx, "zzztarget") == 1        # not 2
+    assert IndexReader(idx).topk("zzztarget", 5) == []
+
+
+def test_snapshot_overwrite_keeps_backup_valid(ray_session, tmp_path):
+    """r05 self-review #5: re-snapshotting over an existing backup
+    commits the new one (and the old .old staging dir is gone)."""
+    src, idx = _mk_index(tmp_path, n=12)
+    dest = os.path.join(str(tmp_path), "snap")
+    snapshot_index(idx, dest)
+    first = IndexReader(dest).topk("merge", 5)
+    # mutate + delta, snapshot again over the same dest
+    t = pq.read_table(src)
+    texts = t["text"].to_pylist()
+    texts[0] += " zzznew"
+    pq.write_table(pa.table({"doc_id": t["doc_id"],
+                             "text": pa.array(texts, pa.string())}),
+                   src)
+    delta_reindex(src, idx, text_col="text", key_col="doc_id",
+                  tokenizer="simple", docs_per_partition=16,
+                  num_shards=2)
+    snapshot_index(idx, dest)
+    assert len(IndexReader(dest).topk("zzznew", 5)) == 1
+    assert not os.path.exists(dest + ".old")
+    assert IndexReader(dest).topk("merge", 5) != [] and first != []
