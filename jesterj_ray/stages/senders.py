@@ -126,7 +126,10 @@ class ThrottledFetcher:
 
     def __init__(self, link_field: str = "url", min_interval_s: float = 0.1,
                  cache_size: int = 50_000, fake: bool = True,
-                 fetch_fn: Optional[Callable] = None):
+                 fetch_fn: Optional[Callable] = None,
+                 respect_robots: bool = False,
+                 robots: Optional[dict] = None,
+                 user_agent: str = "jesterj-ray"):
         self.link_field = link_field
         self.min_interval_s = min_interval_s
         self.cache: "OrderedDict[str, float]" = OrderedDict()
@@ -138,6 +141,36 @@ class ThrottledFetcher:
         else:
             self.fetch_fn = self._no_network
         self.sleeps = 0  # instrumentation for tests
+        # robots.txt compliance (stdlib urllib.robotparser): parsers
+        # cache per host in the actor (load-once, like the throttle
+        # LRU).  ``robots`` injects {host: robots.txt text} directly
+        # (tests / pre-crawled); otherwise the first request to a host
+        # fetches {scheme}://{host}/robots.txt through fetch_fn (one
+        # throttled fetch); an unfetchable robots.txt allows all (the
+        # crawler convention).
+        self.respect_robots = respect_robots
+        self.robots_src = dict(robots or {})
+        self.user_agent = user_agent
+        self._robot_parsers: dict = {}
+
+    def _robots_allowed(self, url: str, host: str, scheme: str) -> bool:
+        import urllib.robotparser
+        rp = self._robot_parsers.get(host)
+        if rp is None:
+            rp = urllib.robotparser.RobotFileParser()
+            text = self.robots_src.get(host)
+            if text is None:
+                try:
+                    self._throttle(host)
+                    code, body = self.fetch_fn(
+                        f"{scheme or 'http'}://{host}/robots.txt")
+                    text = body.decode("utf-8", "replace") \
+                        if code == 200 else ""
+                except Exception:
+                    text = ""                # unfetchable -> allow all
+            rp.parse(text.splitlines())
+            self._robot_parsers[host] = rp
+        return rp.can_fetch(self.user_agent, url)
 
     @staticmethod
     def _no_network(url: str):
@@ -176,8 +209,17 @@ class ThrottledFetcher:
         bodies: List[Optional[bytes]] = []
         errors: List[str] = []
         for url in batch[self.link_field].to_pylist():
-            host = urllib.parse.urlsplit(url or "").netloc
+            parts = urllib.parse.urlsplit(url or "")
+            host = parts.netloc
             try:
+                if self.respect_robots and not self._robots_allowed(
+                        url or "", host, parts.scheme):
+                    # disallowed fetches never touch the host (no
+                    # throttle charge); -2 = robots-refused
+                    statuses.append(-2)
+                    bodies.append(None)
+                    errors.append("robots_disallowed")
+                    continue
                 self._throttle(host)
                 code, body = self.fetch_fn(url)
                 statuses.append(code)

@@ -51,3 +51,53 @@ def test_html_only_message_empty_body():
     body, _ = extract_email(raw)
     # no text/plain part -> empty body by contract
     assert body == ""
+
+
+def test_fetcher_robots_compliance():
+    """robots.txt politeness (FetchUrl completion): injected rules,
+    per-host parser cache, allow-all on unfetchable robots."""
+    from jesterj_ray.stages.senders import ThrottledFetcher
+    robots = {"a.example": "User-agent: *\nDisallow: /private/\n",
+              "b.example": "User-agent: *\nDisallow: /\n"}
+    f = ThrottledFetcher(min_interval_s=0.0, fake=True,
+                         respect_robots=True, robots=robots)
+    t = pa.table({"url": pa.array([
+        "http://a.example/public/x",      # allowed
+        "http://a.example/private/y",     # disallowed path
+        "http://b.example/anything",      # fully disallowed host
+        "http://c.example/no-robots",     # no rules -> fetch robots
+    ], pa.string())})
+    out = f(t)
+    st = out["http_status"].to_pylist()
+    err = out["fetch_error"].to_pylist()
+    assert st[0] == 200 and err[0] == ""
+    assert st[1] == -2 and err[1] == "robots_disallowed"
+    assert st[2] == -2
+    # c.example: fake fetch_fn returns a 200 hash blob for robots.txt
+    # which parses to no rules -> allowed
+    assert st[3] == 200
+    # parser cached per host: exactly 3 parsers, built once
+    assert set(f._robot_parsers) == {"a.example", "b.example",
+                                     "c.example"}
+
+
+def test_fetcher_robots_fetches_via_fetch_fn():
+    from jesterj_ray.stages.senders import ThrottledFetcher
+    seen = []
+
+    def fetch(url):
+        seen.append(url)
+        if url.endswith("/robots.txt"):
+            return 200, b"User-agent: *\nDisallow: /secret/\n"
+        return 200, b"ok"
+
+    f = ThrottledFetcher(min_interval_s=0.0, fetch_fn=fetch,
+                         respect_robots=True)
+    t = pa.table({"url": pa.array([
+        "http://d.example/fine",
+        "http://d.example/secret/file",
+    ], pa.string())})
+    out = f(t)
+    assert out["http_status"].to_pylist() == [200, -2]
+    # robots fetched exactly once for the host
+    assert seen.count("http://d.example/robots.txt") == 1
