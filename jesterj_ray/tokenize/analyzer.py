@@ -899,6 +899,57 @@ def load_schema_analyzers(xml_text: str,
     return out
 
 
+def load_schema_fields(xml_text: str):
+    """Parse ``<field>`` and ``<dynamicField>`` declarations — the
+    IndexSchema field-to-fieldType binding the reference's schemas
+    rely on.  Returns (fields, dynamics): explicit
+    {field name: fieldType} plus [(pattern, fieldType)] where a
+    pattern is ``*suffix``, ``prefix*`` or the ``*`` catch-all."""
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(xml_text)
+    fields: Dict[str, str] = {}
+    dynamics: List[tuple] = []
+    for el in root.iter("field"):
+        n, t = el.get("name"), el.get("type")
+        if n and t:
+            fields[n] = t
+    for el in root.iter("dynamicField"):
+        n, t = el.get("name"), el.get("type")
+        if n and t:
+            if not (n == "*" or n.startswith("*") or n.endswith("*")):
+                raise ValueError(
+                    f"dynamicField pattern {n!r}: '*' only at start "
+                    "or end (Solr rule)")
+            dynamics.append((n, t))
+    return fields, dynamics
+
+
+def resolve_field_type(field_name: str, fields: Dict[str, str],
+                       dynamics: List[tuple]) -> Optional[str]:
+    """Solr IndexSchema resolution: an explicit ``<field>`` wins;
+    otherwise the LONGEST matching dynamicField pattern (Solr sorts
+    dynamic fields by pattern length descending; schema order breaks
+    length ties); ``*`` matches last; None when nothing matches."""
+    t = fields.get(field_name)
+    if t is not None:
+        return t
+    best = None
+    best_len = -1
+    for pat, typ in dynamics:
+        if pat == "*":
+            matched = True
+            plen = 0
+        elif pat.startswith("*"):
+            matched = field_name.endswith(pat[1:])
+            plen = len(pat)
+        else:
+            matched = field_name.startswith(pat[:-1])
+            plen = len(pat)
+        if matched and plen > best_len:
+            best, best_len = typ, plen
+    return best
+
+
 # --------------------------------------------------- registry plumbing
 
 ANALYZER_CONFIGS: Dict[str, dict] = {}

@@ -354,3 +354,30 @@ def test_pre_analyze_config_dict_in_ray_workers(ray_session):
     for tk in doc["tokens"]:
         assert doc["str"][tk["s"]:tk["e"]].lower() == tk["t"]
     assert [t["t"] for t in doc["tokens"]] == ["fish", "and", "chips"]
+
+
+def test_dynamic_field_resolution():
+    """Solr IndexSchema binding: explicit field wins, longest dynamic
+    pattern next (schema order on length ties), '*' catch-all last."""
+    from jesterj_ray.tokenize.analyzer import (load_schema_fields,
+                                               resolve_field_type)
+    xml = """<schema>
+      <field name="title" type="text_en"/>
+      <field name="id" type="string"/>
+      <dynamicField name="*_txt" type="text_general"/>
+      <dynamicField name="*_en_txt" type="text_en"/>
+      <dynamicField name="attr_*" type="string"/>
+      <dynamicField name="*" type="ignored"/>
+    </schema>"""
+    fields, dyn = load_schema_fields(xml)
+    r = lambda n: resolve_field_type(n, fields, dyn)  # noqa: E731
+    assert r("title") == "text_en"                # explicit wins
+    assert r("body_txt") == "text_general"
+    assert r("body_en_txt") == "text_en"          # longer pattern wins
+    assert r("attr_color") == "string"
+    assert r("whatever") == "ignored"             # catch-all
+    assert resolve_field_type("x", {}, []) is None
+    import pytest as _pt
+    with _pt.raises(ValueError, match="start or end"):
+        load_schema_fields(
+            '<schema><dynamicField name="a*b" type="t"/></schema>')
