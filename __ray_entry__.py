@@ -311,6 +311,13 @@ def _paragraph_dedup(sf_dir: str):
     return paragraph_dedup_pipeline(sf_dir)
 
 
+def _rtf_extract(sf_dir: str):
+    # Tika slot, fourth slice: real RTF tokenizer (groups, destination
+    # skip, control words, cp1252 escapes) over synthesized .rtf text
+    from jesterj_ray.stages.rtf import rtf_extract_pipeline
+    return rtf_extract_pipeline(sf_dir)
+
+
 def _email_extract(sf_dir: str):
     # Tika slot, third slice: REAL stdlib RFC-822 parsing (headers +
     # first text/plain body) over synthesized .eml bytes; oracle
@@ -1031,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": _q3_top_orders,
         "c4_line_filter": _c4_line_filter,
         "email_extract": _email_extract,
+        "rtf_extract": _rtf_extract,
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
         "repeated_substring_spans": _repeated_substring_spans,
@@ -2297,6 +2305,17 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
                     AND frac_alpha_words >= 0.8
                     AND n_stop_distinct >= 1) AS gopher_pass
             FROM r ORDER BY doc_id""",
+        # engine: stages/rtf.rtf_extract_pipeline — real RTF tokenizer
+        # over synthesized RTF (bold groups, skipped fonttbl/info
+        # destinations, \\'e9 escape); the oracle recomputes the
+        # expected extraction from the synthesis template — any
+        # group-skip / space-eating / escape bug breaks the hash
+        "rtf_extract": """
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 11 = 0 THEN ' café'
+                                ELSE '' END
+                        || chr(10) AS text_extracted
+            FROM documents ORDER BY doc_id""",
         # engine: stages/email_extract.email_extract_pipeline — real
         # stdlib RFC-822 parse of synthesized single-part messages;
         # any header-decode / body-framing bug breaks the hash
