@@ -318,6 +318,15 @@ def _rtf_extract(sf_dir: str):
     return rtf_extract_pipeline(sf_dir)
 
 
+def _docx_extract(sf_dir: str):
+    # Tika slot, fifth slice: REAL OOXML parsing (stdlib zipfile +
+    # xml.etree over word/document.xml + docProps/core.xml) of
+    # synthesized genuine .docx zips; any zip / namespace / run-join
+    # bug breaks the hash
+    from jesterj_ray.stages.docx import docx_extract_pipeline
+    return docx_extract_pipeline(sf_dir)
+
+
 def _email_extract(sf_dir: str):
     # Tika slot, third slice: REAL stdlib RFC-822 parsing (headers +
     # first text/plain body) over synthesized .eml bytes; oracle
@@ -1039,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_filter": _c4_line_filter,
         "email_extract": _email_extract,
         "rtf_extract": _rtf_extract,
+        "docx_extract": _docx_extract,
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
         "repeated_substring_spans": _repeated_substring_spans,
@@ -2316,6 +2326,30 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
                                 ELSE '' END
                         || chr(10) AS text_extracted
             FROM documents ORDER BY doc_id""",
+        # engine: stages/docx.docx_extract_pipeline — REAL stdlib
+        # zipfile + ElementTree parse of synthesized genuine .docx
+        # archives (paragraphs of 8 words, runs of <=3 words, Dublin-
+        # Core title/creator); the oracle recomputes the expected
+        # extraction with list slicing — any zip/namespace/run-join/
+        # paragraph-order bug breaks the hash
+        "docx_extract": """
+            WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            starts AS (SELECT doc_id, ws,
+                              unnest(generate_series(1, len(ws), 8))
+                                  AS st
+                       FROM s),
+            paras AS (SELECT doc_id, st,
+                             array_to_string(
+                               ws[st : LEAST(st + 7, len(ws))], ' ')
+                                 AS para
+                      FROM starts)
+            SELECT doc_id,
+                   string_agg(para, chr(10) ORDER BY st)
+                       AS text_extracted,
+                   'doc ' || doc_id AS dc_title,
+                   'author' || (doc_id % 7) AS dc_creator
+            FROM paras GROUP BY doc_id ORDER BY doc_id""",
         # engine: stages/email_extract.email_extract_pipeline — real
         # stdlib RFC-822 parse of synthesized single-part messages;
         # any header-decode / body-framing bug breaks the hash
