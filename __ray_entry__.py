@@ -327,6 +327,15 @@ def _docx_extract(sf_dir: str):
     return docx_extract_pipeline(sf_dir)
 
 
+def _pdf_extract(sf_dir: str):
+    # Tika slot, sixth slice: REAL PDF parsing (object-graph walk
+    # trailer->catalog->pages->contents, stdlib zlib FlateDecode,
+    # content-stream text operators) of synthesized genuine PDFs
+    # with correct xref offsets
+    from jesterj_ray.stages.pdf import pdf_extract_pipeline
+    return pdf_extract_pipeline(sf_dir)
+
+
 def _email_extract(sf_dir: str):
     # Tika slot, third slice: REAL stdlib RFC-822 parsing (headers +
     # first text/plain body) over synthesized .eml bytes; oracle
@@ -1049,6 +1058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "email_extract": _email_extract,
         "rtf_extract": _rtf_extract,
         "docx_extract": _docx_extract,
+        "pdf_extract": _pdf_extract,
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
         "repeated_substring_spans": _repeated_substring_spans,
@@ -2350,6 +2360,29 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
                    'doc ' || doc_id AS dc_title,
                    'author' || (doc_id % 7) AS dc_creator
             FROM paras GROUP BY doc_id ORDER BY doc_id""",
+        # engine: stages/pdf.pdf_extract_pipeline — REAL PDF parse
+        # (trailer /Root -> /Pages -> /Kids -> /Contents graph walk,
+        # zlib FlateDecode, ( ) literal escapes, Tj/Td line assembly)
+        # of synthesized valid PDFs (lines of 10 words, /Info /Title);
+        # the oracle recomputes the expected extraction — any inflate/
+        # escape/line-motion/object-walk bug breaks the hash
+        "pdf_extract": """
+            WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            starts AS (SELECT doc_id, ws,
+                              unnest(generate_series(1, len(ws), 10))
+                                  AS st
+                       FROM s),
+            lns AS (SELECT doc_id, st,
+                           array_to_string(
+                             ws[st : LEAST(st + 9, len(ws))], ' ')
+                               AS ln
+                    FROM starts)
+            SELECT doc_id,
+                   string_agg(ln, chr(10) ORDER BY st)
+                       AS text_extracted,
+                   'doc ' || doc_id AS pdf_title
+            FROM lns GROUP BY doc_id ORDER BY doc_id""",
         # engine: stages/email_extract.email_extract_pipeline — real
         # stdlib RFC-822 parse of synthesized single-part messages;
         # any header-decode / body-framing bug breaks the hash
