@@ -336,6 +336,15 @@ def _pdf_extract(sf_dir: str):
     return pdf_extract_pipeline(sf_dir)
 
 
+def _xlsx_extract(sf_dir: str):
+    # Tika slot, seventh slice: REAL SpreadsheetML parsing (stdlib
+    # zipfile + xml.etree over workbook/sharedStrings/sheet1) of
+    # synthesized genuine .xlsx zips with a deduplicated shared-string
+    # table; any indirection/row-order/cell-join bug breaks the hash
+    from jesterj_ray.stages.xlsx import xlsx_extract_pipeline
+    return xlsx_extract_pipeline(sf_dir)
+
+
 def _email_extract(sf_dir: str):
     # Tika slot, third slice: REAL stdlib RFC-822 parsing (headers +
     # first text/plain body) over synthesized .eml bytes; oracle
@@ -1068,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rtf_extract": _rtf_extract,
         "docx_extract": _docx_extract,
         "pdf_extract": _pdf_extract,
+        "xlsx_extract": _xlsx_extract,
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
         "repeated_substring_spans": _repeated_substring_spans,
@@ -2393,6 +2403,29 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
                        AS text_extracted,
                    'doc ' || doc_id AS pdf_title
             FROM lns GROUP BY doc_id ORDER BY doc_id""",
+        # engine: stages/xlsx.xlsx_extract_pipeline — REAL stdlib
+        # zipfile + ElementTree parse of synthesized genuine .xlsx
+        # (rows of 4 cells through a deduplicated shared-string
+        # table, sheet 'doc_{id}'); the oracle recomputes rows/tabs
+        # with list slicing — any shared-string-index / row-order /
+        # cell-join bug breaks the hash
+        "xlsx_extract": """
+            WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            starts AS (SELECT doc_id, ws, len(ws) AS nw,
+                              unnest(generate_series(1, len(ws), 4))
+                                  AS st
+                       FROM s),
+            rws AS (SELECT doc_id, st, nw,
+                           array_to_string(
+                             ws[st : LEAST(st + 3, nw)], chr(9)) AS r
+                    FROM starts)
+            SELECT doc_id,
+                   'doc_' || doc_id AS sheet_name,
+                   string_agg(r, chr(10) ORDER BY st)
+                       AS text_extracted,
+                   CAST(MIN(nw) AS BIGINT) AS n_cells
+            FROM rws GROUP BY doc_id ORDER BY doc_id""",
         # engine: stages/email_extract.email_extract_pipeline — real
         # stdlib RFC-822 parse of synthesized single-part messages;
         # any header-decode / body-framing bug breaks the hash
