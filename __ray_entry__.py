@@ -514,6 +514,16 @@ def _bm25_boosted_topk(sf_dir: str):
     return bm25_boosted_topk_documents(sf_dir)
 
 
+def _bm25_function_boost(sf_dir: str):
+    # Solr function-query boost (boost= / bf=): the FULL match set's
+    # BM25 scores multiply by 1+ln(1+n_chars/1000) before top-k (a
+    # factor can promote a low-BM25 doc, so top-k-then-boost would be
+    # wrong); factor column loaded once per actor (DocValues analog)
+    from jesterj_ray.pipelines.flagship import \
+        bm25_function_boost_documents
+    return bm25_function_boost_documents(sf_dir)
+
+
 def _bm25_prefix_topk(sf_dir: str):
     from jesterj_ray.pipelines.flagship import bm25_prefix_topk_documents
     return bm25_prefix_topk_documents(sf_dir)
@@ -1159,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_and_topk": _bm25_and_topk,
         "bm25f_topk": _bm25f_topk,
         "bm25_boosted_topk": _bm25_boosted_topk,
+        "bm25_function_boost": _bm25_function_boost,
         "bm25_prefix_topk": _bm25_prefix_topk,
         "bm25_fuzzy_topk": _bm25_fuzzy_topk,
         "more_like_this": _more_like_this,
@@ -1241,6 +1252,23 @@ FROM ranked r JOIN qk ON r.qid = qk.qid
 WHERE r.rank <= qk.k
 ORDER BY r.qid, r.rank
 """
+
+
+def _bm25_fboost_sql() -> str:
+    # Solr function-query boost: the plain-BM25 `scores` CTE times a
+    # per-doc multiplicative factor 1+ln(1+n_chars/1000) BEFORE the
+    # top-k window — engine: flagship.FunctionBoostQueryActor (which
+    # uses np.log(1.0+x) precisely so this ln matches bit-for-bit)
+    base = _bm25_sql()
+    head, tail = base.split("ranked AS (", 1)
+    tail = tail.replace("FROM scores", "FROM boosted", 1)
+    return (head
+            + """boosted AS (
+  SELECT s.qid, s.doc_id,
+         s.score * (1 + ln(1 + d.n_chars / 1000.0)) AS score
+  FROM scores s JOIN documents d USING (doc_id)
+),
+ranked AS (""" + tail)
 
 
 def _bm25f_sql(wt: float = 2.0, wb: float = 1.0) -> str:
@@ -1425,6 +1453,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE term = 'merge' GROUP BY doc_id ORDER BY doc_id""",
         "bm25_topk": _bm25_sql(),
         "bm25_and_topk": _bm25_sql(conjunctive=True),
+        "bm25_function_boost": _bm25_fboost_sql(),
         "bm25f_topk": _bm25f_sql(),
         # engine: bm25f_topk_documents(weights={'title':4,'body':0.5})
         # — Solr edismax qf query-time boosting, same family indexes

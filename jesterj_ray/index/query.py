@@ -704,6 +704,22 @@ class IndexReader:
             return []
         return self._topk_from_dense(self._scores_buf, touched, k)
 
+    def match_scores(self, query: str) -> Tuple[np.ndarray, np.ndarray]:
+        """The FULL disjunctive match set as (internal docIDs, BM25
+        scores) — the first phase of function-query boosting (Solr
+        ``boost=``), where a per-doc factor reorders results so the
+        caller cannot top-k before applying it.  Same pinned
+        summation order as :meth:`topk`; the dense accumulator is
+        zeroed before returning."""
+        touched = self._score_disjunctive(
+            dedup_keep_order(self.tokenizer(query)))
+        if touched.size == 0:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
+        scores = self._scores_buf[touched].copy()
+        self._scores_buf[touched] = 0.0
+        return self.doc_id_of_dense(touched), scores
+
     def terms_with_prefix(self, prefix: str, max_terms: int = 50
                           ) -> List[str]:
         """All index terms starting with ``prefix`` (a lowercase token

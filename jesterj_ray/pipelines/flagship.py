@@ -120,6 +120,84 @@ def bm25_and_topk_documents(sf_dir: str,
     return bm25_topk_documents(sf_dir, queries, mode="and")
 
 
+class FunctionBoostQueryActor:
+    """Actor-pool stage: Solr function-query boost (``boost=``) — each
+    doc's BM25 score multiplies by ``1 + ln(1 + field/1000)`` of a
+    stored numeric field, so ranking needs the FULL match set (a
+    factor can promote a low-BM25 doc into the top-k; top-k-then-boost
+    would be wrong).
+
+    The factor column loads ONCE per actor from a pruned 2-column
+    parquet read — the Lucene DocValues analog.  At 10^12-doc scale
+    this column would instead live as a per-partition docvalues blob
+    inside the index (like the doc-length blobs already do); the
+    per-actor load documents that assumption rather than hiding it.
+    ``np.log(1.0 + x)`` (not ``log1p``) matches DuckDB's ``ln(1+x)``
+    bit-for-bit so the 6dp oracle rounding never straddles.
+    """
+
+    def __init__(self, index_dir: str, sf_dir: str,
+                 boost_field: str = "n_chars"):
+        import pyarrow.parquet as pq
+        self.reader = IndexReader(index_dir)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", boost_field])
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        vals = np.asarray(t[boost_field], dtype=np.float64)
+        order = np.argsort(ids)
+        self._ids = ids[order]
+        self._factor = 1.0 + np.log(1.0 + vals[order] / 1000.0)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"qid": [], "rank": [], "doc_id": [], "score": []}
+        for qid, query, k in zip(batch["qid"], batch["query"],
+                                 batch["k"]):
+            docs, scores = self.reader.match_scores(query)
+            if docs.size == 0:
+                continue
+            orig = np.array([int(kk) for kk in
+                             self.reader.doc_keys(docs)],
+                            dtype=np.int64)
+            boosted = scores * self._factor[
+                np.searchsorted(self._ids, orig)]
+            top = np.lexsort((orig, -boosted))[:int(k)]
+            for r, i in enumerate(top, 1):
+                out["qid"].append(int(qid))
+                out["rank"].append(r)
+                out["doc_id"].append(int(orig[i]))
+                out["score"].append(float(boosted[i]))
+        return pd.DataFrame(out)
+
+
+def bm25_function_boost_documents(sf_dir: str,
+                                  queries: Optional[List[dict]] = None
+                                  ) -> pd.DataFrame:
+    """Top-k under a multiplicative function-query boost
+    (``score * (1 + ln(1 + n_chars/1000))``) — Solr's ``boost=`` /
+    ``bf=`` relevance tuning; columns match the SQL oracle."""
+    idx = documents_index(sf_dir)
+    qs = queries or DOC_QUERIES
+    qds = rd.from_arrow(pa.table({
+        "qid": pa.array([q["qid"] for q in qs], pa.int64()),
+        "query": pa.array([q["query"] for q in qs], pa.string()),
+        "k": pa.array([q["k"] for q in qs], pa.int64()),
+    }))
+    hits = qds.map_batches(FunctionBoostQueryActor,
+                           fn_constructor_kwargs={
+                               "index_dir": idx, "sf_dir": sf_dir},
+                           batch_format="pandas",
+                           concurrency=2).to_pandas()
+    if hits.empty:
+        return pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    hits["score"] = hits["score"].round(6)
+    hits["rank"] = hits["rank"].astype(np.int64)
+    return hits[["qid", "rank", "doc_id", "score"]] \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
 def documents_index_pos(sf_dir: str) -> str:
     """Positional variant of the documents index (phrase queries)."""
     out = _cache_dir(sf_dir, "docidx3-pos")

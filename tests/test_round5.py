@@ -397,3 +397,47 @@ def test_broadcast_join_value_col_collision(ray_session):
                       "tag": pa.array(["x"])})
     with pytest.raises(ValueError, match="collide"):
         broadcast_left_join(big, small, "k", "k", ["tag"])
+
+
+def test_function_boost_reorders_and_matches_exhaustive(ray_session,
+                                                        tmp_path):
+    """r05: Solr function-query boost. match_scores must agree with
+    exhaustive topk at k=corpus, and the n_chars factor must genuinely
+    REORDER at least one query's top-k (otherwise the oracle row would
+    be vacuously equal to bm25_topk's)."""
+    sf = "/root/testdata/sf0.001"
+    from jesterj_ray.pipelines.flagship import (
+        bm25_function_boost_documents, bm25_topk_documents,
+        documents_index)
+    from jesterj_ray.index.query import IndexReader
+
+    reader = IndexReader(documents_index(sf))
+    docs, scores = reader.match_scores("merge sort")
+    hits = dict(reader.topk("merge sort", k=len(docs)))
+    assert len(hits) == len(docs)
+    for d, s in zip(docs, scores):
+        assert abs(hits[int(d)] - float(s)) < 1e-12
+
+    plain = bm25_topk_documents(sf)
+    boosted = bm25_function_boost_documents(sf)
+    assert set(boosted["qid"]) == set(plain["qid"])  # qid4 empty in both
+    changed = False
+    for qid in set(plain["qid"]):
+        p = plain[plain.qid == qid].doc_id.tolist()
+        b = boosted[boosted.qid == qid].doc_id.tolist()
+        if p != b:
+            changed = True
+    assert changed, "factor never reordered any query - vacuous fixture"
+    # boosted score == plain bm25 * (1 + ln(1 + n_chars/1000)): check
+    # every qid-1 row exactly against a recomputation from match_scores
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(f"{sf}/documents.parquet",
+                       columns=["doc_id", "n_chars"]).to_pandas()
+    nmap = dict(zip(t.doc_id, t.n_chars))
+    docs1, scores1 = reader.match_scores("merge sort")
+    keys1 = np.array([int(k) for k in reader.doc_keys(docs1)])
+    smap = dict(zip(keys1.tolist(), scores1.tolist()))
+    for _, row in boosted[boosted.qid == 1].iterrows():
+        exp = smap[int(row.doc_id)] * \
+            (1.0 + np.log(1.0 + nmap[int(row.doc_id)] / 1000.0))
+        assert abs(round(exp, 6) - row.score) < 1e-9
