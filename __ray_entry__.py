@@ -514,6 +514,30 @@ def _bm25_boosted_topk(sf_dir: str):
     return bm25_boosted_topk_documents(sf_dir)
 
 
+def _bm25_mm_topk(sf_dir: str):
+    # Solr edismax minimum-should-match (mm=2, clamped to clause
+    # count): disjunctive scores, docs need >= mm distinct matched
+    # terms; qid 3's 3-term query differs from both OR and AND
+    from jesterj_ray.pipelines.flagship import bm25_mm_topk_documents
+    return bm25_mm_topk_documents(sf_dir)
+
+
+def _bm25_filter_query(sf_dir: str):
+    # Solr fq= filter query: n_chars >= 300 (~median, discriminating)
+    # restricts the match set; scores stay pure BM25 (fq never scores)
+    from jesterj_ray.pipelines.flagship import \
+        bm25_filter_query_documents
+    return bm25_filter_query_documents(sf_dir)
+
+
+def _match_sort_by_field(sf_dir: str):
+    # Solr sort=field desc: the disjunctive match set ordered by the
+    # stored field instead of relevance
+    from jesterj_ray.pipelines.flagship import \
+        match_sort_by_field_documents
+    return match_sort_by_field_documents(sf_dir)
+
+
 def _bm25_function_boost(sf_dir: str):
     # Solr function-query boost (boost= / bf=): the FULL match set's
     # BM25 scores multiply by 1+ln(1+n_chars/1000) before top-k (a
@@ -1170,6 +1194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": _bm25f_topk,
         "bm25_boosted_topk": _bm25_boosted_topk,
         "bm25_function_boost": _bm25_function_boost,
+        "bm25_mm_topk": _bm25_mm_topk,
+        "bm25_filter_query": _bm25_filter_query,
+        "match_sort_by_field": _match_sort_by_field,
         "bm25_prefix_topk": _bm25_prefix_topk,
         "bm25_fuzzy_topk": _bm25_fuzzy_topk,
         "more_like_this": _more_like_this,
@@ -1203,14 +1230,20 @@ _BM25_QUERIES_SQL = ("(VALUES (1,'merge'),(1,'sort'),(2,'customer'),"
 _BM25_KS_SQL = "(VALUES (1,10),(2,10),(3,10),(4,10),(5,5),(6,10))"
 
 
-def _bm25_sql(conjunctive: bool = False) -> str:
+def _bm25_sql(conjunctive: bool = False, mm: int = None) -> str:
     # conjunctive: a doc scores only when it matched EVERY distinct query
     # term (qterms rows are distinct per qid); a term absent from the
     # corpus never appears in tf, so its query yields no rows — exactly
-    # IndexReader.topk_and's semantics
+    # IndexReader.topk_and's semantics.  mm: Solr minimum-should-match,
+    # clamped to the clause count (single-term queries stay plain OR) —
+    # IndexReader.topk_mm's semantics.
     having = ("HAVING count(DISTINCT tf.term) = "
               "(SELECT count(*) FROM qterms q2 WHERE q2.qid = tf.qid)"
               ) if conjunctive else ""
+    if mm is not None:
+        having = (f"HAVING count(DISTINCT tf.term) >= LEAST({mm}, "
+                  "(SELECT count(*) FROM qterms q2 "
+                  "WHERE q2.qid = tf.qid))")
     return f"""
 WITH qterms(qid, term) AS {_BM25_QUERIES_SQL},
 qk(qid, k) AS {_BM25_KS_SQL},
@@ -1269,6 +1302,48 @@ def _bm25_fboost_sql() -> str:
   FROM scores s JOIN documents d USING (doc_id)
 ),
 ranked AS (""" + tail)
+
+
+def _bm25_fq_sql(lo: int = 700) -> str:
+    # Solr fq= filter query: the match set restricts on the stored
+    # field BEFORE ranking; scores stay pure BM25 (fq never scores) —
+    # engine: flagship.FieldOpsQueryActor(op='filter')
+    base = _bm25_sql()
+    head, tail = base.split("ranked AS (", 1)
+    tail = tail.replace("FROM scores", "FROM fqd", 1)
+    return (head + f"""fqd AS (
+  SELECT s.qid, s.doc_id, s.score
+  FROM scores s JOIN documents d USING (doc_id)
+  WHERE d.n_chars >= {lo}
+),
+ranked AS (""" + tail)
+
+
+def _match_sort_sql() -> str:
+    # Solr sort=n_chars desc over the disjunctive match set — engine:
+    # flagship.FieldOpsQueryActor(op='sort'); integer sort values, so
+    # no float-rounding concerns; tiebreak doc_id ascending both sides
+    return f"""
+WITH qterms(qid, term) AS {_BM25_QUERIES_SQL},
+qk(qid, k) AS {_BM25_KS_SQL},
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+m AS (
+  SELECT DISTINCT q.qid, t.doc_id FROM toks t JOIN qterms q USING (term)
+),
+ranked AS (
+  SELECT m.qid, m.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY m.qid
+                            ORDER BY d.n_chars DESC, m.doc_id) AS rank
+  FROM m JOIN documents d USING (doc_id)
+)
+SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.doc_id,
+       CAST(r.n_chars AS BIGINT) AS sort_val
+FROM ranked r JOIN qk ON r.qid = qk.qid
+WHERE r.rank <= qk.k
+ORDER BY r.qid, r.rank
+"""
 
 
 def _bm25f_sql(wt: float = 2.0, wb: float = 1.0) -> str:
@@ -1454,6 +1529,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "bm25_and_topk": _bm25_sql(conjunctive=True),
         "bm25_function_boost": _bm25_fboost_sql(),
+        "bm25_mm_topk": _bm25_sql(mm=2),
+        "bm25_filter_query": _bm25_fq_sql(300),
+        "match_sort_by_field": _match_sort_sql(),
         "bm25f_topk": _bm25f_sql(),
         # engine: bm25f_topk_documents(weights={'title':4,'body':0.5})
         # — Solr edismax qf query-time boosting, same family indexes

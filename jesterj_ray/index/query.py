@@ -950,6 +950,43 @@ class IndexReader:
         scores[touched] = 0.0  # clear the non-conjunctive remainder too
         return out
 
+    def topk_mm(self, query: str, k: int = 10, mm: int = 2
+                ) -> List[Tuple[int, float]]:
+        """Solr edismax minimum-should-match (``mm=N``): disjunctive
+        BM25, but a doc qualifies only when it matched at least
+        ``min(mm, n_distinct_terms)`` distinct query terms (Solr
+        clamps mm to the optional-clause count, so a single-term
+        query behaves as plain OR).  ``mm=1`` == :meth:`topk`;
+        ``mm >= n_terms`` == :meth:`topk_and` when every term exists.
+        Scores/ties identical to :meth:`topk` on the qualifying docs."""
+        terms = dedup_keep_order(self.tokenizer(query))
+        if not terms:
+            return []
+        if len(terms) > 255:
+            raise ValueError("mm query exceeds 255 distinct terms")
+        mm_eff = min(int(mm), len(terms))
+        scores = self._scores_buf
+        seen = self._seen_buf
+        touched_parts: List[np.ndarray] = []
+        for t in terms:
+            docs, tfs = self.postings(t)
+            if docs.size == 0:
+                continue
+            e = self.term_entry(t)
+            dense = self.dense_of(docs)
+            scores[dense] += self._term_contrib_dense(
+                dense, tfs, self._df_alive(e, dense))
+            touched_parts.append(dense[seen[dense] == 0])
+            seen[dense] += 1
+        if not touched_parts:
+            return []
+        touched = np.concatenate(touched_parts)
+        qual = touched[seen[touched] >= mm_eff]
+        seen[touched] = 0
+        out = self._topk_from_dense(scores, qual, k) if qual.size else []
+        scores[touched] = 0.0       # clear the sub-mm remainder too
+        return out
+
     def _df_alive(self, e: dict, dense: np.ndarray) -> int:
         """df over alive docs in exact-stats mode (dense = the term's full
         decoded posting positions); as-built df otherwise."""

@@ -169,6 +169,161 @@ class FunctionBoostQueryActor:
         return pd.DataFrame(out)
 
 
+class MMQueryActor:
+    """Actor-pool stage: minimum-should-match queries (Solr edismax
+    ``mm=N``) — batch columns (qid, query, k, mm)."""
+
+    def __init__(self, index_dir: str):
+        self.reader = IndexReader(index_dir)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"qid": [], "rank": [], "doc_id": [], "score": []}
+        for qid, query, k, mm in zip(batch["qid"], batch["query"],
+                                     batch["k"], batch["mm"]):
+            hits = self.reader.topk_mm(query, int(k), mm=int(mm))
+            keys = self.reader.doc_keys(
+                np.array([h[0] for h in hits], dtype=np.int64))
+            for r, ((_, score), key) in enumerate(zip(hits, keys), 1):
+                out["qid"].append(int(qid))
+                out["rank"].append(r)
+                out["doc_id"].append(int(key))
+                out["score"].append(score)
+        return pd.DataFrame(out)
+
+
+def bm25_mm_topk_documents(sf_dir: str,
+                           queries: Optional[List[dict]] = None,
+                           mm: int = 2) -> pd.DataFrame:
+    """Top-k under minimum-should-match mm=2 (clamped per Solr to the
+    clause count, so single-term queries degrade to plain OR); qid 3's
+    3-term query is the discriminating case (differs from both OR and
+    AND)."""
+    idx = documents_index(sf_dir)
+    qs = queries or DOC_QUERIES
+    qds = rd.from_arrow(pa.table({
+        "qid": pa.array([q["qid"] for q in qs], pa.int64()),
+        "query": pa.array([q["query"] for q in qs], pa.string()),
+        "k": pa.array([q["k"] for q in qs], pa.int64()),
+        "mm": pa.array([q.get("mm", mm) for q in qs], pa.int64()),
+    }))
+    hits = qds.map_batches(MMQueryActor,
+                           fn_constructor_kwargs={"index_dir": idx},
+                           batch_format="pandas",
+                           concurrency=2).to_pandas()
+    if hits.empty:
+        return pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    hits["score"] = hits["score"].round(6)
+    hits["rank"] = hits["rank"].astype(np.int64)
+    return hits[["qid", "rank", "doc_id", "score"]] \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+class FieldOpsQueryActor:
+    """Actor-pool stage for match-set x stored-field query shaping:
+
+    - ``op='filter'`` — Solr ``fq=field:[lo TO *]``: the match set is
+      restricted by a numeric predicate, BM25 scores UNCHANGED (fq
+      never contributes to scoring),
+    - ``op='sort'`` — Solr ``sort=field desc``: the match set orders
+      by the stored field (doc_id ascending tiebreak), emitting the
+      field as ``sort_val`` instead of a score.
+
+    Field column loads once per actor (DocValues analog — same
+    scale note as :class:`FunctionBoostQueryActor`)."""
+
+    def __init__(self, index_dir: str, sf_dir: str, op: str,
+                 field: str = "n_chars", lo: float = 0.0):
+        import pyarrow.parquet as pq
+        self.reader = IndexReader(index_dir)
+        self.op = op
+        self.lo = lo
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", field])
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        vals = np.asarray(t[field], dtype=np.int64)
+        order = np.argsort(ids)
+        self._ids = ids[order]
+        self._vals = vals[order]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        val_col = "score" if self.op == "filter" else "sort_val"
+        out = {"qid": [], "rank": [], "doc_id": [], val_col: []}
+        for qid, query, k in zip(batch["qid"], batch["query"],
+                                 batch["k"]):
+            docs, scores = self.reader.match_scores(query)
+            if docs.size == 0:
+                continue
+            orig = np.array([int(kk) for kk in
+                             self.reader.doc_keys(docs)],
+                            dtype=np.int64)
+            vals = self._vals[np.searchsorted(self._ids, orig)]
+            if self.op == "filter":
+                keep = vals >= self.lo
+                orig, scores = orig[keep], scores[keep]
+                top = np.lexsort((orig, -scores))[:int(k)]
+                emit = scores
+            else:
+                top = np.lexsort((orig, -vals))[:int(k)]
+                emit = vals
+            for r, i in enumerate(top, 1):
+                out["qid"].append(int(qid))
+                out["rank"].append(r)
+                out["doc_id"].append(int(orig[i]))
+                out[val_col].append(
+                    float(emit[i]) if self.op == "filter"
+                    else int(emit[i]))
+        return pd.DataFrame(out)
+
+
+def _field_ops_documents(sf_dir: str, op: str, lo: float = 0.0,
+                         queries: Optional[List[dict]] = None
+                         ) -> pd.DataFrame:
+    idx = documents_index(sf_dir)
+    qs = queries or DOC_QUERIES
+    qds = rd.from_arrow(pa.table({
+        "qid": pa.array([q["qid"] for q in qs], pa.int64()),
+        "query": pa.array([q["query"] for q in qs], pa.string()),
+        "k": pa.array([q["k"] for q in qs], pa.int64()),
+    }))
+    hits = qds.map_batches(FieldOpsQueryActor,
+                           fn_constructor_kwargs={
+                               "index_dir": idx, "sf_dir": sf_dir,
+                               "op": op, "lo": lo},
+                           batch_format="pandas",
+                           concurrency=2).to_pandas()
+    val_col = "score" if op == "filter" else "sort_val"
+    if hits.empty:
+        return pd.DataFrame({
+            "qid": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            val_col: pd.Series([], dtype=(np.float64 if op == "filter"
+                                          else np.int64))})
+    if op == "filter":
+        hits["score"] = hits["score"].round(6)
+    else:
+        hits["sort_val"] = hits["sort_val"].astype(np.int64)
+    hits["rank"] = hits["rank"].astype(np.int64)
+    return hits[["qid", "rank", "doc_id", val_col]] \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+def bm25_filter_query_documents(sf_dir: str, lo: int = 300
+                                ) -> pd.DataFrame:
+    """Solr fq= filter query: n_chars >= lo restricts the match set;
+    scores stay pure BM25."""
+    return _field_ops_documents(sf_dir, "filter", lo=lo)
+
+
+def match_sort_by_field_documents(sf_dir: str) -> pd.DataFrame:
+    """Solr sort=n_chars desc over each query's disjunctive match
+    set."""
+    return _field_ops_documents(sf_dir, "sort")
+
+
 def bm25_function_boost_documents(sf_dir: str,
                                   queries: Optional[List[dict]] = None
                                   ) -> pd.DataFrame:

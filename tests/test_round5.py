@@ -441,3 +441,55 @@ def test_function_boost_reorders_and_matches_exhaustive(ray_session,
         exp = smap[int(row.doc_id)] * \
             (1.0 + np.log(1.0 + nmap[int(row.doc_id)] / 1000.0))
         assert abs(round(exp, 6) - row.score) < 1e-9
+
+
+def test_mm_semantics_bracket_or_and(ray_session):
+    """r05: topk_mm — mm=1 == plain OR; mm >= n_terms == AND (terms all
+    present); mm=2 on a 3-term query sits strictly between; single-term
+    queries clamp (Solr behavior)."""
+    sf = "/root/testdata/sf0.001"
+    from jesterj_ray.pipelines.flagship import documents_index
+    from jesterj_ray.index.query import IndexReader
+    r = IndexReader(documents_index(sf))
+    q = "window filter stream"
+    k = 10_000
+    or_ = r.topk(q, k)
+    and_ = r.topk_and(q, k)
+    mm1 = r.topk_mm(q, k, mm=1)
+    mm2 = r.topk_mm(q, k, mm=2)
+    mm3 = r.topk_mm(q, k, mm=3)
+    assert mm1 == or_
+    assert mm3 == and_
+    n_or, n_2, n_and = len(or_), len(mm2), len(and_)
+    assert n_and < n_2 < n_or, (n_and, n_2, n_or)
+    # mm2 docs are exactly the or_ docs minus single-term matches;
+    # surviving scores identical to OR scores
+    or_map = dict(or_)
+    for d, s in mm2:
+        assert abs(or_map[d] - s) < 1e-12
+    # clamp: single-term query with mm=2 behaves as plain OR
+    assert r.topk_mm("customer", 10, mm=2) == r.topk("customer", 10)
+
+
+def test_filter_query_discriminates(ray_session):
+    """r05: fq restricts but never rescopes scores; the n_chars >= 300
+    threshold must actually drop some top docs (non-vacuous)."""
+    sf = "/root/testdata/sf0.001"
+    from jesterj_ray.pipelines.flagship import (
+        bm25_filter_query_documents, bm25_topk_documents)
+    import pyarrow.parquet as _pq
+    plain = bm25_topk_documents(sf)
+    fq = bm25_filter_query_documents(sf)
+    t = _pq.read_table(f"{sf}/documents.parquet",
+                       columns=["doc_id", "n_chars"]).to_pandas()
+    nmap = dict(zip(t.doc_id, t.n_chars))
+    assert (fq.doc_id.map(nmap) >= 300).all()
+    assert sorted(fq.doc_id.tolist()) != sorted(plain.doc_id.tolist())
+    # scores of surviving docs unchanged vs plain BM25
+    pmap = {(r.qid, r.doc_id): r.score for r in plain.itertuples()}
+    hits = 0
+    for r in fq.itertuples():
+        if (r.qid, r.doc_id) in pmap:
+            assert abs(pmap[(r.qid, r.doc_id)] - r.score) < 1e-9
+            hits += 1
+    assert hits > 0
