@@ -345,6 +345,15 @@ def _xlsx_extract(sf_dir: str):
     return xlsx_extract_pipeline(sf_dir)
 
 
+def _pptx_extract(sf_dir: str):
+    # Tika slot, eighth slice: REAL PresentationML parsing (stdlib
+    # zipfile + xml.etree over ppt/slides/slideN.xml a:p/a:t runs) of
+    # synthesized genuine .pptx zips; slide order + run-join + slide
+    # count all hash-gated
+    from jesterj_ray.stages.pptx import pptx_extract_pipeline
+    return pptx_extract_pipeline(sf_dir)
+
+
 def _email_extract(sf_dir: str):
     # Tika slot, third slice: REAL stdlib RFC-822 parsing (headers +
     # first text/plain body) over synthesized .eml bytes; oracle
@@ -1112,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docx_extract": _docx_extract,
         "pdf_extract": _pdf_extract,
         "xlsx_extract": _xlsx_extract,
+        "pptx_extract": _pptx_extract,
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
         "repeated_substring_spans": _repeated_substring_spans,
@@ -2533,6 +2543,26 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
                        AS text_extracted,
                    CAST(MIN(nw) AS BIGINT) AS n_cells
             FROM rws GROUP BY doc_id ORDER BY doc_id""",
+        # engine: stages/pptx.pptx_extract_pipeline — REAL stdlib
+        # zipfile + ElementTree parse of synthesized genuine .pptx
+        # (paragraphs of 6 words in <=3-word a:r runs, 2 paragraphs
+        # per slide); oracle recomputes text + ceil(paras/2) slides
+        "pptx_extract": """
+            WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            starts AS (SELECT doc_id, ws, len(ws) AS nw,
+                              unnest(generate_series(1, len(ws), 6))
+                                  AS st
+                       FROM s),
+            paras AS (SELECT doc_id, st,
+                             array_to_string(
+                               ws[st : LEAST(st + 5, nw)], ' ') AS p
+                      FROM starts)
+            SELECT doc_id,
+                   string_agg(p, chr(10) ORDER BY st)
+                       AS text_extracted,
+                   CAST((count(*) + 1) // 2 AS BIGINT) AS n_slides
+            FROM paras GROUP BY doc_id ORDER BY doc_id""",
         # engine: stages/email_extract.email_extract_pipeline — real
         # stdlib RFC-822 parse of synthesized single-part messages;
         # any header-decode / body-framing bug breaks the hash
