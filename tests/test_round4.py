@@ -160,19 +160,23 @@ def test_gif_rejects():
         decode_gif(bytes(enc))
 
 
-def test_image_decoder_dispatches_all_three_formats(ray_session):
-    """Strict-mode ImageDecoder over one mixed PNG/GIF/BMP dataset:
-    each payload decodes via its codec to the SAME grayscale feature
-    (one source image, three encodings); unknown bytes raise."""
+def test_image_decoder_dispatches_all_four_formats(ray_session):
+    """Strict-mode ImageDecoder over one mixed PNG/GIF/BMP/JPEG
+    dataset: each lossless payload decodes via its codec to the SAME
+    grayscale feature (one source image, three encodings); baseline
+    JPEG (lossless with the all-ones quant table) matches within DCT
+    rounding; unknown bytes raise."""
     import ray.data as rd
 
+    from jesterj_ray.stages.jpeg import encode_jpeg_gray
     from jesterj_ray.stages.multimodal import ImageDecoder
     from jesterj_ray.stages.png import encode_png
     rng = np.random.default_rng(6)
     img = rng.integers(0, 256, size=(48, 40), dtype=np.uint8)
     rows = [{"media_id": 0, "payload": encode_png(img)},
             {"media_id": 1, "payload": encode_gif_gray(img)},
-            {"media_id": 2, "payload": encode_bmp(img)}]
+            {"media_id": 2, "payload": encode_bmp(img)},
+            {"media_id": 3, "payload": encode_jpeg_gray(img)}]
     ds = rd.from_items(rows, override_num_blocks=1)
     out = ds.map_batches(ImageDecoder, batch_format="pyarrow",
                          fn_constructor_kwargs={"out_size": 16,
@@ -180,12 +184,17 @@ def test_image_decoder_dispatches_all_three_formats(ray_session):
                          concurrency=1).to_pandas()
     feats = {int(r["media_id"]): np.asarray(r["feature"])
              for _, r in out.iterrows()}
-    assert len(feats) == 3
+    assert len(feats) == 4
     assert np.array_equal(feats[0], feats[1])
     assert np.array_equal(feats[0], feats[2])
+    # q=ones JPEG is exact up to IDCT integer rounding (<= 1/255 per px)
+    assert np.max(np.abs(feats[0] - feats[3])) <= 1.5 / 255.0
     dec = ImageDecoder(out_size=8, fake=False)
-    with pytest.raises(NotImplementedError):
+    # real JPEG decoder engages on the magic and rejects a torn stream
+    with pytest.raises(ValueError):
         dec._decode_one(b"\xff\xd8\xffJPEGISH")
+    with pytest.raises(NotImplementedError):
+        dec._decode_one(b"II*\x00notatiff")
 
 
 def test_repetition_signals_reference():
