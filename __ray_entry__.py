@@ -354,6 +354,15 @@ def _pptx_extract(sf_dir: str):
     return pptx_extract_pipeline(sf_dir)
 
 
+def _odt_extract(sf_dir: str):
+    # Tika slot, ninth slice: REAL OpenDocument parsing (stdlib
+    # zipfile + xml.etree over content.xml text:p paragraphs with
+    # span nesting and <text:s/> whitespace elements) of synthesized
+    # genuine .odt zips; flatten + paragraph order + count hash-gated
+    from jesterj_ray.stages.odt import odt_extract_pipeline
+    return odt_extract_pipeline(sf_dir)
+
+
 def _email_extract(sf_dir: str):
     # Tika slot, third slice: REAL stdlib RFC-822 parsing (headers +
     # first text/plain body) over synthesized .eml bytes; oracle
@@ -1122,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": _pdf_extract,
         "xlsx_extract": _xlsx_extract,
         "pptx_extract": _pptx_extract,
+        "odt_extract": _odt_extract,
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
         "repeated_substring_spans": _repeated_substring_spans,
@@ -2562,6 +2572,28 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
                    string_agg(p, chr(10) ORDER BY st)
                        AS text_extracted,
                    CAST((count(*) + 1) // 2 AS BIGINT) AS n_slides
+            FROM paras GROUP BY doc_id ORDER BY doc_id""",
+        # engine: stages/odt.odt_extract_pipeline — REAL stdlib
+        # zipfile + ElementTree parse of synthesized genuine .odt
+        # (7-word paragraphs; separators alternate literal-space /
+        # <text:s/>, alternate words nest in spans). The expected
+        # text is the PLAIN paragraphs — the whitespace-element and
+        # span-tail handling must be exact to reproduce it.
+        "odt_extract": """
+            WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            starts AS (SELECT doc_id, ws, len(ws) AS nw,
+                              unnest(generate_series(1, len(ws), 7))
+                                  AS st
+                       FROM s),
+            paras AS (SELECT doc_id, st,
+                             array_to_string(
+                               ws[st : LEAST(st + 6, nw)], ' ') AS p
+                      FROM starts)
+            SELECT doc_id,
+                   string_agg(p, chr(10) ORDER BY st)
+                       AS text_extracted,
+                   CAST(count(*) AS BIGINT) AS n_paras
             FROM paras GROUP BY doc_id ORDER BY doc_id""",
         # engine: stages/email_extract.email_extract_pipeline — real
         # stdlib RFC-822 parse of synthesized single-part messages;
