@@ -363,6 +363,15 @@ def _odt_extract(sf_dir: str):
     return odt_extract_pipeline(sf_dir)
 
 
+def _container_explode(sf_dir: str):
+    # Tika RecursiveParserWrapper analog + reference makeChild child
+    # docs: REAL zip containers (text part + HTML part + NESTED zip)
+    # explode into one child row per leaf entry, routed by magic-byte
+    # sniff; embedded_resource_path recursion all hash-gated
+    from jesterj_ray.stages.container import container_explode_pipeline
+    return container_explode_pipeline(sf_dir)
+
+
 def _email_extract(sf_dir: str):
     # Tika slot, third slice: REAL stdlib RFC-822 parsing (headers +
     # first text/plain body) over synthesized .eml bytes; oracle
@@ -1132,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xlsx_extract": _xlsx_extract,
         "pptx_extract": _pptx_extract,
         "odt_extract": _odt_extract,
+        "container_explode": _container_explode,
         "gopher_rules": _gopher_rules,
         "paragraph_dedup": _paragraph_dedup,
         "repeated_substring_spans": _repeated_substring_spans,
@@ -2595,6 +2605,30 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
                        AS text_extracted,
                    CAST(count(*) AS BIGINT) AS n_paras
             FROM paras GROUP BY doc_id ORDER BY doc_id""",
+        # engine: stages/container.container_explode_pipeline — REAL
+        # nested zips (part1.txt = first ceil(n/2) words, part2.html =
+        # the rest in a real HTML page, inner.zip/deep.txt = first 3
+        # words) exploded recursively with magic-byte routing; the
+        # oracle recomputes every child's text and path
+        "container_explode": """
+            WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                              len(string_split(text, ' ')) AS nw
+                       FROM documents),
+            c AS (
+              SELECT doc_id, '/inner.zip/deep.txt' AS child_path,
+                     array_to_string(ws[1 : LEAST(3, nw)], ' ')
+                         AS text_extracted
+              FROM s
+              UNION ALL
+              SELECT doc_id, '/part1.txt',
+                     array_to_string(ws[1 : (nw + 1) // 2], ' ')
+              FROM s
+              UNION ALL
+              SELECT doc_id, '/part2.html',
+                     array_to_string(ws[(nw + 1) // 2 + 1 : nw], ' ')
+              FROM s)
+            SELECT doc_id, child_path, text_extracted FROM c
+            ORDER BY doc_id, child_path""",
         # engine: stages/email_extract.email_extract_pipeline — real
         # stdlib RFC-822 parse of synthesized single-part messages;
         # any header-decode / body-framing bug breaks the hash
