@@ -801,6 +801,14 @@ def _top_terms_per_lang(sf_dir: str):
     return top_terms_per_lang(sf_dir)
 
 
+def _tfidf_keywords(sf_dir: str):
+    # per-doc top-5 tf-idf keywords: per-block partial df -> small
+    # term groupby -> broadcast df probe + block-local top-k (a doc
+    # never spans blocks); score/tie semantics hash-gated
+    from jesterj_ray.pipelines.relational import tfidf_keywords
+    return tfidf_keywords(sf_dir, k=5)
+
+
 def _ngram_jaccard(sf_dir: str):
     from jesterj_ray.stages.dedup import (minhash_lsh_pairs,
                                           verify_jaccard_pairs_ds)
@@ -1186,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_n_largest_docs": _top_docs,
         "distinct_langs": _distinct_langs,
         "top_terms_per_lang": _top_terms_per_lang,
+        "tfidf_keywords_top5": _tfidf_keywords,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "ngram_jaccard_exact_pairs": _ngram_jaccard_exact,
         "json_extract_props": _json_extract,
@@ -3308,6 +3317,29 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
               FROM (SELECT lang, unnest({_TOKS}) AS term FROM documents)
               GROUP BY lang, term)
             WHERE rn <= 3 ORDER BY lang, term""",
+        # ranking uses the 6dp-ROUNDED score on BOTH sides (see
+        # tfidf_keywords docstring: exact cross-term ties like
+        # 2·ln(10) = ln(100) make unrounded float order libm-dependent)
+        "tfidf_keywords_top5": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, term),
+            dfr AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM tok GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf * ln(CAST(
+                         (SELECT count(*) FROM documents) AS DOUBLE)
+                         / dfr.df), 6) AS score
+              FROM tf JOIN dfr USING (term))
+            SELECT doc_id, term, tf, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, term) AS rn
+              FROM scored)
+            WHERE rn <= 5 ORDER BY doc_id, score DESC, term""",
         "knn_ivf_fullprobe_top10": """
             SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT)
                        AS rank, vec_id, score FROM (

@@ -296,6 +296,98 @@ def distinct_langs(sf_dir: str):
     return pd.DataFrame({"lang": vals})
 
 
+def tfidf_keywords(sf_dir: str, k: int = 5):
+    """Per-document top-k keywords by tf-idf (score = tf * ln(N/df),
+    ties score-desc then term-asc).
+
+    Two passes over documents, no row-level all-to-all:
+      1. df — each block collapses its own (doc, term) pairs to
+         per-block PARTIAL document frequencies, then one small
+         ``groupby(term).sum`` over vocab-bounded partial rows (the
+         top_terms_per_lang shape);
+      2. score — the (term, df) table broadcasts once (``ray.put``,
+         same size-guard thresholds as broadcast_left_join; past them
+         the right move is a term-hash cogroup join), each batch
+         re-tokenizes, probes df with one ``index_in``, scores, and
+         emits its own docs' top-k — a doc never spans blocks, so the
+         top-k needs no shuffle.
+
+    Ranking uses the 6dp-ROUNDED score (half-away-from-zero, floor
+    form per the pinned rounding invariant) so engine and SQL oracle
+    rank identically: tf*ln(N/df) admits EXACT cross-term ties (e.g.
+    2·ln(10) vs ln(100)) whose unrounded float order is libm-dependent;
+    rounding first makes those ties explicit and term-asc resolves
+    them deterministically. Irrational scores never sit within 1e-15
+    of a 6dp boundary, so both engines round alike (score 0 when
+    df == N is exact on both sides)."""
+    from jesterj_ray.tokenize.tokenizer import simple_tokenize
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"],
+                         override_num_blocks=8)
+    n_docs = ds.count()
+
+    def _doc_term_tf(t: pa.Table):
+        """(doc_ids, terms, tf) arrays for one block — factorize +
+        integer-key np.unique, no per-token Python appends."""
+        toks_per_doc = [simple_tokenize(x or "")
+                        for x in t["text"].to_pylist()]
+        lens = np.fromiter((len(x) for x in toks_per_doc),
+                           dtype=np.int64, count=len(toks_per_doc))
+        flat = [tok for doc in toks_per_doc for tok in doc]
+        dids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        if not flat:
+            return (np.empty(0, np.int64), np.empty(0, object),
+                    np.empty(0, np.int64))
+        tcodes, tuniq = pd.factorize(np.asarray(flat, dtype=object),
+                                     sort=False)
+        dcodes = np.repeat(np.arange(len(dids), dtype=np.int64), lens)
+        key = dcodes * len(tuniq) + tcodes.astype(np.int64)
+        uk, counts = np.unique(key, return_counts=True)
+        return (dids[uk // len(tuniq)],
+                np.asarray(tuniq, object)[uk % len(tuniq)], counts)
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        _, terms, _ = _doc_term_tf(t)
+        ut, dfc = np.unique(terms, return_counts=True)
+        return pa.table({"term": pa.array(ut, pa.string()),
+                         "df_part": pa.array(dfc, pa.int64())})
+
+    df_tbl = ds.map_batches(df_partials, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df_part", alias_name="df")) \
+        .to_pandas()
+    df_arrow = pa.table({"term": pa.array(df_tbl["term"], pa.string()),
+                         "df": pa.array(df_tbl["df"], pa.int64())})
+    assert df_arrow.num_rows <= BROADCAST_MAX_ROWS \
+        and df_arrow.nbytes <= BROADCAST_MAX_BYTES, \
+        "vocabulary exceeds broadcast guard — use a term-hash cogroup"
+    df_ref = ray.put(df_arrow)
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        lk = ray.get(df_ref)
+        dids, terms, tf = _doc_term_tf(t)
+        idx = pc.index_in(pa.array(terms, pa.string()),
+                          value_set=lk["term"])
+        df = np.asarray(pc.take(lk["df"], idx).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        score = tf.astype(np.float64) * np.log(float(n_docs) / df)
+        score = np.floor(score * 1e6 + 0.5) / 1e6
+        d = pd.DataFrame({"doc_id": dids, "term": terms,
+                          "tf": tf, "score": score})
+        d = d.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True])
+        d = d.groupby("doc_id", group_keys=False).head(k)
+        return pa.table({
+            "doc_id": pa.array(d["doc_id"], pa.int64()),
+            "term": pa.array(d["term"], pa.string()),
+            "tf": pa.array(d["tf"], pa.int64()),
+            "score": pa.array(d["score"], pa.float64())})
+
+    out = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True])
+    return out.reset_index(drop=True)
+
+
 def top_terms_per_lang(sf_dir: str, n: int = 3):
     """Per-group top-N terms by total frequency: partial counts inside
     map_batches (one row per (lang, term) per batch), a small groupby over

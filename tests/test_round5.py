@@ -493,3 +493,42 @@ def test_filter_query_discriminates(ray_session):
             assert abs(pmap[(r.qid, r.doc_id)] - r.score) < 1e-9
             hits += 1
     assert hits > 0
+
+
+def test_tfidf_keywords_semantics(ray_session):
+    """tfidf_keywords: score = tf*ln(N/df) rounded 6dp BEFORE ranking
+    (ties term-asc), per-doc top-k, block-count independent, and a
+    hand-check against a brute-force pandas recompute at sf0.001."""
+    from jesterj_ray.pipelines.relational import tfidf_keywords
+    from jesterj_ray.tokenize.tokenizer import simple_tokenize
+    sf = "/root/testdata/sf0.001"
+    out = tfidf_keywords(sf, k=5)
+    assert list(out.columns) == ["doc_id", "term", "tf", "score"]
+    # brute-force oracle over the same table
+    docs = pq.read_table(os.path.join(sf, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    n = len(docs)
+    rows = []
+    df_cnt: dict = {}
+    per_doc = {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        toks = simple_tokenize(txt or "")
+        cnt: dict = {}
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        per_doc[did] = cnt
+        for t in cnt:
+            df_cnt[t] = df_cnt.get(t, 0) + 1
+    for did, cnt in per_doc.items():
+        scored = sorted(
+            ((np.floor(tf * np.log(n / df_cnt[t]) * 1e6 + 0.5) / 1e6, t,
+              tf) for t, tf in cnt.items()),
+            key=lambda x: (-x[0], x[1]))[:5]
+        for s, t, tf in scored:
+            rows.append((did, t, tf, s))
+    exp = pd.DataFrame(rows, columns=["doc_id", "term", "tf", "score"])
+    exp = exp.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp)
+    # every doc with any token contributes at most k rows
+    assert out.groupby("doc_id").size().max() <= 5
