@@ -213,6 +213,19 @@ def _collapse_expand_topk(sf_dir: str):
     return collapse_expand_topk(sf_dir, "merge sort", "source", 5, 2)
 
 
+def _block_join_max(sf_dir: str):
+    # Lucene ToParentBlockJoinQuery ScoreMode.Max / Solr {!parent}:
+    # parents ranked by their best child-paragraph BM25 hit
+    from jesterj_ray.pipelines.flagship import block_join_parent_topk
+    return block_join_parent_topk(sf_dir, score_mode="max")
+
+
+def _block_join_sum(sf_dir: str):
+    # ScoreMode.Total: parent score = sum of child hit scores
+    from jesterj_ray.pipelines.flagship import block_join_parent_topk
+    return block_join_parent_topk(sf_dir, score_mode="sum")
+
+
 def _weighted_token_mix(sf_dir: str):
     # weighted data-mixing recipe: per-lang token budgets
     from jesterj_ray.stages.sampling import mix_by_token_budget
@@ -1164,6 +1177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract_fields": _html_extract_fields,
         "dedup_drops_exact": _dedup_drops_exact,
         "collapse_expand_topk": _collapse_expand_topk,
+        "block_join_parent_max": _block_join_max,
+        "block_join_parent_sum": _block_join_sum,
         "knn_hnsw_top10": _knn_hnsw,
         "redact_pii": _redact_pii,
         "markdown_extract": _markdown_extract,
@@ -1320,6 +1335,71 @@ ranked AS (
   FROM scores
 )
 SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.doc_id, round(r.score, 6) AS score
+FROM ranked r JOIN qk ON r.qid = qk.qid
+WHERE r.rank <= qk.k
+ORDER BY r.qid, r.rank
+"""
+
+
+def _block_join_sql(score_mode: str = "max") -> str:
+    # Lucene block-join (ToParentBlockJoinQuery): children are the
+    # frozen 8-token paragraph grouping (flagship.CHILD_TOKENS; SQL
+    # mirrors with (i-1)//8), scored with plain BM25 over the CHILD
+    # corpus (N/avgdl/df are child-level), then aggregated to the
+    # parent (Max or Total) before the per-query top-k.  Empty docs
+    # have no children, so the child N matches the engine's build.
+    agg = "max(score)" if score_mode == "max" else "sum(score)"
+    return f"""
+WITH qterms(qid, term) AS {_BM25_QUERIES_SQL},
+qk(qid, k) AS {_BM25_KS_SQL},
+tkl AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+nz AS (SELECT doc_id, tk, length(tk) AS n FROM tkl WHERE length(tk) > 0),
+ct AS (
+  SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS pidx, tk[i] AS term
+  FROM (SELECT doc_id, tk, n, unnest(generate_series(1, n)) AS i FROM nz)
+),
+dl AS (
+  SELECT doc_id, pidx, count(*) AS dl FROM ct GROUP BY doc_id, pidx
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT q.qid, q.term, c.doc_id, c.pidx, count(*) AS tf
+  FROM ct c JOIN qterms q USING (term)
+  GROUP BY q.qid, q.term, c.doc_id, c.pidx
+),
+df AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT term, doc_id, pidx FROM ct
+    WHERE term IN (SELECT term FROM qterms))
+  GROUP BY term
+),
+cscores AS (
+  SELECT tf.qid, tf.doc_id, tf.pidx,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id AND tf.pidx = dl.pidx
+  CROSS JOIN stats s
+  GROUP BY tf.qid, tf.doc_id, tf.pidx
+),
+pscores AS (
+  SELECT qid, doc_id, {agg} AS score,
+         CAST(count(*) AS BIGINT) AS n_child_hits
+  FROM cscores GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score, n_child_hits,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM pscores
+)
+SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.doc_id,
+       round(r.score, 6) AS score, r.n_child_hits
 FROM ranked r JOIN qk ON r.qid = qk.qid
 WHERE r.rank <= qk.k
 ORDER BY r.qid, r.rank
@@ -3157,6 +3237,8 @@ FROM ranked WHERE grank <= 3 ORDER BY lang, grank""",
         # as the main list (top-5 heads), then the next 2 hits of each
         # surviving head's group as the expand section; both sides rank
         # by ROUNDED score + doc_id (the grouped-topk tie rule)
+        "block_join_parent_max": _block_join_sql("max"),
+        "block_join_parent_sum": _block_join_sql("sum"),
         "collapse_expand_topk": f"""
 WITH dl AS (
   SELECT doc_id, length({_TOKS}) AS dl FROM documents

@@ -1346,3 +1346,124 @@ def synonym_topk_documents(sf_dir: str, query: str = "merge sort",
                         kind="mergesort").head(k)
     df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
     return df[["rank", "doc_id", "score"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Lucene/Solr block-join: parent documents ranked by their CHILD hits
+# (ToParentBlockJoinQuery; Solr {!parent which=...}).  Children here are
+# synthesized 8-token paragraphs of each document (the test corpus is
+# flat text; real corpora have natural children), indexed as their own
+# corpus; a query scores CHILDREN with plain BM25, then aggregates to
+# the parent with ScoreMode.Max or ScoreMode.Total before the top-k.
+# Reference analog: JesterJ ships child docs via makeChild
+# (DocumentImpl.java) and delegates block-join ranking to Solr.
+
+CHILD_TOKENS = 8  # frozen; the SQL oracle mirrors (i-1)//8 grouping
+
+
+def _make_children(t: pa.Table) -> pa.Table:
+    """documents rows -> child rows (doc_key = 12-digit parent doc_id
+    ++ 6-digit pidx, text = the paragraph's tokens re-joined).  Token
+    re-join is lossless under simple_tokenize ([a-z0-9]+ tokens joined
+    by spaces re-tokenize to themselves), so child dl/tf match the
+    oracle's (i-1)//8 token grouping exactly."""
+    from ..tokenize.tokenizer import simple_tokenize
+    out_key, out_text = [], []
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = simple_tokenize(txt or "")
+        for p in range(0, len(toks), CHILD_TOKENS):
+            out_key.append(f"{int(d):012d}{p // CHILD_TOKENS:06d}")
+            out_text.append(" ".join(toks[p:p + CHILD_TOKENS]))
+    return pa.table({"doc_key": pa.array(out_key, pa.string()),
+                     "text": pa.array(out_text, pa.string())})
+
+
+def documents_children_index(sf_dir: str) -> str:
+    """Build (or reuse) the child-paragraph index.  Empty documents
+    contribute no children, so the child corpus' N is exactly the
+    oracle's count of (doc_id, pidx) groups."""
+    out = _cache_dir(sf_dir, "docidx-child1")
+    marker = os.path.join(out, "stats.json")
+    if not os.path.exists(marker):
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"],
+                             override_num_blocks=8)
+        ds = ds.map_batches(_make_children, batch_format="pyarrow")
+        build_index(ds, out, text_col="text", tokenizer="simple",
+                    num_partitions=8, num_shards=4, dedup=False)
+    return out
+
+
+class BlockJoinQueryActor:
+    """Actor-pool stage: block-join parent ranking.  Per query: full
+    child match set (exhaustive match_scores — parent aggregation needs
+    every child, a child top-k would be wrong the same way a
+    boost-after-topk is), parent key sliced off the child doc_key,
+    vectorized per-parent max/sum via sorted-segment reduceat, then the
+    parent top-k.  Ties rank by parent doc_id ascending."""
+
+    def __init__(self, index_dir: str, score_mode: str = "max"):
+        if score_mode not in ("max", "sum"):
+            raise ValueError(f"score_mode {score_mode!r}")
+        self.reader = IndexReader(index_dir)
+        self.mode = score_mode
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"qid": [], "rank": [], "doc_id": [], "score": [],
+               "n_child_hits": []}
+        for qid, query, k in zip(batch["qid"], batch["query"],
+                                 batch["k"]):
+            docs, scores = self.reader.match_scores(query)
+            if docs.size == 0:
+                continue
+            keys = self.reader.doc_keys(docs)
+            parents = np.array([int(kk[:12]) for kk in keys],
+                               dtype=np.int64)
+            order = np.argsort(parents, kind="mergesort")
+            parents, scores = parents[order], scores[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(parents) != 0) + 1])
+            pids = parents[starts]
+            nch = np.diff(np.concatenate([starts, [parents.size]]))
+            if self.mode == "max":
+                pscore = np.maximum.reduceat(scores, starts)
+            else:
+                pscore = np.add.reduceat(scores, starts)
+            top = np.lexsort((pids, -pscore))[:int(k)]
+            for r, i in enumerate(top, 1):
+                out["qid"].append(int(qid))
+                out["rank"].append(r)
+                out["doc_id"].append(int(pids[i]))
+                out["score"].append(float(pscore[i]))
+                out["n_child_hits"].append(int(nch[i]))
+        return pd.DataFrame(out)
+
+
+def block_join_parent_topk(sf_dir: str, score_mode: str = "max",
+                           queries: Optional[List[dict]] = None
+                           ) -> pd.DataFrame:
+    """Parents ranked by aggregated child BM25 for the fixed query set.
+    Columns (qid, rank, doc_id, score, n_child_hits) match the SQL
+    oracle."""
+    idx = documents_children_index(sf_dir)
+    qs = queries or DOC_QUERIES
+    qds = rd.from_arrow(pa.table({
+        "qid": pa.array([q["qid"] for q in qs], pa.int64()),
+        "query": pa.array([q["query"] for q in qs], pa.string()),
+        "k": pa.array([q["k"] for q in qs], pa.int64()),
+    }))
+    hits = qds.map_batches(BlockJoinQueryActor, fn_constructor_kwargs={
+        "index_dir": idx, "score_mode": score_mode},
+        batch_format="pandas", concurrency=2).to_pandas()
+    if hits.empty:
+        return pd.DataFrame({
+            "qid": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float64),
+            "n_child_hits": pd.Series([], dtype=np.int64)})
+    hits["score"] = hits["score"].round(6)
+    for c in ("qid", "rank", "doc_id", "n_child_hits"):
+        hits[c] = hits[c].astype(np.int64)
+    return hits[["qid", "rank", "doc_id", "score", "n_child_hits"]] \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)

@@ -532,3 +532,51 @@ def test_tfidf_keywords_semantics(ray_session):
     pd.testing.assert_frame_equal(out, exp)
     # every doc with any token contributes at most k rows
     assert out.groupby("doc_id").size().max() <= 5
+
+
+def test_block_join_parent_semantics(ray_session, tmp_path):
+    """Block-join: max-mode parent score equals the best child BM25 hit
+    recomputed brute-force over the synthesized 8-token children;
+    sum >= max per parent; ranks contiguous; bad score_mode raises."""
+    from jesterj_ray.pipelines.flagship import (
+        block_join_parent_topk, BlockJoinQueryActor,
+        documents_children_index, CHILD_TOKENS)
+    from jesterj_ray.index.bm25 import BruteForceIndex
+    from jesterj_ray.tokenize.tokenizer import simple_tokenize
+    sf = "/root/testdata/sf0.001"
+    mx = block_join_parent_topk(sf, score_mode="max")
+    sm = block_join_parent_topk(sf, score_mode="sum")
+    assert list(mx.columns) == ["qid", "rank", "doc_id", "score",
+                                "n_child_hits"]
+    for df in (mx, sm):
+        for _, g in df.groupby("qid"):
+            assert list(g["rank"]) == list(range(1, len(g) + 1))
+    # same match sets, and per (qid, parent) sum >= max
+    j = mx.merge(sm, on=["qid", "doc_id"], suffixes=("_mx", "_sm"))
+    assert (j["n_child_hits_mx"] == j["n_child_hits_sm"]).all()
+    assert (j["score_sm"] >= j["score_mx"] - 1e-9).all()
+    # brute-force cross-check of max mode
+    docs = pq.read_table(os.path.join(sf, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    ckeys, ctexts = [], []
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        toks = simple_tokenize(txt or "")
+        for p in range(0, len(toks), CHILD_TOKENS):
+            ckeys.append((int(did), p // CHILD_TOKENS))
+            ctexts.append(" ".join(toks[p:p + CHILD_TOKENS]))
+    bf = BruteForceIndex(range(len(ctexts)), ctexts, simple_tokenize)
+    for qid, query, k in [(1, "merge sort", 10), (6, "dup stream", 10)]:
+        per_parent: dict = {}
+        hits: dict = {}
+        for ci, s in bf.score_all(query).items():
+            p = ckeys[ci][0]
+            per_parent[p] = max(per_parent.get(p, -1e18), s)
+            hits[p] = hits.get(p, 0) + 1
+        exp = sorted(((-s, p) for p, s in per_parent.items()))[:k]
+        got = mx[mx["qid"] == qid]
+        assert list(got["doc_id"]) == [p for _, p in exp]
+        for (_, p), (_, row) in zip(exp, got.iterrows()):
+            assert abs(per_parent[p] - row["score"]) < 1e-5
+            assert hits[p] == row["n_child_hits"]
+    with pytest.raises(ValueError):
+        BlockJoinQueryActor(documents_children_index(sf), "avg")
