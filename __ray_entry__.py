@@ -935,6 +935,21 @@ def _knn_ivf(sf_dir: str):
     return out[["rank", "vec_id", "score"]]
 
 
+def _kmeans_assign(sf_dir: str):
+    # distributed Lloyd's: broadcast centroids, per-(cluster,dim)
+    # partial sums, tiny groupby reduce; input-derived init so the
+    # DuckDB oracle can replay the exact schedule
+    from jesterj_ray.stages.clustering import kmeans_embeddings
+    return kmeans_embeddings(sf_dir, k=8, iters=4)
+
+
+def _semdedup(sf_dir: str):
+    # SemDeDup: k-means clusters bound the pairwise-cosine quadratic;
+    # drop rule = exists earlier same-cluster vector with cos >= 0.4
+    from jesterj_ray.stages.clustering import semdedup
+    return semdedup(sf_dir, k=8, iters=4, tau=0.4)
+
+
 def _embedding_near_dup(sf_dir: str):
     import ray.data as rd
     from jesterj_ray.ann.knn import embedding_near_dup_pairs
@@ -1205,6 +1220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_top10": _knn_lsh,
         "knn_ivf_fullprobe_top10": _knn_ivf,
         "embedding_near_dup": _embedding_near_dup,
+        "kmeans_assignments": _kmeans_assign,
+        "semdedup_drops": _semdedup,
         "events_sliding_window": _sliding_window,
         "top_n_largest_docs": _top_docs,
         "distinct_langs": _distinct_langs,
@@ -1339,6 +1356,64 @@ FROM ranked r JOIN qk ON r.qid = qk.qid
 WHERE r.rank <= qk.k
 ORDER BY r.qid, r.rank
 """
+
+
+def _kmeans_cte(k: int = 8, iters: int = 4, dim: int = 64) -> str:
+    # Replays the engine's EXACT iteration schedule (clustering.py):
+    # c0 = embeddings of vec_id 0..k-1, then `iters` rounds of
+    # (assign a_t with c_{t-1}, recompute c_t as element-wise avg);
+    # assignment = argmax cosine, ties to lowest cid (ORDER BY sim
+    # DESC, cid LIMIT 1 == numpy argmax first hit).  Assumes every
+    # cluster stays nonempty (holds on this data; the engine carries
+    # an empty cluster's old centroid, which SQL can't express here).
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cid, v AS ctr FROM e "
+        f"WHERE vec_id < {k})"]
+    for it in range(1, iters + 1):
+        parts.append(f""",
+a{it} AS (SELECT e.vec_id,
+  (SELECT c.cid FROM c{it - 1} c
+   ORDER BY list_cosine_similarity(e.v, c.ctr) DESC, c.cid LIMIT 1)
+      AS cid
+  FROM e),
+c{it} AS (SELECT cid, list(av ORDER BY i) AS ctr FROM (
+   SELECT a.cid, i, avg(e.v[i]) AS av
+   FROM a{it} a JOIN e USING (vec_id),
+        (SELECT unnest(range(1, {dim + 1})) AS i)
+   GROUP BY a.cid, i) GROUP BY cid)""")
+    parts.append(f""",
+afinal AS (SELECT e.vec_id,
+  (SELECT c.cid FROM c{iters} c
+   ORDER BY list_cosine_similarity(e.v, c.ctr) DESC, c.cid LIMIT 1)
+      AS cid,
+  (SELECT max(list_cosine_similarity(e.v, c.ctr)) FROM c{iters} c)
+      AS sim
+  FROM e)""")
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 4, dim: int = 64) -> str:
+    return _kmeans_cte(k, iters, dim) + """
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, round(sim, 6) AS sim
+FROM afinal ORDER BY vec_id"""
+
+
+def _semdedup_sql(k: int = 8, iters: int = 4, dim: int = 64,
+                  tau: float = 0.4) -> str:
+    # a vector drops when some LOWER-vec_id vector in its own final
+    # cluster has cosine >= tau; max_cos = max cosine to any earlier
+    # cluster-mate (threshold on the UNROUNDED max, like the engine)
+    return _kmeans_cte(k, iters, dim) + f"""
+SELECT x.vec_id, CAST(x.cid AS BIGINT) AS cluster,
+       round(max(list_cosine_similarity(ex.v, ey.v)), 6) AS max_cos
+FROM afinal x JOIN afinal y ON x.cid = y.cid AND y.vec_id < x.vec_id
+JOIN e ex ON ex.vec_id = x.vec_id
+JOIN e ey ON ey.vec_id = y.vec_id
+GROUP BY x.vec_id, x.cid
+HAVING max(list_cosine_similarity(ex.v, ey.v)) >= {tau}
+ORDER BY x.vec_id"""
 
 
 def _block_join_sql(score_mode: str = "max") -> str:
@@ -3432,6 +3507,8 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
               FROM embeddings e,
                    (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
             ORDER BY score DESC, vec_id LIMIT 10""",
+        "kmeans_assignments": _kmeans_sql(),
+        "semdedup_drops": _semdedup_sql(),
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(

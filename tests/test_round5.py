@@ -580,3 +580,42 @@ def test_block_join_parent_semantics(ray_session, tmp_path):
             assert hits[p] == row["n_child_hits"]
     with pytest.raises(ValueError):
         BlockJoinQueryActor(documents_children_index(sf), "avg")
+
+
+def test_kmeans_block_count_independence(ray_session):
+    """Lloyd's partial-sum reduce must be parallelism-invariant: the
+    assignment table is identical at 4 vs 32 blocks (the docID rule
+    applied to clustering)."""
+    from jesterj_ray.stages.clustering import kmeans_embeddings
+    sf = "/root/testdata/sf0.001"
+    a = kmeans_embeddings(sf, k=4, iters=3, num_blocks=4)
+    b = kmeans_embeddings(sf, k=4, iters=3, num_blocks=32)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a.columns) == {"vec_id", "cluster", "sim"}
+    assert a["cluster"].nunique() <= 4 and len(a) > 0
+
+
+def test_semdedup_drop_rule(ray_session):
+    """Every dropped vector has an EARLIER same-cluster mate with
+    cosine >= tau; every survivor has none (brute-force recheck)."""
+    from jesterj_ray.stages.clustering import (kmeans_embeddings,
+                                               semdedup, _normalize)
+    sf = "/root/testdata/sf0.001"
+    tau = 0.35
+    km = kmeans_embeddings(sf, k=4, iters=3)
+    sd = semdedup(sf, k=4, iters=3, tau=tau)
+    emb = pq.read_table(os.path.join(sf, "embeddings.parquet")) \
+        .to_pandas().sort_values("vec_id")
+    vecs = _normalize(np.asarray(emb["embedding"].tolist(),
+                                 dtype=np.float64))
+    cl = km.set_index("vec_id")["cluster"]
+    dropped = set(sd["vec_id"])
+    for vid in emb["vec_id"]:
+        mates = [u for u in emb["vec_id"]
+                 if u < vid and cl[u] == cl[vid]]
+        mx = max((vecs[u] @ vecs[vid] for u in mates), default=-2.0)
+        assert (vid in dropped) == (mx >= tau), vid
+        if vid in dropped:
+            row = sd[sd["vec_id"] == vid].iloc[0]
+            assert abs(row["max_cos"] - mx) < 1e-6
+            assert row["cluster"] == cl[vid]
