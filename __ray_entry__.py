@@ -213,6 +213,12 @@ def _collapse_expand_topk(sf_dir: str):
     return collapse_expand_topk(sf_dir, "merge sort", "source", 5, 2)
 
 
+def _hybrid_rrf(sf_dir: str):
+    # lexical+vector hybrid: RRF of the BM25 and kNN-cosine lists
+    from jesterj_ray.pipelines.flagship import hybrid_rrf_topk
+    return hybrid_rrf_topk(sf_dir)
+
+
 def _block_join_max(sf_dir: str):
     # Lucene ToParentBlockJoinQuery ScoreMode.Max / Solr {!parent}:
     # parents ranked by their best child-paragraph BM25 hit
@@ -1194,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_expand_topk": _collapse_expand_topk,
         "block_join_parent_max": _block_join_max,
         "block_join_parent_sum": _block_join_sum,
+        "hybrid_rrf_topk": _hybrid_rrf,
         "knn_hnsw_top10": _knn_hnsw,
         "redact_pii": _redact_pii,
         "markdown_extract": _markdown_extract,
@@ -1414,6 +1421,85 @@ JOIN e ey ON ey.vec_id = y.vec_id
 GROUP BY x.vec_id, x.cid
 HAVING max(list_cosine_similarity(ex.v, ey.v)) >= {tau}
 ORDER BY x.vec_id"""
+
+
+def _hybrid_rrf_sql(k: int = 10, c: int = 60, depth: int = 100) -> str:
+    # Reciprocal Rank Fusion of the BM25 list and the kNN cosine list
+    # (flagship.hybrid_rrf_topk / HYBRID_QUERIES).  Both lists rank on
+    # the 6dp-ROUNDED score with ascending-id ties — the rounded score
+    # is the quantity proven engine==DuckDB, so rounded-rank is the
+    # only cross-engine-deterministic total order.  The fused sum has
+    # at most two terms (1/(c+r) each), identical IEEE doubles in both
+    # engines, so the unrounded fused ordering is exact.
+    return f"""
+WITH qterms(qid, term) AS (VALUES (1,'merge'),(1,'sort'),
+    (2,'dup'),(2,'stream'),(3,'window'),(3,'filter'),(3,'stream')),
+knnq(qid, qvid) AS (VALUES (1, 0), (2, 7), (3, 42)),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT q.qid, q.term, t.doc_id, count(*) AS tf
+  FROM toks t JOIN qterms q USING (term)
+  GROUP BY q.qid, q.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.qid, tf.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.qid, tf.doc_id
+),
+br AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id) AS r
+  FROM scores
+),
+qv AS (
+  SELECT q.qid, CAST(qe.embedding AS DOUBLE[]) AS v
+  FROM knnq q JOIN embeddings qe ON qe.vec_id = q.qvid
+),
+kscore AS (
+  SELECT qv.qid, e.vec_id AS doc_id,
+         round(list_cosine_similarity(
+             CAST(e.embedding AS DOUBLE[]), qv.v), 6) AS s
+  FROM embeddings e CROSS JOIN qv
+),
+kr AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s DESC, doc_id) AS r
+  FROM kscore
+),
+fused AS (
+  SELECT qid, doc_id, sum(1.0 / ({c} + r)) AS rrf FROM (
+    SELECT qid, doc_id, r FROM br WHERE r <= {depth}
+    UNION ALL SELECT qid, doc_id, r FROM kr WHERE r <= {depth})
+  GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, rrf,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, round(rrf, 6) AS rrf
+FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
 
 
 def _block_join_sql(score_mode: str = "max") -> str:
@@ -3314,6 +3400,7 @@ FROM ranked WHERE grank <= 3 ORDER BY lang, grank""",
         # by ROUNDED score + doc_id (the grouped-topk tie rule)
         "block_join_parent_max": _block_join_sql("max"),
         "block_join_parent_sum": _block_join_sql("sum"),
+        "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "collapse_expand_topk": f"""
 WITH dl AS (
   SELECT doc_id, length({_TOKS}) AS dl FROM documents

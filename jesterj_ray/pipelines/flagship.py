@@ -1467,3 +1467,81 @@ def block_join_parent_topk(sf_dir: str, score_mode: str = "max",
         hits[c] = hits[c].astype(np.int64)
     return hits[["qid", "rank", "doc_id", "score", "n_child_hits"]] \
         .sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: Reciprocal Rank Fusion of the BM25 list and a kNN
+# cosine list (the standard lexical+vector hybrid; Cormack et al. RRF).
+# Per query: rank BOTH lists on the 6dp-ROUNDED score with ascending-id
+# ties (the repo's cross-engine total order — rounded scores are the
+# quantity proven equal between engine and DuckDB, so rounded-rank is
+# deterministic where raw float order is not), cut each at DEPTH, fuse
+# with sum(1/(C+rank)), top-k by fused score (exact rational — equal in
+# both engines as the same two IEEE divisions) with id ties.
+
+HYBRID_QUERIES = [
+    # (qid, text query, query-vector id in embeddings.parquet)
+    {"qid": 1, "query": "merge sort", "qvec": 0},
+    {"qid": 2, "query": "dup stream", "qvec": 7},
+    {"qid": 3, "query": "window filter stream", "qvec": 42},
+]
+RRF_C = 60
+RRF_DEPTH = 100
+
+
+def _rounded_rank(ids: np.ndarray, scores: np.ndarray) -> "pd.DataFrame":
+    """(id, rank) by rounded-score desc, id asc; rank is 1-based."""
+    r6 = np.floor(scores * 1e6 + 0.5) / 1e6
+    order = np.lexsort((ids, -r6))
+    return pd.DataFrame({"doc_id": ids[order].astype(np.int64),
+                         "rank": np.arange(1, ids.size + 1,
+                                           dtype=np.int64)})
+
+
+def hybrid_rrf_topk(sf_dir: str, *, k: int = 10, c: int = RRF_C,
+                    depth: int = RRF_DEPTH) -> pd.DataFrame:
+    """Columns (qid, rank, doc_id, rrf) match the SQL oracle.  The full
+    rounded rank lists are computed here because the test corpus is
+    small; at scale each list is its pipeline's top-(depth + tie
+    margin) — both pipelines already emit bounded top-k."""
+    from ..ann.knn import brute_force_topk
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+    qtab = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    by_id = {int(v): e for v, e in zip(qtab["vec_id"].to_pylist(),
+                                       qtab["embedding"].to_pylist())}
+    qm = np.asarray([by_id[q["qvec"]] for q in HYBRID_QUERIES],
+                    dtype=np.float64)
+    n_vecs = qtab.num_rows
+    knn_all = brute_force_topk(
+        rd.read_parquet(emb_path, override_num_blocks=8), qm,
+        k=n_vecs, dtype=np.float64)
+
+    out = {"qid": [], "rank": [], "doc_id": [], "rrf": []}
+    for qi, q in enumerate(HYBRID_QUERIES):
+        docs, scores = reader.match_scores(q["query"])
+        keys = np.array([int(kk) for kk in reader.doc_keys(docs)],
+                        dtype=np.int64) if docs.size else \
+            np.empty(0, np.int64)
+        br = _rounded_rank(keys, scores).head(depth)
+        kg = knn_all[knn_all["qid"] == qi]
+        kr = _rounded_rank(kg["vec_id"].to_numpy(),
+                           kg["score"].to_numpy()).head(depth)
+        fused = pd.concat([br, kr])
+        fused["w"] = 1.0 / (c + fused["rank"].to_numpy(np.float64))
+        agg = fused.groupby("doc_id")["w"].sum()
+        ids = agg.index.to_numpy(np.int64)
+        w = agg.to_numpy()
+        top = np.lexsort((ids, -w))[:k]
+        for r, i in enumerate(top, 1):
+            out["qid"].append(q["qid"])
+            out["rank"].append(r)
+            out["doc_id"].append(int(ids[i]))
+            out["rrf"].append(float(np.floor(w[i] * 1e6 + 0.5) / 1e6))
+    res = pd.DataFrame(out)
+    for col in ("qid", "rank", "doc_id"):
+        res[col] = res[col].astype(np.int64)
+    return res.sort_values(["qid", "rank"]).reset_index(drop=True)

@@ -619,3 +619,47 @@ def test_semdedup_drop_rule(ray_session):
             row = sd[sd["vec_id"] == vid].iloc[0]
             assert abs(row["max_cos"] - mx) < 1e-6
             assert row["cluster"] == cl[vid]
+
+
+def test_hybrid_rrf_fusion_semantics(ray_session):
+    """RRF output must equal a brute-force recompute: both lists ranked
+    on rounded score with id ties, cut at depth, fused 1/(c+r)."""
+    from jesterj_ray.pipelines.flagship import (hybrid_rrf_topk,
+                                                HYBRID_QUERIES, RRF_C,
+                                                RRF_DEPTH)
+    from jesterj_ray.index.bm25 import BruteForceIndex
+    from jesterj_ray.tokenize.tokenizer import simple_tokenize
+    from jesterj_ray.stages.clustering import _normalize
+    sf = "/root/testdata/sf0.001"
+    out = hybrid_rrf_topk(sf, k=10)
+    docs = pq.read_table(os.path.join(sf, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    emb = pq.read_table(os.path.join(sf, "embeddings.parquet")) \
+        .to_pandas().sort_values("vec_id")
+    vecs = _normalize(np.asarray(emb["embedding"].tolist(),
+                                 dtype=np.float64))
+    vids = emb["vec_id"].to_numpy()
+    bf = BruteForceIndex(docs["doc_id"], docs["text"], simple_tokenize)
+
+    def rounded_ranks(ids, scores):
+        r6 = np.floor(np.asarray(scores) * 1e6 + 0.5) / 1e6
+        order = np.lexsort((ids, -r6))
+        return {int(ids[i]): r + 1 for r, i in enumerate(order)}
+
+    for q in HYBRID_QUERIES:
+        sc = bf.score_all(q["query"])
+        br = rounded_ranks(np.array(list(sc)), np.array(list(sc.values())))
+        qv = vecs[np.flatnonzero(vids == q["qvec"])[0]]
+        kr = rounded_ranks(vids, vecs @ qv)
+        fused = {}
+        for d, r in br.items():
+            if r <= RRF_DEPTH:
+                fused[d] = fused.get(d, 0.0) + 1.0 / (RRF_C + r)
+        for d, r in kr.items():
+            if r <= RRF_DEPTH:
+                fused[d] = fused.get(d, 0.0) + 1.0 / (RRF_C + r)
+        exp = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = out[out["qid"] == q["qid"]]
+        assert list(got["doc_id"]) == [d for d, _ in exp]
+        for (d, w), (_, row) in zip(exp, got.iterrows()):
+            assert row["rrf"] == np.floor(w * 1e6 + 0.5) / 1e6
