@@ -820,6 +820,13 @@ def _top_terms_per_lang(sf_dir: str):
     return top_terms_per_lang(sf_dir)
 
 
+def _q5_local_supplier(sf_dir: str):
+    # TPC-H Q5 analog: broadcast dims + ONE coarse-gkey cogroup for
+    # the orders x lineitem fact join + nation-bounded partial sums
+    from jesterj_ray.pipelines.relational import q5_local_supplier_volume
+    return q5_local_supplier_volume(sf_dir)
+
+
 def _tfidf_keywords(sf_dir: str):
     # per-doc top-5 tf-idf keywords: per-block partial df -> small
     # term groupby -> broadcast df probe + block-local top-k (a doc
@@ -1175,6 +1182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq_top10": _knn_pq,
         "synonym_topk": _synonym_topk,
         "q3_top_orders": _q3_top_orders,
+        "q5_local_supplier_volume": _q5_local_supplier,
         "c4_line_filter": _c4_line_filter,
         "email_extract": _email_extract,
         "rtf_extract": _rtf_extract,
@@ -2952,6 +2960,19 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             ORDER BY p.doc_id""",
         # engine: relational.q3_top_orders — TPC-H Q3 shipping
         # priority: rank = (2dp revenue desc, o_orderdate, l_orderkey)
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name""",
         "q3_top_orders": """
             WITH c AS (SELECT c_custkey FROM customer
                        WHERE c_mktsegment = 'BUILDING'),

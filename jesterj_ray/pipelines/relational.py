@@ -68,8 +68,16 @@ def _fold_blocks(parts: "rd.Dataset") -> pa.Table:
     block, so its schema-less empty block reaches the fold verbatim and
     would break concat_tables (hit by small inputs + override_num_blocks
     > rows)."""
-    ts = [t for t in ray.get(parts.to_arrow_refs())
-          if t.num_rows > 0 and t.num_columns > 0]
+    ts = []
+    for t in ray.get(parts.to_arrow_refs()):
+        if isinstance(t, pd.DataFrame):
+            # an upstream map_groups stage stores PANDAS blocks; empty
+            # ones skip the map fn and reach the fold unconverted
+            if len(t) == 0 or t.shape[1] == 0:
+                continue
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows > 0 and t.num_columns > 0:
+            ts.append(t)
     if not ts:
         return None
     return pa.concat_tables(ts)
@@ -1155,3 +1163,132 @@ def q3_top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .dt.strftime("%Y-%m-%d")
     return out[["rank", "l_orderkey", "revenue", "o_orderdate",
                 "o_orderpriority"]].reset_index(drop=True)
+
+
+Q5_REGION = "ASIA"
+Q5_LO = np.datetime64("1996-01-01")
+Q5_HI = np.datetime64("1997-01-01")
+
+
+def q5_local_supplier_volume(sf_dir: str, *, num_groups: int = 32
+                             ) -> pd.DataFrame:
+    """TPC-H Q5-style local-supplier-volume: per-nation revenue where
+    the customer and the supplier share a nation inside one region,
+    over a one-year order window.
+
+    Join-strategy mix, chosen per side's TRUE scale:
+      - region/nation (O(10) rows) and the region-filtered supplier
+        and customer KEY MAPS (two ints per row) broadcast once
+        (``ray.put``), size-guarded like broadcast_left_join — past
+        the guard the customer probe becomes one more coarse-gkey
+        cogroup, same as the fact join below;
+      - orders (fact, date-filtered) and lineitem (fact,
+        supplier-filtered) are BOTH data-sized, so their orderkey
+        equi-join is the ONE unavoidable shuffle: the shared
+        ``_cogroup_join`` scaffolding (coarse gkey, int-safe per-group
+        resolve) with a positional searchsorted pair_fn — orders is
+        unique per key, so each group resolves as a lookup;
+      - the joined rows collapse via ``partial_groupby_sum`` on the
+        nation key (cardinality <= 25: block partials + driver fold,
+        never a row shuffle).
+
+    Revenue rounds to 2dp like q1/q3 (float association differences
+    are ~1e-7 on ~1e7 sums; 2dp cannot straddle).
+    """
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkey = region.filter(pc.equal(region["r_name"], Q5_REGION)
+                         )["r_regionkey"].combine_chunks()
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkey))
+    nkeys = nat["n_nationkey"].combine_chunks()
+    names = dict(zip(nat["n_nationkey"].to_pylist(),
+                     nat["n_name"].to_pylist()))
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp["s_nationkey"], value_set=nkeys))
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=nkeys))
+    for small in (supp, cust):
+        assert small.num_rows <= BROADCAST_MAX_ROWS \
+            and small.nbytes <= BROADCAST_MAX_BYTES, \
+            "key map exceeds broadcast guard — cogroup it instead"
+    s_ids = np.asarray(supp["s_suppkey"], dtype=np.int64)
+    s_nat = np.asarray(supp["s_nationkey"], dtype=np.int64)
+    so = np.argsort(s_ids)
+    s_ref = ray.put((s_ids[so], s_nat[so]))
+    c_ids = np.asarray(cust["c_custkey"], dtype=np.int64)
+    c_nat = np.asarray(cust["c_nationkey"], dtype=np.int64)
+    co = np.argsort(c_ids)
+    c_ref = ray.put((c_ids[co], c_nat[co]))
+
+    lo = pa.scalar(Q5_LO.astype("datetime64[us]").item())
+    hi = pa.scalar(Q5_HI.astype("datetime64[us]").item())
+
+    def orders_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        ids, nats = ray.get(c_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ids, ck)
+        pos = np.clip(pos, 0, max(ids.size - 1, 0))
+        hit = (ids[pos] == ck) if ids.size else np.zeros(len(ck), bool)
+        return pa.table({
+            "l_orderkey": pa.array(t["o_orderkey"].to_numpy(
+                zero_copy_only=False)[hit], pa.int64()),
+            "cnat": pa.array(nats[pos[hit]], pa.int64())})
+
+    def lineitem_rows(t: pa.Table) -> pa.Table:
+        ids, nats = ray.get(s_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ids, sk)
+        pos = np.clip(pos, 0, max(ids.size - 1, 0))
+        hit = (ids[pos] == sk) if ids.size else np.zeros(len(sk), bool)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(1.0, t["l_discount"])).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": pa.array(t["l_orderkey"].to_numpy(
+                zero_copy_only=False)[hit], pa.int64()),
+            "snat": pa.array(nats[pos[hit]], pa.int64()),
+            "rev": pa.array(rev[hit], pa.float64())})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        override_num_blocks=8).map_batches(
+            orders_rows, batch_format="pyarrow")
+    line = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+        override_num_blocks=16).map_batches(
+            lineitem_rows, batch_format="pyarrow")
+
+    def pair(lg: pd.DataFrame, rg: pd.DataFrame):
+        rk = rg["l_orderkey"].to_numpy()
+        order = np.argsort(rk, kind="mergesort")
+        rk_s = rk[order]
+        lk = lg["l_orderkey"].to_numpy()
+        pos = np.searchsorted(rk_s, lk)
+        pos = np.clip(pos, 0, rk_s.size - 1)
+        hit = rk_s[pos] == lk
+        return np.flatnonzero(hit), order[pos[hit]]
+
+    joined = _cogroup_join(line, orders, by="l_orderkey",
+                           num_groups=num_groups, pair_fn=pair)
+
+    def same_nation(d: pd.DataFrame) -> pd.DataFrame:
+        return d.loc[d["snat"] == d["cnat_r"], ["snat", "rev"]]
+
+    rows = joined.map_batches(same_nation, batch_format="pandas")
+    agg = partial_groupby_sum(rows, ["snat"], ["rev"], count=False) \
+        .to_pandas()
+    agg["revenue"] = agg["rev_sum"].round(2)
+    agg["n_name"] = [names[int(x)] for x in agg["snat"]]
+    agg = agg.sort_values(["revenue", "n_name"],
+                          ascending=[False, True], kind="mergesort")
+    return agg[["n_name", "revenue"]].reset_index(drop=True)

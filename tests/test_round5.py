@@ -663,3 +663,39 @@ def test_hybrid_rrf_fusion_semantics(ray_session):
         assert list(got["doc_id"]) == [d for d, _ in exp]
         for (d, w), (_, row) in zip(exp, got.iterrows()):
             assert row["rrf"] == np.floor(w * 1e6 + 0.5) / 1e6
+
+
+def test_q5_num_groups_independence(ray_session):
+    """Q5's cogroup fact join must give the same answer at any group
+    count, and match a direct pandas recompute."""
+    from jesterj_ray.pipelines.relational import (
+        q5_local_supplier_volume, Q5_REGION, Q5_LO, Q5_HI)
+    sf = "/root/testdata/sf0.001"
+    a = q5_local_supplier_volume(sf, num_groups=4)
+    b = q5_local_supplier_volume(sf, num_groups=64)
+    pd.testing.assert_frame_equal(a, b)
+    # brute-force recompute
+    rd_ = lambda n, cols=None: pq.read_table(
+        os.path.join(sf, n + ".parquet"), columns=cols).to_pandas()
+    nation, region = rd_("nation"), rd_("region")
+    nk = nation.merge(region, left_on="n_regionkey",
+                      right_on="r_regionkey")
+    nk = nk[nk["r_name"] == Q5_REGION]
+    cust = rd_("customer", ["c_custkey", "c_nationkey"])
+    supp = rd_("supplier", ["s_suppkey", "s_nationkey"])
+    orders = rd_("orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders[(orders["o_orderdate"] >= pd.Timestamp(str(Q5_LO)))
+                    & (orders["o_orderdate"] < pd.Timestamp(str(Q5_HI)))]
+    li = rd_("lineitem", ["l_orderkey", "l_suppkey",
+                          "l_extendedprice", "l_discount"])
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey") \
+        .merge(cust, left_on="o_custkey", right_on="c_custkey") \
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    j = j[(j["c_nationkey"] == j["s_nationkey"])
+          & j["s_nationkey"].isin(nk["n_nationkey"])]
+    j["rev"] = j["l_extendedprice"] * (1 - j["l_discount"])
+    exp = j.groupby("s_nationkey")["rev"].sum().round(2)
+    got = a.merge(nk[["n_nationkey", "n_name"]], on="n_name")
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert abs(r["revenue"] - exp[r["n_nationkey"]]) < 0.02
