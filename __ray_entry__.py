@@ -820,6 +820,14 @@ def _top_terms_per_lang(sf_dir: str):
     return top_terms_per_lang(sf_dir)
 
 
+def _events_quantiles(sf_dir: str):
+    # exact distributed quantile_disc: counts-only histogram shuffle +
+    # one targeted bucket fetch; selected values are input ELEMENTS so
+    # the comparison is bit-exact (no rounding)
+    from jesterj_ray.stages.quantiles import events_value_quantiles
+    return events_value_quantiles(sf_dir)
+
+
 def _q5_local_supplier(sf_dir: str):
     # TPC-H Q5 analog: broadcast dims + ONE coarse-gkey cogroup for
     # the orders x lineitem fact join + nation-bounded partial sums
@@ -1183,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_topk": _synonym_topk,
         "q3_top_orders": _q3_top_orders,
         "q5_local_supplier_volume": _q5_local_supplier,
+        "events_value_quantiles": _events_quantiles,
         "c4_line_filter": _c4_line_filter,
         "email_extract": _email_extract,
         "rtf_extract": _rtf_extract,
@@ -2960,6 +2969,21 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             ORDER BY p.doc_id""",
         # engine: relational.q3_top_orders — TPC-H Q3 shipping
         # priority: rank = (2dp revenue desc, o_orderdate, l_orderkey)
+        "events_value_quantiles": """
+            WITH a AS (
+              SELECT event_type,
+                     quantile_disc(value, 0.25) AS q25,
+                     quantile_disc(value, 0.5)  AS q50,
+                     quantile_disc(value, 0.9)  AS q90,
+                     quantile_disc(value, 0.99) AS q99
+              FROM events GROUP BY event_type)
+            SELECT event_type, q, value FROM (
+              SELECT event_type, CAST(0.25 AS DOUBLE) AS q,
+                     q25 AS value FROM a
+              UNION ALL SELECT event_type, 0.5, q50 FROM a
+              UNION ALL SELECT event_type, 0.9, q90 FROM a
+              UNION ALL SELECT event_type, 0.99, q99 FROM a)
+            ORDER BY event_type, q""",
         "q5_local_supplier_volume": """
             SELECT n_name,
                    round(sum(l_extendedprice * (1 - l_discount)), 2)

@@ -699,3 +699,31 @@ def test_q5_num_groups_independence(ray_session):
     assert len(got) == len(exp)
     for _, r in got.iterrows():
         assert abs(r["revenue"] - exp[r["n_nationkey"]]) < 0.02
+
+
+def test_group_quantiles_exact_selection(ray_session):
+    """group_quantiles must equal direct ceil(q*n)-1 selection on
+    adversarial data (negatives, duplicates, singleton groups), at any
+    bucket_bits and block split."""
+    import math
+    from jesterj_ray.stages.quantiles import group_quantiles
+    rng = np.random.RandomState(7)
+    g = np.repeat(["a", "b", "c", "d"], [997, 100, 3, 1])
+    v = np.concatenate([rng.randn(997) * 100,
+                        np.repeat(-5.25, 100),        # constant group
+                        [0.1, -0.1, 0.0], [42.0]])
+    t = pa.table({"g": pa.array(g), "v": pa.array(v, pa.float64())})
+    qs = (0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    outs = []
+    for bits, nb in ((16, 4), (6, 4), (16, 32)):
+        ds = rd.from_arrow(t).repartition(nb)
+        outs.append(group_quantiles(ds, "g", "v", qs,
+                                    bucket_bits=bits))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    out = outs[0].set_index(["group", "q"])["value"]
+    for grp in "abcd":
+        sv = np.sort(v[g == grp])
+        for q in qs:
+            idx = max(0, math.ceil(q * sv.size) - 1)
+            assert out[(grp, q)] == sv[idx], (grp, q)
