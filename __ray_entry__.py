@@ -820,6 +820,13 @@ def _top_terms_per_lang(sf_dir: str):
     return top_terms_per_lang(sf_dir)
 
 
+def _dsir_scores(sf_dir: str):
+    # DSIR data selection: hashed-bigram log-likelihood-ratio scores
+    # (target = lang 'en'), three streamed passes, NB-bounded exchange
+    from jesterj_ray.stages.dsir import dsir_scores
+    return dsir_scores(sf_dir)
+
+
 def _events_quantiles(sf_dir: str):
     # exact distributed quantile_disc: counts-only histogram shuffle +
     # one targeted bucket fetch; selected values are input ELEMENTS so
@@ -1192,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": _q3_top_orders,
         "q5_local_supplier_volume": _q5_local_supplier,
         "events_value_quantiles": _events_quantiles,
+        "dsir_importance_scores": _dsir_scores,
         "c4_line_filter": _c4_line_filter,
         "email_extract": _email_extract,
         "rtf_extract": _rtf_extract,
@@ -1438,6 +1446,53 @@ JOIN e ey ON ey.vec_id = y.vec_id
 GROUP BY x.vec_id, x.cid
 HAVING max(list_cosine_similarity(ex.v, ey.v)) >= {tau}
 ORDER BY x.vec_id"""
+
+
+def _dsir_sql(target_lang: str = "en", nb: int = 1024) -> str:
+    # DSIR importance weights (stages/dsir.py): term ids are the
+    # dense rank of the sorted distinct vocabulary (ASCII tokens, so
+    # Python sort == DuckDB binary collation), bigram key =
+    # tid1 * V + tid2, bucket = frozen mix_rank hash % NB, add-one
+    # log-ratio weights, per-doc occurrence sums.  Docs with < 2
+    # tokens have no features and are absent on both sides.
+    return f"""
+WITH tk AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+vocab AS (
+  SELECT term,
+         CAST(dense_rank() OVER (ORDER BY term) - 1 AS BIGINT) AS tid
+  FROM (SELECT DISTINCT term
+        FROM (SELECT unnest(tk) AS term FROM tk) u)),
+vsz AS (SELECT count(*) AS v FROM vocab),
+big AS (
+  SELECT doc_id, lang, tk[i] AS t1, tk[i + 1] AS t2
+  FROM (SELECT doc_id, lang, tk,
+               unnest(generate_series(1, length(tk) - 1)) AS i
+        FROM tk)),
+keys AS (
+  SELECT big.doc_id, big.lang,
+         v1.tid * (SELECT v FROM vsz) + v2.tid AS k
+  FROM big JOIN vocab v1 ON big.t1 = v1.term
+           JOIN vocab v2 ON big.t2 = v2.term),
+bb AS (
+  SELECT doc_id, lang,
+         ((k % 1000003) * 2654435761 + k % 1000000007)
+             % 1000000007 % {nb} AS bucket
+  FROM keys),
+cnt AS (
+  SELECT bucket,
+         count(*) FILTER (WHERE lang = '{target_lang}') AS ct,
+         count(*) AS cr
+  FROM bb GROUP BY bucket),
+tot AS (SELECT sum(ct) AS t, sum(cr) AS r FROM cnt),
+wt AS (
+  SELECT bucket,
+         ln(CAST(ct + 1 AS DOUBLE) / (t + {nb}))
+           - ln(CAST(cr + 1 AS DOUBLE) / (r + {nb})) AS w
+  FROM cnt CROSS JOIN tot)
+SELECT doc_id, round(sum(w), 6) AS score
+FROM bb JOIN wt USING (bucket)
+GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 def _hybrid_rrf_sql(k: int = 10, c: int = 60, depth: int = 100) -> str:
@@ -2969,6 +3024,7 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             ORDER BY p.doc_id""",
         # engine: relational.q3_top_orders — TPC-H Q3 shipping
         # priority: rank = (2dp revenue desc, o_orderdate, l_orderkey)
+        "dsir_importance_scores": _dsir_sql(),
         "events_value_quantiles": """
             WITH a AS (
               SELECT event_type,

@@ -727,3 +727,24 @@ def test_group_quantiles_exact_selection(ray_session):
         for q in qs:
             idx = max(0, math.ceil(q * sv.size) - 1)
             assert out[(grp, q)] == sv[idx], (grp, q)
+
+
+def test_dsir_scores_properties(ray_session):
+    """DSIR: block-count independent, covers exactly the docs with
+    >= 2 tokens, and discriminates — target-language docs average a
+    higher importance score than the rest (the method's whole point)."""
+    from jesterj_ray.stages.dsir import dsir_scores
+    sf = "/root/testdata/sf0.001"
+    a = dsir_scores(sf, num_blocks=4)
+    b = dsir_scores(sf, num_blocks=32)
+    pd.testing.assert_frame_equal(a, b)
+    docs = pq.read_table(os.path.join(sf, "documents.parquet"),
+                         columns=["doc_id", "lang", "text"]).to_pandas()
+    from jesterj_ray.tokenize.tokenizer import simple_tokenize
+    want = {int(d) for d, t in zip(docs["doc_id"], docs["text"])
+            if len(simple_tokenize(t or "")) >= 2}
+    assert set(a["doc_id"]) == want
+    m = a.merge(docs[["doc_id", "lang"]], on="doc_id")
+    t_mean = m.loc[m["lang"] == "en", "score"].mean()
+    r_mean = m.loc[m["lang"] != "en", "score"].mean()
+    assert t_mean > r_mean
