@@ -594,6 +594,12 @@ def _bm25_function_boost(sf_dir: str):
     return bm25_function_boost_documents(sf_dir)
 
 
+def _bm25_wildcard_topk(sf_dir: str):
+    # Lucene WildcardQuery analog: m*ge / s?ream / leading-* scan
+    from jesterj_ray.pipelines.flagship import bm25_wildcard_topk_documents
+    return bm25_wildcard_topk_documents(sf_dir)
+
+
 def _bm25_prefix_topk(sf_dir: str):
     from jesterj_ray.pipelines.flagship import bm25_prefix_topk_documents
     return bm25_prefix_topk_documents(sf_dir)
@@ -1301,6 +1307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filter_query": _bm25_filter_query,
         "match_sort_by_field": _match_sort_by_field,
         "bm25_prefix_topk": _bm25_prefix_topk,
+        "bm25_wildcard_topk": _bm25_wildcard_topk,
         "bm25_fuzzy_topk": _bm25_fuzzy_topk,
         "more_like_this": _more_like_this,
         "asof_purchase_click": _asof_purchase_click,
@@ -1998,6 +2005,55 @@ ORDER BY r.qid, r.rank
         # engine: IndexReader.topk_prefix (Lucene PrefixQuery analog:
         # expand to the lexicographically first 50 dictionary terms
         # matching the prefix, score disjunctively, per-term idf)
+        "bm25_wildcard_topk": f"""
+WITH pq(qid, pat) AS (VALUES (1,'m%ge'),(2,'s_ream'),
+                             (3,'cust%er'),(4,'%zzz%')),
+qk(qid, k) AS (VALUES (1,10),(2,7),(3,10),(4,10)),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+expanded AS (
+  SELECT qid, term FROM (
+    SELECT p.qid, t.term,
+           row_number() OVER (PARTITION BY p.qid ORDER BY t.term) AS rn
+    FROM (SELECT DISTINCT term FROM toks) t
+    JOIN pq p ON t.term LIKE p.pat
+  ) WHERE rn <= 50
+),
+tf AS (
+  SELECT q.qid, q.term, t.doc_id, count(*) AS tf
+  FROM toks t JOIN expanded q USING (term)
+  GROUP BY q.qid, q.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM expanded) GROUP BY term
+),
+scores AS (
+  SELECT tf.qid, tf.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.doc_id, round(r.score, 6) AS score
+FROM ranked r JOIN qk ON r.qid = qk.qid
+WHERE r.rank <= qk.k
+ORDER BY r.qid, r.rank
+""",
         "bm25_prefix_topk": f"""
 WITH pq(qid, prefix) AS (VALUES (1,'me'),(2,'st'),(3,'customer'),(4,'zzz')),
 qk(qid, k) AS (VALUES (1,10),(2,7),(3,10),(4,10)),

@@ -852,6 +852,41 @@ class IndexReader:
             return []
         return self._topk_from_dense(self._scores_buf, touched, k)
 
+    def terms_matching(self, pattern: str, max_terms: int = 50
+                       ) -> List[str]:
+        """Dictionary terms matching a Lucene wildcard pattern (``*``
+        any run, ``?`` one char), capped to the lexicographically
+        first ``max_terms``.  Translated to SQL-LIKE and matched with
+        one Arrow ``match_like`` kernel per shard's term column —
+        vocab-bounded, no per-term Python.  A LEADING wildcard scans
+        the whole dictionary (Lucene's documented wildcard cost; its
+        reversed-term field is the index-side fix, out of scope)."""
+        import pyarrow.compute as _pc
+        like = pattern.replace("%", r"\%").replace("_", r"\_") \
+            .replace("*", "%").replace("?", "_")
+        parts = []
+        for shard in range(self.num_shards):
+            states = self._load_shard(shard)
+            for st in states or []:
+                col = st["term_col"]
+                parts.append(_pc.unique(
+                    col.filter(_pc.match_like(col, like))))
+        if not parts:
+            return []
+        cands = _pc.unique(pa.chunked_array(parts))
+        return sorted(cands.to_pylist())[:max_terms]
+
+    def topk_wildcard(self, pattern: str, k: int = 10,
+                      max_terms: int = 50) -> List[Tuple[int, float]]:
+        """Wildcard BM25 top-k (Lucene WildcardQuery / Solr ``m*ge``
+        analog): expand to matching dictionary terms, score
+        disjunctively in sorted term order, each with its own idf."""
+        terms = self.terms_matching(pattern, max_terms)
+        touched = self._score_disjunctive(terms)
+        if touched.size == 0:
+            return []
+        return self._topk_from_dense(self._scores_buf, touched, k)
+
     def topk_synonyms(self, query: str, synonyms: dict, k: int = 10):
         """Query-time synonym expansion (Solr SynonymGraphFilter at
         query time, OR semantics): each query term expands to its

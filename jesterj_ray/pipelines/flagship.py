@@ -1545,3 +1545,40 @@ def hybrid_rrf_topk(sf_dir: str, *, k: int = 10, c: int = RRF_C,
     for col in ("qid", "rank", "doc_id"):
         res[col] = res[col].astype(np.int64)
     return res.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+WILDCARD_QUERIES = [
+    # Lucene wildcard syntax; the oracle mirrors with SQL LIKE
+    {"qid": 1, "pattern": "m*ge", "k": 10},
+    # k=7: three docs tie at 6dp at ranks 8-10 for 'stream' (the same
+    # tie the prefix family's st* hits); sub-1e-6 summation order
+    # flips between engine and DuckDB
+    {"qid": 2, "pattern": "s?ream", "k": 7},
+    {"qid": 3, "pattern": "cust*er", "k": 10},
+    {"qid": 4, "pattern": "*zzz*", "k": 10},   # leading-* full scan
+]
+
+
+def bm25_wildcard_topk_documents(sf_dir: str,
+                                 queries: Optional[List[dict]] = None,
+                                 max_terms: int = 50) -> pd.DataFrame:
+    """Wildcard-expansion BM25 (IndexReader.topk_wildcard; Lucene
+    WildcardQuery / Solr ``m*ge`` analog).  Columns
+    (qid, rank, doc_id, score) match the SQL oracle."""
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    rows = {"qid": [], "rank": [], "doc_id": [], "score": []}
+    for q in (queries or WILDCARD_QUERIES):
+        hits = reader.topk_wildcard(q["pattern"], q["k"], max_terms)
+        ids = np.array([h[0] for h in hits], dtype=np.int64)
+        keys = reader.doc_keys(ids)
+        for r, ((_, score), key) in enumerate(zip(hits, keys), 1):
+            rows["qid"].append(q["qid"])
+            rows["rank"].append(r)
+            rows["doc_id"].append(int(key))
+            rows["score"].append(round(score, 6))
+    return pd.DataFrame({
+        "qid": pd.Series(rows["qid"], dtype=np.int64),
+        "rank": pd.Series(rows["rank"], dtype=np.int64),
+        "doc_id": pd.Series(rows["doc_id"], dtype=np.int64),
+        "score": pd.Series(rows["score"], dtype=np.float64)})

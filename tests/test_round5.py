@@ -748,3 +748,22 @@ def test_dsir_scores_properties(ray_session):
     t_mean = m.loc[m["lang"] == "en", "score"].mean()
     r_mean = m.loc[m["lang"] != "en", "score"].mean()
     assert t_mean > r_mean
+
+
+def test_wildcard_term_expansion(ray_session):
+    """terms_matching: * and ? translate to LIKE semantics over the
+    dictionary; leading-* scans; expansion is sorted and capped."""
+    from jesterj_ray.pipelines.flagship import documents_index
+    from jesterj_ray.index.query import IndexReader
+    from jesterj_ray.tokenize.tokenizer import simple_tokenize
+    sf = "/root/testdata/sf0.001"
+    reader = IndexReader(documents_index(sf))
+    docs = pq.read_table(os.path.join(sf, "documents.parquet"),
+                         columns=["text"]).to_pandas()
+    vocab = sorted({t for x in docs["text"]
+                    for t in simple_tokenize(x or "")})
+    import fnmatch
+    for pat in ("m*ge", "s?ream", "*er", "*zzz*", "a*"):
+        exp = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pat))[:50]
+        assert reader.terms_matching(pat, 50) == exp, pat
+    assert len(reader.terms_matching("*", 10)) == 10  # cap applies
