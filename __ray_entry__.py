@@ -826,6 +826,20 @@ def _top_terms_per_lang(sf_dir: str):
     return top_terms_per_lang(sf_dir)
 
 
+def _events_rollup(sf_dir: str):
+    # GROUP BY ROLLUP: fine level via partial sums, super-aggregates
+    # folded from the fine level (one scan)
+    from jesterj_ray.pipelines.relational import events_rollup
+    return events_rollup(sf_dir)
+
+
+def _jl_project(sf_dir: str):
+    # JL sign projection (Achlioptas): frozen-hash sign matrix,
+    # exact power-of-two scale, one matmul per block
+    from jesterj_ray.ann.projection import jl_project
+    return jl_project(sf_dir, d_out=16)
+
+
 def _dsir_scores(sf_dir: str):
     # DSIR data selection: hashed-bigram log-likelihood-ratio scores
     # (target = lang 'en'), three streamed passes, NB-bounded exchange
@@ -1206,6 +1220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": _q5_local_supplier,
         "events_value_quantiles": _events_quantiles,
         "dsir_importance_scores": _dsir_scores,
+        "jl_projection": _jl_project,
+        "events_rollup": _events_rollup,
         "c4_line_filter": _c4_line_filter,
         "email_extract": _email_extract,
         "rtf_extract": _rtf_extract,
@@ -3081,6 +3097,31 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
         # engine: relational.q3_top_orders — TPC-H Q3 shipping
         # priority: rank = (2dp revenue desc, o_orderdate, l_orderkey)
         "dsir_importance_scores": _dsir_sql(),
+        "events_rollup": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+            ORDER BY event_type NULLS LAST, day NULLS LAST""",
+        # sign(i,j) = 1 - 2*(mix_rank(i*16+j) % 2); /4.0 is the exact
+        # 1/sqrt(16) power-of-two scale (commutes with summation)
+        "jl_projection": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            sgn AS (
+              SELECT i, j,
+                     1 - 2 * CAST(
+                       (((i * 16 + j) % 1000003) * 2654435761
+                        + (i * 16 + j) % 1000000007)
+                       % 1000000007 % 2 AS BIGINT) AS s
+              FROM (SELECT unnest(range(0, 64)) AS i),
+                   (SELECT unnest(range(0, 16)) AS j))
+            SELECT e.vec_id, g.j,
+                   round(sum(e.v[g.i + 1] * g.s) / 4.0, 6) AS value
+            FROM e CROSS JOIN sgn g
+            GROUP BY e.vec_id, g.j
+            ORDER BY e.vec_id, g.j""",
         "events_value_quantiles": """
             WITH a AS (
               SELECT event_type,

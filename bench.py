@@ -204,6 +204,15 @@ def run_bench() -> dict:
                 num_shards=4),
             qvecs, k=10, ef_search=64))(__import__(
                 "jesterj_ray.ann.hnsw", fromlist=["x"]))),
+        # r05: k-means (4 Lloyd rounds) + cluster-bounded SemDeDup
+        ("semdedup", lambda: __import__(
+            "jesterj_ray.stages.clustering", fromlist=["x"])
+            .semdedup(SF_DIR, k=8, iters=4, tau=0.4,
+                      num_blocks=NUM_CPUS).shape[0]),
+        # r05: DSIR hashed-bigram importance scores (3 streamed passes)
+        ("dsir_scores", lambda: __import__(
+            "jesterj_ray.stages.dsir", fromlist=["x"])
+            .dsir_scores(SF_DIR, num_blocks=NUM_CPUS).shape[0]),
     ]
     samples: dict = {name: [] for name, _ in supporting}
     for _pass in range(2):
@@ -330,6 +339,26 @@ def run_bench() -> dict:
         for tag in ("docidxf3-title", "docidxf3-body",
                     "docidxf3-split"):
             shutil.rmtree(_cache_dir(SF_DIR, tag), ignore_errors=True)
+
+    # block-join: fresh child-paragraph index build + parent-ranking
+    # query loop (full child match set -> per-parent max reduceat)
+    import pandas as _pd
+
+    from jesterj_ray.pipelines.flagship import (BlockJoinQueryActor,
+                                                documents_children_index)
+    shutil.rmtree(_cache_dir(SF_DIR, "docidx-child1"), ignore_errors=True)
+    t0 = time.time()
+    cidx = documents_children_index(SF_DIR)
+    timings["blockjoin_child_build"] = time.time() - t0
+    bj = BlockJoinQueryActor(cidx, "max")
+    qdf = _pd.DataFrame({"qid": [q["qid"] for q in DOC_QUERIES],
+                         "query": [q["query"] for q in DOC_QUERIES],
+                         "k": [q["k"] for q in DOC_QUERIES]})
+    bj(qdf)  # postings warm-up, untimed
+    t0 = time.time()
+    for _ in range(20):
+        bj(qdf)
+    timings["block_join_120q"] = time.time() - t0
 
     headline = timings["index_build"]
     result = {

