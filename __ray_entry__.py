@@ -826,6 +826,13 @@ def _top_terms_per_lang(sf_dir: str):
     return top_terms_per_lang(sf_dir)
 
 
+def _funnel(sf_dir: str):
+    # event funnel view->click->purchase: per-user greedy subsequence
+    # match, one coarse-gkey shuffle, masked reduceat per stage
+    from jesterj_ray.pipelines.relational import funnel_stages
+    return funnel_stages(sf_dir)
+
+
 def _events_rollup(sf_dir: str):
     # GROUP BY ROLLUP: fine level via partial sums, super-aggregates
     # folded from the fine level (one scan)
@@ -1222,6 +1229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance_scores": _dsir_scores,
         "jl_projection": _jl_project,
         "events_rollup": _events_rollup,
+        "funnel_stages": _funnel,
         "c4_line_filter": _c4_line_filter,
         "email_extract": _email_extract,
         "rtf_extract": _rtf_extract,
@@ -3097,6 +3105,28 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
         # engine: relational.q3_top_orders — TPC-H Q3 shipping
         # priority: rank = (2dp revenue desc, o_orderdate, l_orderkey)
         "dsir_importance_scores": _dsir_sql(),
+        # greedy funnel: stage k+1's event must be STRICTLY after the
+        # user's matched stage-k event (min-after chain)
+        "funnel_stages": """
+            WITH u1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            u2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN u1 ON e.user_id = u1.user_id AND e.ts > u1.t
+                              AND e.ts <= u1.t + INTERVAL 24 HOURS
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            u3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN u2 ON e.user_id = u2.user_id AND e.ts > u2.t
+                              AND e.ts <= u2.t + INTERVAL 24 HOURS
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+            st AS (SELECT u1.user_id,
+                     CASE WHEN u3.user_id IS NOT NULL THEN 3
+                          WHEN u2.user_id IS NOT NULL THEN 2
+                          ELSE 1 END AS stage
+                   FROM u1 LEFT JOIN u2 USING (user_id)
+                           LEFT JOIN u3 USING (user_id))
+            SELECT CAST(stage AS BIGINT) AS stage,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM st GROUP BY stage ORDER BY stage""",
         "events_rollup": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    CAST(count(*) AS BIGINT) AS n,

@@ -1326,3 +1326,65 @@ def events_rollup(sf_dir: str) -> pd.DataFrame:
     return out[["event_type", "day", "n", "sum_value"]] \
         .sort_values(["event_type", "day"], na_position="last") \
         .reset_index(drop=True)
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_stages(sf_dir: str, stages=FUNNEL_STAGES,
+                  window_hours: int = 24,
+                  num_groups: int = 64) -> pd.DataFrame:
+    """Event funnel with a conversion window: per user, greedy
+    first-occurrence subsequence match of ``stages`` — stage k+1 must
+    occur STRICTLY after the matched stage-k event and within
+    ``window_hours`` of it; output = users per FURTHEST stage reached,
+    stages 1..len (never-entered users are absent).
+
+    One coarse-gkey shuffle (``_user_windows``); inside each group the
+    stage-k "min ts after prev" for ALL users is one masked
+    ``np.minimum.reduceat`` over user segments — no per-user Python.
+    Each group emits (stage, n) partials; the driver folds
+    num_groups x stages tiny rows."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"],
+                         override_num_blocks=16)
+    sentinel = np.iinfo(np.int64).max
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"stage": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        order, u, ts, starts = _user_sorted(g)
+        tsi = ts.astype("datetime64[us]").view("int64")
+        etype = g["event_type"].to_numpy()[order]
+        seg_lens = np.diff(np.concatenate([starts, [u.size]]))
+        prev = np.full(starts.size, -np.iinfo(np.int64).max,
+                       dtype=np.int64)      # "after -inf" = any event
+        furthest = np.zeros(starts.size, dtype=np.int64)
+        win = np.int64(window_hours) * 3_600_000_000  # us
+        for k, st in enumerate(stages, 1):
+            pr = np.repeat(prev, seg_lens)
+            ok = (etype == st) & (tsi > pr)
+            if k > 1:
+                # conversion window only between matched stages (the
+                # first stage anchors anywhere); clamp keeps the
+                # sentinel rows (already excluded by tsi > pr) from
+                # wrapping int64 in pr + win
+                ok &= tsi <= np.minimum(pr, sentinel - win) + win
+            masked = np.where(ok, tsi, sentinel)
+            mins = np.minimum.reduceat(masked, starts)
+            hit = mins < sentinel
+            furthest[hit] = k
+            prev = np.where(hit, mins, sentinel)  # dead users match none
+        got, cnt = np.unique(furthest[furthest > 0], return_counts=True)
+        return pd.DataFrame({"stage": got.astype(np.int64),
+                             "n": cnt.astype(np.int64)})
+
+    parts = _user_windows(ds, resolve, num_groups=num_groups) \
+        .to_pandas()
+    out = parts.groupby("stage", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_users"})
+    out["stage"] = out["stage"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("stage").reset_index(drop=True)

@@ -811,3 +811,36 @@ def test_events_rollup_levels(ray_session):
         f = fine[fine["event_type"] == r["event_type"]]
         assert int(r["n"]) == int(f["n"].sum())
         assert abs(r["sum_value"] - f["sum_value"].sum()) < 0.01
+
+
+def test_funnel_greedy_window_semantics(ray_session, tmp_path):
+    """Hand-built sequences pin the funnel rules: strict after,
+    conversion window, greedy FIRST match (a later click that would
+    fit the window cannot resurrect an expired funnel), dead users
+    stay dead, never-entered users absent."""
+    from jesterj_ray.pipelines.relational import funnel_stages
+    H = 3_600_000_000  # us per hour
+    base = np.datetime64("2020-01-01T00:00:00", "us").astype(np.int64)
+    rows = []  # (user, ts_hours, type)
+
+    def add(u, h, t):
+        rows.append((u, base + h * H, t))
+    add(1, 0, "view"); add(1, 1, "click"); add(1, 2, "purchase")  # 3
+    add(2, 0, "view"); add(2, 30, "click")       # click outside 24h -> 1
+    add(3, 0, "view"); add(3, 1, "click"); add(3, 40, "purchase")  # 2
+    # greedy: FIRST click at +1h anchors; purchase at +26h is outside
+    # ITS window even though a second click at +20h would fit
+    add(4, 0, "view"); add(4, 1, "click"); add(4, 20, "click")
+    add(4, 26, "purchase")                                         # 2
+    add(5, 0, "click"); add(5, 1, "purchase")    # no view -> absent
+    add(6, 0, "view"); add(6, 0, "click")        # same ts: not after -> 1
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "event_type": pa.array([r[2] for r in rows], pa.string())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = funnel_stages(str(tmp_path), num_groups=4)
+    got = dict(zip(out["stage"], out["n_users"]))
+    assert got == {1: 2, 2: 2, 3: 1}
