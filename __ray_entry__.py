@@ -826,6 +826,14 @@ def _top_terms_per_lang(sf_dir: str):
     return top_terms_per_lang(sf_dir)
 
 
+def _ann_recall(sf_dir: str):
+    # ANN quality instrumentation: recall@10 of every approximate
+    # tier vs the exact list (rows-only by nature: the approximate
+    # answers ARE the measurement; pytest pins per-method floors)
+    from jesterj_ray.ann.recall import ann_recall_report
+    return ann_recall_report(sf_dir)
+
+
 def _funnel(sf_dir: str):
     # event funnel view->click->purchase: per-user greedy subsequence
     # match, one coarse-gkey shuffle, masked reduceat per stage
@@ -1230,6 +1238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jl_projection": _jl_project,
         "events_rollup": _events_rollup,
         "funnel_stages": _funnel,
+        "ann_recall_report": _ann_recall,
         "c4_line_filter": _c4_line_filter,
         "email_extract": _email_extract,
         "rtf_extract": _rtf_extract,

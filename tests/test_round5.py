@@ -844,3 +844,17 @@ def test_funnel_greedy_window_semantics(ray_session, tmp_path):
     out = funnel_stages(str(tmp_path), num_groups=4)
     got = dict(zip(out["stage"], out["n_users"]))
     assert got == {1: 2, 2: 2, 3: 1}
+
+
+def test_ann_recall_report(ray_session):
+    """Recall floors per ANN tier at sf0.001 (8 queries, k=10): HNSW
+    near-exact, IVF nprobe=2 substantial, multiprobe beats single
+    probe, counts consistent."""
+    from jesterj_ray.ann.recall import ann_recall_report
+    out = ann_recall_report("/root/testdata/sf0.001")
+    r = out.set_index("method")["recall"]
+    assert r["hnsw"] >= 0.9
+    assert r["ivf_nprobe2"] >= 0.3
+    assert r["lsh_mp2"] >= r["lsh_mp1"]
+    assert (out["hits"] <= out["total"]).all()
+    assert (out["recall"] * out["total"] - out["hits"]).abs().max() < 1e-3
