@@ -826,6 +826,34 @@ def _top_terms_per_lang(sf_dir: str):
     return top_terms_per_lang(sf_dir)
 
 
+def _partitioned_sink(sf_dir: str):
+    # resumable key-range parquet sink round-trip: the part column
+    # comes from the FILENAMES read back, so the oracle pins the
+    # actual on-disk layout (one file per doc_id range, rows sorted)
+    import glob
+    import shutil
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+    from jesterj_ray.pipelines.flagship import _cache_dir
+    from jesterj_ray.stages.sink import write_partitioned_parquet
+    out = _cache_dir(sf_dir, "sink1")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"],
+                         override_num_blocks=8)
+    write_partitioned_parquet(ds, out, key_col="doc_id",
+                              rows_per_part=100)
+    frames = []
+    for f in sorted(glob.glob(os.path.join(out, "part-*.parquet"))):
+        t = _pq.read_table(f).to_pandas()
+        t["part"] = int(os.path.basename(f)[5:10])
+        frames.append(t)
+    back = pd.concat(frames, ignore_index=True)
+    back["part"] = back["part"].astype(np.int64)
+    return back.sort_values("doc_id").reset_index(drop=True)
+
+
 def _ann_recall(sf_dir: str):
     # ANN quality instrumentation: recall@10 of every approximate
     # tier vs the exact list (rows-only by nature: the approximate
@@ -1239,6 +1267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _events_rollup,
         "funnel_stages": _funnel,
         "ann_recall_report": _ann_recall,
+        "partitioned_sink_roundtrip": _partitioned_sink,
         "c4_line_filter": _c4_line_filter,
         "email_extract": _email_extract,
         "rtf_extract": _rtf_extract,
@@ -3114,6 +3143,11 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
         # engine: relational.q3_top_orders — TPC-H Q3 shipping
         # priority: rank = (2dp revenue desc, o_orderdate, l_orderkey)
         "dsir_importance_scores": _dsir_sql(),
+        "partitioned_sink_roundtrip": """
+            SELECT doc_id, lang,
+                   CAST((doc_id - (SELECT min(doc_id) FROM documents))
+                        // 100 AS BIGINT) AS part
+            FROM documents ORDER BY doc_id""",
         # greedy funnel: stage k+1's event must be STRICTLY after the
         # user's matched stage-k event (min-after chain)
         "funnel_stages": """

@@ -858,3 +858,39 @@ def test_ann_recall_report(ray_session):
     assert r["lsh_mp2"] >= r["lsh_mp1"]
     assert (out["hits"] <= out["total"]).all()
     assert (out["recall"] * out["total"] - out["hits"]).abs().max() < 1e-3
+
+
+def test_partitioned_sink_resume(ray_session, tmp_path):
+    """Kill one partition's write (injected), resume: completed
+    partitions skip (files untouched by mtime), the failed one
+    completes, and the directory equals a one-shot write."""
+    from jesterj_ray.stages.sink import write_partitioned_parquet
+    t = pa.table({"k": pa.array(list(range(1000, 1500)), pa.int64()),
+                  "v": pa.array([f"v{i}" for i in range(500)])})
+    one_shot = str(tmp_path / "oneshot")
+    write_partitioned_parquet(rd.from_arrow(t).repartition(8),
+                              one_shot, key_col="k", rows_per_part=100)
+    out = str(tmp_path / "resumed")
+    with pytest.raises(Exception):
+        write_partitioned_parquet(rd.from_arrow(t).repartition(8), out,
+                                  key_col="k", rows_per_part=100,
+                                  fail_pids=[2])
+    import glob
+    done_before = {f: os.path.getmtime(f) for f in
+                   glob.glob(os.path.join(out, "part-*.parquet"))}
+    assert 0 < len(done_before) < 5          # some parts landed, not all
+    st = write_partitioned_parquet(rd.from_arrow(t).repartition(8), out,
+                                   key_col="k", rows_per_part=100)
+    assert st["n_parts"] == 5 and st["skipped"] == len(done_before)
+    for f, m in done_before.items():
+        assert os.path.getmtime(f) == m      # resume never rewrote them
+    def read_parts(d):
+        fs = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+        return pa.concat_tables([pq.read_table(f) for f in fs]) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(read_parts(one_shot), read_parts(out))
+    # per-file contents identical too (layout is input-derived)
+    for f in glob.glob(os.path.join(one_shot, "part-*.parquet")):
+        g = os.path.join(out, os.path.basename(f))
+        pd.testing.assert_frame_equal(pq.read_table(f).to_pandas(),
+                                      pq.read_table(g).to_pandas())
