@@ -1695,13 +1695,14 @@ pscores AS (
   FROM cscores GROUP BY qid, doc_id
 ),
 ranked AS (
-  SELECT qid, doc_id, score, n_child_hits,
+  SELECT qid, doc_id, round(score, 6) AS score, n_child_hits,
          row_number() OVER (PARTITION BY qid
-                            ORDER BY score DESC, doc_id) AS rank
+                            ORDER BY round(score, 6) DESC, doc_id)
+             AS rank
   FROM pscores
 )
 SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.doc_id,
-       round(r.score, 6) AS score, r.n_child_hits
+       r.score, r.n_child_hits
 FROM ranked r JOIN qk ON r.qid = qk.qid
 WHERE r.rank <= qk.k
 ORDER BY r.qid, r.rank

@@ -51,8 +51,9 @@ def jl_project(sf_dir: str, *, d_out: int = 16,
     ds = rd.read_parquet(path, columns=[id_field, vec_field],
                          override_num_blocks=num_blocks)
     import pyarrow.parquet as pq
-    d_in = len(pq.read_table(path, columns=[vec_field]
-                             )[vec_field][0])
+    # d_in from ONE row group, never a full-column driver read
+    d_in = len(pq.ParquetFile(path).read_row_group(
+        0, columns=[vec_field])[vec_field][0])
     s_ref = ray.put(sign_matrix(d_in, d_out) / np.sqrt(d_out))
 
     def project(t: pa.Table) -> pa.Table:

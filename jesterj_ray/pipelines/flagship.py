@@ -1429,6 +1429,11 @@ class BlockJoinQueryActor:
                 pscore = np.maximum.reduceat(scores, starts)
             else:
                 pscore = np.add.reduceat(scores, starts)
+            # rank on the 6dp-ROUNDED total order (id-asc ties): sum
+            # mode accumulates child scores in docid order vs the
+            # oracle's own order, so sub-1e-6 parent ties would flip
+            # on the raw floats (the repo's pinned tie rule)
+            pscore = np.floor(pscore * 1e6 + 0.5) / 1e6
             top = np.lexsort((pids, -pscore))[:int(k)]
             for r, i in enumerate(top, 1):
                 out["qid"].append(int(qid))

@@ -67,7 +67,12 @@ def _doc_bigram_buckets(texts, vocab_sorted: np.ndarray,
     first = tid[:-1]
     second = tid[1:]
     keep = np.ones(first.size, dtype=bool)
-    keep[ends[:-1] - 1] = False          # last token of doc i -> doc i+1
+    # kill the seam pair (last token of doc i -> first of doc i+1);
+    # a zero-token doc has ends[i] == ends[i-1] (duplicate index,
+    # harmless) and a zero-token FIRST doc has ends[0] == 0, whose
+    # -1 would wrap to the block's last bigram — exclude negatives
+    cut = ends[:-1] - 1
+    keep[cut[cut >= 0]] = False
     keys = first[keep] * np.int64(v) + second[keep]
     return lens, mix_rank(keys) % NB
 

@@ -71,9 +71,19 @@ def group_quantiles(ds: "rd.Dataset", group_col: str, value_col: str,
                          "b": pa.array(c["b"], pa.int64()),
                          "c": pa.array(c["c"], pa.int64())})
 
+    empty = pd.DataFrame({"group": pd.Series([], dtype=object),
+                          "q": pd.Series([], dtype=np.float64),
+                          "value": pd.Series([], dtype=np.float64)})
+    # empty-input guard BEFORE the groupby: a fully-empty dataset's
+    # blocks never run hist, so they carry no 'g'/'b' schema to key on
+    # (the groupby would KeyError); one count() pass is the price
+    if ds.count() == 0:
+        return empty
     counts = ds.map_batches(hist, batch_format="pyarrow") \
         .groupby(["g", "b"]).aggregate(Sum("c", alias_name="c")) \
         .to_pandas().sort_values(["g", "b"])
+    if counts.empty:
+        return empty
 
     # per group: total n, target 0-based index per q, owning bucket,
     # and the index WITHIN that bucket

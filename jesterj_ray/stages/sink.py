@@ -63,24 +63,29 @@ def write_partitioned_parquet(ds: "rd.Dataset", out_dir: str, *,
 
     keyed = ds.map_batches(add_pid, batch_format="pyarrow")
 
-    def write_part(g: pd.DataFrame) -> pd.DataFrame:
-        pid = int(g["__pid"].iloc[0])
+    def write_part(g: pa.Table) -> pa.Table:
+        # ARROW end to end: a pandas group would degrade
+        # int64-with-nulls value columns to float64 (corrupting ids
+        # >= 2^53) — the exact hazard a durability sink must not have
+        pid = int(g["__pid"][0].as_py())
         if pid in done:
-            return pd.DataFrame({"pid": [pid], "rows": [len(g)],
-                                 "skipped": [True]})
+            return pa.table({"pid": pa.array([pid], pa.int64()),
+                             "rows": pa.array([g.num_rows], pa.int64()),
+                             "skipped": pa.array([True])})
         if fail_pids and pid in fail_pids:
             raise RuntimeError(f"injected failure in partition {pid}")
-        g = g.sort_values(key_col).drop(columns="__pid")
-        t = pa.Table.from_pandas(g, preserve_index=False)
+        order = pc.sort_indices(g[key_col])
+        t = g.take(order).drop_columns("__pid")
         atomic_write_table(
             os.path.join(out_dir, f"part-{pid:05d}.parquet"), t)
-        man.commit(pid, docs_seen=len(g),
+        man.commit(pid, docs_seen=g.num_rows,
                    output_files=[f"part-{pid:05d}.parquet"])
-        return pd.DataFrame({"pid": [pid], "rows": [len(g)],
-                             "skipped": [False]})
+        return pa.table({"pid": pa.array([pid], pa.int64()),
+                         "rows": pa.array([g.num_rows], pa.int64()),
+                         "skipped": pa.array([False])})
 
     stats = keyed.groupby("__pid").map_groups(
-        write_part, batch_format="pandas").to_pandas()
+        write_part, batch_format="pyarrow").to_pandas()
     return {"n_rows": int(stats["rows"].sum()),
             "n_parts": int(len(stats)),
             "skipped": int(stats["skipped"].sum())}

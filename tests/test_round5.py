@@ -894,3 +894,48 @@ def test_partitioned_sink_resume(ray_session, tmp_path):
         g = os.path.join(out, os.path.basename(f))
         pd.testing.assert_frame_equal(pq.read_table(f).to_pandas(),
                                       pq.read_table(g).to_pandas())
+
+
+def test_dsir_empty_first_doc_in_block(ray_session, tmp_path):
+    """Self-review: a block whose FIRST doc has zero tokens used to
+    wrap keep[-1] and desync lens vs buckets (IndexError); bigram
+    seams must also never cross an empty doc."""
+    from jesterj_ray.stages.dsir import dsir_scores
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "text": pa.array(["", "a b c", "...", "x y"], pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    # num_blocks > rows forces single-doc blocks, several empty-led
+    out = dsir_scores(str(tmp_path), num_blocks=8)
+    assert set(out["doc_id"]) == {1, 3}   # docs with >= 1 bigram
+    out2 = dsir_scores(str(tmp_path), num_blocks=1)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_sink_preserves_int64_with_nulls(ray_session, tmp_path):
+    """Self-review: the sink resolves groups in ARROW — an int64
+    column with nulls and ids >= 2^53 must round-trip exactly."""
+    from jesterj_ray.stages.sink import (read_partitioned,
+                                         write_partitioned_parquet)
+    big = (1 << 53) + 1
+    t = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                  "v": pa.array([big, None, big + 2, None], pa.int64())})
+    out = str(tmp_path / "o")
+    write_partitioned_parquet(rd.from_arrow(t).repartition(2), out,
+                              key_col="k", rows_per_part=2)
+    sch = read_partitioned(out).schema()
+    assert dict(zip(sch.names, sch.types))["v"] == pa.int64()
+    got = pq.read_table(os.path.join(out, "part-00000.parquet"))
+    assert got["v"].type == pa.int64()
+    assert got["v"][0].as_py() == big      # not 2^53-corrupted
+    assert got["v"][1].as_py() is None     # null survives too
+
+
+def test_group_quantiles_empty_input(ray_session):
+    """Self-review: fully empty input returns an empty typed frame."""
+    from jesterj_ray.stages.quantiles import group_quantiles
+    t = pa.table({"g": pa.array([], pa.string()),
+                  "v": pa.array([], pa.float64())})
+    out = group_quantiles(rd.from_arrow(t), "g", "v", (0.5,))
+    assert list(out.columns) == ["group", "q", "value"] and len(out) == 0
