@@ -826,6 +826,31 @@ def _top_terms_per_lang(sf_dir: str):
     return top_terms_per_lang(sf_dir)
 
 
+def _cm_term_counts(sf_dir: str):
+    # Count-Min point estimates of term occurrence totals (rows-only:
+    # CM overestimates by design; pytest pins the bound + merge law,
+    # heavy_hitter_terms is the exact oracle-checked twin)
+    import ray.data as rd
+    from jesterj_ray.stages.sketch import cm_query, cm_rows
+    from jesterj_ray.tokenize.tokenizer import simple_tokenize
+    terms = ["merge", "sort", "stream", "dup", "zzzabsent"]
+    ds = _doc(sf_dir, ["text"])
+
+    def partial(t):
+        toks = [tok for x in t["text"].to_pylist()
+                for tok in simple_tokenize(x or "")]
+        return pa.table({"flat": pa.array(
+            [cm_rows(toks, w=2048, d=4).ravel().tobytes()], pa.binary())})
+
+    table = np.zeros((4, 2048), dtype=np.int64)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        table += np.frombuffer(row["flat"],
+                               dtype=np.int64).reshape(4, 2048)
+    est = cm_query(table, terms)
+    return pd.DataFrame({"term": terms,
+                         "est": est.astype(np.int64)})
+
+
 def _partitioned_sink(sf_dir: str):
     # resumable key-range parquet sink round-trip: the part column
     # comes from the FILENAMES read back, so the oracle pins the
@@ -1268,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": _funnel,
         "ann_recall_report": _ann_recall,
         "partitioned_sink_roundtrip": _partitioned_sink,
+        "cm_term_counts": _cm_term_counts,
         "c4_line_filter": _c4_line_filter,
         "email_extract": _email_extract,
         "rtf_extract": _rtf_extract,

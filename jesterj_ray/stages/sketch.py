@@ -463,3 +463,69 @@ def heavy_hitter_terms(sf_dir: str, phi: float = 0.02, k: int = 64):
         columns={"c_part": "n_occ"})
     out["n_occ"] = out["n_occ"].astype(np.int64)
     return out.sort_values("term").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): point-frequency
+# estimates over an unbounded domain in W x D counters.  Per block ONE
+# (D, W) partial table (np.add.at over the D row hashes), merged by
+# elementwise SUM (the mergeable-sketch shape — exchange is
+# O(#blocks x W x D) ints regardless of data size); query = min over
+# the D rows, an OVERESTIMATE never an under (the CM guarantee:
+# err <= e/W * N with prob 1 - e^-D).  Hashes derive from the same
+# blake2b row seeds at build and query time, so estimates are a
+# deterministic function of the input multiset (block-split
+# independent, like HLL).
+
+
+def cm_rows(values, w: int = 1024, d: int = 4) -> np.ndarray:
+    """One block's (d, w) partial counter table."""
+    t = np.zeros((d, w), dtype=np.int64)
+    if not len(values):
+        return t
+    h = _hash64(values)
+    for r in range(d):
+        # row r's hash: mix with an odd per-row constant (blake2b of
+        # the row id) — independent-enough rows, no per-value rehash
+        seed = int.from_bytes(hashlib.blake2b(
+            str(r).encode(), digest_size=8).digest(), "big") | 1
+        idx = ((h * np.uint64(seed)) >> np.uint64(40)) % np.uint64(w)
+        np.add.at(t[r], idx.astype(np.int64), 1)
+    return t
+
+
+def cm_query(table: np.ndarray, values) -> np.ndarray:
+    """Point estimates (int64) for ``values`` — min over the d rows."""
+    d, w = table.shape
+    h = _hash64(values)
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(d):
+        seed = int.from_bytes(hashlib.blake2b(
+            str(r).encode(), digest_size=8).digest(), "big") | 1
+        idx = ((h * np.uint64(seed)) >> np.uint64(40)) % np.uint64(w)
+        est = np.minimum(est, table[r, idx.astype(np.int64)])
+    return est
+
+
+def cm_count_column(ds, col: str, query_values, *, w: int = 1024,
+                    d: int = 4):
+    """Distributed CM build over ``ds[col]`` + point queries.  Returns
+    (value, est) pandas frame; the table is the SUM of per-block
+    partials (one groupby-free driver fold of #blocks tiny arrays)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = [v for v in t[col].to_pylist() if v is not None]
+        tab = cm_rows(vals, w=w, d=d)
+        return pa.table({"flat": pa.array([tab.ravel().tobytes()],
+                                          pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .take_all()
+    table = np.zeros((d, w), dtype=np.int64)
+    for row in parts:
+        table += np.frombuffer(row["flat"],
+                               dtype=np.int64).reshape(d, w)
+    est = cm_query(table, query_values)
+    return pd.DataFrame({"value": [str(v) for v in query_values],
+                         "est": est.astype(np.int64)})

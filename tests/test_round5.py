@@ -939,3 +939,31 @@ def test_group_quantiles_empty_input(ray_session):
                   "v": pa.array([], pa.float64())})
     out = group_quantiles(rd.from_arrow(t), "g", "v", (0.5,))
     assert list(out.columns) == ["group", "q", "value"] and len(out) == 0
+
+
+def test_count_min_sketch_properties(ray_session):
+    """CM sketch: never underestimates, block-split independent,
+    within the e/w * N bound for all queried values."""
+    from jesterj_ray.stages.sketch import cm_count_column, cm_query, cm_rows
+    rng = np.random.RandomState(3)
+    vals = [f"v{int(x)}" for x in rng.zipf(1.5, 5000) % 300]
+    true = pd.Series(vals).value_counts()
+    qs = list(true.index[:20]) + ["absent1", "absent2"]
+    t = pa.table({"c": pa.array(vals, pa.string())})
+    outs = []
+    for nb in (2, 16):
+        ds = rd.from_arrow(t).repartition(nb)
+        outs.append(cm_count_column(ds, "c", qs, w=512, d=4))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    est = outs[0].set_index("value")["est"]
+    n = len(vals)
+    for q in qs:
+        tv = int(true.get(q, 0))
+        assert est[q] >= tv                      # never under
+        assert est[q] <= tv + np.e / 512 * n + 1  # CM bound (loose)
+    # merge law: sum of partials == whole
+    whole = cm_rows(vals, w=512, d=4)
+    half = cm_rows(vals[:2500], w=512, d=4) + cm_rows(vals[2500:],
+                                                      w=512, d=4)
+    assert np.array_equal(whole, half)
+    assert (cm_query(whole, qs) == est.to_numpy()).all()
