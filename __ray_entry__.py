@@ -826,6 +826,13 @@ def _top_terms_per_lang(sf_dir: str):
     return top_terms_per_lang(sf_dir)
 
 
+def _curation(sf_dir: str):
+    # the Dolma/DataComp recipe composed end to end: quality ->
+    # exact dedup -> holdout decontam -> per-lang token-budget mix
+    from jesterj_ray.pipelines.curation import curation_pipeline
+    return curation_pipeline(sf_dir)
+
+
 def _cm_term_counts(sf_dir: str):
     # Count-Min point estimates of term occurrence totals (rows-only:
     # CM overestimates by design; pytest pins the bound + merge law,
@@ -1294,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_report": _ann_recall,
         "partitioned_sink_roundtrip": _partitioned_sink,
         "cm_term_counts": _cm_term_counts,
+        "curation_pipeline": _curation,
         "c4_line_filter": _c4_line_filter,
         "email_extract": _email_extract,
         "rtf_extract": _rtf_extract,
@@ -1925,6 +1933,73 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY sha256(text) ORDER BY doc_id""",
         "token_count": f"""
             SELECT doc_id, length({_TOKS}) AS n_tokens FROM documents""",
+        # the full curation recipe composed from the oracle-checked
+        # stage formulas: quality >= 0.05 -> keep-first text dedup ->
+        # holdout 5-gram decontam (ratio > 0.2 drops; < 5-token docs
+        # pass) -> per-lang 2000-token greedy mix (frozen hash rank)
+        "curation_pipeline": f"""
+            WITH q AS (
+              SELECT doc_id, lang, text,
+                     least(length({_TOKS}) / 400.0, 1.0)
+                     * (1 - length(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                          / greatest(length(text), 1))
+                     * (0.5 + 0.5 * least(
+                         (length(regexp_extract_all(lower(text), '{stop}'))
+                          / greatest(length({_TOKS}), 1)) * 5, 1.0))
+                         AS quality
+              FROM documents
+            ),
+            filt AS (SELECT * FROM q WHERE quality >= 0.05),
+            dedup AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY text
+                                             ORDER BY doc_id) AS rn
+                FROM filt) WHERE rn = 1
+            ),
+            pool AS (
+              SELECT doc_id, lang, text FROM dedup WHERE doc_id % 20 != 0
+            ),
+            btk AS (
+              SELECT doc_id, {_TOKS} AS tk FROM documents
+              WHERE doc_id % 20 = 0),
+            bench_g AS (
+              SELECT DISTINCT array_to_string(tk[i:i+4], ' ') AS gram
+              FROM (SELECT doc_id, tk,
+                           unnest(generate_series(1, length(tk) - 4)) AS i
+                    FROM btk)),
+            ptk AS (SELECT doc_id, {_TOKS} AS tk FROM pool),
+            pg AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(tk[i:i+4], ' ') AS gram
+              FROM (SELECT doc_id, tk,
+                           unnest(generate_series(1, length(tk) - 4)) AS i
+                    FROM ptk)),
+            ratio AS (
+              SELECT d.doc_id, count(*) AS n_grams, count(b.gram) AS n_hit
+              FROM pg d LEFT JOIN bench_g b USING (gram)
+              GROUP BY d.doc_id),
+            dropped AS (
+              SELECT doc_id FROM ratio WHERE n_hit * 1.0 / n_grams > 0.2),
+            kept AS (
+              SELECT * FROM pool
+              WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+            t AS (
+              SELECT lang, doc_id,
+                     CAST(length({_TOKS}) AS BIGINT) AS n_tok,
+                     ((doc_id % 1000003) * 2654435761
+                      + doc_id % 1000000007) % 1000000007 AS h
+              FROM kept),
+            w AS (
+              SELECT lang, doc_id, n_tok,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY h, doc_id) AS rank,
+                     CAST(SUM(n_tok) OVER (PARTITION BY lang
+                                           ORDER BY h, doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum_tokens
+              FROM t)
+            SELECT lang, rank, doc_id, n_tok, cum_tokens FROM w
+            WHERE cum_tokens - n_tok < 2000 ORDER BY lang, rank""",
         "llm_data_prep": f"""
             WITH q AS (
               SELECT doc_id, lang, text,

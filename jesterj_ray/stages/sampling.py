@@ -117,7 +117,8 @@ def mix_by_token_budget(sf_dir: str, *, budget: int = 2000,
                         group_col: str = "lang",
                         id_col: str = "doc_id",
                         text_col: str = "text",
-                        num_blocks: int = 8) -> pd.DataFrame:
+                        num_blocks: int = 8,
+                        ds: "object" = None) -> pd.DataFrame:
     """Greedy token-budget fill per group — the data-MIXING primitive
     (cap each language/source at N training tokens, deterministically):
     docs enter in the frozen hash-rank order until the tokens BEFORE a
@@ -134,9 +135,14 @@ def mix_by_token_budget(sf_dir: str, *, budget: int = 2000,
     O(groups x budget), independent of block count (pinned by
     ``test_mix_block_count_independence``)."""
     import ray.data as rd
-    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                         columns=[group_col, id_col, text_col],
-                         override_num_blocks=num_blocks)
+    if ds is None:
+        ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                             columns=[group_col, id_col, text_col],
+                             override_num_blocks=num_blocks)
+    else:
+        # composed mode (curation pipeline): mix an upstream-filtered
+        # Dataset instead of the raw table; sf_dir is ignored
+        ds = ds.select_columns([group_col, id_col, text_col])
     cand = ds.map_batches(
         _block_budget_prune, batch_format="pyarrow",
         fn_kwargs={"group_col": group_col, "id_col": id_col,

@@ -967,3 +967,30 @@ def test_count_min_sketch_properties(ray_session):
                                                       w=512, d=4)
     assert np.array_equal(whole, half)
     assert (cm_query(whole, qs) == est.to_numpy()).all()
+
+
+def test_curation_pipeline_stages_bite(ray_session):
+    """The composed curation chain is block-count independent and each
+    stage actually filters: no holdout (doc_id%20==0) doc is selected,
+    no duplicate text survives, every selected doc meets the quality
+    floor, per-lang cumulative tokens respect the budget crossing
+    rule."""
+    from jesterj_ray.pipelines.curation import curation_pipeline
+    from jesterj_ray.stages.textstats import quality_score
+    sf = "/root/testdata/sf0.001"
+    a = curation_pipeline(sf, num_blocks=4)
+    b = curation_pipeline(sf, num_blocks=16)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    assert (a["doc_id"] % 20 != 0).all()
+    docs = pq.read_table(os.path.join(sf, "documents.parquet")) \
+        .to_pandas().set_index("doc_id")
+    texts = docs.loc[a["doc_id"], "text"]
+    assert texts.nunique() == len(texts)       # dedup held
+    qt = quality_score(pa.table({"text": pa.array(texts)}),
+                       field="text")
+    assert (np.asarray(qt["quality"]) >= 0.05).all()
+    for _, g in a.groupby("lang"):
+        before = g["cum_tokens"] - g["n_tok"]
+        assert (before < 2000).all()           # budget crossing rule
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
