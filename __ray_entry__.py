@@ -734,6 +734,13 @@ def _gif_decode_stats(sf_dir: str):
     return gif_decode_stats_pipeline(sf_dir)
 
 
+def _tiff_decode_stats(sf_dir: str):
+    # REAL baseline TIFF (strips + PackBits, pure stdlib) — lossless,
+    # so the formula oracle hash-checks the full binary round trip
+    from jesterj_ray.stages.multimodal import tiff_decode_stats_pipeline
+    return tiff_decode_stats_pipeline(sf_dir)
+
+
 def _jpeg_decode_stats(sf_dir: str):
     # REAL from-scratch baseline JPEG (markers, canonical Huffman,
     # dequant, IDCT) — block-constant fixtures make the lossy
@@ -1333,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markdown_extract": _markdown_extract,
         "gif_decode_stats": _gif_decode_stats,
         "jpeg_decode_stats": _jpeg_decode_stats,
+        "tiff_decode_stats": _tiff_decode_stats,
         "analyzed_token_counts": _analyzed_token_counts,
         "chunk_documents": _chunk_documents,
         "stratified_sample_per_lang": _stratified_sample,
@@ -3561,6 +3569,20 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
               SELECT i.doc_id,
                      (i.doc_id * 29 + (((y * 24) // 32) // 8) * 13
                       + (((x * 16) // 32) // 8) * 9) % 256 AS v
+              FROM ids i, oy, ox)
+            SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
+            FROM pix GROUP BY doc_id ORDER BY doc_id""",
+        # engine: stages/multimodal.tiff_decode_stats_pipeline — REAL
+        # striped-PackBits TIFF round trip (lossless; h=28, w=20,
+        # out 32x32, coefs 23/7/13)
+        "tiff_decode_stats": """
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+            oy AS (SELECT unnest(generate_series(0, 31)) AS y),
+            ox AS (SELECT unnest(generate_series(0, 31)) AS x),
+            pix AS (
+              SELECT i.doc_id,
+                     (i.doc_id * 23 + ((y * 28) // 32) * 7
+                      + ((x * 20) // 32) * 13) % 256 AS v
               FROM ids i, oy, ox)
             SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
             FROM pix GROUP BY doc_id ORDER BY doc_id""",

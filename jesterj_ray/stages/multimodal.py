@@ -40,7 +40,8 @@ class ImageDecoder:
     VERDICT #10; :mod:`.gif` / :mod:`.bmp` — r03 VERDICT #8): grayscale
     + nearest-neighbor resize to ``out_size**2`` floats in [0, 1].
     Baseline JPEG decodes for real too (:mod:`.jpeg`, pure numpy,
-    r05); only genuinely absent codecs (TIFF/WebP/video) raise
+    r05), and baseline TIFF (:mod:`.tiff` — strips, PackBits, both
+    byte orders); only genuinely absent codecs (WebP/video) raise
     NotImplementedError.
     """
 
@@ -52,10 +53,12 @@ class ImageDecoder:
         from . import gif as _gif
         from . import jpeg as _jpeg
         from . import png as _png
+        from . import tiff as _tiff
         self._codecs = [(_png.is_png, _png.decode_png),
                         (_gif.is_gif, _gif.decode_gif),
                         (_bmp.is_bmp, _bmp.decode_bmp),
-                        (_jpeg.is_jpeg, _jpeg.decode_jpeg)]
+                        (_jpeg.is_jpeg, _jpeg.decode_jpeg),
+                        (_tiff.is_tiff, _tiff.decode_tiff)]
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if not self.fake:
@@ -71,8 +74,8 @@ class ImageDecoder:
                 return (gray[np.ix_(ys, xs)].astype(np.float32) / 255.0) \
                     .ravel()
             raise NotImplementedError(
-                "only PNG/GIF/BMP/baseline-JPEG decode natively here; "
-                "other image codecs are not present in this "
+                "only PNG/GIF/BMP/baseline-JPEG/TIFF decode natively "
+                "here; other image codecs are not present in this "
                 "environment (fake=True for pipeline tests)")
         seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8)
                               .digest(), "little")
@@ -161,9 +164,13 @@ def _decode_stats_pipeline(sf_dir: str, encode_name: str, coefs, n_docs: int,
         from . import gif as _gif
         from . import jpeg as _jpeg
         from . import png as _png
+        from . import tiff as _tiff
         enc = {"png": _png.encode_png, "gif": _gif.encode_gif_gray,
                "bmp": _bmp.encode_bmp,
-               "jpeg": _jpeg.encode_jpeg_gray}[encode_name]
+               "jpeg": _jpeg.encode_jpeg_gray,
+               # PackBits: the real decompression path runs per strip
+               "tiff": lambda im: _tiff.encode_tiff(im, packbits=True),
+               }[encode_name]
         yy, xx = np.mgrid[0:h, 0:w]
         yy, xx = yy // block, xx // block
         payloads = []
@@ -221,3 +228,13 @@ def jpeg_decode_stats_pipeline(sf_dir: str, n_docs: int = 64, h: int = 24,
     :func:`_decode_stats_pipeline`."""
     return _decode_stats_pipeline(sf_dir, "jpeg", (29, 13, 9), n_docs,
                                   h, w, out_size, block=8)
+
+
+def tiff_decode_stats_pipeline(sf_dir: str, n_docs: int = 64, h: int = 28,
+                               w: int = 20, out_size: int = 32):
+    """REAL TIFF decode oracle pipeline (r05): striped PackBits
+    compression round-trips losslessly through the pure-stdlib codec
+    in the actor pool, so the DuckDB formula oracle hash-checks the
+    whole binary path — see :func:`_decode_stats_pipeline`."""
+    return _decode_stats_pipeline(sf_dir, "tiff", (23, 7, 13), n_docs,
+                                  h, w, out_size)
