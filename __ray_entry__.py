@@ -734,6 +734,14 @@ def _gif_decode_stats(sf_dir: str):
     return gif_decode_stats_pipeline(sf_dir)
 
 
+def _wav_frame_energy(sf_dir: str):
+    # REAL RIFF PCM WAV decode (pure stdlib) + frame-energy features
+    # in the actor pool — the audio slot done natively; integer
+    # energies keep the oracle hash exact
+    from jesterj_ray.stages.multimodal import wav_frame_energy_pipeline
+    return wav_frame_energy_pipeline(sf_dir)
+
+
 def _tiff_decode_stats(sf_dir: str):
     # REAL baseline TIFF (strips + PackBits, pure stdlib) — lossless,
     # so the formula oracle hash-checks the full binary round trip
@@ -1341,6 +1349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gif_decode_stats": _gif_decode_stats,
         "jpeg_decode_stats": _jpeg_decode_stats,
         "tiff_decode_stats": _tiff_decode_stats,
+        "wav_frame_energy": _wav_frame_energy,
         "analyzed_token_counts": _analyzed_token_counts,
         "chunk_documents": _chunk_documents,
         "stratified_sample_per_lang": _stratified_sample,
@@ -3586,6 +3595,21 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
               FROM ids i, oy, ox)
             SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
             FROM pix GROUP BY doc_id ORDER BY doc_id""",
+        # engine: stages/multimodal.wav_frame_energy_pipeline — REAL
+        # RIFF PCM16 round trip; samples ((doc_id*31 + i*7) % 4096) -
+        # 2048, 1024 samples, 256-sample frames, energy = sum(s^2)
+        "wav_frame_energy": """
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+            smp AS (
+              SELECT i.doc_id, s.i,
+                     ((i.doc_id * 31 + s.i * 7) % 4096) - 2048 AS v
+              FROM ids i,
+                   (SELECT unnest(generate_series(0, 1023)) AS i) s)
+            SELECT doc_id, CAST(i // 256 AS BIGINT) AS frame_idx,
+                   CAST(256 AS BIGINT) AS n_samples,
+                   CAST(sum(v * v) AS BIGINT) AS energy
+            FROM smp GROUP BY doc_id, i // 256
+            ORDER BY doc_id, frame_idx""",
         # engine: stages/decontam.ngram_contamination (benchmark 5-gram
         # set broadcast once, corpus blocks probe with set intersection;
         # per-doc DISTINCT-gram contaminated fraction)

@@ -95,19 +95,53 @@ class ImageDecoder:
 class AudioFrameSampler:
     """Actor-pool stage: sample fixed-rate frames from audio payloads.
 
-    Stubbed like :class:`ImageDecoder`; emits (media_id, frame_idx,
-    frame_hash) rows — the 1->N row expansion shape of a real frame
-    sampler, with deterministic fake frames.
+    ``fake=False`` decodes REAL RIFF PCM WAV via :mod:`.wav` (the one
+    audio container needing no codec library) and emits per-frame
+    integer energies — (media_id, frame_idx, n_samples, energy), the
+    1->N row expansion of a real frame sampler with an exactly
+    SQL-recomputable feature (energy = sum of squared channel-summed
+    samples over ``frame_len``-sample frames; trailing partial frames
+    dropped).  Compressed audio (MP3/AAC/OGG) raises honestly.
+    ``fake=True`` keeps the deterministic hash frames for pipeline
+    tests.
     """
 
-    def __init__(self, frames_per_doc: int = 4, fake: bool = True):
+    def __init__(self, frames_per_doc: int = 4, fake: bool = True,
+                 frame_len: int = 256):
         self.frames_per_doc = frames_per_doc
         self.fake = fake
+        self.frame_len = frame_len
+        from . import wav as _wav          # codec state once per actor
+        self._wav = _wav
+
+    def _real_frames(self, batch: pa.Table) -> pa.Table:
+        ids, frames, nsamp, energy = [], [], [], []
+        fl = self.frame_len
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            if not self._wav.is_wav(payload or b""):
+                raise NotImplementedError(
+                    "only RIFF PCM WAV decodes natively here; "
+                    "compressed audio codecs are not present")
+            samples, _rate = self._wav.decode_wav(payload)
+            mix = samples.astype(np.int64).sum(axis=1)
+            nf = mix.size // fl
+            if nf == 0:
+                continue
+            e = (mix[:nf * fl].reshape(nf, fl) ** 2).sum(axis=1)
+            ids.extend([mid] * nf)
+            frames.extend(range(nf))
+            nsamp.extend([fl] * nf)
+            energy.extend(int(x) for x in e)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(frames, pa.int64()),
+            "n_samples": pa.array(nsamp, pa.int64()),
+            "energy": pa.array(energy, pa.int64())})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
-                "audio decode requires codec libraries not present here")
+            return self._real_frames(batch)
         ids, frames, hashes = [], [], []
         for mid, payload in zip(batch["media_id"].to_pylist(),
                                 batch["payload"].to_pylist()):
@@ -238,3 +272,42 @@ def tiff_decode_stats_pipeline(sf_dir: str, n_docs: int = 64, h: int = 28,
     whole binary path — see :func:`_decode_stats_pipeline`."""
     return _decode_stats_pipeline(sf_dir, "tiff", (23, 7, 13), n_docs,
                                   h, w, out_size)
+
+
+def wav_frame_energy_pipeline(sf_dir: str, n_docs: int = 64,
+                              n_samples: int = 1024,
+                              frame_len: int = 256):
+    """REAL WAV decode oracle pipeline (r05): synthesize PCM16 samples
+    from a pure formula (``((doc_id*31 + i*7) % 4096) - 2048``), encode
+    as RIFF PCM, run the REAL actor-pool decode + frame-energy
+    extraction, and emit integer per-frame energies — which DuckDB
+    recomputes from the formula directly.  A header/layout/sign bug
+    anywhere breaks the hash match."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"], override_num_blocks=4)
+    ds = ds.map_batches(
+        lambda t, n=n_docs: t.filter(pc.less(t["doc_id"], n)),
+        batch_format="pyarrow")
+
+    def synth(t: pa.Table) -> pa.Table:
+        from . import wav as _wav
+        i = np.arange(n_samples, dtype=np.int64)
+        payloads = []
+        for did in t["doc_id"].to_pylist():
+            s = ((did * 31 + i * 7) % 4096) - 2048
+            payloads.append(_wav.encode_wav(s.astype(np.int16)))
+        return pa.table({"media_id": t["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(synth, batch_format="pyarrow")
+    out = media.map_batches(
+        AudioFrameSampler,
+        fn_constructor_kwargs={"fake": False, "frame_len": frame_len},
+        batch_format="pyarrow", concurrency=2).to_pandas()
+    out = out.rename(columns={"media_id": "doc_id"})
+    return out[["doc_id", "frame_idx", "n_samples", "energy"]] \
+        .sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
