@@ -734,6 +734,13 @@ def _gif_decode_stats(sf_dir: str):
     return gif_decode_stats_pipeline(sf_dir)
 
 
+def _avi_frame_sample(sf_dir: str):
+    # REAL uncompressed-AVI decode + every-k-th frame sampling in the
+    # actor pool — the video slot done natively, integer pixel sums
+    from jesterj_ray.stages.multimodal import avi_frame_sample_pipeline
+    return avi_frame_sample_pipeline(sf_dir)
+
+
 def _wav_frame_energy(sf_dir: str):
     # REAL RIFF PCM WAV decode (pure stdlib) + frame-energy features
     # in the actor pool — the audio slot done natively; integer
@@ -1350,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jpeg_decode_stats": _jpeg_decode_stats,
         "tiff_decode_stats": _tiff_decode_stats,
         "wav_frame_energy": _wav_frame_energy,
+        "avi_frame_sample": _avi_frame_sample,
         "analyzed_token_counts": _analyzed_token_counts,
         "chunk_documents": _chunk_documents,
         "stratified_sample_per_lang": _stratified_sample,
@@ -3595,6 +3603,21 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
               FROM ids i, oy, ox)
             SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
             FROM pix GROUP BY doc_id ORDER BY doc_id""",
+        # engine: stages/multimodal.avi_frame_sample_pipeline — REAL
+        # uncompressed-AVI round trip; 6 frames 12x10, every 2nd
+        # sampled; px_sum = 3 * sum(gray) for the gray->RGB repeat
+        "avi_frame_sample": """
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+            fr AS (SELECT unnest([0, 2, 4]) AS f),
+            oy AS (SELECT unnest(generate_series(0, 11)) AS y),
+            ox AS (SELECT unnest(generate_series(0, 9)) AS x),
+            pix AS (
+              SELECT i.doc_id, fr.f,
+                     (i.doc_id * 19 + fr.f * 3 + y * 5 + x * 7) % 256 AS v
+              FROM ids i, fr, oy, ox)
+            SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                   CAST(3 * sum(v) AS BIGINT) AS px_sum
+            FROM pix GROUP BY doc_id, f ORDER BY doc_id, frame_idx""",
         # engine: stages/multimodal.wav_frame_energy_pipeline — REAL
         # RIFF PCM16 round trip; samples ((doc_id*31 + i*7) % 4096) -
         # 2048, 1024 samples, 256-sample frames, energy = sum(s^2)

@@ -1,12 +1,16 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
-The decode kernels (image decode / resize, audio decode / resample, video
-frame sampling) require codec libraries NOT present in this container, so
-the decode step itself is STUBBED — either raising ``NotImplementedError``
-(strict mode) or producing a deterministic fake (test mode).  Everything
-Ray-side is real and tested: schema handling of ``binary`` columns, small
-``batch_size`` for large payloads, actor-pool stage shape (decoder state
-built once per actor), and the output layout.
+Every modality now has a REAL pure-stdlib decode path: images via the
+PNG/GIF/BMP/baseline-JPEG/TIFF codecs, audio via RIFF PCM WAV
+(:mod:`.wav`), video via uncompressed AVI (:mod:`.avi`) — each
+oracle-gated end-to-end (a formula synthesizes pixels/samples, the
+codecs round-trip them through the actor pool, DuckDB recomputes the
+integer features).  Only formats that genuinely need external codec
+libraries (WebP, MP3/AAC, H.264…) raise ``NotImplementedError``
+honestly; ``fake=True`` modes remain for pipeline plumbing tests.
+Ray-side structure throughout: ``binary`` columns, small
+``batch_size`` for large payloads, actor-pool stages with codec state
+in ``__init__``.
 
 This mirrors the reference's ``TikaProcessor`` slot (rawData -> extracted
 text + metadata, ``ingest/processors/TikaProcessor.java:50-84``): a binary
@@ -310,4 +314,83 @@ def wav_frame_energy_pipeline(sf_dir: str, n_docs: int = 64,
         batch_format="pyarrow", concurrency=2).to_pandas()
     out = out.rename(columns={"media_id": "doc_id"})
     return out[["doc_id", "frame_idx", "n_samples", "energy"]] \
+        .sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: sample every ``every_k``-th frame from video
+    payloads.  ``fake=False`` decodes REAL uncompressed AVI via
+    :mod:`.avi` and emits (media_id, frame_idx, px_sum) — integer RGB
+    pixel sums, exactly SQL-recomputable.  Compressed video raises
+    honestly; ``fake=True`` emits hash frames like AudioFrameSampler.
+    """
+
+    def __init__(self, every_k: int = 2, fake: bool = True):
+        self.every_k = every_k
+        self.fake = fake
+        from . import avi as _avi
+        self._avi = _avi
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, sums = [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            if self.fake:
+                for fi in range(0, 4 * self.every_k, self.every_k):
+                    ids.append(mid)
+                    fidx.append(fi)
+                    sums.append(int.from_bytes(hashlib.blake2b(
+                        (payload or b"") + bytes([fi]),
+                        digest_size=4).digest(), "big"))
+                continue
+            if not self._avi.is_avi(payload or b""):
+                raise NotImplementedError(
+                    "only uncompressed AVI decodes natively here; "
+                    "video codecs are not present")
+            frames = self._avi.decode_avi(payload)
+            for fi in range(0, frames.shape[0], self.every_k):
+                ids.append(mid)
+                fidx.append(fi)
+                sums.append(int(frames[fi].astype(np.int64).sum()))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "frame_idx": pa.array(fidx, pa.int64()),
+                         "px_sum": pa.array(sums, pa.int64())})
+
+
+def avi_frame_sample_pipeline(sf_dir: str, n_docs: int = 64,
+                              n_frames: int = 6, h: int = 12,
+                              w: int = 10, every_k: int = 2):
+    """REAL AVI decode oracle pipeline (r05): synthesize gray frames
+    from a pure formula (``(doc_id*19 + f*3 + y*5 + x*7) % 256``),
+    encode as uncompressed AVI, sample every ``every_k``-th frame in
+    the actor pool, emit integer RGB pixel sums — which DuckDB
+    recomputes from the formula (x3 for the gray->RGB repeat)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"], override_num_blocks=4)
+    ds = ds.map_batches(
+        lambda t, n=n_docs: t.filter(pc.less(t["doc_id"], n)),
+        batch_format="pyarrow")
+
+    def synth(t: pa.Table) -> pa.Table:
+        from . import avi as _avi
+        ff, yy, xx = np.mgrid[0:n_frames, 0:h, 0:w]
+        payloads = []
+        for did in t["doc_id"].to_pylist():
+            fr = ((did * 19 + ff * 3 + yy * 5 + xx * 7) % 256) \
+                .astype(np.uint8)
+            payloads.append(_avi.encode_avi(fr))
+        return pa.table({"media_id": t["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(synth, batch_format="pyarrow")
+    out = media.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"fake": False, "every_k": every_k},
+        batch_format="pyarrow", concurrency=2).to_pandas()
+    out = out.rename(columns={"media_id": "doc_id"})
+    return out[["doc_id", "frame_idx", "px_sum"]] \
         .sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
