@@ -45,8 +45,8 @@ class ImageDecoder:
     + nearest-neighbor resize to ``out_size**2`` floats in [0, 1].
     Baseline JPEG decodes for real too (:mod:`.jpeg`, pure numpy,
     r05), and baseline TIFF (:mod:`.tiff` — strips, PackBits, both
-    byte orders); only genuinely absent codecs (WebP/video) raise
-    NotImplementedError.
+    byte orders); only codecs genuinely needing external libraries
+    (WebP, progressive JPEG) raise NotImplementedError.
     """
 
     def __init__(self, out_size: int = 32, fake: bool = True):

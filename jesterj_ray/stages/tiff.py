@@ -103,7 +103,12 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if not is_tiff(data):
         raise ValueError("not a TIFF (bad signature)")
     endian = "<" if data[:2] == b"II" else ">"
-    t = _read_ifd(data, endian)
+    try:
+        t = _read_ifd(data, endian)
+    except struct.error as e:
+        raise ValueError(f"TIFF truncated or bogus IFD: {e}") from e
+    if _W not in t or _H not in t or _SOFF not in t or _SCNT not in t:
+        raise ValueError("TIFF missing required IFD tags")
     w, h = t[_W][0], t[_H][0]
     spp = t.get(_SPP, [1])[0]
     bits = t.get(_BITS, [8])

@@ -193,8 +193,13 @@ def test_image_decoder_dispatches_all_four_formats(ray_session):
     # real JPEG decoder engages on the magic and rejects a torn stream
     with pytest.raises(ValueError):
         dec._decode_one(b"\xff\xd8\xffJPEGISH")
-    with pytest.raises(NotImplementedError):
+    # TIFF decodes for real since r05: the codec engages on the magic
+    # and rejects a torn stream (mirrors the JPEG line above)
+    with pytest.raises(ValueError):
         dec._decode_one(b"II*\x00notatiff")
+    # a genuinely-unknown magic still routes to the honest refusal
+    with pytest.raises(NotImplementedError):
+        dec._decode_one(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_repetition_signals_reference():
