@@ -944,6 +944,13 @@ def _dsir_scores(sf_dir: str):
     return dsir_scores(sf_dir)
 
 
+def _q6_forecast(sf_dir: str):
+    # TPC-H Q6: all predicates pushed into the block filter, partial
+    # sums only — the purest no-shuffle filter-aggregate
+    from jesterj_ray.pipelines.relational import q6_forecast_revenue
+    return q6_forecast_revenue(sf_dir)
+
+
 def _events_quantiles(sf_dir: str):
     # exact distributed quantile_disc: counts-only histogram shuffle +
     # one targeted bucket fetch; selected values are input ELEMENTS so
@@ -1315,6 +1322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_topk": _synonym_topk,
         "q3_top_orders": _q3_top_orders,
         "q5_local_supplier_volume": _q5_local_supplier,
+        "q6_forecast_revenue": _q6_forecast,
         "events_value_quantiles": _events_quantiles,
         "dsir_importance_scores": _dsir_scores,
         "jl_projection": _jl_project,
@@ -3337,6 +3345,15 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
               UNION ALL SELECT event_type, 0.9, q90 FROM a
               UNION ALL SELECT event_type, 0.99, q99 FROM a)
             ORDER BY event_type, q""",
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2)
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24""",
         "q5_local_supplier_volume": """
             SELECT n_name,
                    round(sum(l_extendedprice * (1 - l_discount)), 2)

@@ -1388,3 +1388,41 @@ def funnel_stages(sf_dir: str, stages=FUNNEL_STAGES,
     out["stage"] = out["stage"].astype(np.int64)
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values("stage").reset_index(drop=True)
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 forecasting-revenue-change: one pruned scan of
+    lineitem with ALL predicates pushed into the per-block Arrow
+    filter, per-block partial sums, a tiny driver fold — the purest
+    filter-aggregate shape (no groupby, no shuffle, no driver rows
+    beyond #blocks partials).  Revenue rounds 2dp like q1/q3/q5."""
+    lo = pa.scalar(np.datetime64("1996-01-01")
+                   .astype("datetime64[us]").item())
+    hi = pa.scalar(np.datetime64("1997-01-01")
+                   .astype("datetime64[us]").item())
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_shipdate", "l_discount",
+                                  "l_quantity", "l_extendedprice"],
+                         override_num_blocks=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], 0.05),
+                        pc.less_equal(t["l_discount"], 0.07)),
+                pc.less(t["l_quantity"], 24)))
+        t = t.filter(keep)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"],
+                                 t["l_discount"])).as_py() or 0.0
+        return pa.table({"rev": pa.array([rev], pa.float64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = _fold_blocks(ds.map_batches(partial,
+                                        batch_format="pyarrow"))
+    rev = float(np.sum(parts["rev"].to_numpy())) if parts is not None \
+        else 0.0
+    n = int(np.sum(parts["n"].to_numpy())) if parts is not None else 0
+    return pd.DataFrame({"revenue": [round(rev, 2)],
+                         "n_items": pd.Series([n], dtype=np.int64)})
