@@ -944,6 +944,13 @@ def _dsir_scores(sf_dir: str):
     return dsir_scores(sf_dir)
 
 
+def _q18_large_orders(sf_dir: str):
+    # TPC-H Q18: data-sized groupby + HAVING drives pruned is_in
+    # lookups back into orders/customer — no second fact shuffle
+    from jesterj_ray.pipelines.relational import q18_large_orders
+    return q18_large_orders(sf_dir)
+
+
 def _q6_forecast(sf_dir: str):
     # TPC-H Q6: all predicates pushed into the block filter, partial
     # sums only — the purest no-shuffle filter-aggregate
@@ -1323,6 +1330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": _q3_top_orders,
         "q5_local_supplier_volume": _q5_local_supplier,
         "q6_forecast_revenue": _q6_forecast,
+        "q18_large_orders": _q18_large_orders,
         "events_value_quantiles": _events_quantiles,
         "dsir_importance_scores": _dsir_scores,
         "jl_projection": _jl_project,
@@ -3345,6 +3353,17 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
               UNION ALL SELECT event_type, 0.9, q90 FROM a
               UNION ALL SELECT event_type, 0.99, q99 FROM a)
             ORDER BY event_type, q""",
+        "q18_large_orders": """
+            WITH qual AS (
+              SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem
+              GROUP BY l_orderkey HAVING sum(l_quantity) > 120)
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_totalprice, CAST(qty AS BIGINT) AS total_qty
+            FROM qual JOIN orders ON o_orderkey = l_orderkey
+                      JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+            LIMIT 10""",
         "q6_forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2)
                        AS revenue,

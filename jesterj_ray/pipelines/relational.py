@@ -1426,3 +1426,51 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
     n = int(np.sum(parts["n"].to_numpy())) if parts is not None else 0
     return pd.DataFrame({"revenue": [round(rev, 2)],
                          "n_items": pd.Series([n], dtype=np.int64)})
+
+
+def q18_large_orders(sf_dir: str, min_qty: int = 120, k: int = 10
+                     ) -> pd.DataFrame:
+    """TPC-H Q18 large-volume-customer analog: orders whose lineitem
+    quantity total exceeds ``min_qty``, top-k by order value.
+
+    Shape: lineitem collapses per block to (l_orderkey, qty) partials,
+    ONE data-sized ``groupby(l_orderkey).sum`` (order cardinality
+    scales with data — the honest shuffle), HAVING filter, then the
+    QUALIFYING set (selectivity-bounded) drives pruned ``is_in``
+    lookups into orders and customer — never a second fact shuffle.
+    Quantities are exact integers in float64, so the BIGINT cast is
+    order-independent."""
+    import pyarrow.parquet as pq
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"],
+                         override_num_blocks=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t, "l_orderkey").aggregate(
+            [("l_quantity", "sum")])
+
+    qual = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").sum("l_quantity_sum").to_pandas()
+    qual = qual.rename(columns={"sum(l_quantity_sum)": "qty"})
+    qual = qual[qual["qty"] > min_qty]
+    okeys = pa.array(qual["l_orderkey"].to_numpy(np.int64), pa.int64())
+
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey",
+                                    "o_orderdate", "o_totalprice"])
+    orders = orders.filter(pc.is_in(orders["o_orderkey"],
+                                    value_set=okeys)).to_pandas()
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    out = qual.merge(orders, left_on="l_orderkey",
+                     right_on="o_orderkey") \
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(k)
+    out["total_qty"] = out["qty"].astype(np.int64)
+    out["o_orderdate"] = pd.to_datetime(out["o_orderdate"]) \
+        .dt.strftime("%Y-%m-%d")
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty"]].reset_index(drop=True)
