@@ -859,8 +859,7 @@ def _cm_term_counts(sf_dir: str):
     # Count-Min point estimates of term occurrence totals (rows-only:
     # CM overestimates by design; pytest pins the bound + merge law,
     # heavy_hitter_terms is the exact oracle-checked twin)
-    import ray.data as rd
-    from jesterj_ray.stages.sketch import cm_query, cm_rows
+    from jesterj_ray.stages.sketch import cm_fold, cm_query, cm_rows
     from jesterj_ray.tokenize.tokenizer import simple_tokenize
     terms = ["merge", "sort", "stream", "dup", "zzzabsent"]
     ds = _doc(sf_dir, ["text"])
@@ -871,10 +870,8 @@ def _cm_term_counts(sf_dir: str):
         return pa.table({"flat": pa.array(
             [cm_rows(toks, w=2048, d=4).ravel().tobytes()], pa.binary())})
 
-    table = np.zeros((4, 2048), dtype=np.int64)
-    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
-        table += np.frombuffer(row["flat"],
-                               dtype=np.int64).reshape(4, 2048)
+    table = cm_fold(ds.map_batches(partial, batch_format="pyarrow")
+                    .take_all(), w=2048, d=4)
     est = cm_query(table, terms)
     return pd.DataFrame({"term": terms,
                          "est": est.astype(np.int64)})

@@ -34,11 +34,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from ..stages.decontam import ngram_contamination
+from ..stages.decontam import holdout_split, ngram_contamination
 from ..stages.dedup import exact_dedup
 from ..stages.sampling import mix_by_token_budget
 from ..stages.textstats import quality_score
@@ -67,18 +66,10 @@ def curation_pipeline(sf_dir: str, *, quality_min: float = 0.05,
                      keep_cols=["doc_id", "lang", "text"])
 
     # 3. decontamination: pool excludes the holdout, then drops docs
-    #    whose distinct-5-gram hit ratio exceeds contam_max
-    def drop_holdout(t: pa.Table) -> pa.Table:
-        rem = pc.subtract(t["doc_id"], pc.multiply(
-            pc.divide(t["doc_id"], bench_mod), bench_mod))
-        return t.filter(pc.not_equal(rem, 0))
-
-    pool = ds.map_batches(drop_holdout,
-                          batch_format="pyarrow").materialize()
-    bt = pq.read_table(path, columns=["doc_id", "text"])
-    brem = pc.subtract(bt["doc_id"], pc.multiply(
-        pc.divide(bt["doc_id"], bench_mod), bench_mod))
-    bench = bt.filter(pc.equal(brem, 0))
+    #    whose distinct-5-gram hit ratio exceeds contam_max (the split
+    #    rule lives ONCE in decontam.holdout_split)
+    pool, bench = holdout_split(path, ds, bench_mod=bench_mod)
+    pool = pool.materialize()
     contam = ngram_contamination(pool, bench, text_col="text",
                                  id_col="doc_id", n=5)
     dropped = contam.loc[

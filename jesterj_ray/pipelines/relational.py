@@ -1424,7 +1424,10 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
     rev = float(np.sum(parts["rev"].to_numpy())) if parts is not None \
         else 0.0
     n = int(np.sum(parts["n"].to_numpy())) if parts is not None else 0
-    return pd.DataFrame({"revenue": [round(rev, 2)],
+    # SQL sum() over zero rows is NULL, not 0 — mirror it (r05
+    # self-review: a filtered dataset with no qualifying rows would
+    # otherwise hash-mismatch the oracle)
+    return pd.DataFrame({"revenue": [round(rev, 2) if n else None],
                          "n_items": pd.Series([n], dtype=np.int64)})
 
 
@@ -1460,9 +1463,15 @@ def q18_large_orders(sf_dir: str, min_qty: int = 120, k: int = 10
                            columns=["o_orderkey", "o_custkey",
                                     "o_orderdate", "o_totalprice"])
     orders = orders.filter(pc.is_in(orders["o_orderkey"],
-                                    value_set=okeys)).to_pandas()
+                                    value_set=okeys))
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_name"]).to_pandas()
+                         columns=["c_custkey", "c_name"])
+    # prune customer to the qualifying orders' custkeys (the q3
+    # pattern) — never the whole dimension on the driver
+    cust = cust.filter(pc.is_in(
+        cust["c_custkey"],
+        value_set=orders["o_custkey"].combine_chunks())).to_pandas()
+    orders = orders.to_pandas()
     out = qual.merge(orders, left_on="l_orderkey",
                      right_on="o_orderkey") \
         .merge(cust, left_on="o_custkey", right_on="c_custkey")

@@ -44,16 +44,29 @@ def decode_avi(data: bytes) -> np.ndarray:
     if not is_avi(data):
         raise ValueError("not an AVI (bad RIFF/AVI header)")
     w = h = None
+    top_down = False
     frames = []
-    stack = [(12, len(data))]
-    while stack:
-        s, e = stack.pop()
+    # FIFO: lists visit in FILE order, so the strh immediately before
+    # each strf is that stream's header — the strf is accepted only
+    # for the 'vids' stream (a canonical video+audio AVI has the
+    # audio WAVEFORMATEX in a LATER strl; binding to "first strf"
+    # under LIFO picked that one and misparsed it, r05 self-review)
+    queue = [(12, len(data))]
+    last_fcc = None
+    while queue:
+        s, e = queue.pop(0)
         for cid, ps, sz, ltype in _walk(data, s, e):
             if cid in (b"LIST", b"RIFF"):
-                stack.append((ps, ps + sz))
-            elif cid == b"strf" and w is None:
-                (hsz, bw, bh, planes, bpp, comp) = struct.unpack_from(
-                    "<IiiHHI", data, ps)
+                queue.append((ps, ps + sz))
+            elif cid == b"strh":
+                last_fcc = data[ps:ps + 4]
+            elif cid == b"strf" and last_fcc == b"vids" and w is None:
+                try:
+                    (hsz, bw, bh, planes, bpp, comp) = \
+                        struct.unpack_from("<IiiHHI", data, ps)
+                except struct.error as exc:
+                    raise ValueError(
+                        f"AVI truncated strf: {exc}") from exc
                 if comp != 0 or bpp != 24:
                     raise NotImplementedError(
                         f"AVI stream bpp={bpp} compression={comp} "

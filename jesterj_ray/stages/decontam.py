@@ -94,33 +94,42 @@ def ngram_contamination(corpus: "rd.Dataset", benchmark: "rd.Dataset", *,
     return df.sort_values(id_col).reset_index(drop=True)
 
 
+def holdout_split(path: str, ds: "rd.Dataset", *, bench_mod: int = 20,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """THE holdout rule, in one place (the curation pipeline reuses it
+    verbatim — r05 self-review: two copies silently desynchronize):
+    benchmark = rows with ``id % bench_mod == 0``, read locally from
+    ``path`` (eval suites are MBs; the corpus scan reads everything
+    anyway); pool = ``ds`` minus those rows (ids must be >= 0 — the
+    remainder is built with subtract/multiply/divide, Arrow has no
+    mod kernel).  Returns (pool_ds, bench_table)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    bt = pq.read_table(path, columns=[id_col, text_col])
+    brem = pc.subtract(bt[id_col], pc.multiply(
+        pc.divide(bt[id_col], bench_mod), bench_mod))
+    bench = bt.filter(pc.equal(brem, 0))
+
+    def drop_bench(t: pa.Table) -> pa.Table:
+        rem = pc.subtract(t[id_col], pc.multiply(
+            pc.divide(t[id_col], bench_mod), bench_mod))
+        return t.filter(pc.not_equal(rem, 0))
+
+    return ds.map_batches(drop_bench, batch_format="pyarrow"), bench
+
+
 def contamination_vs_holdout(sf_dir: str, n: int = 5,
                              bench_mod: int = 20) -> pd.DataFrame:
     """Deterministic split of the documents table: every ``bench_mod``-th
     doc_id is the 'benchmark', the rest the training corpus; report each
     training doc's contaminated n-gram fraction."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    # benchmark side: SMALL by construction (eval suites are MBs) —
-    # read locally in one pass instead of a second distributed scan of
-    # the same file (the corpus scan below reads everything anyway)
-    bt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                       columns=["doc_id", "text"])
-    brem = pc.subtract(bt["doc_id"], pc.multiply(
-        pc.divide(bt["doc_id"], bench_mod), bench_mod))
-    bench = bt.filter(pc.equal(brem, 0))
-
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"],
                          override_num_blocks=8)
-
-    def drop_bench(t: pa.Table) -> pa.Table:
-        rem = pc.subtract(t["doc_id"], pc.multiply(
-            pc.divide(t["doc_id"], bench_mod), bench_mod))  # doc_id >= 0
-        return t.filter(pc.not_equal(rem, 0))
-
-    corpus = ds.map_batches(drop_bench, batch_format="pyarrow")
+    corpus, bench = holdout_split(
+        os.path.join(sf_dir, "documents.parquet"), ds,
+        bench_mod=bench_mod)
     out = ngram_contamination(corpus, bench, text_col="text",
                               id_col="doc_id", n=n)
     out["doc_id"] = out["doc_id"].astype(np.int64)

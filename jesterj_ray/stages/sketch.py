@@ -494,6 +494,17 @@ def cm_rows(values, w: int = 1024, d: int = 4) -> np.ndarray:
     return t
 
 
+def cm_fold(rows, w: int, d: int) -> np.ndarray:
+    """Sum per-block flat-bytes partials (rows with a 'flat' binary
+    field) into one (d, w) table — THE fold, shared by every CM entry
+    point so dtype/shape/endianness changes happen once."""
+    table = np.zeros((d, w), dtype=np.int64)
+    for row in rows:
+        table += np.frombuffer(row["flat"],
+                               dtype=np.int64).reshape(d, w)
+    return table
+
+
 def cm_query(table: np.ndarray, values) -> np.ndarray:
     """Point estimates (int64) for ``values`` — min over the d rows."""
     d, w = table.shape
@@ -520,12 +531,8 @@ def cm_count_column(ds, col: str, query_values, *, w: int = 1024,
         return pa.table({"flat": pa.array([tab.ravel().tobytes()],
                                           pa.binary())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow") \
-        .take_all()
-    table = np.zeros((d, w), dtype=np.int64)
-    for row in parts:
-        table += np.frombuffer(row["flat"],
-                               dtype=np.int64).reshape(d, w)
+    table = cm_fold(ds.map_batches(partial, batch_format="pyarrow")
+                    .take_all(), w, d)
     est = cm_query(table, query_values)
     return pd.DataFrame({"value": [str(v) for v in query_values],
                          "est": est.astype(np.int64)})

@@ -158,8 +158,13 @@ def encode_tiff(img: np.ndarray, *, packbits: bool = False,
     rows = a.reshape(h, w * spp)
     strips = []
     for s0 in range(0, h, rows_per_strip):
-        raw = rows[s0:s0 + rows_per_strip].tobytes()
-        strips.append(_packbits(raw) if packbits else raw)
+        if packbits:
+            # TIFF 6.0: PackBits packs each ROW separately (runs must
+            # not cross row boundaries) — r05 self-review
+            strips.append(b"".join(_packbits(r.tobytes())
+                                   for r in rows[s0:s0 + rows_per_strip]))
+        else:
+            strips.append(rows[s0:s0 + rows_per_strip].tobytes())
     # layout: header(8) | strip data | IFD
     offs, pos = [], 8
     for s in strips:

@@ -37,8 +37,14 @@ def decode_wav(data: bytes):
         pos += 8
         chunk = data[pos:pos + csz]
         if cid == b"fmt ":
-            (audio_fmt, channels, rate, _br, _ba, bits) = \
-                struct.unpack_from("<HHIIHH", chunk, 0)
+            try:
+                (audio_fmt, channels, rate, _br, _ba, bits) = \
+                    struct.unpack_from("<HHIIHH", chunk, 0)
+            except struct.error as exc:
+                # torn streams raise the codecs' honest ValueError,
+                # never a raw struct.error (the TIFF convention)
+                raise ValueError(f"WAV truncated fmt chunk: {exc}") \
+                    from exc
             if audio_fmt != 1:
                 raise NotImplementedError(
                     f"WAV format {audio_fmt} (only PCM=1)")

@@ -51,3 +51,41 @@ def test_sampler_every_k_and_refusal():
                                         pa.binary())})
     with pytest.raises(NotImplementedError, match="AVI"):
         VideoFrameSampler(fake=False)(bad)
+
+
+def test_video_plus_audio_stream_order():
+    """Self-review: a canonical video-first/audio-second AVI must bind
+    strf to the VIDS stream, not whichever strl is visited last —
+    decode ignores the PCM WAVEFORMATEX and extracts the frames."""
+    f = np.arange(2 * 4 * 4, dtype=np.uint8).reshape(2, 4, 4)
+    data = encode_avi(f)
+    # splice an audio strl (strh 'auds' + WAVEFORMATEX strf) AFTER the
+    # video strl inside hdrl
+    strh_a = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x00" * 4,
+                         0, 0, 0, 0, 1, 8000, 0, 100, 2, 0, 0, 0, 0,
+                         0, 0)
+    strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+
+    def chunk(cid, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+    strl_a = chunk(b"LIST", b"strl" + chunk(b"strh", strh_a)
+                   + chunk(b"strf", strf_a))
+    movi_at = data.find(b"LIST", 12)
+    # find the movi LIST (the second top-level LIST)
+    pos = 12
+    tops = []
+    while pos + 8 <= len(data):
+        cid, csz = struct.unpack_from("<4sI", data, pos)
+        tops.append((cid, pos, csz))
+        pos += 8 + csz + (csz & 1)
+    (h_cid, h_pos, h_csz), (m_cid, m_pos, m_csz) = tops[0], tops[1]
+    assert data[h_pos + 8:h_pos + 12] == b"hdrl"
+    new_hdrl_payload = data[h_pos + 8:h_pos + 8 + h_csz] + strl_a
+    rebuilt = (data[:h_pos]
+               + b"LIST" + struct.pack("<I", len(new_hdrl_payload))
+               + new_hdrl_payload + data[h_pos + 8 + h_csz:])
+    rebuilt = (b"RIFF" + struct.pack("<I", len(rebuilt) - 8)
+               + rebuilt[8:])
+    out = decode_avi(rebuilt)
+    assert np.array_equal(out, np.repeat(f[:, :, :, None], 3, axis=3))
