@@ -213,6 +213,25 @@ def _collapse_expand_topk(sf_dir: str):
     return collapse_expand_topk(sf_dir, "merge sort", "source", 5, 2)
 
 
+def _elevate_topk(sf_dir: str):
+    # Solr QueryElevationComponent: pinned/excluded ids over bm25_topk
+    from jesterj_ray.pipelines.flagship import elevate_topk
+    return elevate_topk(sf_dir)
+
+
+def _rerank_topk(sf_dir: str):
+    # Solr ReRankQParser: top-10 of 'merge sort' rescored +2.0x 'customer'
+    from jesterj_ray.pipelines.flagship import rerank_topk
+    return rerank_topk(sf_dir, "merge sort", "customer", 10, 2.0, 10)
+
+
+def _join_query_topk(sf_dir: str):
+    # Solr JoinQParser: BM25 docs restricted to ids referenced by
+    # qualifying rows of the events collection (props.k -> doc_id)
+    from jesterj_ray.pipelines.flagship import join_query_topk
+    return join_query_topk(sf_dir, "merge sort", "purchase", 200.0, 10)
+
+
 def _hybrid_rrf(sf_dir: str):
     # lexical+vector hybrid: RRF of the BM25 and kNN-cosine lists
     from jesterj_ray.pipelines.flagship import hybrid_rrf_topk
@@ -1360,6 +1379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract_fields": _html_extract_fields,
         "dedup_drops_exact": _dedup_drops_exact,
         "collapse_expand_topk": _collapse_expand_topk,
+        "elevate_topk": _elevate_topk,
+        "rerank_topk": _rerank_topk,
+        "join_query_topk": _join_query_topk,
         "block_join_parent_max": _block_join_max,
         "block_join_parent_sum": _block_join_sum,
         "hybrid_rrf_topk": _hybrid_rrf,
@@ -1528,6 +1550,190 @@ SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.doc_id, round(r.score, 6) AS sco
 FROM ranked r JOIN qk ON r.qid = qk.qid
 WHERE r.rank <= qk.k
 ORDER BY r.qid, r.rank
+"""
+
+
+def _elevate_sql() -> str:
+    # Solr QueryElevationComponent over the bm25_topk score space:
+    # pinned ids at ranks 1..m in elevate.xml order (forceElevation —
+    # qid 4's pin appears though its query matches nothing), excluded
+    # ids removed, organic rows (same raw-score order as _bm25_sql)
+    # shifted down by the pin count, top-k overall.
+    from jesterj_ray.pipelines.flagship import ELEVATION
+    ev, xv = [], []
+    for qid, c in sorted(ELEVATION.items()):
+        for i, d in enumerate(c.get("elevate", []), 1):
+            ev.append(f"({qid},{d},{i})")
+        for d in c.get("exclude", []):
+            xv.append(f"({qid},{d})")
+    elev = ",".join(ev) or "(0,0,0)"  # qid 0 never queried
+    excl = ",".join(xv) or "(0,0)"
+    return f"""
+WITH qterms(qid, term) AS {_BM25_QUERIES_SQL},
+qk(qid, k) AS {_BM25_KS_SQL},
+elev(qid, doc_id, eorder) AS (VALUES {elev}),
+excl(qid, doc_id) AS (VALUES {excl}),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT q.qid, q.term, t.doc_id, count(*) AS tf
+  FROM toks t JOIN qterms q USING (term)
+  GROUP BY q.qid, q.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.qid, tf.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.qid, tf.doc_id
+),
+main AS (
+  SELECT s.qid, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.score DESC, s.doc_id) AS r
+  FROM scores s
+  WHERE NOT EXISTS (SELECT 1 FROM elev e
+                    WHERE e.qid = s.qid AND e.doc_id = s.doc_id)
+    AND NOT EXISTS (SELECT 1 FROM excl x
+                    WHERE x.qid = s.qid AND x.doc_id = s.doc_id)
+),
+ecnt AS (SELECT qid, count(*) AS c FROM elev GROUP BY qid),
+unioned AS (
+  SELECT qid, eorder AS rk, doc_id, 1 AS elevated FROM elev
+  UNION ALL
+  SELECT m.qid, m.r + COALESCE(ec.c, 0), m.doc_id, 0
+  FROM main m LEFT JOIN ecnt ec USING (qid)
+)
+SELECT u.qid, CAST(u.rk AS BIGINT) AS rank, u.doc_id,
+       CAST(u.elevated AS BIGINT) AS elevated
+FROM unioned u JOIN qk ON u.qid = qk.qid
+WHERE u.rk <= qk.k
+ORDER BY u.qid, u.rk
+"""
+
+
+def _rerank_sql(rerank_docs: int = 10, weight: float = 2.0,
+                k: int = 10) -> str:
+    # Solr ReRankQParser: main='merge sort', reRankQuery='customer'.
+    # Top-N selection orders by RAW main score (engine parity); the
+    # final list orders by the 6dp-ROUNDED combined score (round() is
+    # half-away like the engine's floor(x*1e6+0.5)/1e6; BM25 sums are
+    # irrational so no halfway cases) with doc_id tiebreak on BOTH
+    # sides, making rounded ties deterministic everywhere.
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+qt(term) AS (VALUES ('merge'),('sort'),('customer')),
+tf AS (
+  SELECT t.term, t.doc_id, count(*) AS tf
+  FROM toks t WHERE t.term IN (SELECT term FROM qt)
+  GROUP BY t.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+contrib AS (
+  SELECT tf.term, tf.doc_id,
+         ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS w
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+),
+ms AS (
+  SELECT doc_id, sum(w) AS score FROM contrib
+  WHERE term IN ('merge', 'sort') GROUP BY doc_id
+),
+rs AS (
+  SELECT doc_id, sum(w) AS score FROM contrib
+  WHERE term = 'customer' GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM ms
+),
+fin AS (
+  SELECT t.doc_id,
+         t.score + CASE WHEN t.r <= {rerank_docs}
+                        THEN {weight} * COALESCE(r2.score, 0)
+                        ELSE 0 END AS comb
+  FROM top t LEFT JOIN rs r2 USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY round(comb, 6) DESC, doc_id)
+            AS BIGINT) AS rank,
+       doc_id, round(comb, 6) AS score
+FROM fin
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
+
+
+def _join_query_sql(min_value: float = 200.0, k: int = 10) -> str:
+    # Solr JoinQParser as fq: 'merge sort' BM25 restricted to doc ids
+    # referenced by qualifying purchase events via props.k.  Raw-score
+    # ordering like _bm25_sql; the window ranks the JOIN-FILTERED set.
+    return f"""
+WITH jk AS (
+  SELECT DISTINCT CAST(props->>'k' AS BIGINT) AS doc_id
+  FROM events
+  WHERE event_type = 'purchase' AND value >= {min_value}
+),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+qt(term) AS (VALUES ('merge'),('sort')),
+tf AS (
+  SELECT t.term, t.doc_id, count(*) AS tf
+  FROM toks t WHERE t.term IN (SELECT term FROM qt)
+  GROUP BY t.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id)
+            AS BIGINT) AS rank,
+       s.doc_id, round(s.score, 6) AS score
+FROM scores s JOIN jk USING (doc_id)
+QUALIFY rank <= {k}
+ORDER BY rank
 """
 
 
@@ -3876,6 +4082,9 @@ FROM ranked WHERE grank <= 3 ORDER BY lang, grank""",
         "block_join_parent_max": _block_join_sql("max"),
         "block_join_parent_sum": _block_join_sql("sum"),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
+        "elevate_topk": _elevate_sql(),
+        "rerank_topk": _rerank_sql(10, 2.0, 10),
+        "join_query_topk": _join_query_sql(200.0, 10),
         "collapse_expand_topk": f"""
 WITH dl AS (
   SELECT doc_id, length({_TOKS}) AS dl FROM documents

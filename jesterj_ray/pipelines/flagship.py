@@ -1587,3 +1587,139 @@ def bm25_wildcard_topk_documents(sf_dir: str,
         "rank": pd.Series(rows["rank"], dtype=np.int64),
         "doc_id": pd.Series(rows["doc_id"], dtype=np.int64),
         "score": pd.Series(rows["score"], dtype=np.float64)})
+
+
+# ---------------------------------------------------------------------------
+# Solr QueryElevationComponent / ReRank / JoinQParser analogs
+# ---------------------------------------------------------------------------
+
+# elevate.xml analog: per-qid pinned ids (rank 1..m in THIS order,
+# forceElevation — pinned even when the query itself has no match, see
+# qid 4's absent term) and excluded ids (removed from the organic
+# list).  Ids are index-curated (elevate.xml is written against a known
+# corpus) and must exist in the doc space; all ids here are < 500 so
+# they exist at every test sf.  qid 5 is deliberately unconfigured: an
+# elevation-free query must pass through rank-identical to bm25_topk.
+ELEVATION = {
+    1: {"elevate": [129, 7], "exclude": [362]},
+    2: {"elevate": [21], "exclude": []},
+    4: {"elevate": [13], "exclude": []},
+}
+
+
+def elevate_topk(sf_dir: str, queries: Optional[List[dict]] = None,
+                 config: Optional[dict] = None) -> pd.DataFrame:
+    """Solr QueryElevationComponent: pinned doc ids take ranks 1..m in
+    config order regardless of BM25 score, excluded ids vanish, and the
+    organic list (minus pinned/excluded) follows, top-k overall.
+
+    The organic phase is the unchanged distributed ``bm25_topk``
+    pipeline read ``len(elevate)+len(exclude)`` deeper (the worst-case
+    number of organic rows elevation can consume); the pin/exclude
+    reshuffle is driver-side over those <= k+m tiny rows per query —
+    the same shape Solr uses (QEC rewrites the top of the merged list,
+    never the per-shard search).  Reference: JesterJ delegates result
+    shaping to Solr components server-side (SURVEY §2.2 senders)."""
+    qs = list(queries or DOC_QUERIES)
+    cfg = config if config is not None else ELEVATION
+    deep = [dict(q, k=q["k"]
+                 + len(cfg.get(q["qid"], {}).get("elevate", []))
+                 + len(cfg.get(q["qid"], {}).get("exclude", [])))
+            for q in qs]
+    hits = bm25_topk_documents(sf_dir, deep)
+    rows = []
+    for q in qs:
+        qid, k = q["qid"], q["k"]
+        c = cfg.get(qid, {})
+        elev = list(c.get("elevate", []))
+        drop = set(elev) | set(c.get("exclude", []))
+        for r, d in enumerate(elev[:k], 1):
+            rows.append((qid, r, int(d), 1))
+        organic = hits.loc[(hits["qid"] == qid)
+                           & ~hits["doc_id"].isin(drop), "doc_id"]
+        base = min(len(elev), k)
+        for i, d in enumerate(organic.tolist()[:k - base], 1):
+            rows.append((qid, base + i, int(d), 0))
+    return pd.DataFrame(rows, columns=["qid", "rank", "doc_id",
+                                       "elevated"]).astype(np.int64)
+
+
+def rerank_topk(sf_dir: str, main: str = "merge sort",
+                rq: str = "customer", rerank_docs: int = 10,
+                weight: float = 2.0, k: int = 10) -> pd.DataFrame:
+    """Solr ReRankQParser (``rq={!rerank reRankQuery=.. reRankDocs=N
+    reRankWeight=W}``): the main query's top-N docs (full-precision
+    BM25 order, doc-id tiebreak) score ``main + W*rerank``; docs
+    outside the window keep their main score; the final list re-sorts
+    by the 6dp-rounded combined score (half-away — SQL round parity),
+    doc_id tiebreak.  Both phases score the FULL match set on one
+    epoch-pinned reader (a reranked doc can leave/enter the top-k, so
+    top-k-then-rerank of fewer than N docs would be wrong); at scale
+    each phase is the existing bounded top-(N+k) distributed search."""
+    reader = IndexReader(documents_index(sf_dir))
+    ids, sc = reader.match_scores(main)
+    keys = np.asarray([int(x) for x in reader.doc_keys(ids)],
+                      dtype=np.int64)
+    order = np.lexsort((keys, -sc))
+    keys, sc = keys[order], sc[order]
+    rids, rsc = reader.match_scores(rq)
+    rkeys = [int(x) for x in reader.doc_keys(rids)]
+    rmap = dict(zip(rkeys, rsc.tolist()))
+    comb = sc.copy()
+    n = min(rerank_docs, keys.size)
+    comb[:n] += weight * np.asarray(
+        [rmap.get(int(d), 0.0) for d in keys[:n]], dtype=np.float64)
+    r6 = np.floor(comb * 1e6 + 0.5) / 1e6
+    o2 = np.lexsort((keys, -r6))[:k]
+    return pd.DataFrame({
+        "rank": np.arange(1, o2.size + 1, dtype=np.int64),
+        "doc_id": keys[o2].astype(np.int64),
+        "score": r6[o2].astype(np.float64)})
+
+
+def join_query_topk(sf_dir: str, query: str = "merge sort",
+                    event_type: str = "purchase",
+                    min_value: float = 200.0, k: int = 10
+                    ) -> pd.DataFrame:
+    """Solr JoinQParser as a filter query — ``q=merge sort&fq={!join
+    from=props.k to=doc_id fromIndex=events}event_type:purchase AND
+    value:[200 TO *]``: documents ranked by BM25 but restricted to ids
+    referenced by qualifying rows of ANOTHER collection.
+
+    Join-side shape: a pruned 3-column scan of events, per-block Arrow
+    predicate + vectorized regex key extraction, per-block DISTINCT —
+    so only unique join keys (bounded by the doc space, not the event
+    count) reach the driver, then broadcast into the match-set filter.
+    No event row ever shuffles; at 100 TB the from-side stays a
+    streaming scan and the key set is the small side by construction
+    (Solr's join has the same index-bounded key-set property)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value", "props"],
+                         override_num_blocks=8)
+    etype = pa.scalar(event_type)
+    pat = r'"k":\s*(?P<v>-?\d+)'
+
+    def block_keys(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["event_type"], etype),
+                       pc.greater_equal(t["value"], min_value))
+        props = t.filter(keep)["props"]
+        m = pc.extract_regex(props, pat)
+        ks = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return pa.table({"doc_id": pc.unique(pc.drop_null(ks))})
+
+    parts = ds.map_batches(block_keys, batch_format="pyarrow") \
+        .take_all()
+    joined = np.unique(np.asarray([r["doc_id"] for r in parts],
+                                  dtype=np.int64)) \
+        if parts else np.zeros(0, dtype=np.int64)
+    reader = IndexReader(documents_index(sf_dir))
+    ids, sc = reader.match_scores(query)
+    keys = np.asarray([int(x) for x in reader.doc_keys(ids)],
+                      dtype=np.int64)
+    mask = np.isin(keys, joined)
+    keys, sc = keys[mask], sc[mask]
+    order = np.lexsort((keys, -sc))[:k]
+    return pd.DataFrame({
+        "rank": np.arange(1, order.size + 1, dtype=np.int64),
+        "doc_id": keys[order].astype(np.int64),
+        "score": np.floor(sc[order] * 1e6 + 0.5) / 1e6})
