@@ -232,6 +232,20 @@ def _join_query_topk(sf_dir: str):
     return join_query_topk(sf_dir, "merge sort", "purchase", 200.0, 10)
 
 
+def _suggest(sf_dir: str):
+    # Solr SuggestComponent: prefix completions by collection
+    # frequency; 's' is the richest prefix in this vocabulary (6
+    # terms), so n=5 exercises the top-n cut
+    from jesterj_ray.pipelines.flagship import suggest
+    return suggest(sf_dir, prefix="s", n=5)
+
+
+def _ltr_features(sf_dir: str):
+    # Solr LTR FeatureLogger: per-(query, top-k doc) model features
+    from jesterj_ray.pipelines.flagship import ltr_features
+    return ltr_features(sf_dir)
+
+
 def _hybrid_rrf(sf_dir: str):
     # lexical+vector hybrid: RRF of the BM25 and kNN-cosine lists
     from jesterj_ray.pipelines.flagship import hybrid_rrf_topk
@@ -1382,6 +1396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "elevate_topk": _elevate_topk,
         "rerank_topk": _rerank_topk,
         "join_query_topk": _join_query_topk,
+        "suggest_prefix": _suggest,
+        "ltr_features": _ltr_features,
         "block_join_parent_max": _block_join_max,
         "block_join_parent_sum": _block_join_sum,
         "hybrid_rrf_topk": _hybrid_rrf,
@@ -1734,6 +1750,73 @@ SELECT CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id)
 FROM scores s JOIN jk USING (doc_id)
 QUALIFY rank <= {k}
 ORDER BY rank
+"""
+
+
+def _ltr_sql() -> str:
+    # Solr LTR FeatureLogger: per-(query, top-k doc) features from the
+    # SAME score space as _bm25_sql.  n_match/max_tf/sum_idf aggregate
+    # the tf CTE (matched terms only — a top-k doc matched >= 1 term);
+    # dl is the token count; idf uses the corpus-wide N like scoring.
+    return f"""
+WITH qterms(qid, term) AS {_BM25_QUERIES_SQL},
+qk(qid, k) AS {_BM25_KS_SQL},
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT q.qid, q.term, t.doc_id, count(*) AS tf
+  FROM toks t JOIN qterms q USING (term)
+  GROUP BY q.qid, q.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.qid, tf.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+),
+top AS (
+  SELECT r.qid, r.rank, r.doc_id, r.score
+  FROM ranked r JOIN qk ON r.qid = qk.qid
+  WHERE r.rank <= qk.k
+),
+feat AS (
+  SELECT tf.qid, tf.doc_id,
+         count(*) AS n_match,
+         max(tf.tf) AS max_tf,
+         sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)) AS sum_idf
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY tf.qid, tf.doc_id
+)
+SELECT t.qid, CAST(t.rank AS BIGINT) AS rank, t.doc_id,
+       round(t.score, 6) AS bm25,
+       CAST(f.n_match AS BIGINT) AS n_match,
+       CAST(dl.dl AS BIGINT) AS dl,
+       CAST(f.max_tf AS BIGINT) AS max_tf,
+       round(f.sum_idf, 6) AS sum_idf
+FROM top t
+JOIN feat f ON t.qid = f.qid AND t.doc_id = f.doc_id
+JOIN dl ON t.doc_id = dl.doc_id
+ORDER BY t.qid, t.rank
 """
 
 
@@ -4085,6 +4168,16 @@ FROM ranked WHERE grank <= 3 ORDER BY lang, grank""",
         "elevate_topk": _elevate_sql(),
         "rerank_topk": _rerank_sql(10, 2.0, 10),
         "join_query_topk": _join_query_sql(200.0, 10),
+        # SuggestComponent: collection-frequency-weighted completions
+        # (count(*) over unnested tokens == sum of per-doc tf)
+        "suggest_prefix": f"""
+            SELECT term, CAST(count(*) AS BIGINT) AS weight
+            FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+            WHERE term LIKE 's%'
+            GROUP BY term
+            ORDER BY weight DESC, term
+            LIMIT 5""",
+        "ltr_features": _ltr_sql(),
         "collapse_expand_topk": f"""
 WITH dl AS (
   SELECT doc_id, length({_TOKS}) AS dl FROM documents

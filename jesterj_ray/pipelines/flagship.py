@@ -1723,3 +1723,93 @@ def join_query_topk(sf_dir: str, query: str = "merge sort",
         "rank": np.arange(1, order.size + 1, dtype=np.int64),
         "doc_id": keys[order].astype(np.int64),
         "score": np.floor(sc[order] * 1e6 + 0.5) / 1e6})
+
+
+def suggest(sf_dir: str, prefix: str = "co", n: int = 10
+            ) -> pd.DataFrame:
+    """Solr SuggestComponent (FreeTextSuggester analog): prefix
+    completions weighted by COLLECTION frequency (Lucene
+    totalTermFreq — total occurrences, not docFreq; 'de' completes to
+    what people type most, not what spreads across most docs), weight
+    desc then term asc, top-n.
+
+    Shape: the prefix scan walks only the epoch-pinned light term
+    columns (vocab-bounded); each candidate's weight decodes just that
+    term's tf blobs via the lazy per-term row-group fetch and counts
+    alive docs only, so a tombstoned doc stops suggesting its terms
+    without a rebuild."""
+    return suggest_from_reader(IndexReader(documents_index(sf_dir)),
+                               prefix, n)
+
+
+def suggest_from_reader(reader: IndexReader, prefix: str, n: int
+                        ) -> pd.DataFrame:
+    """Suggester core over an open reader (see :func:`suggest`)."""
+    terms = sorted(reader.prefix_term_dfs(prefix).keys())
+    ws = np.zeros(len(terms), dtype=np.int64)
+    for i, t in enumerate(terms):
+        docs, tfs = reader.postings(t)
+        ws[i] = int(tfs[reader.alive_mask(docs)].sum())
+    keep = ws > 0
+    tarr = np.asarray(terms, dtype=object)[keep]
+    ws = ws[keep]
+    order = np.lexsort((tarr, -ws))[:n]
+    return pd.DataFrame({"term": tarr[order].astype(str),
+                         "weight": ws[order]})
+
+
+def ltr_features(sf_dir: str, queries: Optional[List[dict]] = None,
+                 ) -> pd.DataFrame:
+    """Solr LTR FeatureLogger (``fl=[features]`` transformer): for each
+    query's top-k docs emit the model-feature vector — BM25 score,
+    matched-term count, doc length, max tf among query terms, summed
+    idf of matched terms — the export a learning-to-rank trainer
+    consumes.  Features derive from the SAME epoch-pinned reader state
+    the ranking used (df/dl/N identical to scoring), so logged
+    features can never drift from served scores.
+
+    At scale this is per-hit work on bounded top-k lists; the term
+    postings involved are already resident from the ranking phase
+    (postings LRU)."""
+    reader = IndexReader(documents_index(sf_dir))
+    from ..index.bm25 import dedup_keep_order
+    rows = []
+    for q in (queries or DOC_QUERIES):
+        hits = reader.topk(q["query"], q["k"])
+        if not hits:
+            continue
+        ids = np.asarray([h[0] for h in hits], dtype=np.int64)
+        scores = np.asarray([h[1] for h in hits], dtype=np.float64)
+        keys = np.asarray([int(x) for x in reader.doc_keys(ids)],
+                          dtype=np.int64)
+        dls = reader._dl_dense[reader.dense_of(ids)].astype(np.int64)
+        terms = dedup_keep_order(reader.tokenizer(q["query"]))
+        tf_mat = np.zeros((len(terms), ids.size), dtype=np.int64)
+        idfs = np.zeros(len(terms), dtype=np.float64)
+        for ti, t in enumerate(terms):
+            docs, tfs = reader.postings(t)
+            alive = reader.alive_mask(docs)
+            docs, tfs = docs[alive], tfs[alive]
+            df = int(docs.size)
+            if df:
+                idfs[ti] = np.log(
+                    (reader.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            pos = np.searchsorted(docs, ids)
+            ok = (pos < docs.size)
+            ok[ok] &= docs[pos[ok]] == ids[ok]
+            tf_mat[ti, ok] = tfs[pos[ok]]
+        matched = tf_mat > 0
+        n_match = matched.sum(axis=0).astype(np.int64)
+        max_tf = tf_mat.max(axis=0).astype(np.int64)
+        sum_idf = (idfs[:, None] * matched).sum(axis=0)
+        for r in range(ids.size):
+            rows.append((q["qid"], r + 1, int(keys[r]),
+                         np.floor(scores[r] * 1e6 + 0.5) / 1e6,
+                         int(n_match[r]), int(dls[r]), int(max_tf[r]),
+                         np.floor(sum_idf[r] * 1e6 + 0.5) / 1e6))
+    df = pd.DataFrame(rows, columns=["qid", "rank", "doc_id", "bm25",
+                                     "n_match", "dl", "max_tf",
+                                     "sum_idf"])
+    for c in ("qid", "rank", "doc_id", "n_match", "dl", "max_tf"):
+        df[c] = df[c].astype(np.int64)
+    return df

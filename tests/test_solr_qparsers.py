@@ -102,3 +102,82 @@ def test_join_query_restricts_to_referenced_ids(ray_session):
     # an impossible predicate joins to nothing
     empty = join_query_topk(SF, "merge sort", "purchase", 1e12, 10)
     assert len(empty) == 0
+
+
+def test_suggester_weights_and_tombstones(ray_session, tmp_path):
+    """SuggestComponent: collection-frequency weights (totalTermFreq,
+    not docFreq), weight-desc/term-asc order, top-n cut — and a
+    tombstoned doc's occurrences stop counting immediately (no
+    rebuild), unlike the df-based terms_component which keeps Lucene
+    docFreq semantics until compaction."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from jesterj_ray.index.build_rows import build_index_rows
+    from jesterj_ray.index.query import IndexReader, delete_docs
+    from jesterj_ray.pipelines.flagship import (suggest,
+                                                suggest_from_reader)
+    sug = suggest(SF, prefix="s", n=5)
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT term, CAST(count(*) AS BIGINT) AS weight
+        FROM (SELECT unnest(regexp_extract_all(lower(text),
+                            '[a-z0-9]+')) AS term
+              FROM '{SF}/documents.parquet')
+        WHERE term LIKE 's%' GROUP BY term
+        ORDER BY weight DESC, term LIMIT 5""").df()
+    pd.testing.assert_frame_equal(sug, want)
+
+    # tombstone: delete the doc holding most of one term's mass
+    texts = ["alpha alpha alpha beta", "alpha gamma", "beta beta"]
+    tab = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "content": pa.array(texts)})
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(tab, src)
+    out = str(tmp_path / "idx")
+    build_index_rows(src, out, text_col="content", tokenizer="simple",
+                     docs_per_partition=2, num_shards=2)
+    rdr = IndexReader(out)
+    before = suggest_from_reader(rdr, "a", 10)
+    assert before.set_index("term")["weight"].to_dict() == {"alpha": 4}
+    # map original texts -> index doc keys via the 'alpha' postings
+    docs, tfs = rdr.postings("alpha")
+    keys_by_tf = {int(t): k for t, k in zip(tfs, rdr.doc_keys(docs))}
+    assert delete_docs(out, [keys_by_tf[3]]) == 1  # the tf=3 doc
+    after = suggest_from_reader(IndexReader(out), "a", 10)
+    assert after.set_index("term")["weight"].to_dict() == {"alpha": 1}
+    # a fully-tombstoned term drops out entirely
+    assert delete_docs(out, [keys_by_tf[1]]) == 1
+    gone = suggest_from_reader(IndexReader(out), "a", 10)
+    assert len(gone) == 0
+
+
+def test_ltr_features_consistent_with_ranking(ray_session):
+    """LTR FeatureLogger: features derive from the same reader state
+    as the ranking — bm25 equals the topk score, n_match counts
+    matched distinct query terms, dl is the token count, sum_idf sums
+    matched idf."""
+    from jesterj_ray.pipelines.flagship import (bm25_topk_documents,
+                                                ltr_features)
+    lf = ltr_features(SF)
+    plain = bm25_topk_documents(SF)
+    merged = lf.merge(plain, on=["qid", "rank", "doc_id"])
+    assert len(merged) == len(lf) == len(plain)
+    assert np.allclose(merged["bm25"], merged["score"])
+    # hand-check one doc's features against the raw text
+    import duckdb
+    con = duckdb.connect()
+    row = lf[lf.qid == 1].iloc[0]
+    toks = con.execute(
+        f"SELECT regexp_extract_all(lower(text), '[a-z0-9]+') FROM "
+        f"'{SF}/documents.parquet' WHERE doc_id = {int(row.doc_id)}"
+    ).fetchone()[0]
+    assert row.dl == len(toks)
+    tf_m, tf_s = toks.count("merge"), toks.count("sort")
+    assert row.n_match == (tf_m > 0) + (tf_s > 0)
+    assert row.max_tf == max(tf_m, tf_s)
+    # a single-term query has n_match == 1 everywhere and
+    # constant sum_idf
+    q2 = lf[lf.qid == 2]
+    assert (q2.n_match == 1).all()
+    assert q2.sum_idf.nunique() == 1
