@@ -246,6 +246,18 @@ def _ltr_features(sf_dir: str):
     return ltr_features(sf_dir)
 
 
+def _spellcheck_collate(sf_dir: str):
+    # Solr spellcheck.collate: rewritten queries re-run for hits > 0
+    from jesterj_ray.pipelines.flagship import spellcheck_collate
+    return spellcheck_collate(sf_dir, "streem qery", 2, 3)
+
+
+def _global_shuffle_order(sf_dir: str):
+    # deterministic training-order shuffle: frozen mix_rank hash sort
+    from jesterj_ray.pipelines.flagship import global_shuffle_order
+    return global_shuffle_order(sf_dir)
+
+
 def _hybrid_rrf(sf_dir: str):
     # lexical+vector hybrid: RRF of the BM25 and kNN-cosine lists
     from jesterj_ray.pipelines.flagship import hybrid_rrf_topk
@@ -1398,6 +1410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_query_topk": _join_query_topk,
         "suggest_prefix": _suggest,
         "ltr_features": _ltr_features,
+        "spellcheck_collate": _spellcheck_collate,
+        "global_shuffle_order": _global_shuffle_order,
         "block_join_parent_max": _block_join_max,
         "block_join_parent_sum": _block_join_sum,
         "hybrid_rrf_topk": _hybrid_rrf,
@@ -4178,6 +4192,55 @@ FROM ranked WHERE grank <= 3 ORDER BY lang, grank""",
             ORDER BY weight DESC, term
             LIMIT 5""",
         "ltr_features": _ltr_sql(),
+        # spellcheck.collate for 'streem qery' (both misspelled,
+        # top-2 suggestions each): candidates ordered by per-word
+        # suggestion-rank sum then the rank tuple; hits re-run
+        # conjunctively; only hits > 0 survive, top-3
+        "spellcheck_collate": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ),
+            v AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                  GROUP BY term),
+            s1 AS (
+              SELECT term, row_number() OVER (
+                       ORDER BY levenshtein('streem', term),
+                                df DESC, term) AS r
+              FROM v WHERE levenshtein('streem', term) <= 2
+              QUALIFY r <= 2),
+            s2 AS (
+              SELECT term, row_number() OVER (
+                       ORDER BY levenshtein('qery', term),
+                                df DESC, term) AS r
+              FROM v WHERE levenshtein('qery', term) <= 2
+              QUALIFY r <= 2),
+            combos AS (
+              SELECT s1.r AS r1, s2.r AS r2,
+                     s1.term || ' ' || s2.term AS "collation",
+                     (SELECT count(*) FROM
+                        (SELECT doc_id FROM toks WHERE term = s1.term
+                         INTERSECT
+                         SELECT doc_id FROM toks WHERE term = s2.term))
+                       AS hits
+              FROM s1, s2),
+            ranked AS (
+              SELECT "collation", hits,
+                     row_number() OVER (ORDER BY r1 + r2, r1, r2)
+                       AS rank
+              FROM combos WHERE hits > 0)
+            SELECT CAST(rank AS BIGINT) AS rank, "collation",
+                   CAST(hits AS BIGINT) AS hits
+            FROM ranked WHERE rank <= 3 ORDER BY rank""",
+        # frozen mix_rank hash (stages/sampling.py) fixes the
+        # training order; ties (impossible below 1e9 ids but cheap)
+        # break by doc_id
+        "global_shuffle_order": """
+            SELECT doc_id,
+                   CAST(((doc_id % 1000003) * 2654435761
+                         + doc_id % 1000000007) % 1000000007
+                        AS BIGINT) AS shuffle_key
+            FROM documents
+            ORDER BY shuffle_key, doc_id""",
         "collapse_expand_topk": f"""
 WITH dl AS (
   SELECT doc_id, length({_TOKS}) AS dl FROM documents

@@ -1813,3 +1813,78 @@ def ltr_features(sf_dir: str, queries: Optional[List[dict]] = None,
     for c in ("qid", "rank", "doc_id", "n_match", "dl", "max_tf"):
         df[c] = df[c].astype(np.int64)
     return df
+
+
+def spellcheck_collate(sf_dir: str, query: str = "streem qery",
+                       per_word: int = 2, max_collations: int = 3
+                       ) -> pd.DataFrame:
+    """Solr ``spellcheck.collate`` (+collateExtendedResults): rewrite
+    the misspelled query by substituting each unknown word with its
+    spellcheck suggestions (the spellcheck_suggest ordering: edit
+    distance, df desc, term), RE-RUN each candidate collation
+    conjunctively against the index, and keep only collations with
+    hits > 0 — Solr's maxCollationTries semantics.  Candidates are
+    tried in the order of their per-word suggestion-rank sum (then the
+    rank tuple), so the best individual suggestions combine first.
+    Known words (df > 0) pass through as their own sole candidate.
+
+    Hit counting intersects alive posting doc sets — vocabulary- and
+    postings-bounded, never a corpus scan."""
+    import itertools
+    from ..index.bm25 import dedup_keep_order
+    reader = IndexReader(documents_index(sf_dir))
+    cands = []
+    for w in dedup_keep_order(reader.tokenizer(query)):
+        docs, _ = reader.postings(w)
+        if docs[reader.alive_mask(docs)].size:
+            cands.append([(0, w)])
+        else:
+            cands.append([(r, t) for r, (t, _d, _f) in enumerate(
+                reader.suggest(w, 2, per_word), 1)])
+    combos = sorted(
+        ((sum(c[0] for c in combo), tuple(c[0] for c in combo),
+          " ".join(c[1] for c in combo), [c[1] for c in combo])
+         for combo in itertools.product(*cands)),
+        key=lambda x: (x[0], x[1], x[2]))
+    rows = []
+    for _rsum, _rt, coll, terms in combos:
+        inter = None
+        for t in set(terms):
+            docs, _ = reader.postings(t)
+            docs = docs[reader.alive_mask(docs)]
+            inter = docs if inter is None else \
+                np.intersect1d(inter, docs, assume_unique=True)
+            if inter.size == 0:
+                break
+        hits = int(inter.size) if inter is not None else 0
+        if hits > 0:
+            rows.append((len(rows) + 1, coll, hits))
+            if len(rows) >= max_collations:
+                break
+    return pd.DataFrame({
+        "rank": pd.Series([r[0] for r in rows], dtype=np.int64),
+        "collation": pd.Series([r[1] for r in rows], dtype=object),
+        "hits": pd.Series([r[2] for r in rows], dtype=np.int64)})
+
+
+
+def global_shuffle_order(sf_dir: str):
+    """Deterministic global training-order shuffle: every doc gets the
+    FROZEN mix_rank hash of its doc_id (stages/sampling.py — identical
+    order on every run and at any parallelism), then a distributed
+    ``Dataset.sort`` on the hash fixes the training order.  This is
+    the all-to-all a training-data exporter needs exactly once, placed
+    LAST so nothing downstream re-shuffles; resumability comes free
+    (the order derives from ids, so a re-run reproduces it instead of
+    persisting a permutation)."""
+    from ..stages.sampling import mix_rank
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"], override_num_blocks=8)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shuffle_key", pa.array(mix_rank(ids), pa.int64()))
+
+    return ds.map_batches(add_key, batch_format="pyarrow") \
+        .sort(["shuffle_key", "doc_id"])

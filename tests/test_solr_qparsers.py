@@ -181,3 +181,52 @@ def test_ltr_features_consistent_with_ranking(ray_session):
     q2 = lf[lf.qid == 2]
     assert (q2.n_match == 1).all()
     assert q2.sum_idf.nunique() == 1
+
+
+def test_spellcheck_collate_semantics(ray_session):
+    """spellcheck.collate: rank-sum candidate order, conjunctive
+    re-run hit counts, zero-hit candidates dropped, known words pass
+    through unchanged."""
+    import duckdb
+    from jesterj_ray.pipelines.flagship import spellcheck_collate
+    col = spellcheck_collate(SF, "streem qery", 2, 3)
+    assert len(col) >= 1
+    assert col["rank"].tolist() == list(range(1, len(col) + 1))
+    con = duckdb.connect()
+    for _, row in col.iterrows():
+        terms = row.collation.split()
+        n = con.execute(
+            f"""SELECT count(*) FROM (
+              SELECT doc_id,
+                     list_contains(regexp_extract_all(lower(text),
+                                   '[a-z0-9]+'), ?) AND
+                     list_contains(regexp_extract_all(lower(text),
+                                   '[a-z0-9]+'), ?) AS m
+              FROM '{SF}/documents.parquet') WHERE m""",
+            terms).fetchone()[0]
+        assert n == row.hits and n > 0
+    # a known word passes through as itself
+    col2 = spellcheck_collate(SF, "stream qery", 2, 3)
+    assert all(c.split()[0] == "stream" for c in col2.collation)
+    # hits ordering: candidate list is rank-sum ordered, so the head
+    # collation uses both rank-1 suggestions when it has hits
+    assert col.collation.iloc[0].split()[0] in ("stream",)
+
+
+def test_global_shuffle_order_deterministic(ray_session):
+    """Training-order shuffle: frozen mix_rank order, identical at any
+    parallelism, matches the SQL oracle ordering."""
+    import duckdb
+    from jesterj_ray.pipelines.flagship import global_shuffle_order
+    got = global_shuffle_order(SF).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT doc_id,
+            CAST(((doc_id % 1000003) * 2654435761
+                  + doc_id % 1000000007) % 1000000007 AS BIGINT)
+              AS shuffle_key
+        FROM '{SF}/documents.parquet'
+        ORDER BY shuffle_key, doc_id""").df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+    # the order is a real permutation, not the input order
+    assert got.doc_id.tolist() != sorted(got.doc_id.tolist())
