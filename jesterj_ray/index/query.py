@@ -1029,6 +1029,17 @@ class IndexReader:
             return e["df"] - int(self._tombstone[dense].sum())
         return e["df"]
 
+    def scoring_df(self, term: str) -> int:
+        """The df the BM25 scorer uses for this term — as-built
+        dictionary df, or alive-filtered in exact-stats mode.  For
+        feature loggers (LTR) that must reproduce served idf exactly;
+        0 for absent terms."""
+        e = self.term_entry(term)
+        if e is None:
+            return 0
+        docs, _ = self.postings(term)
+        return self._df_alive(e, self.dense_of(docs))
+
     def _term_contrib_dense(self, dense: np.ndarray, tfs: np.ndarray,
                             df: int) -> np.ndarray:
         w = idf(self.n_docs, df)

@@ -1687,25 +1687,29 @@ def join_query_topk(sf_dir: str, query: str = "merge sort",
     referenced by qualifying rows of ANOTHER collection.
 
     Join-side shape: a pruned 3-column scan of events, per-block Arrow
-    predicate + vectorized regex key extraction, per-block DISTINCT —
+    predicate + top-level JSON key extraction, per-block DISTINCT —
     so only unique join keys (bounded by the doc space, not the event
     count) reach the driver, then broadcast into the match-set filter.
     No event row ever shuffles; at 100 TB the from-side stays a
     streaming scan and the key set is the small side by construction
     (Solr's join has the same index-bounded key-set property)."""
+    from ..stages.extract import extract_json_field
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "value", "props"],
                          override_num_blocks=8)
     etype = pa.scalar(event_type)
-    pat = r'"k":\s*(?P<v>-?\d+)'
 
     def block_keys(t: pa.Table) -> pa.Table:
         keep = pc.and_(pc.equal(t["event_type"], etype),
                        pc.greater_equal(t["value"], min_value))
-        props = t.filter(keep)["props"]
-        m = pc.extract_regex(props, pat)
-        ks = pc.cast(pc.struct_field(m, "v"), pa.int64())
-        return pa.table({"doc_id": pc.unique(pc.drop_null(ks))})
+        # true top-level-key JSON extraction (extract_json_field) so
+        # engine semantics match the oracle's props->>'k' on nested /
+        # spaced / non-integer payloads, bounded by the filtered rows
+        sub = extract_json_field(t.filter(keep), json_field="props",
+                                 key="k", out_field="_jk",
+                                 as_type="int64")
+        return pa.table(
+            {"doc_id": pc.unique(pc.drop_null(sub["_jk"]))})
 
     parts = ds.map_batches(block_keys, batch_format="pyarrow") \
         .take_all()
@@ -1772,7 +1776,7 @@ def ltr_features(sf_dir: str, queries: Optional[List[dict]] = None,
     postings involved are already resident from the ranking phase
     (postings LRU)."""
     reader = IndexReader(documents_index(sf_dir))
-    from ..index.bm25 import dedup_keep_order
+    from ..index.bm25 import dedup_keep_order, idf
     rows = []
     for q in (queries or DOC_QUERIES):
         hits = reader.topk(q["query"], q["k"])
@@ -1782,18 +1786,20 @@ def ltr_features(sf_dir: str, queries: Optional[List[dict]] = None,
         scores = np.asarray([h[1] for h in hits], dtype=np.float64)
         keys = np.asarray([int(x) for x in reader.doc_keys(ids)],
                           dtype=np.int64)
-        dls = reader._dl_dense[reader.dense_of(ids)].astype(np.int64)
+        dls = reader.doc_len(ids)
         terms = dedup_keep_order(reader.tokenizer(q["query"]))
         tf_mat = np.zeros((len(terms), ids.size), dtype=np.int64)
         idfs = np.zeros(len(terms), dtype=np.float64)
         for ti, t in enumerate(terms):
+            # idf from the SCORER's df (scoring_df: as-built, or
+            # alive-filtered on exact-stats indexes) so logged
+            # features can never drift from served scores
+            df = reader.scoring_df(t)
+            if df:
+                idfs[ti] = idf(reader.n_docs, df)
             docs, tfs = reader.postings(t)
             alive = reader.alive_mask(docs)
             docs, tfs = docs[alive], tfs[alive]
-            df = int(docs.size)
-            if df:
-                idfs[ti] = np.log(
-                    (reader.n_docs - df + 0.5) / (df + 0.5) + 1.0)
             pos = np.searchsorted(docs, ids)
             ok = (pos < docs.size)
             ok[ok] &= docs[pos[ok]] == ids[ok]

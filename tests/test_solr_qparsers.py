@@ -230,3 +230,43 @@ def test_global_shuffle_order_deterministic(ray_session):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
     # the order is a real permutation, not the input order
     assert got.doc_id.tolist() != sorted(got.doc_id.tolist())
+
+
+def test_scoring_df_matches_served_idf(ray_session, tmp_path):
+    """scoring_df (the LTR feature source) must reproduce the idf the
+    scorer actually uses — on a DEFAULT index that is the as-built df
+    even after deletes (Lucene semantics); deleting a doc must NOT
+    silently change logged features away from served scores."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from jesterj_ray.index.bm25 import idf
+    from jesterj_ray.index.build_rows import build_index_rows
+    from jesterj_ray.index.query import IndexReader, delete_docs
+    texts = ["alpha beta", "alpha gamma", "beta gamma", "alpha"]
+    tab = pa.table({"doc_id": pa.array(list(range(4)), pa.int64()),
+                    "content": pa.array(texts)})
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(tab, src)
+    out = str(tmp_path / "idx")
+    build_index_rows(src, out, text_col="content", tokenizer="simple",
+                     docs_per_partition=2, num_shards=2)
+    rdr = IndexReader(out)
+    assert rdr.scoring_df("alpha") == 3
+    assert rdr.scoring_df("zzznot") == 0
+    # delete an alpha doc: default (non-exact-stats) index keeps
+    # as-built df in scoring — scoring_df must agree with the score
+    docs, _ = rdr.postings("alpha")
+    victim = rdr.doc_keys(docs[:1])[0]
+    assert delete_docs(out, [victim]) == 1
+    r2 = IndexReader(out)
+    hits = r2.topk("alpha", 5)
+    assert hits
+    served_idf_times = hits[-1][1]  # lowest-tf alive doc's score
+    df_used = r2.scoring_df("alpha")
+    # reproduce the last hit's score from scoring_df components
+    d, s = hits[-1]
+    tf = dict(zip(*r2.postings("alpha")))[d]
+    dl = r2.doc_len(np.array([d], dtype=np.int64))[0]
+    expect = idf(r2.n_docs, df_used) * tf * (1.2 + 1.0) / (
+        tf + 1.2 * (1 - 0.75 + 0.75 * dl / r2.avgdl))
+    assert abs(s - expect) < 1e-12
