@@ -246,6 +246,14 @@ def _ltr_features(sf_dir: str):
     return ltr_features(sf_dir)
 
 
+def _facet_multiselect(sf_dir: str):
+    # Solr {!tag}/{!ex} multi-select faceting: tagged-filter facet
+    # counts exclude its own fq; other facets apply it
+    from jesterj_ray.pipelines.flagship import facet_multiselect
+    return facet_multiselect(sf_dir, "dup stream", "lang", "en",
+                             "source")
+
+
 def _spellcheck_collate(sf_dir: str):
     # Solr spellcheck.collate: rewritten queries re-run for hits > 0
     from jesterj_ray.pipelines.flagship import spellcheck_collate
@@ -1412,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ltr_features": _ltr_features,
         "spellcheck_collate": _spellcheck_collate,
         "global_shuffle_order": _global_shuffle_order,
+        "facet_multiselect": _facet_multiselect,
         "block_join_parent_max": _block_join_max,
         "block_join_parent_sum": _block_join_sum,
         "hybrid_rrf_topk": _hybrid_rrf,
@@ -4231,6 +4240,31 @@ FROM ranked WHERE grank <= 3 ORDER BY lang, grank""",
             SELECT CAST(rank AS BIGINT) AS rank, "collation",
                    CAST(hits AS BIGINT) AS hits
             FROM ranked WHERE rank <= 3 ORDER BY rank""",
+        # multi-select faceting: the lang facet excludes its own
+        # tagged fq; the source facet applies it
+        "facet_multiselect": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ),
+            matched AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN ('dup', 'stream')
+            ),
+            ex AS (
+              SELECT 'lang' AS facet, d.lang AS value, count(*) AS n
+              FROM documents d JOIN matched USING (doc_id)
+              GROUP BY d.lang
+            ),
+            ap AS (
+              SELECT 'source' AS facet, d.source AS value,
+                     count(*) AS n
+              FROM documents d JOIN matched USING (doc_id)
+              WHERE d.lang = 'en'
+              GROUP BY d.source
+            )
+            SELECT facet, value, CAST(n AS BIGINT) AS n
+            FROM (SELECT * FROM ex UNION ALL SELECT * FROM ap)
+            ORDER BY facet, value""",
         # frozen mix_rank hash (stages/sampling.py) fixes the
         # training order; ties (impossible below 1e9 ids but cheap)
         # break by doc_id

@@ -480,11 +480,14 @@ def spellcheck_documents(sf_dir: str,
 
 
 def _facet_over_match_set(sf_dir: str, query: str,
-                          fields: List[str]) -> pd.DataFrame:
+                          fields: List[str],
+                          fq: Optional[tuple] = None) -> pd.DataFrame:
     """Shared facet core: counts per value-tuple of ``fields`` over the
     query's disjunctive match set.  ONE definition of the
     broadcast-match-set + partial-aggregate shape (facet.field and
-    facet.pivot differ only in group-key arity)."""
+    facet.pivot differ only in group-key arity).  ``fq=(field, value)``
+    additionally applies a filter query before counting (the
+    multi-select path passes it for untagged facets only)."""
     from ..index.bm25 import dedup_keep_order
     from ..pipelines.relational import partial_groupby_sum
     idx = documents_index(sf_dir)
@@ -503,11 +506,16 @@ def _facet_over_match_set(sf_dir: str, query: str,
     matched_ref = ray.put(pa.array(np.unique(np.concatenate(parts))))
 
     def keep_matched(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["doc_id"],
-                                 value_set=ray.get(matched_ref)))
+        keep = pc.is_in(t["doc_id"], value_set=ray.get(matched_ref))
+        if fq is not None:
+            keep = pc.and_(keep, pc.equal(t[fq[0]], fq[1]))
+        return t.filter(keep)
 
+    cols = ["doc_id"] + fields
+    if fq is not None and fq[0] not in cols:
+        cols.append(fq[0])
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id"] + fields,
+                         columns=cols,
                          override_num_blocks=8)
     out = partial_groupby_sum(ds, fields, [],
                               prep=keep_matched).to_pandas()
@@ -1894,3 +1902,27 @@ def global_shuffle_order(sf_dir: str):
 
     return ds.map_batches(add_key, batch_format="pyarrow") \
         .sort(["shuffle_key", "doc_id"])
+
+
+def facet_multiselect(sf_dir: str, query: str = "dup stream",
+                      fq_field: str = "lang", fq_value: str = "en",
+                      other_facet: str = "source") -> pd.DataFrame:
+    """Solr multi-select faceting (``fq={!tag=L}lang:en`` +
+    ``facet.field={!ex=L}lang``): the facet on the tagged filter's OWN
+    field counts over the match set with that filter EXCLUDED (so the
+    UI keeps showing the sibling options), while every other facet
+    counts with all filters applied.  Both legs reuse the shared
+    broadcast-match-set partial-aggregate core; the fq is one more
+    vectorized predicate inside the same per-block pass, never a
+    second scan."""
+    ex = _facet_over_match_set(sf_dir, query, [fq_field])
+    ap = _facet_over_match_set(sf_dir, query, [other_facet],
+                               fq=(fq_field, fq_value))
+    out = pd.concat([
+        pd.DataFrame({"facet": fq_field, "value": ex[fq_field],
+                      "n": ex["n"]}),
+        pd.DataFrame({"facet": other_facet, "value": ap[other_facet],
+                      "n": ap["n"]}),
+    ], ignore_index=True).sort_values(["facet", "value"])
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)

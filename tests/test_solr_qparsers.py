@@ -270,3 +270,34 @@ def test_scoring_df_matches_served_idf(ray_session, tmp_path):
     expect = idf(r2.n_docs, df_used) * tf * (1.2 + 1.0) / (
         tf + 1.2 * (1 - 0.75 + 0.75 * dl / r2.avgdl))
     assert abs(s - expect) < 1e-12
+
+
+def test_facet_multiselect_excludes_tagged_filter(ray_session):
+    """Multi-select faceting: the tagged filter's own facet counts as
+    if its fq were absent (all langs present); other facets apply the
+    fq (source counts only over lang='en' matches)."""
+    import duckdb
+    from jesterj_ray.pipelines.flagship import facet_multiselect
+    ms = facet_multiselect(SF, "dup stream", "lang", "en", "source")
+    con = duckdb.connect()
+    toks = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS term FROM "
+            f"'{SF}/documents.parquet'")
+    langs = con.execute(
+        f"""WITH t AS ({toks}), m AS (SELECT DISTINCT doc_id FROM t
+            WHERE term IN ('dup','stream'))
+        SELECT d.lang, count(*) FROM '{SF}/documents.parquet' d
+        JOIN m USING (doc_id) GROUP BY d.lang""").fetchall()
+    got_langs = ms[ms.facet == "lang"].set_index("value")["n"].to_dict()
+    assert got_langs == {l: n for l, n in langs}
+    assert len(got_langs) > 1  # the fq did NOT collapse its own facet
+    srcs = con.execute(
+        f"""WITH t AS ({toks}), m AS (SELECT DISTINCT doc_id FROM t
+            WHERE term IN ('dup','stream'))
+        SELECT d.source, count(*) FROM '{SF}/documents.parquet' d
+        JOIN m USING (doc_id) WHERE d.lang = 'en'
+        GROUP BY d.source""").fetchall()
+    got_srcs = ms[ms.facet == "source"].set_index("value")["n"].to_dict()
+    assert got_srcs == {s: n for s, n in srcs}
+    # the applied leg counts strictly fewer docs than the excluded leg
+    assert sum(got_srcs.values()) < sum(got_langs.values())
