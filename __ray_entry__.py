@@ -368,6 +368,37 @@ def _range_facets(sf_dir: str):
                         start=0, end=600, gap=50)
 
 
+def _json_facet_nested(sf_dir: str):
+    # Solr JSON Facet API: top-3 lang buckets over the match set,
+    # each with an avg_chars stat and its top-2 source sub-buckets
+    # (pipelines/components.py — one (lang,source)-arity partial pass)
+    from jesterj_ray.pipelines.components import json_facet_nested
+    return json_facet_nested(sf_dir, query="dup stream",
+                             top_buckets=3, sub_n=2)
+
+
+def _significant_terms(sf_dir: str):
+    # ES significant-terms: per-term foreground-vs-background lift
+    # over the match set, one corpus pass for both df tables
+    from jesterj_ray.pipelines.components import significant_terms
+    return significant_terms(sf_dir, query="dup stream",
+                             top_n=15, min_fg_df=5)
+
+
+def _percolate_queries(sf_dir: str):
+    # ES percolate / reverse search: document stream probed against
+    # the stored query set, map-only (pipelines/components.py)
+    from jesterj_ray.pipelines.components import percolate_documents
+    return percolate_documents(sf_dir)
+
+
+def _realtime_get(sf_dir: str):
+    # Solr /get: delta-update + delete applied, then get-by-id sees
+    # the latest state without a rebuild (pipelines/components.py)
+    from jesterj_ray.pipelines.components import realtime_get
+    return realtime_get(sf_dir)
+
+
 def _cursor_pages(sf_dir: str):
     from jesterj_ray.pipelines.flagship import cursor_pages
     return cursor_pages(sf_dir, query="merge sort", page_size=5,
@@ -1373,6 +1404,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict order = driver iteration order: entries lacking a
         # CORRECTNESS_r03 row come FIRST so every operator regains
         # a current driver-checked row (r03 VERDICT #3)
+        "json_facet_nested": _json_facet_nested,
+        "significant_terms": _significant_terms,
+        "percolate_queries": _percolate_queries,
+        "realtime_get": _realtime_get,
         "lm_perplexity": _lm_perplexity,
         "ccnet_buckets": _ccnet_buckets,
         "knn_pq_top10": _knn_pq,
@@ -4265,6 +4300,122 @@ FROM ranked WHERE grank <= 3 ORDER BY lang, grank""",
             SELECT facet, value, CAST(n AS BIGINT) AS n
             FROM (SELECT * FROM ex UNION ALL SELECT * FROM ap)
             ORDER BY facet, value""",
+        # engine: components.json_facet_nested — Solr JSON Facet API
+        # (nested facet + per-bucket stats).  avg_chars is a RATIONAL:
+        # floor(x*1e6+0.5)/1e6 on BOTH sides (SQL round() is
+        # half-away, numpy .round() half-even — pinned invariant);
+        # both sides compute it as ONE division of exact integers so
+        # the float is bit-identical
+        "json_facet_nested": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ),
+            matched AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN ('dup', 'stream')
+            ),
+            cells AS (
+              SELECT d.lang, d.source, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(d.n_chars) AS BIGINT) AS chars
+              FROM documents d JOIN matched USING (doc_id)
+              GROUP BY d.lang, d.source
+            ),
+            buckets AS (
+              SELECT lang, CAST(sum(n) AS BIGINT) AS lang_count,
+                     floor(((CAST(sum(chars) AS BIGINT) * 1.0)
+                            / CAST(sum(n) AS BIGINT)) * 1e6 + 0.5)
+                       / 1e6 AS avg_chars
+              FROM cells GROUP BY lang
+              ORDER BY lang_count DESC, lang LIMIT 3
+            ),
+            sub AS (
+              SELECT c.lang, c.source, c.n AS source_count,
+                     row_number() OVER (PARTITION BY c.lang
+                       ORDER BY c.n DESC, c.source) AS rk
+              FROM cells c JOIN buckets b USING (lang)
+            )
+            SELECT b.lang, b.lang_count, b.avg_chars,
+                   s.source, s.source_count
+            FROM buckets b JOIN sub s USING (lang)
+            WHERE s.rk <= 2
+            ORDER BY b.lang_count DESC, b.lang,
+                     s.source_count DESC, s.source""",
+        # engine: components.significant_terms — ES significant-terms.
+        # lift = (fg_df*bg_n)/(bg_df*fg_n): both sides form EXACT
+        # integer products (< 2^53) and divide once, so the float —
+        # and its 6dp floor-form rounding — is bit-identical
+        "significant_terms": f"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            ),
+            matched AS (
+              SELECT DISTINCT doc_id FROM dt
+              WHERE term IN ('dup', 'stream')
+            ),
+            nn AS (
+              SELECT (SELECT count(*) FROM documents) AS bg_n,
+                     (SELECT count(*) FROM matched) AS fg_n
+            ),
+            freq AS (
+              SELECT dt.term, CAST(count(*) AS BIGINT) AS bg_df,
+                     CAST(sum(CASE WHEN m.doc_id IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fg_df
+              FROM dt LEFT JOIN matched m USING (doc_id)
+              GROUP BY dt.term
+            )
+            SELECT term, fg_df, bg_df,
+                   floor(((fg_df * 1.0 * nn.bg_n)
+                          / (bg_df * 1.0 * nn.fg_n)) * 1e6 + 0.5)
+                     / 1e6 AS lift
+            FROM freq, nn
+            WHERE fg_df >= 5 AND term NOT IN ('dup', 'stream')
+            ORDER BY lift DESC, term LIMIT 15""",
+        # engine: components.percolate_documents — ES percolate
+        # (stored queries probe the document stream); the VALUES here
+        # mirror PERCOLATOR_QUERIES verbatim
+        "percolate_queries": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents)
+            SELECT CAST(1 AS BIGINT) AS qid, doc_id FROM t
+              WHERE list_contains(ts, 'merge')
+                AND list_contains(ts, 'sort')
+            UNION ALL
+            SELECT 2, doc_id FROM t
+              WHERE list_contains(ts, 'dup')
+                AND list_contains(ts, 'stream')
+            UNION ALL
+            SELECT 3, doc_id FROM t
+              WHERE list_contains(ts, 'customer')
+                AND NOT list_contains(ts, 'window')
+            UNION ALL
+            SELECT 4, doc_id FROM t WHERE list_contains(ts, 'zzzabsent')
+            UNION ALL
+            SELECT 5, doc_id FROM t
+              WHERE list_contains(ts, 'hash')
+                AND list_contains(ts, 'join')
+                AND NOT list_contains(ts, 'sort')
+            ORDER BY qid, doc_id""",
+        # engine: components.realtime_get — Solr /get after a per-doc
+        # delta update (doc 3 gains a fixed suffix) and a delete
+        # (doc 17 tombstoned); doc_len = simple-tokenizer token count
+        "realtime_get": """
+            WITH ids(doc_id) AS (
+              VALUES (3), (17), (42), (64), (9999999)
+            ),
+            mod AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id = 3
+                          THEN text || ' freshly updated realtime tokens'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id <> 17
+            )
+            SELECT CAST(i.doc_id AS BIGINT) AS doc_id,
+                   m.doc_id IS NOT NULL AS found,
+                   CAST(COALESCE(len(regexp_extract_all(
+                        lower(m.text), '[a-z0-9]+')), 0) AS BIGINT)
+                     AS doc_len
+            FROM ids i LEFT JOIN mod m ON i.doc_id = m.doc_id
+            ORDER BY i.doc_id""",
         # frozen mix_rank hash (stages/sampling.py) fixes the
         # training order; ties (impossible below 1e9 ids but cheap)
         # break by doc_id
