@@ -1039,6 +1039,22 @@ def _q6_forecast(sf_dir: str):
     return q6_forecast_revenue(sf_dir)
 
 
+def _q4_order_priority(sf_dir: str):
+    # TPC-H Q4: EXISTS as a distributed cogroup SEMI-join — distinct
+    # qualifying lineitem keys vs date-filtered orders, per-group
+    # is_in probe emitting per-priority partial counts only
+    from jesterj_ray.pipelines.relational import q4_order_priority
+    return q4_order_priority(sf_dir)
+
+
+def _q13_customer_distribution(sf_dir: str):
+    # TPC-H Q13: LEFT OUTER join as per-custkey count groupby +
+    # histogram re-collapse; zero-order bucket by arithmetic
+    # complement (total customers - ordering customers)
+    from jesterj_ray.pipelines.relational import q13_customer_distribution
+    return q13_customer_distribution(sf_dir)
+
+
 def _events_quantiles(sf_dir: str):
     # exact distributed quantile_disc: counts-only histogram shuffle +
     # one targeted bucket fetch; selected values are input ELEMENTS so
@@ -1404,6 +1420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict order = driver iteration order: entries lacking a
         # CORRECTNESS_r03 row come FIRST so every operator regains
         # a current driver-checked row (r03 VERDICT #3)
+        "q4_order_priority": _q4_order_priority,
+        "q13_customer_distribution": _q13_customer_distribution,
         "json_facet_nested": _json_facet_nested,
         "significant_terms": _significant_terms,
         "percolate_queries": _percolate_queries,
@@ -3697,6 +3715,29 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
               UNION ALL SELECT event_type, 0.9, q90 FROM a
               UNION ALL SELECT event_type, 0.99, q99 FROM a)
             ORDER BY event_type, q""",
+        # engine: relational.q4_order_priority — cogroup semi-join
+        "q4_order_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority""",
+        # engine: relational.q13_customer_distribution — outer join as
+        # count-groupby + histogram + arithmetic zero bucket
+        "q13_customer_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (SELECT c_custkey,
+                         CAST(count(o_custkey) AS BIGINT) AS c_count
+                  FROM customer LEFT OUTER JOIN orders
+                    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+                  GROUP BY c_custkey) c_orders
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC""",
         "q18_large_orders": """
             WITH qual AS (
               SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem

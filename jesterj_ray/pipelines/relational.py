@@ -1483,3 +1483,136 @@ def q18_large_orders(sf_dir: str, min_qty: int = 120, k: int = 10
         .dt.strftime("%Y-%m-%d")
     return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
                 "o_totalprice", "total_qty"]].reset_index(drop=True)
+
+
+Q4_LO = np.datetime64("1996-07-01")
+Q4_HI = np.datetime64("1996-10-01")
+
+
+def q4_order_priority(sf_dir: str, *, num_groups: int = 32
+                      ) -> pd.DataFrame:
+    """TPC-H Q4 order-priority-checking analog: count orders per
+    ``o_orderpriority`` over a one-quarter window where EXISTS a
+    returned lineitem (``l_returnflag = 'R'``; the reference schema's
+    commit/receipt dates aren't in this synthetic table).
+
+    The EXISTS is a DISTRIBUTED SEMI-JOIN — the shape Q13's outer join
+    and Q5's equi-join don't cover.  Both sides are fact-sized so
+    neither may broadcast: lineitem collapses per block to DISTINCT
+    qualifying orderkeys (key rows only — flags never leave the scan),
+    orders carries (orderkey, priority); one coarse-gkey groupby
+    co-locates each key's rows and the per-group probe is a single
+    Arrow ``is_in`` (no pairing, no row multiplication — semi-join
+    emits per-priority PARTIAL COUNTS, so group output is
+    O(priorities), not O(rows)).  A final 5-row groupby finishes.
+    Sequential orderkeys spread uniformly under mod; ``num_groups``
+    scales with the cluster."""
+    lo = pa.scalar(Q4_LO.astype("datetime64[us]").item())
+    hi = pa.scalar(Q4_HI.astype("datetime64[us]").item())
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_returnflag"],
+                         override_num_blocks=16)
+
+    def li_keys(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t.filter(
+            pc.equal(t["l_returnflag"], "R"))["l_orderkey"])
+        n = len(keys)
+        return pa.table({
+            "k": keys.cast(pa.int64()),
+            "o_orderpriority": pa.nulls(n, pa.string()),
+            "side": pa.array(["r"] * n, pa.string()),
+            "gkey": pc.cast(_mod_nonneg(keys, num_groups), pa.int64())})
+
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_orderdate",
+                                  "o_orderpriority"],
+                         override_num_blocks=8)
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        k = t["o_orderkey"].combine_chunks()
+        return pa.table({
+            "k": k.cast(pa.int64()),
+            "o_orderpriority": t["o_orderpriority"].combine_chunks(),
+            "side": pa.array(["l"] * len(t), pa.string()),
+            "gkey": pc.cast(_mod_nonneg(k, num_groups), pa.int64())})
+
+    def probe(g: pa.Table) -> pd.DataFrame:
+        rmask = pc.equal(g["side"], "r")
+        rkeys = g.filter(rmask)["k"].combine_chunks()
+        lg = g.filter(pc.invert(rmask))
+        hit = lg.filter(pc.is_in(lg["k"], value_set=rkeys))
+        if hit.num_rows == 0:
+            return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        agg = pa.TableGroupBy(hit.select(["o_orderpriority"]),
+                              "o_orderpriority").aggregate([([], "count_all")])
+        return pd.DataFrame({
+            "o_orderpriority": agg["o_orderpriority"].to_pylist(),
+            "n": agg["count_all"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+
+    parts = li.map_batches(li_keys, batch_format="pyarrow") \
+        .union(od.map_batches(o_rows, batch_format="pyarrow")) \
+        .groupby("gkey").map_groups(probe, batch_format="pyarrow") \
+        .to_pandas()
+    out = parts.groupby("o_orderpriority", sort=True)["n"].sum() \
+        .reset_index().rename(columns={"n": "order_count"})
+    out["order_count"] = out["order_count"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 customer-distribution analog: per-customer order
+    counts (orders with ``o_orderstatus <> 'F'`` — the stand-in for
+    the reference's comment-pattern exclusion), then the histogram of
+    those counts — INCLUDING the zero-order customers the LEFT OUTER
+    join exists for.
+
+    Shape: the outer join never materializes as pairs.  Orders
+    collapses per block to (custkey, n) partials and ONE data-sized
+    ``groupby(custkey).sum`` yields each ordering customer's count;
+    the count HISTOGRAM is then re-collapsed per block (c_count ->
+    custdist partials, O(distinct counts) rows) and summed in a tiny
+    final groupby.  The left-outer complement is arithmetic, not a
+    join: customer contributes only its TOTAL row count (per-block
+    partials; referential integrity o_custkey IN c_custkey holds, as
+    in TPC-H), so customers-with-zero-orders = total - ordering,
+    appended as the c_count=0 bucket.  No customer column beyond the
+    key is ever read; nothing fact-sized touches the driver."""
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_orderstatus"],
+                         override_num_blocks=8)
+
+    def o_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["o_orderstatus"], "F"))
+        agg = pa.TableGroupBy(t.select(["o_custkey"]),
+                              "o_custkey").aggregate([([], "count_all")])
+        return pa.table({"o_custkey": agg["o_custkey"],
+                         "n": agg["count_all"].cast(pa.int64())})
+
+    per_cust = od.map_batches(o_part, batch_format="pyarrow") \
+        .groupby("o_custkey").sum("n")
+
+    def hist(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(
+            pa.table({"c_count": t["sum(n)"].cast(pa.int64())}),
+            "c_count").aggregate([([], "count_all")])
+        return pa.table({"c_count": agg["c_count"],
+                         "custdist": agg["count_all"].cast(pa.int64())})
+
+    h = per_cust.map_batches(hist, batch_format="pyarrow").to_pandas()
+    h = h.groupby("c_count", sort=False)["custdist"].sum().reset_index()
+
+    n_cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey"]).count()
+    zero = int(n_cust) - int(h["custdist"].sum())
+    if zero > 0:
+        h = pd.concat([h, pd.DataFrame({"c_count": [0],
+                                        "custdist": [zero]})],
+                      ignore_index=True)
+    h = h.sort_values(["custdist", "c_count"], ascending=[False, False],
+                      kind="mergesort").reset_index(drop=True)
+    return h.astype({"c_count": np.int64, "custdist": np.int64})

@@ -994,3 +994,49 @@ def test_curation_pipeline_stages_bite(ray_session):
         before = g["cum_tokens"] - g["n_tok"]
         assert (before < 2000).all()           # budget crossing rule
         assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_q4_semi_join_num_groups_invariant():
+    """Q4's cogroup semi-join output is independent of the partition
+    count (the gkey exchange must not affect semantics) and matches a
+    direct pandas EXISTS evaluation."""
+    from jesterj_ray.pipelines.relational import (Q4_HI, Q4_LO,
+                                                  q4_order_priority)
+    sf = "/root/testdata/sf0.001"
+    a = q4_order_priority(sf, num_groups=4)
+    b = q4_order_priority(sf, num_groups=64)
+    pd.testing.assert_frame_equal(a, b)
+
+    li = pq.read_table(os.path.join(sf, "lineitem.parquet"),
+                       columns=["l_orderkey", "l_returnflag"]).to_pandas()
+    keys = set(li.loc[li["l_returnflag"] == "R", "l_orderkey"])
+    od = pq.read_table(os.path.join(sf, "orders.parquet"),
+                       columns=["o_orderkey", "o_orderdate",
+                                "o_orderpriority"]).to_pandas()
+    od = od[(od["o_orderdate"] >= pd.Timestamp(Q4_LO.item()))
+            & (od["o_orderdate"] < pd.Timestamp(Q4_HI.item()))]
+    od = od[od["o_orderkey"].isin(keys)]
+    want = od.groupby("o_orderpriority", sort=True).size()
+    got = a.set_index("o_orderpriority")["order_count"]
+    assert dict(got) == dict(want)
+
+
+def test_q13_zero_bucket_and_mass_conservation():
+    """Q13's histogram must include the zero-order customers (the
+    LEFT-OUTER complement) and its custdist column must sum to the
+    customer table's row count exactly."""
+    from jesterj_ray.pipelines.relational import q13_customer_distribution
+    sf = "/root/testdata/sf0.001"
+    h = q13_customer_distribution(sf)
+    n_cust = pq.read_metadata(
+        os.path.join(sf, "customer.parquet")).num_rows
+    assert int(h["custdist"].sum()) == n_cust
+    od = pq.read_table(os.path.join(sf, "orders.parquet"),
+                       columns=["o_custkey", "o_orderstatus"]).to_pandas()
+    ordering = od.loc[od["o_orderstatus"] != "F", "o_custkey"].nunique()
+    zero_rows = h.loc[h["c_count"] == 0, "custdist"]
+    if n_cust > ordering:
+        assert int(zero_rows.iloc[0]) == n_cust - ordering
+    # sorted by (custdist desc, c_count desc) — pinned output order
+    key = list(zip(-h["custdist"], -h["c_count"]))
+    assert key == sorted(key)
