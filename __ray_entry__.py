@@ -1055,6 +1055,28 @@ def _q13_customer_distribution(sf_dir: str):
     return q13_customer_distribution(sf_dir)
 
 
+def _q22_lapsed_customers(sf_dir: str):
+    # TPC-H Q22: global-scalar avg subquery (block partials -> one
+    # driver float) + distributed cogroup ANTI-join emitting
+    # per-segment partials only
+    from jesterj_ray.pipelines.relational import q22_lapsed_customers
+    return q22_lapsed_customers(sf_dir)
+
+
+def _q14_promo_revenue(sf_dir: str):
+    # TPC-H Q14: dimension broadcast join (part projected to 9 B/row)
+    # + global revenue-ratio fold; half-away 6dp ratio rounding
+    from jesterj_ray.pipelines.relational import q14_promo_revenue
+    return q14_promo_revenue(sf_dir)
+
+
+def _q12_priority_shipping(sf_dir: str):
+    # TPC-H Q12: fact-fact cogroup equi-join + case aggregation;
+    # group output is O(linestatus), never O(rows)
+    from jesterj_ray.pipelines.relational import q12_priority_shipping
+    return q12_priority_shipping(sf_dir)
+
+
 def _events_quantiles(sf_dir: str):
     # exact distributed quantile_disc: counts-only histogram shuffle +
     # one targeted bucket fetch; selected values are input ELEMENTS so
@@ -1422,6 +1444,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a current driver-checked row (r03 VERDICT #3)
         "q4_order_priority": _q4_order_priority,
         "q13_customer_distribution": _q13_customer_distribution,
+        "q22_lapsed_customers": _q22_lapsed_customers,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q12_priority_shipping": _q12_priority_shipping,
         "json_facet_nested": _json_facet_nested,
         "significant_terms": _significant_terms,
         "percolate_queries": _percolate_queries,
@@ -3738,6 +3763,49 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
                   GROUP BY c_custkey) c_orders
             GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC""",
+        # engine: relational.q22_lapsed_customers — global scalar
+        # subquery + cogroup anti-join
+        "q22_lapsed_customers": """
+            WITH avg_bal AS (
+              SELECT avg(c_acctbal) AS a FROM customer
+              WHERE c_acctbal > 0.0),
+            active AS (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer, avg_bal
+            WHERE c_acctbal > a
+              AND c_custkey NOT IN (SELECT o_custkey FROM active)
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment""",
+        # engine: relational.q14_promo_revenue — broadcast dimension
+        # join + global ratio fold (half-away 6dp, the ratio invariant)
+        "q14_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)),
+                   6) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+              AND l_shipdate < TIMESTAMP '1998-07-01'""",
+        # engine: relational.q12_priority_shipping — fact-fact cogroup
+        # join + case aggregation
+        "q12_priority_shipping": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                       ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                     AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN
+                       ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                     AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus""",
         "q18_large_orders": """
             WITH qual AS (
               SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem

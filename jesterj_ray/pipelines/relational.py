@@ -1616,3 +1616,259 @@ def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
     h = h.sort_values(["custdist", "c_count"], ascending=[False, False],
                       kind="mergesort").reset_index(drop=True)
     return h.astype({"c_count": np.int64, "custdist": np.int64})
+
+
+Q22_CUTOFF = np.datetime64("2000-01-01")
+
+
+def q22_lapsed_customers(sf_dir: str, *, num_groups: int = 32
+                         ) -> pd.DataFrame:
+    """TPC-H Q22 global-sales-opportunity analog: per market segment,
+    count + total balance of ABOVE-AVERAGE-balance customers with no
+    order since ``Q22_CUTOFF`` (this synthetic data has no orderless
+    customers at all, so Q22's NOT EXISTS becomes "lapsed since a
+    cutoff" to keep the anti-join non-degenerate).
+
+    Two shapes the other TPC-H analogs don't cover:
+
+    - a GLOBAL SCALAR subquery (avg positive balance) — per-block
+      (sum, count) partials folded to ONE driver float, then captured
+      in the downstream filter closure (broadcast-by-closure; bytes
+      shipped are O(blocks), never O(rows)), and
+    - a distributed ANTI-join — both sides fact-sized at scale, so
+      neither broadcasts: the orders side collapses per block to
+      DISTINCT recent custkeys (key rows only), one coarse-gkey
+      groupby co-locates each key's rows, and the per-group probe is
+      a vectorized inverted ``is_in``.  Group output is per-SEGMENT
+      partials (O(segments) rows), so nothing row-sized leaves the
+      exchange."""
+    cutoff = pa.scalar(Q22_CUTOFF.astype("datetime64[us]").item())
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment",
+                                    "c_acctbal"],
+                           override_num_blocks=8)
+
+    def bal_part(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["c_acctbal"], 0.0))["c_acctbal"]
+        return pa.table({"s": pa.array([pc.sum(pos).as_py() or 0.0],
+                                       pa.float64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    bal = _fold_blocks(cust.map_batches(bal_part,
+                                        batch_format="pyarrow"))
+    avg_bal = (pc.sum(bal["s"]).as_py() or 0.0) / \
+        max(1, pc.sum(bal["n"]).as_py() or 0)
+
+    def c_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], avg_bal))
+        k = t["c_custkey"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "k": k,
+            "c_mktsegment": t["c_mktsegment"].combine_chunks(),
+            "c_acctbal": t["c_acctbal"].combine_chunks(),
+            "side": pa.array(["c"] * len(t), pa.string()),
+            "gkey": pc.cast(_mod_nonneg(k, num_groups), pa.int64())})
+
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_orderdate"],
+                         override_num_blocks=8)
+
+    def o_keys(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t.filter(
+            pc.greater_equal(t["o_orderdate"], cutoff))["o_custkey"])
+        n = len(keys)
+        return pa.table({
+            "k": keys.cast(pa.int64()),
+            "c_mktsegment": pa.nulls(n, pa.string()),
+            "c_acctbal": pa.nulls(n, pa.float64()),
+            "side": pa.array(["r"] * n, pa.string()),
+            "gkey": pc.cast(_mod_nonneg(keys, num_groups), pa.int64())})
+
+    def anti(g: pa.Table) -> pd.DataFrame:
+        rmask = pc.equal(g["side"], "r")
+        rkeys = g.filter(rmask)["k"].combine_chunks()
+        cg = g.filter(pc.invert(rmask))
+        lapsed = cg.filter(pc.invert(pc.is_in(cg["k"], value_set=rkeys)))
+        if lapsed.num_rows == 0:
+            return pd.DataFrame({
+                "c_mktsegment": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "tot": pd.Series([], dtype=np.float64)})
+        agg = pa.TableGroupBy(
+            lapsed.select(["c_mktsegment", "c_acctbal"]),
+            "c_mktsegment").aggregate([("c_acctbal", "sum"),
+                                       ([], "count_all")])
+        return pd.DataFrame({
+            "c_mktsegment": agg["c_mktsegment"].to_pylist(),
+            "n": agg["count_all"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "tot": agg["c_acctbal_sum"].to_numpy(zero_copy_only=False)})
+
+    parts = cust.map_batches(c_rows, batch_format="pyarrow") \
+        .union(od.map_batches(o_keys, batch_format="pyarrow")) \
+        .groupby("gkey").map_groups(anti, batch_format="pyarrow") \
+        .to_pandas()
+    out = parts.groupby("c_mktsegment", sort=True) \
+        .agg(numcust=("n", "sum"), totacctbal=("tot", "sum")) \
+        .reset_index()
+    out["numcust"] = out["numcust"].astype(np.int64)
+    # 2dp like q1/q3/q5 money sums (float association noise only)
+    out["totacctbal"] = out["totacctbal"].round(2)
+    return out.reset_index(drop=True)
+
+
+Q14_LO = np.datetime64("1998-06-01")
+Q14_HI = np.datetime64("1998-07-01")
+
+
+def q14_promo_revenue(sf_dir: str, *, force_cogroup: bool = False
+                      ) -> pd.DataFrame:
+    """TPC-H Q14 promotion-effect analog: the percentage of one
+    month's discounted revenue from parts with ``p_type = 'PROMO'``
+    (this schema's p_type is a flat category, so equality stands in
+    for TPC-H's ``LIKE 'PROMO%'``).
+
+    Shape: dimension-join + GLOBAL ratio.  The part side projects to
+    (p_partkey, is_promo) — ~9 bytes/row, so the full TPC-H 1:30
+    part:lineitem ratio keeps it broadcastable far beyond where part
+    itself would be; :func:`broadcast_left_join` ships it via one
+    ``ray.put`` and probes per block, falling back to the coarse-gkey
+    cogroup exchange past the documented thresholds (``force_cogroup``
+    pins both paths identical).  Revenue then collapses per block to
+    (promo_sum, total_sum) partials — the driver folds O(blocks) rows
+    and emits the single ratio, rounded half-away-from-zero at 6dp
+    (the pinned rational-ratio invariant; ``.round()`` is half-even).
+    """
+    lo = pa.scalar(Q14_LO.astype("datetime64[us]").item())
+    hi = pa.scalar(Q14_HI.astype("datetime64[us]").item())
+
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_type"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["p_partkey"],
+                         "is_promo": pc.equal(t["p_type"], "PROMO")})
+
+    part_proj = _fold_blocks(part.map_batches(proj,
+                                              batch_format="pyarrow"))
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"],
+                         override_num_blocks=16)
+
+    def li_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                                pc.less(t["l_shipdate"], hi)))
+
+    joined = broadcast_left_join(
+        li.map_batches(li_filter, batch_format="pyarrow"),
+        part_proj, "l_partkey", "p_partkey", ["is_promo"],
+        force_cogroup=force_cogroup)
+
+    def rev_part(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        promo = pc.if_else(pc.fill_null(t["is_promo"], False), rev,
+                           pa.scalar(0.0))
+        return pa.table({
+            "p": pa.array([pc.sum(promo).as_py() or 0.0], pa.float64()),
+            "t": pa.array([pc.sum(rev).as_py() or 0.0], pa.float64())})
+
+    sums = _fold_blocks(joined.map_batches(rev_part,
+                                           batch_format="pyarrow"))
+    total = pc.sum(sums["t"]).as_py() or 0.0
+    promo = pc.sum(sums["p"]).as_py() or 0.0
+    ratio = 100.0 * promo / total if total else 0.0
+    return pd.DataFrame({"promo_revenue":
+                         [np.floor(ratio * 1e6 + 0.5) / 1e6]})
+
+
+Q12_LO = np.datetime64("1998-01-01")
+Q12_HI = np.datetime64("1999-01-01")
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_shipping(sf_dir: str, *, num_groups: int = 32
+                          ) -> pd.DataFrame:
+    """TPC-H Q12 shipping-priority analog: per lineitem linestatus
+    (standing in for the absent l_shipmode), how many one-year
+    shipments belong to high-priority orders (1-URGENT / 2-HIGH)
+    vs the rest.
+
+    Shape: FACT-FACT equi-join + case aggregation.  Neither side
+    broadcasts at scale — lineitem ships (orderkey, linestatus) key
+    rows, orders ships (orderkey, is_high bool); one coarse-gkey
+    exchange co-locates each orderkey and the per-group resolution is
+    a vectorized ``index_in`` probe + one Arrow hash aggregate, so
+    group output is O(linestatus values), never O(rows).  Join keys
+    and pairing stay in ARROW throughout (the int64-with-nulls pandas
+    degradation trap)."""
+    lo = pa.scalar(Q12_LO.astype("datetime64[us]").item())
+    hi = pa.scalar(Q12_HI.astype("datetime64[us]").item())
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_linestatus",
+                                  "l_shipdate"],
+                         override_num_blocks=16)
+
+    def l_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        k = t["l_orderkey"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "k": k,
+            "l_linestatus": t["l_linestatus"].combine_chunks(),
+            "is_high": pa.nulls(len(t), pa.bool_()),
+            "side": pa.array(["l"] * len(t), pa.string()),
+            "gkey": pc.cast(_mod_nonneg(k, num_groups), pa.int64())})
+
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_orderpriority"],
+                         override_num_blocks=8)
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "k": k,
+            "l_linestatus": pa.nulls(len(t), pa.string()),
+            "is_high": pc.is_in(t["o_orderpriority"],
+                                value_set=pa.array(list(Q12_HIGH))),
+            "side": pa.array(["o"] * len(t), pa.string()),
+            "gkey": pc.cast(_mod_nonneg(k, num_groups), pa.int64())})
+
+    def resolve(g: pa.Table) -> pd.DataFrame:
+        omask = pc.equal(g["side"], "o")
+        og = g.filter(omask)
+        lg = g.filter(pc.invert(omask))
+        if lg.num_rows == 0:
+            return pd.DataFrame({
+                "l_linestatus": pd.Series([], dtype=object),
+                "hi": pd.Series([], dtype=np.int64),
+                "lo": pd.Series([], dtype=np.int64)})
+        idx = pc.index_in(lg["k"], value_set=og["k"])
+        is_high = pc.fill_null(pc.take(og["is_high"], idx), False)
+        pairs = pa.table({
+            "l_linestatus": lg["l_linestatus"].combine_chunks(),
+            "hi": pc.cast(is_high, pa.int64()),
+            "lo": pc.cast(pc.invert(is_high), pa.int64())})
+        agg = pa.TableGroupBy(pairs, "l_linestatus").aggregate(
+            [("hi", "sum"), ("lo", "sum")])
+        return pd.DataFrame({
+            "l_linestatus": agg["l_linestatus"].to_pylist(),
+            "hi": agg["hi_sum"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "lo": agg["lo_sum"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+
+    parts = li.map_batches(l_rows, batch_format="pyarrow") \
+        .union(od.map_batches(o_rows, batch_format="pyarrow")) \
+        .groupby("gkey").map_groups(resolve, batch_format="pyarrow") \
+        .to_pandas()
+    out = parts.groupby("l_linestatus", sort=True) \
+        .agg(high_line_count=("hi", "sum"), low_line_count=("lo", "sum")) \
+        .reset_index()
+    out["high_line_count"] = out["high_line_count"].astype(np.int64)
+    out["low_line_count"] = out["low_line_count"].astype(np.int64)
+    return out.reset_index(drop=True)

@@ -1040,3 +1040,63 @@ def test_q13_zero_bucket_and_mass_conservation():
     # sorted by (custdist desc, c_count desc) — pinned output order
     key = list(zip(-h["custdist"], -h["c_count"]))
     assert key == sorted(key)
+
+
+def test_q22_anti_join_matches_direct_and_groups_invariant(ray_session):
+    """Q22's cogroup anti-join must be partition-count invariant and
+    equal a direct pandas NOT-IN evaluation (incl. the global avg
+    subquery)."""
+    from jesterj_ray.pipelines.relational import (Q22_CUTOFF,
+                                                  q22_lapsed_customers)
+    sf = "/root/testdata/sf0.001"
+    a = q22_lapsed_customers(sf, num_groups=4)
+    b = q22_lapsed_customers(sf, num_groups=64)
+    pd.testing.assert_frame_equal(a, b)
+
+    cu = pq.read_table(os.path.join(sf, "customer.parquet")).to_pandas()
+    od = pq.read_table(os.path.join(sf, "orders.parquet"),
+                       columns=["o_custkey", "o_orderdate"]).to_pandas()
+    avg_bal = cu.loc[cu["c_acctbal"] > 0, "c_acctbal"].mean()
+    active = set(od.loc[od["o_orderdate"]
+                        >= pd.Timestamp(Q22_CUTOFF.item()), "o_custkey"])
+    lapsed = cu[(cu["c_acctbal"] > avg_bal)
+                & ~cu["c_custkey"].isin(active)]
+    want = lapsed.groupby("c_mktsegment").agg(
+        numcust=("c_custkey", "size"), totacctbal=("c_acctbal", "sum"))
+    got = a.set_index("c_mktsegment")
+    assert dict(got["numcust"]) == dict(want["numcust"])
+    for seg in want.index:
+        assert abs(got.loc[seg, "totacctbal"]
+                   - round(want.loc[seg, "totacctbal"], 2)) < 1e-6
+
+
+def test_q14_broadcast_and_cogroup_paths_identical(ray_session):
+    """Q14 through the broadcast join and through the forced cogroup
+    fallback must produce the identical ratio."""
+    from jesterj_ray.pipelines.relational import q14_promo_revenue
+    sf = "/root/testdata/sf0.001"
+    a = q14_promo_revenue(sf)
+    b = q14_promo_revenue(sf, force_cogroup=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert 0.0 < a["promo_revenue"].iloc[0] < 100.0
+
+
+def test_q12_join_groups_invariant_and_mass(ray_session):
+    """Q12's fact-fact cogroup join: partition-count invariant, and
+    hi+lo per linestatus equals the plain filtered join cardinality."""
+    from jesterj_ray.pipelines.relational import (Q12_HI, Q12_LO,
+                                                  q12_priority_shipping)
+    sf = "/root/testdata/sf0.001"
+    a = q12_priority_shipping(sf, num_groups=4)
+    b = q12_priority_shipping(sf, num_groups=64)
+    pd.testing.assert_frame_equal(a, b)
+
+    li = pq.read_table(os.path.join(sf, "lineitem.parquet"),
+                       columns=["l_orderkey", "l_linestatus",
+                                "l_shipdate"]).to_pandas()
+    li = li[(li["l_shipdate"] >= pd.Timestamp(Q12_LO.item()))
+            & (li["l_shipdate"] < pd.Timestamp(Q12_HI.item()))]
+    want = li.groupby("l_linestatus").size()
+    got = a.set_index("l_linestatus")
+    tot = got["high_line_count"] + got["low_line_count"]
+    assert dict(tot) == dict(want)
