@@ -1077,6 +1077,20 @@ def _q12_priority_shipping(sf_dir: str):
     return q12_priority_shipping(sf_dir)
 
 
+def _boost_function_topk(sf_dir: str):
+    # Solr {!boost} function query: full match set scored, boost field
+    # fetched by broadcast-match-set projection scan, 6dp half-away
+    from jesterj_ray.pipelines.flagship import boost_function_topk
+    return boost_function_topk(sf_dir)
+
+
+def _facet_query_intervals(sf_dir: str):
+    # Solr facet.query + facet.interval: label partials per block
+    # (buckets overlap, so label rows not a group key), tiny fold
+    from jesterj_ray.pipelines.flagship import facet_query_intervals
+    return facet_query_intervals(sf_dir)
+
+
 def _events_quantiles(sf_dir: str):
     # exact distributed quantile_disc: counts-only histogram shuffle +
     # one targeted bucket fetch; selected values are input ELEMENTS so
@@ -1447,6 +1461,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_lapsed_customers": _q22_lapsed_customers,
         "q14_promo_revenue": _q14_promo_revenue,
         "q12_priority_shipping": _q12_priority_shipping,
+        "boost_function_topk": _boost_function_topk,
+        "facet_query_intervals": _facet_query_intervals,
         "json_facet_nested": _json_facet_nested,
         "significant_terms": _significant_terms,
         "percolate_queries": _percolate_queries,
@@ -3806,6 +3822,85 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
               AND l_shipdate < TIMESTAMP '1999-01-01'
             GROUP BY l_linestatus
             ORDER BY l_linestatus""",
+        # engine: flagship.boost_function_topk — Solr {!boost
+        # b=log(1+n_chars/100)}: the combined score ROUNDS 6dp before
+        # ranking on both sides (half-away), doc-id tiebreak
+        "boost_function_topk": f"""
+WITH qterms(qid, term) AS (VALUES (1,'merge'),(1,'sort'),
+  (2,'customer'),(3,'dup'),(3,'stream')),
+qk(qid, k) AS (VALUES (1,10),(2,10),(3,10)),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT q.qid, q.term, t.doc_id, count(*) AS tf
+  FROM toks t JOIN qterms q USING (term)
+  GROUP BY q.qid, q.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.qid, tf.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.qid, tf.doc_id
+),
+boosted AS (
+  SELECT s.qid, s.doc_id,
+         round(s.score * ln(1 + d.n_chars / 100.0), 6) AS score
+  FROM scores s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM boosted
+)
+SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.doc_id, r.score
+FROM ranked r JOIN qk ON r.qid = qk.qid
+WHERE r.rank <= qk.k
+ORDER BY r.qid, r.rank
+""",
+        # engine: flagship.facet_query_intervals — facet.query +
+        # facet.interval label buckets (overlapping, hence UNION ALL)
+        "facet_query_intervals": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ), matched AS (
+              SELECT DISTINCT doc_id FROM toks
+              WHERE term IN ('dup', 'stream')
+            ), md AS (
+              SELECT d.* FROM documents d JOIN matched USING (doc_id)
+            )
+            SELECT facet, n FROM (
+              SELECT 'chars_lt200' AS facet,
+                     CAST(count(*) FILTER (n_chars < 200) AS BIGINT) AS n
+              FROM md
+              UNION ALL
+              SELECT 'chars_200to400',
+                     CAST(count(*) FILTER (n_chars >= 200
+                                           AND n_chars < 400) AS BIGINT)
+              FROM md
+              UNION ALL
+              SELECT 'chars_ge400',
+                     CAST(count(*) FILTER (n_chars >= 400) AS BIGINT)
+              FROM md
+              UNION ALL
+              SELECT 'lang_en',
+                     CAST(count(*) FILTER (lang = 'en') AS BIGINT)
+              FROM md)
+            ORDER BY facet""",
         "q18_large_orders": """
             WITH qual AS (
               SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem

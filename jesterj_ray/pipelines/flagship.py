@@ -1926,3 +1926,141 @@ def facet_multiselect(sf_dir: str, query: str = "dup stream",
     ], ignore_index=True).sort_values(["facet", "value"])
     out["n"] = out["n"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+BOOST_FUNC_QUERIES = [
+    {"qid": 1, "query": "merge sort", "k": 10},
+    {"qid": 2, "query": "customer", "k": 10},
+    {"qid": 3, "query": "dup stream", "k": 10},
+]
+
+
+def boost_function_topk(sf_dir: str,
+                        queries: Optional[List[dict]] = None,
+                        k: int = 10) -> pd.DataFrame:
+    """Solr BoostQParser / function-query analog (``{!boost
+    b=log(sum(1,div(n_chars,100)))}q``): every matched doc's BM25
+    score is MULTIPLIED by ``ln(1 + n_chars/100)`` before ranking.
+
+    A document-function boost reorders arbitrarily, so top-k-then-
+    boost would be wrong: the FULL match set is scored (the existing
+    exhaustive phase), and the boost field arrives by scanning the
+    2-column (doc_id, n_chars) projection filtered to the broadcast
+    match set — so the corpus ships nothing but the match set's field
+    values, once, regardless of table width.  Combined scores round
+    6dp half-away (SQL round parity), doc-id tiebreak.
+
+    Output: (qid, rank, doc_id, score) for each query's top ``k``.
+    """
+    qs = queries or BOOST_FUNC_QUERIES
+    reader = IndexReader(documents_index(sf_dir))
+
+    per_q = []
+    all_keys = []
+    for q in qs:
+        ids, sc = reader.match_scores(q["query"])
+        keys = np.asarray([int(x) for x in reader.doc_keys(ids)],
+                          dtype=np.int64)
+        per_q.append((q, keys, sc))
+        all_keys.append(keys)
+    union = np.unique(np.concatenate(all_keys)) if all_keys else \
+        np.zeros(0, np.int64)
+
+    nchars = {}
+    if union.size:
+        matched_ref = ray.put(pa.array(union))
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "n_chars"],
+                             override_num_blocks=8)
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["doc_id"],
+                                     value_set=ray.get(matched_ref)))
+
+        flds = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+        nchars = dict(zip(flds["doc_id"].astype(np.int64),
+                          flds["n_chars"].astype(np.int64)))
+
+    frames = []
+    for q, keys, sc in per_q:
+        if keys.size == 0:
+            continue
+        nc = np.asarray([nchars.get(int(d), 0) for d in keys],
+                        dtype=np.float64)
+        # ln(1 + x) spelled exactly as the SQL oracle computes it
+        # (not log1p) so both sides round the same double
+        comb = sc * np.log(1.0 + nc / 100.0)
+        r6 = np.floor(comb * 1e6 + 0.5) / 1e6
+        o = np.lexsort((keys, -r6))[:min(q.get("k", k), keys.size)]
+        frames.append(pd.DataFrame({
+            "qid": np.full(o.size, q["qid"], np.int64),
+            "rank": np.arange(1, o.size + 1, dtype=np.int64),
+            "doc_id": keys[o].astype(np.int64),
+            "score": r6[o].astype(np.float64)}))
+    if not frames:
+        return pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
+    return pd.concat(frames, ignore_index=True)
+
+
+# (label, lower, upper) n_chars interval facets — Solr facet.interval
+FACET_INTERVALS = [("chars_lt200", None, 200),
+                   ("chars_200to400", 200, 400),
+                   ("chars_ge400", 400, None)]
+
+
+def facet_query_intervals(sf_dir: str, query: str = "dup stream",
+                          fq_lang: str = "en") -> pd.DataFrame:
+    """Solr ``facet.query`` + ``facet.interval`` analog: over the
+    disjunctive match set of ``query``, the count of each n_chars
+    interval bucket plus one arbitrary facet.query bucket
+    (``lang:<fq_lang>``).
+
+    One scan of the (doc_id, lang, n_chars) projection: each block
+    filters to the broadcast match set and emits ONE row per facet
+    label with its partial count (O(labels) rows per block), a tiny
+    driver fold finishes.  Buckets are not disjoint (facet.query
+    overlaps the intervals) — exactly Solr's semantics, and why this
+    is label-partials, not a single group-key facet.
+
+    Output: (facet, n) ordered facet asc."""
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    matched = _match_doc_ids(reader, query)
+    labels = [lbl for lbl, _, _ in FACET_INTERVALS] + \
+        [f"lang_{fq_lang}"]
+    if matched.size == 0:
+        return pd.DataFrame({"facet": sorted(labels),
+                             "n": np.zeros(len(labels), np.int64)})
+    matched_ref = ray.put(pa.array(matched))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang", "n_chars"],
+                         override_num_blocks=8)
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["doc_id"],
+                              value_set=ray.get(matched_ref)))
+        nc = t["n_chars"]
+        out_l, out_n = [], []
+        for lbl, lo, hi in FACET_INTERVALS:
+            m = pa.array(np.ones(t.num_rows, bool))
+            if lo is not None:
+                m = pc.and_(m, pc.greater_equal(nc, lo))
+            if hi is not None:
+                m = pc.and_(m, pc.less(nc, hi))
+            out_l.append(lbl)
+            out_n.append(pc.sum(pc.cast(m, pa.int64())).as_py() or 0)
+        out_l.append(f"lang_{fq_lang}")
+        out_n.append(pc.sum(pc.cast(pc.equal(t["lang"], fq_lang),
+                                    pa.int64())).as_py() or 0)
+        return pa.table({"facet": pa.array(out_l, pa.string()),
+                         "n_part": pa.array(out_n, pa.int64())})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("facet", sort=True)["n_part"].sum() \
+        .reset_index().rename(columns={"n_part": "n"})
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)

@@ -1100,3 +1100,43 @@ def test_q12_join_groups_invariant_and_mass(ray_session):
     got = a.set_index("l_linestatus")
     tot = got["high_line_count"] + got["low_line_count"]
     assert dict(tot) == dict(want)
+
+
+def test_boost_function_reorders_and_rounds(ray_session):
+    """The function boost must actually change the ranking vs plain
+    BM25 for at least one query (otherwise the op is vacuous), and
+    scores must be 6dp half-away rounded."""
+    from jesterj_ray.index.query import IndexReader
+    from jesterj_ray.pipelines.flagship import (boost_function_topk,
+                                                documents_index)
+    sf = "/root/testdata/sf0.001"
+    out = boost_function_topk(sf)
+    assert (np.floor(out["score"] * 1e6 + 0.5) / 1e6
+            == out["score"]).all()
+    reader = IndexReader(documents_index(sf))
+    changed = False
+    for qid, q in [(1, "merge sort"), (2, "customer"),
+                   (3, "dup stream")]:
+        plain = [d for d, _ in reader.topk(q, 10)]
+        plain_keys = [int(x) for x in reader.doc_keys(
+            np.asarray(plain, np.int64))]
+        boosted = list(out.loc[out["qid"] == qid, "doc_id"])
+        if boosted != plain_keys:
+            changed = True
+    assert changed
+
+
+def test_facet_intervals_partition_match_set(ray_session):
+    """The three n_chars intervals partition the match set exactly
+    (disjoint + exhaustive), and every count is <= the match size."""
+    from jesterj_ray.index.query import IndexReader
+    from jesterj_ray.pipelines.flagship import (_match_doc_ids,
+                                                documents_index,
+                                                facet_query_intervals)
+    sf = "/root/testdata/sf0.001"
+    out = facet_query_intervals(sf).set_index("facet")["n"]
+    reader = IndexReader(documents_index(sf))
+    m = _match_doc_ids(reader, "dup stream").size
+    assert (out[["chars_lt200", "chars_200to400", "chars_ge400"]]
+            .sum() == m)
+    assert (out <= m).all()
