@@ -1091,6 +1091,13 @@ def _facet_query_intervals(sf_dir: str):
     return facet_query_intervals(sf_dir)
 
 
+def _rank_eval_metrics(sf_dir: str):
+    # ES _rank_eval: NDCG@10 + full-match MRR from postings-bounded
+    # match sets, deterministic graded relevance the SQL reproduces
+    from jesterj_ray.pipelines.flagship import rank_eval_metrics
+    return rank_eval_metrics(sf_dir)
+
+
 def _events_quantiles(sf_dir: str):
     # exact distributed quantile_disc: counts-only histogram shuffle +
     # one targeted bucket fetch; selected values are input ELEMENTS so
@@ -1463,6 +1470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_shipping": _q12_priority_shipping,
         "boost_function_topk": _boost_function_topk,
         "facet_query_intervals": _facet_query_intervals,
+        "rank_eval_metrics": _rank_eval_metrics,
         "json_facet_nested": _json_facet_nested,
         "significant_terms": _significant_terms,
         "percolate_queries": _percolate_queries,
@@ -3901,6 +3909,79 @@ ORDER BY r.qid, r.rank
                      CAST(count(*) FILTER (lang = 'en') AS BIGINT)
               FROM md)
             ORDER BY facet""",
+        # engine: flagship.rank_eval_metrics — ES _rank_eval analog;
+        # rel(doc) = #distinct query terms present, ideal ranking over
+        # all rel>0 docs, 6dp half-away ratios
+        "rank_eval_metrics": f"""
+WITH qterms(qid, term) AS (VALUES (1,'merge'),(1,'sort'),
+  (3,'window'),(3,'filter'),(3,'stream'),
+  (5,'hash'),(5,'join'),(6,'dup'),(6,'stream')),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT q.qid, q.term, t.doc_id, count(*) AS tf
+  FROM toks t JOIN qterms q USING (term)
+  GROUP BY q.qid, q.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scores AS (
+  SELECT tf.qid, tf.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+),
+rel AS (
+  SELECT q.qid, t.doc_id, count(DISTINCT t.term) AS rel
+  FROM toks t JOIN qterms q USING (term)
+  GROUP BY q.qid, t.doc_id
+),
+nt AS (SELECT qid, count(DISTINCT term) AS t FROM qterms GROUP BY qid),
+dcg AS (
+  SELECT r.qid, sum((pow(2, rel.rel) - 1) / log2(r.rank + 1)) AS dcg
+  FROM ranked r JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.doc_id
+  WHERE r.rank <= 10 GROUP BY r.qid
+),
+ideal AS (
+  SELECT qid, rel,
+         row_number() OVER (PARTITION BY qid ORDER BY rel DESC) AS irank
+  FROM rel
+),
+idcg AS (
+  SELECT qid, sum((pow(2, rel) - 1) / log2(irank + 1)) AS idcg
+  FROM ideal WHERE irank <= 10 GROUP BY qid
+),
+mrr AS (
+  SELECT r.qid, min(r.rank) AS fr
+  FROM ranked r
+  JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.doc_id
+  JOIN nt ON nt.qid = r.qid
+  WHERE r.rank <= 10 AND rel.rel = nt.t
+  GROUP BY r.qid
+)
+SELECT d.qid, round(d.dcg / i.idcg, 6) AS ndcg,
+       round(coalesce(1.0 / m.fr, 0), 6) AS mrr_full
+FROM dcg d JOIN idcg i USING (qid) LEFT JOIN mrr m USING (qid)
+ORDER BY d.qid
+""",
         "q18_large_orders": """
             WITH qual AS (
               SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem

@@ -2064,3 +2064,78 @@ def facet_query_intervals(sf_dir: str, query: str = "dup stream",
         .reset_index().rename(columns={"n_part": "n"})
     out["n"] = out["n"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+RANK_EVAL_QUERIES = [
+    {"qid": 1, "query": "merge sort"},
+    {"qid": 3, "query": "window filter stream"},
+    {"qid": 5, "query": "hash join"},
+    {"qid": 6, "query": "dup stream"},
+]
+
+
+def rank_eval_metrics(sf_dir: str,
+                      queries: Optional[List[dict]] = None,
+                      k: int = 10) -> pd.DataFrame:
+    """Elasticsearch Ranking Evaluation API analog (``_rank_eval``
+    with graded relevance): NDCG@k and a full-match MRR per query,
+    judged against a DETERMINISTIC relevance function so the SQL
+    oracle can reproduce it exactly — rel(doc) = number of the
+    query's distinct terms the doc contains (0..T).
+
+    Everything comes from the index, never a corpus scan: the ranking
+    is the engine's BM25 top-k; rel per candidate and the IDEAL
+    ranking's rel histogram both come from the per-term posting match
+    sets (postings-bounded work, same as scoring — at scale each term
+    set is the distributed match phase the engine already runs).
+
+    NDCG@k = sum_{{p<=k}} (2^rel_p - 1)/log2(p+1), normalized by the
+    ideal ordering over ALL docs with rel > 0; MRR_full = 1/rank of
+    the first doc containing EVERY query term (0 when none in top-k).
+    Both round 6dp half-away (rationals — the pinned floor form).
+
+    Output: (qid, ndcg, mrr_full) qid-ordered, one row per query with
+    a non-empty match set."""
+    from ..index.bm25 import dedup_keep_order
+    qs = queries or RANK_EVAL_QUERIES
+    reader = IndexReader(documents_index(sf_dir))
+
+    rows = []
+    for q in qs:
+        terms = dedup_keep_order(reader.tokenizer(q["query"]))
+        term_keys = []
+        for t in terms:
+            docs, _ = reader.postings(t)
+            docs = docs[reader.alive_mask(docs)]
+            if docs.size:
+                term_keys.append(np.asarray(
+                    [int(x) for x in reader.doc_keys(docs)],
+                    dtype=np.int64))
+        if not term_keys:
+            continue
+        t_q = len(terms)
+        allk = np.concatenate(term_keys)
+        union, rel = np.unique(allk, return_counts=True)
+        relmap = dict(zip(union.tolist(), rel.tolist()))
+
+        top = reader.topk(q["query"], k)
+        top_keys = [int(x) for x in reader.doc_keys(
+            np.asarray([d for d, _ in top], np.int64))]
+        gains = np.asarray([relmap.get(d, 0) for d in top_keys],
+                           dtype=np.float64)
+        pos = np.arange(1, gains.size + 1, dtype=np.float64)
+        dcg = float(np.sum((2.0 ** gains - 1.0) / np.log2(pos + 1.0)))
+        ideal = np.sort(rel.astype(np.float64))[::-1][:k]
+        ipos = np.arange(1, ideal.size + 1, dtype=np.float64)
+        idcg = float(np.sum((2.0 ** ideal - 1.0) / np.log2(ipos + 1.0)))
+        ndcg = dcg / idcg if idcg > 0 else 0.0
+        full = [i + 1 for i, d in enumerate(top_keys)
+                if relmap.get(d, 0) == t_q]
+        mrr = 1.0 / full[0] if full else 0.0
+        rows.append((q["qid"],
+                     float(np.floor(ndcg * 1e6 + 0.5) / 1e6),
+                     float(np.floor(mrr * 1e6 + 0.5) / 1e6)))
+    return pd.DataFrame({
+        "qid": pd.Series([r[0] for r in rows], dtype=np.int64),
+        "ndcg": pd.Series([r[1] for r in rows], dtype=np.float64),
+        "mrr_full": pd.Series([r[2] for r in rows], dtype=np.float64)})

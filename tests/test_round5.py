@@ -1140,3 +1140,23 @@ def test_facet_intervals_partition_match_set(ray_session):
     assert (out[["chars_lt200", "chars_200to400", "chars_ge400"]]
             .sum() == m)
     assert (out <= m).all()
+
+
+def test_rank_eval_bounds_and_perfect_case(ray_session):
+    """NDCG/MRR are in [0,1]; a single-term query's NDCG@k is 1 when
+    its top-k equals the ideal ordering prefix (all rel equal), and
+    full-match MRR is 1 when rank 1 contains every term."""
+    from jesterj_ray.pipelines.flagship import rank_eval_metrics
+    sf = "/root/testdata/sf0.001"
+    out = rank_eval_metrics(sf)
+    assert len(out) == 4
+    assert ((out["ndcg"] >= 0) & (out["ndcg"] <= 1)).all()
+    assert ((out["mrr_full"] >= 0) & (out["mrr_full"] <= 1)).all()
+    # single-term query: every matched doc has rel=1, so any top-k is
+    # ideal -> ndcg == 1 and the first hit is a full match -> mrr == 1
+    one = rank_eval_metrics(sf, queries=[{"qid": 9, "query": "customer"}])
+    assert float(one["ndcg"].iloc[0]) == 1.0
+    assert float(one["mrr_full"].iloc[0]) == 1.0
+    # absent term: no match set -> no row, never a crash
+    none = rank_eval_metrics(sf, queries=[{"qid": 8, "query": "zzzabsent"}])
+    assert len(none) == 0
