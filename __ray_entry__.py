@@ -1098,6 +1098,28 @@ def _rank_eval_metrics(sf_dir: str):
     return rank_eval_metrics(sf_dir)
 
 
+def _bpe_word_histogram(sf_dir: str):
+    # BPE trainer phase 1 (the corpus-sized pass): per-block factorize
+    # partials -> vocab-bounded groupby; top-50 by n desc, word asc
+    import ray.data as _rd
+    from jesterj_ray.stages.bpe import word_histogram
+    ds = _rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["text"], override_num_blocks=8)
+    h = word_histogram(ds)
+    h = h.sort_values(["n", "word"], ascending=[False, True],
+                      kind="mergesort").head(50).reset_index(drop=True)
+    h["n"] = h["n"].astype("int64")
+    return h
+
+
+def _bpe_train_merges(sf_dir: str):
+    # BPE trainer end-to-end: merge loop over the vocab-bounded
+    # histogram (corpus scanned exactly once); non-SQL (iterative) —
+    # pinned against a brute-force reference in pytest
+    from jesterj_ray.stages.bpe import train_bpe_documents
+    return train_bpe_documents(sf_dir, num_merges=16)
+
+
 def _events_quantiles(sf_dir: str):
     # exact distributed quantile_disc: counts-only histogram shuffle +
     # one targeted bucket fetch; selected values are input ELEMENTS so
@@ -1471,6 +1493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boost_function_topk": _boost_function_topk,
         "facet_query_intervals": _facet_query_intervals,
         "rank_eval_metrics": _rank_eval_metrics,
+        "bpe_word_histogram": _bpe_word_histogram,
+        "bpe_train_merges": _bpe_train_merges,
         "json_facet_nested": _json_facet_nested,
         "significant_terms": _significant_terms,
         "percolate_queries": _percolate_queries,
@@ -3982,6 +4006,16 @@ SELECT d.qid, round(d.dcg / i.idcg, 6) AS ndcg,
 FROM dcg d JOIN idcg i USING (qid) LEFT JOIN mrr m USING (qid)
 ORDER BY d.qid
 """,
+        # engine: stages/bpe.word_histogram — the BPE trainer's one
+        # corpus-sized pass (occurrence counts, not df)
+        "bpe_word_histogram": """
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                '[a-z0-9]+')) AS word
+                  FROM documents)
+            GROUP BY word
+            ORDER BY n DESC, word
+            LIMIT 50""",
         "q18_large_orders": """
             WITH qual AS (
               SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem

@@ -1,0 +1,80 @@
+"""BPE trainer pins: brute-force reference identity, parallelism
+invariance, and merge-table structural laws."""
+import collections
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from jesterj_ray.stages.bpe import (END, train_bpe, train_bpe_documents,
+                                    word_histogram)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute(hdf: pd.DataFrame, m: int) -> pd.DataFrame:
+    vocab = {w: list(w) + [END] for w in hdf["word"]}
+    cnt = dict(zip(hdf["word"], hdf["n"]))
+    merges = []
+    for rank in range(1, m + 1):
+        pairs = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += cnt[w]
+        if not pairs:
+            break
+        (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l \
+                        and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return pd.DataFrame(merges,
+                        columns=["rank", "left", "right", "pair_count"])
+
+
+def test_train_bpe_equals_brute_reference():
+    texts = pq.read_table(os.path.join(SF, "documents.parquet"),
+                          columns=["text"]).column(0).to_pylist()[:80]
+    hist = collections.Counter(
+        w for t in texts for w in re.findall(r"[a-z0-9]+",
+                                             (t or "").lower()))
+    hdf = pd.DataFrame(sorted(hist.items()), columns=["word", "n"])
+    got = train_bpe(hdf, 12)
+    want = _brute(hdf, 12)
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": np.int64, "pair_count": np.int64}),
+        want.astype({"rank": np.int64, "pair_count": np.int64}))
+
+
+def test_train_bpe_documents_parallelism_invariant(ray_session):
+    import ray.data as rd
+    a = train_bpe_documents(SF, num_merges=10)
+    ds = rd.read_parquet(os.path.join(SF, "documents.parquet"),
+                         columns=["text"], override_num_blocks=64)
+    hist = word_histogram(ds).sort_values("word").reset_index(drop=True)
+    b = train_bpe(hist, 10)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_merge_table_laws(ray_session):
+    out = train_bpe_documents(SF, num_merges=16)
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+    # pair counts never increase as merges consume mass... not strictly
+    # monotone in general, but each merged pair count must be positive
+    assert (out["pair_count"] > 0).all()
+    # a merged symbol can only reference chars, END, or EARLIER merges
+    known = set("abcdefghijklmnopqrstuvwxyz0123456789") | {END}
+    for _, row in out.iterrows():
+        assert row["left"] in known and row["right"] in known
+        known.add(row["left"] + row["right"])
