@@ -1112,6 +1112,20 @@ def _bpe_word_histogram(sf_dir: str):
     return h
 
 
+def _percentile_ranks_events(sf_dir: str):
+    # ES percentile_ranks (inverse quantile), exact: O(probes) partial
+    # rows per block, driver fold + the pinned ratio rounding
+    from jesterj_ray.pipelines.relational import percentile_ranks_events
+    return percentile_ranks_events(sf_dir)
+
+
+def _composite_agg_pages(sf_dir: str):
+    # ES composite aggregation: after_key-ordered bucket pages over a
+    # vocab-bounded partial aggregate; paging is arithmetic
+    from jesterj_ray.pipelines.relational import composite_agg_pages
+    return composite_agg_pages(sf_dir)
+
+
 def _bpe_train_merges(sf_dir: str):
     # BPE trainer end-to-end: merge loop over the vocab-bounded
     # histogram (corpus scanned exactly once); non-SQL (iterative) —
@@ -1495,6 +1509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval_metrics": _rank_eval_metrics,
         "bpe_word_histogram": _bpe_word_histogram,
         "bpe_train_merges": _bpe_train_merges,
+        "percentile_ranks_events": _percentile_ranks_events,
+        "composite_agg_pages": _composite_agg_pages,
         "json_facet_nested": _json_facet_nested,
         "significant_terms": _significant_terms,
         "percolate_queries": _percolate_queries,
@@ -4016,6 +4032,27 @@ ORDER BY d.qid
             GROUP BY word
             ORDER BY n DESC, word
             LIMIT 50""",
+        # engine: relational.percentile_ranks_events — exact inverse
+        # quantile; ratio rounds half-away (the rational invariant)
+        "percentile_ranks_events": """
+            WITH probes(probe) AS (VALUES (10.0), (50.0), (150.0)),
+            tot AS (SELECT count(*) AS n FROM events)
+            SELECT p.probe,
+                   round(CAST((SELECT count(*) FROM events e
+                               WHERE e.value <= p.probe) AS DOUBLE)
+                         / tot.n, 6) AS pct_rank
+            FROM probes p CROSS JOIN tot
+            ORDER BY p.probe""",
+        # engine: relational.composite_agg_pages — after_key-ordered
+        # bucket pages; page number is rank arithmetic
+        "composite_agg_pages": """
+            SELECT CAST((row_number() OVER
+                          (ORDER BY lang, source) - 1) // 4 + 1
+                        AS BIGINT) AS page,
+                   lang, source, CAST(count(*) AS BIGINT) AS n
+            FROM documents
+            GROUP BY lang, source
+            ORDER BY page, lang, source""",
         "q18_large_orders": """
             WITH qual AS (
               SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem

@@ -1872,3 +1872,67 @@ def q12_priority_shipping(sf_dir: str, *, num_groups: int = 32
     out["high_line_count"] = out["high_line_count"].astype(np.int64)
     out["low_line_count"] = out["low_line_count"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+PCT_RANK_PROBES = (10.0, 50.0, 150.0)
+
+
+def percentile_ranks_events(sf_dir: str) -> pd.DataFrame:
+    """ES ``percentile_ranks`` aggregation analog, computed EXACTLY:
+    for each probe value, the fraction of ``events.value`` <= probe.
+
+    The inverse of the quantile family: instead of value-at-rank it is
+    rank-at-value, and unlike the t-digest path it needs no sketch —
+    each block emits one (probe, count<=probe, count) partial row
+    (O(probes) per block), a driver fold divides.  Ratio rounds 6dp
+    half-away (small-denominator RATIONAL — the pinned floor form;
+    .round() half-even diverges).
+
+    Output: (probe, pct_rank) probe-ordered."""
+    probes = np.asarray(PCT_RANK_PROBES, dtype=np.float64)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"], override_num_blocks=8)
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        le = np.asarray([(v <= p).sum() for p in probes], np.int64)
+        return pa.table({
+            "probe": pa.array(probes, pa.float64()),
+            "le_part": pa.array(le, pa.int64()),
+            "n_part": pa.array(np.full(probes.size, v.size, np.int64),
+                               pa.int64())})
+
+    tbl = _fold_blocks(ds.map_batches(partials, batch_format="pyarrow"))
+    df = tbl.to_pandas().groupby("probe", sort=True) \
+        .agg(le=("le_part", "sum"), n=("n_part", "sum")).reset_index()
+    df["pct_rank"] = np.floor(df["le"] / df["n"] * 1e6 + 0.5) / 1e6
+    return df[["probe", "pct_rank"]].reset_index(drop=True)
+
+
+COMPOSITE_PAGE_SIZE = 4
+
+
+def composite_agg_pages(sf_dir: str, page_size: int = COMPOSITE_PAGE_SIZE
+                        ) -> pd.DataFrame:
+    """ES composite aggregation analog: (lang, source) doc-count
+    buckets in after_key order, EVERY page materialized with its page
+    number — the resumable-aggregation shape (a consumer can restart
+    from any after_key; pages partition the bucket stream).
+
+    One vocab-bounded partial-aggregate pass (the facet core's shape,
+    no match set); paging is arithmetic over the sorted bucket table,
+    so page N never recomputes pages < N.
+
+    Output: (page, lang, source, n) ordered (page, lang, source)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "source"],
+                         override_num_blocks=8)
+    buckets = partial_groupby_sum(ds, ["lang", "source"], []) \
+        .to_pandas()
+    buckets = buckets.sort_values(["lang", "source"]) \
+        .reset_index(drop=True)
+    buckets["page"] = (np.arange(len(buckets)) // page_size + 1) \
+        .astype(np.int64)
+    buckets["n"] = buckets["n"].astype(np.int64)
+    return buckets[["page", "lang", "source", "n"]]

@@ -1160,3 +1160,36 @@ def test_rank_eval_bounds_and_perfect_case(ray_session):
     # absent term: no match set -> no row, never a crash
     none = rank_eval_metrics(sf, queries=[{"qid": 8, "query": "zzzabsent"}])
     assert len(none) == 0
+
+
+def test_percentile_ranks_exact_and_monotone(ray_session):
+    """Exact inverse quantile: matches a direct numpy evaluation and
+    is monotone nondecreasing in the probe."""
+    from jesterj_ray.pipelines.relational import (PCT_RANK_PROBES,
+                                                  percentile_ranks_events)
+    sf = "/root/testdata/sf0.001"
+    out = percentile_ranks_events(sf)
+    v = pq.read_table(os.path.join(sf, "events.parquet"),
+                      columns=["value"])["value"] \
+        .to_numpy(zero_copy_only=False)
+    for probe, got in zip(out["probe"], out["pct_rank"]):
+        want = np.floor((v <= probe).sum() / v.size * 1e6 + 0.5) / 1e6
+        assert got == want
+    assert (np.diff(out["pct_rank"]) >= 0).all()
+
+
+def test_composite_pages_partition_buckets(ray_session):
+    """Pages partition the bucket stream: 4 buckets per page (last
+    partial), contiguous page numbers, counts sum to the row count."""
+    from jesterj_ray.pipelines.relational import composite_agg_pages
+    sf = "/root/testdata/sf0.001"
+    out = composite_agg_pages(sf)
+    n_rows = pq.read_metadata(
+        os.path.join(sf, "documents.parquet")).num_rows
+    assert int(out["n"].sum()) == n_rows
+    sizes = out.groupby("page").size()
+    assert list(sizes.index) == list(range(1, len(sizes) + 1))
+    assert (sizes.iloc[:-1] == 4).all() and sizes.iloc[-1] <= 4
+    # after_key order inside and across pages
+    keys = list(zip(out["lang"], out["source"]))
+    assert keys == sorted(keys)
