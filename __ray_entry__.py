@@ -1112,6 +1112,14 @@ def _bpe_word_histogram(sf_dir: str):
     return h
 
 
+def _bpe_encode_token_counts(sf_dir: str):
+    # BPE train-then-encode round trip: actor-pool encode with the
+    # merge table loaded once per actor + a distinct-word cache;
+    # non-SQL (iterative merges) — encode laws pinned in test_bpe
+    from jesterj_ray.stages.bpe import bpe_encode_documents
+    return bpe_encode_documents(sf_dir, num_merges=16)
+
+
 def _percentile_ranks_events(sf_dir: str):
     # ES percentile_ranks (inverse quantile), exact: O(probes) partial
     # rows per block, driver fold + the pinned ratio rounding
@@ -1509,6 +1517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval_metrics": _rank_eval_metrics,
         "bpe_word_histogram": _bpe_word_histogram,
         "bpe_train_merges": _bpe_train_merges,
+        "bpe_encode_token_counts": _bpe_encode_token_counts,
         "percentile_ranks_events": _percentile_ranks_events,
         "composite_agg_pages": _composite_agg_pages,
         "json_facet_nested": _json_facet_nested,

@@ -21,12 +21,11 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Sum
@@ -159,3 +158,71 @@ def train_bpe_documents(sf_dir: str, num_merges: int = 16,
     hist = word_histogram(ds, text_col).sort_values("word") \
         .reset_index(drop=True)
     return train_bpe(hist, num_merges)
+
+
+def _encode_word(word: str, ranks: Dict[Tuple[str, str], int]
+                 ) -> List[str]:
+    """Classic BPE encode of one word: repeatedly merge the adjacent
+    pair with the LOWEST learned rank until none applies."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+class BpeEncoder:
+    """Actor-pool encode stage: the learned merge table loads ONCE per
+    actor (``__init__``), every batch encodes with a per-actor
+    distinct-word cache (natural-language words repeat heavily, so the
+    amortized per-row cost is a dict hit).  Emits n_bpe_tokens per doc.
+
+    The merge table is rows, not a model file — ship it via the
+    constructor (Ray serializes it once per actor, not per batch).
+    """
+
+    def __init__(self, merges: pd.DataFrame, text_col: str = "text"):
+        self.ranks = {(l, r): int(k) for k, l, r in zip(
+            merges["rank"], merges["left"], merges["right"])}
+        self.text_col = text_col
+        self.cache: Dict[str, int] = {}
+
+    def _count(self, word: str) -> int:
+        n = self.cache.get(word)
+        if n is None:
+            n = len(_encode_word(word, self.ranks))
+            self.cache[word] = n
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        counts = np.fromiter(
+            (sum(self._count(w) for w in
+                 _WORD_RE.findall((x or "").lower()))
+             for x in t[self.text_col].to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        return t.append_column("n_bpe_tokens",
+                               pa.array(counts, pa.int64()))
+
+
+def bpe_encode_documents(sf_dir: str, num_merges: int = 16
+                         ) -> pd.DataFrame:
+    """Train-then-encode round trip over documents: learn
+    ``num_merges`` merges, then an actor-pool encode pass emits each
+    doc's BPE token count.  Output: (doc_id, n_bpe_tokens) doc-ordered
+    (bounded columns; the text itself never leaves the scan)."""
+    merges = train_bpe_documents(sf_dir, num_merges)
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"],
+                         override_num_blocks=8)
+    out = ds.map_batches(BpeEncoder, batch_format="pyarrow",
+                         fn_constructor_args=(merges,),
+                         concurrency=2) \
+        .select_columns(["doc_id", "n_bpe_tokens"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": np.int64, "n_bpe_tokens": np.int64})

@@ -78,3 +78,36 @@ def test_merge_table_laws(ray_session):
     for _, row in out.iterrows():
         assert row["left"] in known and row["right"] in known
         known.add(row["left"] + row["right"])
+
+
+def test_bpe_encode_roundtrip_properties(ray_session):
+    """Encoding laws: 0 merges -> chars+1 per word; more merges never
+    increase a doc's token count; the encoder matches a direct
+    per-doc re-encode."""
+    from jesterj_ray.stages.bpe import (_encode_word, _WORD_RE,
+                                        bpe_encode_documents,
+                                        train_bpe_documents)
+    zero = bpe_encode_documents(SF, num_merges=0)
+    texts = pq.read_table(os.path.join(SF, "documents.parquet"),
+                          columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want0 = texts["text"].map(
+        lambda x: sum(len(w) + 1 for w in
+                      _WORD_RE.findall((x or "").lower())))
+    assert (zero["n_bpe_tokens"].to_numpy()
+            == want0.to_numpy()).all()
+
+    some = bpe_encode_documents(SF, num_merges=12)
+    assert (some["n_bpe_tokens"].to_numpy()
+            <= zero["n_bpe_tokens"].to_numpy()).all()
+    assert (some["n_bpe_tokens"].to_numpy()
+            < zero["n_bpe_tokens"].to_numpy()).any()
+
+    merges = train_bpe_documents(SF, num_merges=12)
+    ranks = {(l, r): int(k) for k, l, r in zip(
+        merges["rank"], merges["left"], merges["right"])}
+    for i in [0, 7, 33]:
+        txt = texts["text"].iloc[i] or ""
+        want = sum(len(_encode_word(w, ranks))
+                   for w in _WORD_RE.findall(txt.lower()))
+        assert int(some["n_bpe_tokens"].iloc[i]) == want
