@@ -1077,6 +1077,14 @@ def _q12_priority_shipping(sf_dir: str):
     return q12_priority_shipping(sf_dir)
 
 
+def _q9_profit_by_nation(sf_dir: str):
+    # TPC-H Q9: star join — the supplier->nation dimension chain
+    # composes into ONE broadcast lookup; fact blocks emit
+    # (nation, year) partial sums only
+    from jesterj_ray.pipelines.relational import q9_profit_by_nation
+    return q9_profit_by_nation(sf_dir)
+
+
 def _boost_function_topk(sf_dir: str):
     # Solr {!boost} function query: full match set scored, boost field
     # fetched by broadcast-match-set projection scan, 6dp half-away
@@ -1512,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_lapsed_customers": _q22_lapsed_customers,
         "q14_promo_revenue": _q14_promo_revenue,
         "q12_priority_shipping": _q12_priority_shipping,
+        "q9_profit_by_nation": _q9_profit_by_nation,
         "boost_function_topk": _boost_function_topk,
         "facet_query_intervals": _facet_query_intervals,
         "rank_eval_metrics": _rank_eval_metrics,
@@ -3879,6 +3888,18 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
               AND l_shipdate < TIMESTAMP '1999-01-01'
             GROUP BY l_linestatus
             ORDER BY l_linestatus""",
+        # engine: relational.q9_profit_by_nation — star join via a
+        # composed dimension-chain broadcast lookup
+        "q9_profit_by_nation": """
+            SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+                   ((sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 1000000 + 0.5) AS BIGINT))
+                     + 5000) // 10000) / 100.0 AS sum_profit
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name, o_year
+            ORDER BY n_name, o_year""",
         # engine: flagship.boost_function_topk — Solr {!boost
         # b=log(1+n_chars/100)}: the combined score ROUNDS 6dp before
         # ranking on both sides (half-away), doc-id tiebreak

@@ -1936,3 +1936,70 @@ def composite_agg_pages(sf_dir: str, page_size: int = COMPOSITE_PAGE_SIZE
         .astype(np.int64)
     buckets["n"] = buckets["n"].astype(np.int64)
     return buckets[["page", "lang", "source", "n"]]
+
+
+def q9_profit_by_nation(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 product-type-profit analog: discounted revenue per
+    (supplier nation, ship year) — the STAR-JOIN shape none of the
+    other TPC-H analogs exercise: the fact table resolves a CHAIN of
+    dimensions (supplier -> nation) composed into ONE broadcast lookup
+    before the scan, so each lineitem block does a single vectorized
+    ``index_in`` + ``take`` and emits (nation, year) partial sums.
+
+    Dimension composition happens driver-side on the DIMENSION tables
+    only (supplier is 1/10000 of lineitem in TPC-H; nation is 25
+    rows): suppkey -> nation name.  The fact table never joins
+    row-to-row — the exchange is the vocab-bounded (nation x year)
+    partial-aggregate fold.
+
+    Unlike q1/q3/q5 (whose float sums happen to sit clear of 2dp
+    boundaries), this grouping DID hit one (a group differing by one
+    cent between summation orders at sf0.01), so the sum is EXACT:
+    each item's revenue double rounds half-away to int64 micro-units
+    (both engines compute the identical double, so identical micros),
+    integer-sums, and converts to 2dp by integer arithmetic — no
+    float association anywhere."""
+    import pyarrow.parquet as pq
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    nidx = pc.index_in(sup["s_nationkey"], value_set=nat["n_nationkey"])
+    lookup = pa.table({
+        "s_suppkey": sup["s_suppkey"].combine_chunks(),
+        "n_name": pc.take(nat["n_name"], nidx).combine_chunks()})
+    lookup_ref = ray.put(lookup)
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"],
+                         override_num_blocks=16)
+
+    def partials(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        idx = pc.index_in(t["l_suppkey"], value_set=lk["s_suppkey"])
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        micros = np.floor(rev.to_numpy(zero_copy_only=False) * 1e6
+                          + 0.5).astype(np.int64)
+        g = pa.table({
+            "n_name": pc.take(lk["n_name"], idx).combine_chunks(),
+            "o_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "micros": pa.array(micros, pa.int64())})
+        agg = pa.TableGroupBy(g, ["n_name", "o_year"]).aggregate(
+            [("micros", "sum")])
+        return pa.table({"n_name": agg["n_name"],
+                         "o_year": agg["o_year"],
+                         "micros_part": agg["micros_sum"]})
+
+    parts = _fold_blocks(li.map_batches(partials,
+                                        batch_format="pyarrow"))
+    out = parts.to_pandas().groupby(["n_name", "o_year"],
+                                    sort=True)["micros_part"].sum() \
+        .reset_index()
+    out["o_year"] = out["o_year"].astype(np.int64)
+    # micros -> cents half-away in INTEGER space, then exact /100
+    cents = (out["micros_part"].to_numpy(np.int64) + 5000) // 10000
+    out["sum_profit"] = cents.astype(np.float64) / 100.0
+    return out[["n_name", "o_year", "sum_profit"]] \
+        .reset_index(drop=True)

@@ -1193,3 +1193,30 @@ def test_composite_pages_partition_buckets(ray_session):
     # after_key order inside and across pages
     keys = list(zip(out["lang"], out["source"]))
     assert keys == sorted(keys)
+
+
+def test_q9_star_join_matches_direct(ray_session):
+    """Q9's composed dimension-chain broadcast + exact micro-unit sum
+    must equal a direct pandas evaluation with the same per-item
+    rounding."""
+    from jesterj_ray.pipelines.relational import q9_profit_by_nation
+    sf = "/root/testdata/sf0.001"
+    got = q9_profit_by_nation(sf)
+    li = pq.read_table(os.path.join(sf, "lineitem.parquet"),
+                       columns=["l_suppkey", "l_extendedprice",
+                                "l_discount", "l_shipdate"]).to_pandas()
+    su = pq.read_table(os.path.join(sf, "supplier.parquet")).to_pandas()
+    na = pq.read_table(os.path.join(sf, "nation.parquet")).to_pandas()
+    j = li.merge(su, left_on="l_suppkey", right_on="s_suppkey") \
+        .merge(na, left_on="s_nationkey", right_on="n_nationkey")
+    j["micros"] = np.floor(j["l_extendedprice"]
+                           * (1 - j["l_discount"]) * 1e6
+                           + 0.5).astype(np.int64)
+    j["o_year"] = j["l_shipdate"].dt.year.astype(np.int64)
+    want = j.groupby(["n_name", "o_year"], sort=True)["micros"].sum() \
+        .reset_index()
+    cents = (want["micros"].to_numpy(np.int64) + 5000) // 10000
+    want["sum_profit"] = cents.astype(np.float64) / 100.0
+    pd.testing.assert_frame_equal(
+        got, want[["n_name", "o_year", "sum_profit"]]
+        .reset_index(drop=True))
