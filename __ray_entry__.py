@@ -1085,6 +1085,14 @@ def _q9_profit_by_nation(sf_dir: str):
     return q9_profit_by_nation(sf_dir)
 
 
+def _q10_returned_items(sf_dir: str):
+    # TPC-H Q10: fact-fact cogroup join collapsed to (custkey, micros)
+    # partials + lossless per-block top-k fold; dimensions attach to
+    # the k winners only
+    from jesterj_ray.pipelines.relational import q10_returned_items
+    return q10_returned_items(sf_dir)
+
+
 def _boost_function_topk(sf_dir: str):
     # Solr {!boost} function query: full match set scored, boost field
     # fetched by broadcast-match-set projection scan, 6dp half-away
@@ -1521,6 +1529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": _q14_promo_revenue,
         "q12_priority_shipping": _q12_priority_shipping,
         "q9_profit_by_nation": _q9_profit_by_nation,
+        "q10_returned_items": _q10_returned_items,
         "boost_function_topk": _boost_function_topk,
         "facet_query_intervals": _facet_query_intervals,
         "rank_eval_metrics": _rank_eval_metrics,
@@ -3900,6 +3909,23 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name, o_year
             ORDER BY n_name, o_year""",
+        # engine: relational.q10_returned_items — fact-fact cogroup +
+        # lossless partial top-k; exact integer-micros revenue
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   ((sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 1000000 + 0.5) AS BIGINT))
+                     + 5000) // 10000) / 100.0 AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+              AND o_orderdate < TIMESTAMP '1999-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20""",
         # engine: flagship.boost_function_topk — Solr {!boost
         # b=log(1+n_chars/100)}: the combined score ROUNDS 6dp before
         # ranking on both sides (half-away), doc-id tiebreak

@@ -2003,3 +2003,131 @@ def q9_profit_by_nation(sf_dir: str) -> pd.DataFrame:
     out["sum_profit"] = cents.astype(np.float64) / 100.0
     return out[["n_name", "o_year", "sum_profit"]] \
         .reset_index(drop=True)
+
+
+Q10_LO = np.datetime64("1999-01-01")
+Q10_HI = np.datetime64("1999-04-01")
+
+
+def q10_returned_items(sf_dir: str, *, num_groups: int = 32,
+                       k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10 returned-item-reporting analog: the ``k`` customers
+    who lost the most revenue to returns (``l_returnflag = 'R'``) on
+    one quarter's orders, with name and nation attached.
+
+    Composite shape: a FACT-FACT cogroup join (quarter-filtered
+    orders x returned lineitems on orderkey, per-group output already
+    collapsed to (custkey, micros) partial sums), one customer-bounded
+    groupby, a per-block partial top-k fold (each custkey appears once
+    post-groupby, so block-local top-k is lossless), and dimension
+    attachment (name, nation) by a driver lookup for ONLY the k
+    winners — the wide customer columns never enter the exchange.
+    Revenue uses the exact integer-micros sum (the q9 boundary
+    lesson).  Ties: revenue desc, custkey asc — fully deterministic in
+    integer space."""
+    lo = pa.scalar(Q10_LO.astype("datetime64[us]").item())
+    hi = pa.scalar(Q10_HI.astype("datetime64[us]").item())
+
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_orderdate"],
+                         override_num_blocks=8)
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        k_ = t["o_orderkey"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "k": k_,
+            "o_custkey": t["o_custkey"].combine_chunks()
+            .cast(pa.int64()),
+            "micros": pa.nulls(len(t), pa.int64()),
+            "side": pa.array(["o"] * len(t), pa.string()),
+            "gkey": pc.cast(_mod_nonneg(k_, num_groups), pa.int64())})
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_returnflag"],
+                         override_num_blocks=16)
+
+    def l_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        micros = np.floor(rev.to_numpy(zero_copy_only=False) * 1e6
+                          + 0.5).astype(np.int64)
+        k_ = t["l_orderkey"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "k": k_,
+            "o_custkey": pa.nulls(len(t), pa.int64()),
+            "micros": pa.array(micros, pa.int64()),
+            "side": pa.array(["l"] * len(t), pa.string()),
+            "gkey": pc.cast(_mod_nonneg(k_, num_groups), pa.int64())})
+
+    def resolve(g: pa.Table) -> pd.DataFrame:
+        omask = pc.equal(g["side"], "o")
+        og = g.filter(omask)
+        lg = g.filter(pc.invert(omask))
+        if og.num_rows == 0 or lg.num_rows == 0:
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype=np.int64),
+                "m": pd.Series([], dtype=np.int64)})
+        idx = pc.index_in(lg["k"], value_set=og["k"])
+        cust = pc.take(og["o_custkey"], idx)
+        keep = pc.is_valid(cust)
+        pairs = pa.table({"o_custkey": pc.filter(cust, keep),
+                          "micros": pc.filter(lg["micros"], keep)})
+        if pairs.num_rows == 0:
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype=np.int64),
+                "m": pd.Series([], dtype=np.int64)})
+        agg = pa.TableGroupBy(pairs, "o_custkey").aggregate(
+            [("micros", "sum")])
+        return pd.DataFrame({
+            "o_custkey": agg["o_custkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "m": agg["micros_sum"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+
+    per_cust = od.map_batches(o_rows, batch_format="pyarrow") \
+        .union(li.map_batches(l_rows, batch_format="pyarrow")) \
+        .groupby("gkey").map_groups(resolve, batch_format="pyarrow") \
+        .groupby("o_custkey").sum("m")
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = t["sum(m)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((ck, -m))[:k]
+        return pa.table({"o_custkey": pa.array(ck[o], pa.int64()),
+                         "m": pa.array(m[o], pa.int64())})
+
+    cand = _fold_blocks(per_cust.map_batches(block_topk,
+                                             batch_format="pyarrow"))
+    if cand is None:
+        return pd.DataFrame({
+            "c_custkey": pd.Series([], dtype=np.int64),
+            "c_name": pd.Series([], dtype=object),
+            "n_name": pd.Series([], dtype=object),
+            "revenue": pd.Series([], dtype=np.float64)})
+    df = cand.to_pandas()
+    df = df.sort_values(["m", "o_custkey"], ascending=[False, True],
+                        kind="mergesort").head(k)
+
+    import pyarrow.parquet as pq
+    winners = pa.array(df["o_custkey"].to_numpy(np.int64))
+    cu = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                       columns=["c_custkey", "c_name", "c_nationkey"])
+    cu = cu.filter(pc.is_in(cu["c_custkey"], value_set=winners))
+    na = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                       columns=["n_nationkey", "n_name"])
+    nidx = pc.index_in(cu["c_nationkey"], value_set=na["n_nationkey"])
+    cmap = {int(c): (nm, nn) for c, nm, nn in zip(
+        cu["c_custkey"].to_pylist(), cu["c_name"].to_pylist(),
+        pc.take(na["n_name"], nidx).to_pylist())}
+    cents = (df["m"].to_numpy(np.int64) + 5000) // 10000
+    return pd.DataFrame({
+        "c_custkey": df["o_custkey"].to_numpy(np.int64),
+        "c_name": [cmap[int(c)][0] for c in df["o_custkey"]],
+        "n_name": [cmap[int(c)][1] for c in df["o_custkey"]],
+        "revenue": cents.astype(np.float64) / 100.0})

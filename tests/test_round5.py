@@ -1220,3 +1220,32 @@ def test_q9_star_join_matches_direct(ray_session):
     pd.testing.assert_frame_equal(
         got, want[["n_name", "o_year", "sum_profit"]]
         .reset_index(drop=True))
+
+
+def test_q10_topk_matches_direct_and_groups_invariant(ray_session):
+    """Q10: partition-count invariant; equals a direct pandas
+    evaluation incl. the integer-micros revenue and (revenue desc,
+    custkey) tie order."""
+    from jesterj_ray.pipelines.relational import (Q10_HI, Q10_LO,
+                                                  q10_returned_items)
+    sf = "/root/testdata/sf0.001"
+    a = q10_returned_items(sf, num_groups=4)
+    b = q10_returned_items(sf, num_groups=64)
+    pd.testing.assert_frame_equal(a, b)
+
+    od = pq.read_table(os.path.join(sf, "orders.parquet")).to_pandas()
+    od = od[(od["o_orderdate"] >= pd.Timestamp(Q10_LO.item()))
+            & (od["o_orderdate"] < pd.Timestamp(Q10_HI.item()))]
+    li = pq.read_table(os.path.join(sf, "lineitem.parquet")).to_pandas()
+    li = li[li["l_returnflag"] == "R"].copy()
+    li["micros"] = np.floor(li["l_extendedprice"]
+                            * (1 - li["l_discount"]) * 1e6
+                            + 0.5).astype(np.int64)
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    per = j.groupby("o_custkey")["micros"].sum().reset_index()
+    per = per.sort_values(["micros", "o_custkey"],
+                          ascending=[False, True],
+                          kind="mergesort").head(20)
+    assert list(a["c_custkey"]) == list(per["o_custkey"])
+    cents = (per["micros"].to_numpy(np.int64) + 5000) // 10000
+    assert list(a["revenue"]) == list(cents.astype(np.float64) / 100.0)
