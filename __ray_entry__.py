@@ -1085,6 +1085,20 @@ def _q9_profit_by_nation(sf_dir: str):
     return q9_profit_by_nation(sf_dir)
 
 
+def _index_stats_summary(sf_dir: str):
+    # Luke/_stats analog: engine reads INDEX metadata + term dict,
+    # oracle recomputes from the raw corpus — a hash match certifies
+    # index/corpus agreement on 4 invariants at once
+    from jesterj_ray.pipelines.flagship import index_stats_summary
+    return index_stats_summary(sf_dir)
+
+
+def _value_histogram_events(sf_dir: str):
+    # ES numeric histogram: bucket partials per block, tiny fold
+    from jesterj_ray.pipelines.relational import value_histogram_events
+    return value_histogram_events(sf_dir)
+
+
 def _q10_returned_items(sf_dir: str):
     # TPC-H Q10: fact-fact cogroup join collapsed to (custkey, micros)
     # partials + lossless per-block top-k fold; dimensions attach to
@@ -1530,6 +1544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_shipping": _q12_priority_shipping,
         "q9_profit_by_nation": _q9_profit_by_nation,
         "q10_returned_items": _q10_returned_items,
+        "index_stats_summary": _index_stats_summary,
+        "value_histogram_events": _value_histogram_events,
         "boost_function_topk": _boost_function_topk,
         "facet_query_intervals": _facet_query_intervals,
         "rank_eval_metrics": _rank_eval_metrics,
@@ -3909,6 +3925,29 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name, o_year
             ORDER BY n_name, o_year""",
+        # engine: flagship.index_stats_summary — index metadata vs a
+        # full corpus recomputation (integrity cross-check)
+        "index_stats_summary": f"""
+            WITH dl AS (
+              SELECT length({_TOKS}) AS dl FROM documents
+            ), toks AS (
+              SELECT unnest({_TOKS}) AS term FROM documents
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM dl) AS n_docs,
+                   (SELECT CAST(count(DISTINCT term) AS BIGINT)
+                    FROM toks) AS vocab_size,
+                   (SELECT CAST(sum(dl) AS BIGINT) FROM dl)
+                     AS total_tokens,
+                   (SELECT round(CAST(sum(dl) AS DOUBLE) / count(*), 6)
+                    FROM dl) AS avgdl""",
+        # engine: relational.value_histogram_events — ES numeric
+        # histogram, fixed interval 25
+        "value_histogram_events": """
+            SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY bucket
+            ORDER BY bucket""",
         # engine: relational.q10_returned_items — fact-fact cogroup +
         # lossless partial top-k; exact integer-micros revenue
         "q10_returned_items": """

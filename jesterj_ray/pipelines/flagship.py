@@ -2139,3 +2139,28 @@ def rank_eval_metrics(sf_dir: str,
         "qid": pd.Series([r[0] for r in rows], dtype=np.int64),
         "ndcg": pd.Series([r[1] for r in rows], dtype=np.float64),
         "mrr_full": pd.Series([r[2] for r in rows], dtype=np.float64)})
+
+
+def index_stats_summary(sf_dir: str) -> pd.DataFrame:
+    """Index-integrity statistics (Solr LukeRequestHandler / ES
+    _stats analog): doc count, vocabulary size, total token count and
+    average doc length — read from the INDEX's own metadata and term
+    dictionaries, while the SQL oracle recomputes every number from
+    the raw corpus.  A hash-match here certifies the index agrees
+    with the corpus on all four invariants at once (the strongest
+    cheap cross-check of build correctness).
+
+    Vocab enumeration is the epoch-pinned light term-index scan
+    (vocab-bounded, zero posting decode); token totals come from the
+    resident doc-length array.  avgdl rounds 6dp half-away (rational
+    — the pinned floor form)."""
+    reader = IndexReader(documents_index(sf_dir))
+    vocab = len(reader.prefix_term_dfs(""))
+    total = int(reader._dl_dense.sum())
+    n = int(reader.n_docs)
+    avgdl = np.floor(total / n * 1e6 + 0.5) / 1e6 if n else 0.0
+    return pd.DataFrame({
+        "n_docs": pd.Series([n], dtype=np.int64),
+        "vocab_size": pd.Series([vocab], dtype=np.int64),
+        "total_tokens": pd.Series([total], dtype=np.int64),
+        "avgdl": pd.Series([avgdl], dtype=np.float64)})

@@ -2131,3 +2131,29 @@ def q10_returned_items(sf_dir: str, *, num_groups: int = 32,
         "c_name": [cmap[int(c)][0] for c in df["o_custkey"]],
         "n_name": [cmap[int(c)][1] for c in df["o_custkey"]],
         "revenue": cents.astype(np.float64) / 100.0})
+
+
+HIST_INTERVAL = 25.0
+
+
+def value_histogram_events(sf_dir: str) -> pd.DataFrame:
+    """ES histogram aggregation analog (fixed ``interval`` over a
+    numeric field): bucket = floor(value/interval), doc count per
+    non-empty bucket.  Map-side bincount partials (O(buckets) rows per
+    block — bucket count is range/interval-bounded, independent of row
+    count), one tiny fold.  Output: (bucket, n) bucket-ordered."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"], override_num_blocks=8)
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / HIST_INTERVAL).astype(np.int64)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "n_part": pa.array(cnt.astype(np.int64),
+                                            pa.int64())})
+
+    tbl = _fold_blocks(ds.map_batches(partials, batch_format="pyarrow"))
+    out = tbl.to_pandas().groupby("bucket", sort=True)["n_part"].sum() \
+        .reset_index().rename(columns={"n_part": "n"})
+    return out.astype({"bucket": np.int64, "n": np.int64})

@@ -1249,3 +1249,39 @@ def test_q10_topk_matches_direct_and_groups_invariant(ray_session):
     assert list(a["c_custkey"]) == list(per["o_custkey"])
     cents = (per["micros"].to_numpy(np.int64) + 5000) // 10000
     assert list(a["revenue"]) == list(cents.astype(np.float64) / 100.0)
+
+
+def test_index_stats_vs_corpus_and_delta_visibility(ray_session):
+    """Index stats equal direct corpus recomputation; doc count is
+    the BM25 invariant N (counts empty docs)."""
+    from jesterj_ray.pipelines.flagship import index_stats_summary
+    from jesterj_ray.tokenize.tokenizer import simple_tokenize
+    sf = "/root/testdata/sf0.001"
+    out = index_stats_summary(sf)
+    texts = pq.read_table(os.path.join(sf, "documents.parquet"),
+                          columns=["text"]).column(0).to_pylist()
+    toks = [simple_tokenize(x or "") for x in texts]
+    assert int(out["n_docs"].iloc[0]) == len(texts)
+    assert int(out["vocab_size"].iloc[0]) \
+        == len({t for d in toks for t in d})
+    total = sum(len(d) for d in toks)
+    assert int(out["total_tokens"].iloc[0]) == total
+    assert float(out["avgdl"].iloc[0]) \
+        == np.floor(total / len(texts) * 1e6 + 0.5) / 1e6
+
+
+def test_value_histogram_mass_and_bounds(ray_session):
+    """Histogram counts sum to the row count; bucket keys are the
+    exact floor-division of the min/max range."""
+    from jesterj_ray.pipelines.relational import (HIST_INTERVAL,
+                                                  value_histogram_events)
+    sf = "/root/testdata/sf0.001"
+    out = value_histogram_events(sf)
+    v = pq.read_table(os.path.join(sf, "events.parquet"),
+                      columns=["value"])["value"] \
+        .to_numpy(zero_copy_only=False)
+    assert int(out["n"].sum()) == v.size
+    assert int(out["bucket"].min()) == int(np.floor(v.min()
+                                                    / HIST_INTERVAL))
+    assert int(out["bucket"].max()) == int(np.floor(v.max()
+                                                    / HIST_INTERVAL))
