@@ -1085,6 +1085,48 @@ def _q9_profit_by_nation(sf_dir: str):
     return q9_profit_by_nation(sf_dir)
 
 
+def _documents_cube(sf_dir: str):
+    # GROUP BY CUBE: fine level scans once (vocab-bounded partials),
+    # the other three grouping sets fold the fine cells
+    from jesterj_ray.pipelines.relational import documents_cube
+    return documents_cube(sf_dir)
+
+
+def _daily_event_derivative(sf_dir: str):
+    # ES date_histogram (calendar day) + derivative pipeline agg:
+    # bucket-to-bucket functions over the completed histogram
+    from jesterj_ray.pipelines.relational import daily_event_derivative
+    return daily_event_derivative(sf_dir)
+
+
+def _knn_filtered_top10(sf_dir: str):
+    # Filtered vector search: the metadata predicate pre-filters in
+    # ARROW inside the scan (the standard filtered-ANN scale path),
+    # then exact cosine top-k over the survivors
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+    from jesterj_ray.ann.knn import brute_force_topk
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = _pq.read_table(emb_path)
+    qvec = np.asarray(
+        q.filter(_pc.equal(q["vec_id"], 0))["embedding"].to_pylist()[0],
+        dtype=np.float64)
+
+    def keep_label(t):
+        return t.filter(_pc.equal(t["label"], 1))
+
+    ds = _rd.read_parquet(emb_path) \
+        .map_batches(keep_label, batch_format="pyarrow")
+    out = brute_force_topk(ds, qvec[None, :], k=10, dtype=np.float64)
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["score", "vec_id"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out[["rank", "vec_id", "score"]]
+
+
 def _index_stats_summary(sf_dir: str):
     # Luke/_stats analog: engine reads INDEX metadata + term dict,
     # oracle recomputes from the raw corpus — a hash match certifies
@@ -1546,6 +1588,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": _q10_returned_items,
         "index_stats_summary": _index_stats_summary,
         "value_histogram_events": _value_histogram_events,
+        "documents_cube": _documents_cube,
+        "daily_event_derivative": _daily_event_derivative,
+        "knn_filtered_top10": _knn_filtered_top10,
         "boost_function_topk": _boost_function_topk,
         "facet_query_intervals": _facet_query_intervals,
         "rank_eval_metrics": _rank_eval_metrics,
@@ -3925,6 +3970,43 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name, o_year
             ORDER BY n_name, o_year""",
+        # engine: relational.documents_cube — all four CUBE grouping
+        # sets folded from one fine-level pass
+        "documents_cube": """
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+            FROM documents
+            GROUP BY CUBE(lang, source)
+            ORDER BY lang NULLS LAST, source NULLS LAST""",
+        # engine: relational.daily_event_derivative — calendar-day
+        # histogram + derivative (first day dropped: delta of the
+        # first bucket is undefined)
+        "daily_event_derivative": """
+            WITH m AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY day
+            ), d AS (
+              SELECT day, n,
+                     n - lag(n) OVER (ORDER BY day) AS delta
+              FROM m
+            )
+            SELECT day, n, CAST(delta AS BIGINT) AS delta
+            FROM d WHERE delta IS NOT NULL
+            ORDER BY day""",
+        # engine: _knn_filtered_top10 — filtered vector search: the
+        # label predicate pre-filters before the exact cosine top-k
+        "knn_filtered_top10": """
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+                        AS BIGINT) AS rank, vec_id, score FROM (
+              SELECT e.vec_id,
+                     round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])), 6) AS score
+              FROM embeddings e,
+                   (SELECT embedding FROM embeddings
+                    WHERE vec_id = 0) q
+              WHERE e.label = 1)
+            ORDER BY score DESC, vec_id LIMIT 10""",
         # engine: flagship.index_stats_summary — index metadata vs a
         # full corpus recomputation (integrity cross-check)
         "index_stats_summary": f"""

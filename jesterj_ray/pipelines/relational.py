@@ -2157,3 +2157,60 @@ def value_histogram_events(sf_dir: str) -> pd.DataFrame:
     out = tbl.to_pandas().groupby("bucket", sort=True)["n_part"].sum() \
         .reset_index().rename(columns={"n_part": "n"})
     return out.astype({"bucket": np.int64, "n": np.int64})
+
+
+def documents_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(lang, source) doc counts: all four grouping sets
+    — (lang, source), per-lang, per-source, grand total — with SQL
+    CUBE NULL conventions.
+
+    One pass: only the FINE level touches data (vocab-bounded
+    ``partial_groupby_sum``); the other three sets fold the fine
+    cells, since counts re-aggregate exactly.  The CUBE's extra set
+    vs ROLLUP (per-source with lang rolled) is what
+    ``events_rollup`` doesn't produce."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "source"],
+                         override_num_blocks=8)
+    fine = partial_groupby_sum(ds, ["lang", "source"], []).to_pandas()
+    by_lang = fine.groupby("lang", as_index=False).agg(n=("n", "sum"))
+    by_lang["source"] = None
+    by_src = fine.groupby("source", as_index=False).agg(n=("n", "sum"))
+    by_src["lang"] = None
+    grand = pd.DataFrame({"lang": [None], "source": [None],
+                          "n": [fine["n"].sum()]})
+    out = pd.concat([fine, by_lang, by_src, grand], ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["lang", "source", "n"]] \
+        .sort_values(["lang", "source"], na_position="last") \
+        .reset_index(drop=True)
+
+
+def daily_event_derivative(sf_dir: str) -> pd.DataFrame:
+    """ES date_histogram (calendar_interval=day) + derivative
+    pipeline aggregation: per-day event counts and each day's delta
+    vs the previous day (first day dropped — its derivative is
+    undefined, and dropping keeps the delta column non-null int64).
+    The pipeline-agg second phase (bucket-to-bucket functions over a
+    completed histogram) is what the plain window family doesn't
+    produce.
+
+    Map-side (day, count) partials — O(days) rows per block — one
+    tiny fold, then the derivative is a driver ``diff`` over the
+    day-sorted totals."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts"], override_num_blocks=8)
+
+    def partials(t: pa.Table) -> pa.Table:
+        m = pc.strftime(t["ts"], "%Y-%m-%d")
+        agg = pa.TableGroupBy(pa.table({"day": m}),
+                              "day").aggregate([([], "count_all")])
+        return pa.table({"day": agg["day"],
+                         "n_part": agg["count_all"].cast(pa.int64())})
+
+    tbl = _fold_blocks(ds.map_batches(partials, batch_format="pyarrow"))
+    out = tbl.to_pandas().groupby("day", sort=True)["n_part"].sum() \
+        .reset_index().rename(columns={"n_part": "n"})
+    out["delta"] = out["n"].diff()
+    out = out.iloc[1:].reset_index(drop=True)
+    return out.astype({"n": np.int64, "delta": np.int64})

@@ -1285,3 +1285,45 @@ def test_value_histogram_mass_and_bounds(ray_session):
                                                     / HIST_INTERVAL))
     assert int(out["bucket"].max()) == int(np.floor(v.max()
                                                     / HIST_INTERVAL))
+
+
+def test_cube_grouping_set_laws(ray_session):
+    """CUBE mass conservation: every grouping set's counts sum to the
+    table row count; the per-source set (absent from ROLLUP) exists."""
+    from jesterj_ray.pipelines.relational import documents_cube
+    sf = "/root/testdata/sf0.001"
+    out = documents_cube(sf)
+    n_rows = pq.read_metadata(
+        os.path.join(sf, "documents.parquet")).num_rows
+    fine = out[out["lang"].notna() & out["source"].notna()]
+    by_lang = out[out["lang"].notna() & out["source"].isna()]
+    by_src = out[out["lang"].isna() & out["source"].notna()]
+    grand = out[out["lang"].isna() & out["source"].isna()]
+    for part in (fine, by_lang, by_src, grand):
+        assert int(part["n"].sum()) == n_rows
+    assert len(by_src) > 0 and len(grand) == 1
+
+
+def test_daily_derivative_telescopes(ray_session):
+    """Derivative law: the deltas telescope — sum(delta) equals
+    last-day count minus first-day count."""
+    from jesterj_ray.pipelines.relational import daily_event_derivative
+    sf = "/root/testdata/sf0.001"
+    out = daily_event_derivative(sf)
+    assert len(out) > 0
+    first_n = int(out["n"].iloc[0]) - int(out["delta"].iloc[0])
+    assert int(out["delta"].sum()) == int(out["n"].iloc[-1]) - first_n
+
+
+def test_knn_filtered_respects_predicate(ray_session):
+    """Every filtered-ANN hit carries label==1, and the result differs
+    from the unfiltered top-10 (the filter bites)."""
+    import __ray_entry__ as entry
+    sf = "/root/testdata/sf0.001"
+    filt = entry.queries()["knn_filtered_top10"](sf)
+    emb = pq.read_table(os.path.join(sf, "embeddings.parquet"),
+                        columns=["vec_id", "label"]).to_pandas()
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    assert all(labels[int(v)] == 1 for v in filt["vec_id"])
+    plain = entry.queries()["knn_cosine_top10"](sf)
+    assert list(filt["vec_id"]) != list(plain["vec_id"])
