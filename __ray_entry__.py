@@ -1085,6 +1085,15 @@ def _q9_profit_by_nation(sf_dir: str):
     return q9_profit_by_nation(sf_dir)
 
 
+def _percolate_indexed(sf_dir: str):
+    # indexed percolator (the 10^6-stored-query scale path): rarest-
+    # must-term guard index, candidate-then-verify per block; output
+    # pinned identical to the exhaustive percolator
+    from jesterj_ray.pipelines.components import \
+        percolate_documents_indexed
+    return percolate_documents_indexed(sf_dir)
+
+
 def _documents_cube(sf_dir: str):
     # GROUP BY CUBE: fine level scans once (vocab-bounded partials),
     # the other three grouping sets fold the fine cells
@@ -1589,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stats_summary": _index_stats_summary,
         "value_histogram_events": _value_histogram_events,
         "documents_cube": _documents_cube,
+        "percolate_indexed": _percolate_indexed,
         "daily_event_derivative": _daily_event_derivative,
         "knn_filtered_top10": _knn_filtered_top10,
         "boost_function_topk": _boost_function_topk,
@@ -2443,6 +2453,29 @@ FROM ranked r JOIN qk ON r.qid = qk.qid
 WHERE r.rank <= qk.k
 ORDER BY r.qid, r.rank
 """
+
+
+_PERC_SQL = f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents)
+            SELECT CAST(1 AS BIGINT) AS qid, doc_id FROM t
+              WHERE list_contains(ts, 'merge')
+                AND list_contains(ts, 'sort')
+            UNION ALL
+            SELECT 2, doc_id FROM t
+              WHERE list_contains(ts, 'dup')
+                AND list_contains(ts, 'stream')
+            UNION ALL
+            SELECT 3, doc_id FROM t
+              WHERE list_contains(ts, 'customer')
+                AND NOT list_contains(ts, 'window')
+            UNION ALL
+            SELECT 4, doc_id FROM t WHERE list_contains(ts, 'zzzabsent')
+            UNION ALL
+            SELECT 5, doc_id FROM t
+              WHERE list_contains(ts, 'hash')
+                AND list_contains(ts, 'join')
+                AND NOT list_contains(ts, 'sort')
+            ORDER BY qid, doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4907,27 +4940,7 @@ FROM ranked WHERE grank <= 3 ORDER BY lang, grank""",
         # engine: components.percolate_documents — ES percolate
         # (stored queries probe the document stream); the VALUES here
         # mirror PERCOLATOR_QUERIES verbatim
-        "percolate_queries": f"""
-            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents)
-            SELECT CAST(1 AS BIGINT) AS qid, doc_id FROM t
-              WHERE list_contains(ts, 'merge')
-                AND list_contains(ts, 'sort')
-            UNION ALL
-            SELECT 2, doc_id FROM t
-              WHERE list_contains(ts, 'dup')
-                AND list_contains(ts, 'stream')
-            UNION ALL
-            SELECT 3, doc_id FROM t
-              WHERE list_contains(ts, 'customer')
-                AND NOT list_contains(ts, 'window')
-            UNION ALL
-            SELECT 4, doc_id FROM t WHERE list_contains(ts, 'zzzabsent')
-            UNION ALL
-            SELECT 5, doc_id FROM t
-              WHERE list_contains(ts, 'hash')
-                AND list_contains(ts, 'join')
-                AND NOT list_contains(ts, 'sort')
-            ORDER BY qid, doc_id""",
+        "percolate_queries": _PERC_SQL,
         # engine: components.realtime_get — Solr /get after a per-doc
         # delta update (doc 3 gains a fixed suffix) and a delete
         # (doc 17 tombstoned); doc_len = simple-tokenizer token count
@@ -5310,4 +5323,8 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
         # lsh_embedding_near_dup: no faithful ANSI-SQL equivalent
         # (blake2b signature hashing, approximate search)
         # -> rows-only checks, each pinned by in-repo property tests.
+    } | {
+        # the indexed percolator answers the SAME stored query set as
+        # the exhaustive one — the oracle is shared verbatim
+        "percolate_indexed": _PERC_SQL,
     }

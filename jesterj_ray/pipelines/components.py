@@ -378,3 +378,99 @@ def realtime_get(sf_dir: str, *, updated_id: int = 3,
         "doc_id": pd.Series([r[0] for r in rows], dtype=np.int64),
         "found": pd.Series([r[1] for r in rows], dtype=bool),
         "doc_len": pd.Series([r[2] for r in rows], dtype=np.int64)})
+
+
+def percolate_documents_indexed(sf_dir: str,
+                                queries: Optional[List[Dict]] = None
+                                ) -> pd.DataFrame:
+    """Indexed percolator — the 10^6-stored-query scale path that
+    :func:`percolate_documents` documents: instead of evaluating every
+    stored query against every block, the query set is inverted into a
+    RAREST-MUST-TERM index (term -> query ids; rarity by corpus df
+    from the epoch-pinned index reader, so the guard term is the most
+    selective), each block probes only the guard terms its docs
+    actually contain, and only the surviving (doc, query) CANDIDATES
+    are fully verified (must/must_not presence masks).  Per-block work
+    is O(docs x candidate queries), not O(docs x stored queries); a
+    query whose guard term is absent from a block costs that block
+    nothing.
+
+    Output: identical to :func:`percolate_documents` (pinned by
+    pytest) — (qid, doc_id) ordered qid then doc_id."""
+    qs = queries or PERCOLATOR_QUERIES
+    from ..tokenize.tokenizer import simple_tokenize
+
+    # rarest-must-term guard index, df from the corpus index (tiny:
+    # O(stored queries) postings-dictionary lookups, no posting decode)
+    reader = IndexReader(documents_index(sf_dir))
+
+    def df_of(term: str) -> int:
+        e = reader.term_entry(term)
+        return int(e["df"]) if e else 0
+
+    guard: Dict[str, List[Dict]] = {}
+    for q in qs:
+        g = min(q["must"], key=lambda t: (df_of(t), t))
+        guard.setdefault(g, []).append(q)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"],
+                         override_num_blocks=8)
+
+    def match_block(t: pa.Table) -> pa.Table:
+        toks_per_doc = [simple_tokenize(x or "")
+                        for x in t["text"].to_pylist()]
+        lens = np.fromiter((len(x) for x in toks_per_doc),
+                           dtype=np.int64, count=len(toks_per_doc))
+        dids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        n_docs = len(dids)
+        out_qid: List[np.ndarray] = []
+        out_did: List[np.ndarray] = []
+        flat = [tok for doc in toks_per_doc for tok in doc]
+        if flat:
+            tcodes, tuniq = pd.factorize(np.asarray(flat, dtype=object),
+                                         sort=False)
+            dcodes = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            tindex = {term: i for i, term in enumerate(tuniq)}
+            pres_cache: Dict[str, np.ndarray] = {}
+
+            def presence(term: str) -> np.ndarray:
+                m = pres_cache.get(term)
+                if m is None:
+                    i = tindex.get(term)
+                    if i is None:
+                        m = np.zeros(n_docs, dtype=bool)
+                    else:
+                        sel = dcodes[tcodes == i]
+                        m = np.bincount(sel, minlength=n_docs) > 0
+                    pres_cache[term] = m
+                return m
+
+            # probe only guard terms present in THIS block's vocab
+            for g, cand_qs in guard.items():
+                if g not in tindex:
+                    continue
+                gmask = presence(g)
+                if not gmask.any():
+                    continue
+                for q in cand_qs:
+                    ok = gmask.copy()
+                    for term in q["must"]:
+                        if term != g:
+                            ok &= presence(term)
+                    for term in q["must_not"]:
+                        ok &= ~presence(term)
+                    hits = dids[ok]
+                    out_qid.append(np.full(hits.size, q["qid"],
+                                           np.int64))
+                    out_did.append(hits)
+        qid = np.concatenate(out_qid) if out_qid else np.zeros(0, np.int64)
+        did = np.concatenate(out_did) if out_did else np.zeros(0, np.int64)
+        return pa.table({"qid": pa.array(qid, pa.int64()),
+                         "doc_id": pa.array(did, pa.int64())})
+
+    out = ds.map_batches(match_block, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
+                             "doc_id": pd.Series([], dtype=np.int64)})
+    return out.sort_values(["qid", "doc_id"]).reset_index(drop=True)

@@ -125,3 +125,28 @@ def test_realtime_get_sees_delta_and_delete(ray_session, tmp_path):
     # idempotent: warm-cache re-run (delta diff is a no-op) is identical
     again = realtime_get(SF)
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_percolate_indexed_identity_and_large_query_set(ray_session):
+    """The indexed percolator must match the exhaustive one on the
+    stock query set AND on a larger synthetic store (guard-term
+    sharing, absent guards, must_not interplay)."""
+    from jesterj_ray.pipelines.components import (
+        percolate_documents, percolate_documents_indexed)
+    sf = "/root/testdata/sf0.001"
+    a = percolate_documents(sf)
+    b = percolate_documents_indexed(sf)
+    pd.testing.assert_frame_equal(a, b)
+
+    words = ["merge", "sort", "stream", "dup", "customer", "window",
+             "hash", "join", "filter", "zzzabsent"]
+    qs = []
+    qid = 0
+    for i, w1 in enumerate(words):
+        for w2 in words[i + 1:i + 3]:
+            qid += 1
+            qs.append({"qid": qid, "must": [w1, w2],
+                       "must_not": [words[(i + 5) % len(words)]]})
+    a2 = percolate_documents(sf, queries=qs)
+    b2 = percolate_documents_indexed(sf, queries=qs)
+    pd.testing.assert_frame_equal(a2, b2)
