@@ -1085,6 +1085,13 @@ def _q9_profit_by_nation(sf_dir: str):
     return q9_profit_by_nation(sf_dir)
 
 
+def _bm25_regexp_topk(sf_dir: str):
+    # Lucene RegexpQuery analog: RE2 term-dictionary expansion (same
+    # regex engine as DuckDB regexp_full_match), per-term idf
+    from jesterj_ray.pipelines.flagship import bm25_regexp_topk_documents
+    return bm25_regexp_topk_documents(sf_dir)
+
+
 def _percolate_indexed(sf_dir: str):
     # indexed percolator (the 10^6-stored-query scale path): rarest-
     # must-term guard index, candidate-then-verify per block; output
@@ -1598,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stats_summary": _index_stats_summary,
         "value_histogram_events": _value_histogram_events,
         "documents_cube": _documents_cube,
+        "bm25_regexp_topk": _bm25_regexp_topk,
         "percolate_indexed": _percolate_indexed,
         "daily_event_derivative": _daily_event_derivative,
         "knn_filtered_top10": _knn_filtered_top10,
@@ -2827,6 +2835,59 @@ ranked AS (
   FROM scores
 )
 SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.doc_id, round(r.score, 6) AS score
+FROM ranked r JOIN qk ON r.qid = qk.qid
+WHERE r.rank <= qk.k
+ORDER BY r.qid, r.rank
+""",
+        # engine: IndexReader.topk_regexp (Lucene RegexpQuery analog:
+        # full-match RE2 expansion to the lexicographically first 50
+        # dictionary terms, disjunctive scoring, per-term idf)
+        "bm25_regexp_topk": f"""
+WITH pq(qid, pat) AS (VALUES (1,'m.rge'),(2,'s.r?eam'),
+                             (3,'cust.*'),(4,'.*zzzabsent.*')),
+qk(qid, k) AS (VALUES (1,9),(2,10),(3,8),(4,10)),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, length({_TOKS}) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+),
+expanded AS (
+  SELECT qid, term FROM (
+    SELECT p.qid, t.term,
+           row_number() OVER (PARTITION BY p.qid ORDER BY t.term) AS rn
+    FROM (SELECT DISTINCT term FROM toks) t
+    JOIN pq p ON regexp_full_match(t.term, p.pat)
+  ) WHERE rn <= 50
+),
+tf AS (
+  SELECT q.qid, q.term, t.doc_id, count(*) AS tf
+  FROM toks t JOIN expanded q USING (term)
+  GROUP BY q.qid, q.term, t.doc_id
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM expanded) GROUP BY term
+),
+scores AS (
+  SELECT tf.qid, tf.doc_id,
+         sum( ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, r.doc_id, r.score
 FROM ranked r JOIN qk ON r.qid = qk.qid
 WHERE r.rank <= qk.k
 ORDER BY r.qid, r.rank

@@ -887,6 +887,39 @@ class IndexReader:
             return []
         return self._topk_from_dense(self._scores_buf, touched, k)
 
+    def terms_regexp(self, pattern: str, max_terms: int = 50
+                     ) -> List[str]:
+        """Dictionary terms FULLY matching ``pattern`` (RE2 syntax —
+        the same engine DuckDB's ``regexp_full_match`` uses, so the
+        SQL oracle expands identically), capped to the
+        lexicographically first ``max_terms`` — Lucene RegexpQuery's
+        term expansion.  One vectorized anchored regex scan per
+        shard's (already-resident, epoch-pinned) Arrow term column;
+        vocab-bounded, never corpus-bounded."""
+        import pyarrow.compute as _pc
+        anchored = f"^(?:{pattern})$"
+        found = set()
+        for shard in range(self.num_shards):
+            states = self._load_shard(shard)
+            for st in states or []:
+                col = st["term_col"]
+                hits = col.filter(
+                    _pc.match_substring_regex(col, anchored))
+                found.update(_pc.unique(hits).to_pylist())
+        return sorted(found)[:max_terms]
+
+    def topk_regexp(self, pattern: str, k: int = 10,
+                    max_terms: int = 50) -> List[Tuple[int, float]]:
+        """Regexp BM25 top-k (Lucene RegexpQuery / Solr ``/re/``
+        syntax): expand to matching dictionary terms, score
+        disjunctively in sorted term order, each with its own idf —
+        the same contract as prefix/wildcard expansion."""
+        terms = self.terms_regexp(pattern, max_terms)
+        touched = self._score_disjunctive(terms)
+        if touched.size == 0:
+            return []
+        return self._topk_from_dense(self._scores_buf, touched, k)
+
     def topk_synonyms(self, query: str, synonyms: dict, k: int = 10):
         """Query-time synonym expansion (Solr SynonymGraphFilter at
         query time, OR semantics): each query term expands to its

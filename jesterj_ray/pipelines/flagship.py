@@ -2164,3 +2164,52 @@ def index_stats_summary(sf_dir: str) -> pd.DataFrame:
         "vocab_size": pd.Series([vocab], dtype=np.int64),
         "total_tokens": pd.Series([total], dtype=np.int64),
         "avgdl": pd.Series([avgdl], dtype=np.float64)})
+
+
+# k avoids 6dp ties at the k BOUNDARY at both test scale factors
+# (measured boundary-tie ranks: qid1 {10,11,12}, qid2 {3,8,9} at the
+# boundary, qid3 {9,10}); ties INSIDE the top-k are safe because this
+# family ranks on the ROUNDED score + doc-id (see below), unlike the
+# wildcard/prefix family whose query sets are tie-free end to end
+REGEXP_QUERIES = [
+    {"qid": 1, "pattern": "m.rge", "k": 9},
+    {"qid": 2, "pattern": "s.r?eam", "k": 10},
+    {"qid": 3, "pattern": "cust.*", "k": 8},
+    {"qid": 4, "pattern": ".*zzzabsent.*", "k": 10},
+]
+
+
+def bm25_regexp_topk_documents(sf_dir: str,
+                               queries: Optional[List[dict]] = None,
+                               max_terms: int = 50) -> pd.DataFrame:
+    """Regexp-expansion BM25 (IndexReader.topk_regexp; Lucene
+    RegexpQuery / Solr ``/re/`` analog).  Columns
+    (qid, rank, doc_id, score) match the SQL oracle, which expands the
+    same RE2 patterns with ``regexp_full_match``.
+
+    This family ranks on the 6dp-ROUNDED score (doc-id tiebreak):
+    regexp match sets produce equal-score clusters whose sub-1e-6
+    float order flips between the engine and DuckDB, so the rounding
+    makes those ties explicit and doc-asc resolves them identically
+    on both sides.  The full match set is scored (vocab-bounded
+    expansion, same cost as the pruning path's candidate set)."""
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    rows = {"qid": [], "rank": [], "doc_id": [], "score": []}
+    for q in (queries or REGEXP_QUERIES):
+        hits = reader.topk_regexp(q["pattern"], 1 << 30, max_terms)
+        ids = np.array([h[0] for h in hits], dtype=np.int64)
+        keys = np.array([int(x) for x in reader.doc_keys(ids)],
+                        dtype=np.int64)
+        r6 = np.floor(np.array([h[1] for h in hits]) * 1e6 + 0.5) / 1e6
+        order = np.lexsort((keys, -r6))[:q["k"]]
+        for r, i in enumerate(order, 1):
+            rows["qid"].append(q["qid"])
+            rows["rank"].append(r)
+            rows["doc_id"].append(int(keys[i]))
+            rows["score"].append(float(r6[i]))
+    return pd.DataFrame({
+        "qid": pd.Series(rows["qid"], dtype=np.int64),
+        "rank": pd.Series(rows["rank"], dtype=np.int64),
+        "doc_id": pd.Series(rows["doc_id"], dtype=np.int64),
+        "score": pd.Series(rows["score"], dtype=np.float64)})

@@ -1327,3 +1327,29 @@ def test_knn_filtered_respects_predicate(ray_session):
     assert all(labels[int(v)] == 1 for v in filt["vec_id"])
     plain = entry.queries()["knn_cosine_top10"](sf)
     assert list(filt["vec_id"]) != list(plain["vec_id"])
+
+
+def test_regexp_expansion_and_rounded_ranking(ray_session):
+    """terms_regexp is a FULL match (no substring hits unless the
+    pattern says so); topk family ranks by rounded score then doc-id
+    (monotone non-increasing rounded scores, strictly increasing
+    doc_id inside a tie cluster)."""
+    import re
+    from jesterj_ray.index.query import IndexReader
+    from jesterj_ray.pipelines.flagship import (
+        bm25_regexp_topk_documents, documents_index)
+    sf = "/root/testdata/sf0.001"
+    reader = IndexReader(documents_index(sf))
+    terms = reader.terms_regexp("cust.*")
+    assert terms and all(re.fullmatch("cust.*", t) for t in terms)
+    assert reader.terms_regexp("m.rge") == ["merge"]
+    assert reader.terms_regexp("zzznevermatches") == []
+
+    out = bm25_regexp_topk_documents(sf)
+    for _, g in out.groupby("qid"):
+        s = g["score"].to_numpy()
+        assert (np.diff(s) <= 0).all()
+        for sc in np.unique(s):
+            cluster = g.loc[g["score"] == sc, "doc_id"].to_numpy()
+            assert (np.diff(cluster) > 0).all()
+    assert (out["qid"] == 4).sum() == 0  # absent-term pattern: empty
