@@ -1085,6 +1085,13 @@ def _q9_profit_by_nation(sf_dir: str):
     return q9_profit_by_nation(sf_dir)
 
 
+def _adjacency_matrix(sf_dir: str):
+    # ES adjacency_matrix: every filter evaluated once per block into
+    # a mask, O(F^2) intersection counts from mask AND-sums
+    from jesterj_ray.pipelines.relational import adjacency_matrix_documents
+    return adjacency_matrix_documents(sf_dir)
+
+
 def _bm25_regexp_topk(sf_dir: str):
     # Lucene RegexpQuery analog: RE2 term-dictionary expansion (same
     # regex engine as DuckDB regexp_full_match), per-term idf
@@ -1606,6 +1613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram_events": _value_histogram_events,
         "documents_cube": _documents_cube,
         "bm25_regexp_topk": _bm25_regexp_topk,
+        "adjacency_matrix": _adjacency_matrix,
         "percolate_indexed": _percolate_indexed,
         "daily_event_derivative": _daily_event_derivative,
         "knn_filtered_top10": _knn_filtered_top10,
@@ -4064,6 +4072,43 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name, o_year
             ORDER BY n_name, o_year""",
+        # engine: relational.adjacency_matrix_documents — singles +
+        # pairwise filter intersections from shared per-block masks
+        "adjacency_matrix": f"""
+            WITH t AS (
+              SELECT lang, n_chars,
+                     list_contains({_TOKS}, 'stream') AS has_stream
+              FROM documents
+            )
+            SELECT key, n FROM (
+              SELECT 'en' AS key,
+                     CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n
+              FROM t
+              UNION ALL
+              SELECT 'en&short',
+                     CAST(count(*) FILTER (lang = 'en'
+                                           AND n_chars < 300) AS BIGINT)
+              FROM t
+              UNION ALL
+              SELECT 'en&stream',
+                     CAST(count(*) FILTER (lang = 'en'
+                                           AND has_stream) AS BIGINT)
+              FROM t
+              UNION ALL
+              SELECT 'short',
+                     CAST(count(*) FILTER (n_chars < 300) AS BIGINT)
+              FROM t
+              UNION ALL
+              SELECT 'short&stream',
+                     CAST(count(*) FILTER (n_chars < 300
+                                           AND has_stream) AS BIGINT)
+              FROM t
+              UNION ALL
+              SELECT 'stream',
+                     CAST(count(*) FILTER (has_stream) AS BIGINT)
+              FROM t)
+            WHERE n > 0
+            ORDER BY key""",
         # engine: relational.documents_cube — all four CUBE grouping
         # sets folded from one fine-level pass
         "documents_cube": """

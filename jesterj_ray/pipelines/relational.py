@@ -2214,3 +2214,62 @@ def daily_event_derivative(sf_dir: str) -> pd.DataFrame:
     out["delta"] = out["n"].diff()
     out = out.iloc[1:].reset_index(drop=True)
     return out.astype({"n": np.int64, "delta": np.int64})
+
+
+# ES adjacency_matrix filter set: (label, field, op, value); 'tok'
+# means the simple-tokenizer token set contains the value
+ADJACENCY_FILTERS = [
+    ("en", "lang", "eq", "en"),
+    ("short", "n_chars", "lt", 300),
+    ("stream", "text", "tok", "stream"),
+]
+
+
+def adjacency_matrix_documents(sf_dir: str) -> pd.DataFrame:
+    """ES adjacency_matrix aggregation analog: doc counts for each
+    named filter AND each pairwise intersection (labels joined
+    ``a&b``, lexicographic pair order — ES's convention).
+
+    One scan: each block evaluates every filter ONCE into a boolean
+    mask (vectorized Arrow compare / tokenizer containment), then all
+    O(F^2) intersection counts come from mask AND-sums — per-block
+    output is O(F^2) label rows, never data-sized.  The singles and
+    the matrix share the same masks, so adding a filter costs one
+    column pass, not a rescan."""
+    from ..tokenize.tokenizer import simple_tokenize
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "n_chars", "text"],
+                         override_num_blocks=8)
+
+    def partials(t: pa.Table) -> pa.Table:
+        masks = {}
+        for label, field, op, val in ADJACENCY_FILTERS:
+            if op == "eq":
+                m = pc.equal(t[field], val).to_numpy(
+                    zero_copy_only=False)
+            elif op == "lt":
+                m = pc.less(t[field], val).to_numpy(
+                    zero_copy_only=False)
+            else:  # tok — tokenizer containment, the percolator shape
+                m = np.fromiter(
+                    (val in simple_tokenize(x or "")
+                     for x in t[field].to_pylist()),
+                    dtype=bool, count=t.num_rows)
+            masks[label] = np.asarray(m, dtype=bool)
+        labels = [f[0] for f in ADJACENCY_FILTERS]
+        out_l, out_n = [], []
+        for i, a in enumerate(labels):
+            out_l.append(a)
+            out_n.append(int(masks[a].sum()))
+            for b in labels[i + 1:]:
+                out_l.append(f"{a}&{b}")
+                out_n.append(int((masks[a] & masks[b]).sum()))
+        return pa.table({"key": pa.array(out_l, pa.string()),
+                         "n_part": pa.array(out_n, pa.int64())})
+
+    tbl = _fold_blocks(ds.map_batches(partials, batch_format="pyarrow"))
+    out = tbl.to_pandas().groupby("key", sort=True)["n_part"].sum() \
+        .reset_index().rename(columns={"n_part": "n"})
+    out = out[out["n"] > 0]  # ES omits empty buckets
+    return out.reset_index(drop=True).astype({"n": np.int64})

@@ -1353,3 +1353,27 @@ def test_regexp_expansion_and_rounded_ranking(ray_session):
             cluster = g.loc[g["score"] == sc, "doc_id"].to_numpy()
             assert (np.diff(cluster) > 0).all()
     assert (out["qid"] == 4).sum() == 0  # absent-term pattern: empty
+
+
+def test_adjacency_matrix_set_laws(ray_session):
+    """Intersection laws: n(a&b) <= min(n(a), n(b)); singles match
+    direct recomputation."""
+    from jesterj_ray.pipelines.relational import \
+        adjacency_matrix_documents
+    from jesterj_ray.tokenize.tokenizer import simple_tokenize
+    sf = "/root/testdata/sf0.001"
+    out = adjacency_matrix_documents(sf).set_index("key")["n"]
+    d = pq.read_table(os.path.join(sf, "documents.parquet"),
+                      columns=["lang", "n_chars", "text"]).to_pandas()
+    en = (d["lang"] == "en")
+    short = (d["n_chars"] < 300)
+    stream = d["text"].map(lambda x: "stream" in simple_tokenize(x or ""))
+    assert int(out["en"]) == int(en.sum())
+    assert int(out["short"]) == int(short.sum())
+    assert int(out["stream"]) == int(stream.sum())
+    for a, b in [("en", "short"), ("en", "stream"),
+                 ("short", "stream")]:
+        k = f"{a}&{b}"
+        if k in out.index:
+            assert out[k] <= min(out[a], out[b])
+    assert int(out["en&short"]) == int((en & short).sum())
