@@ -1085,6 +1085,13 @@ def _q9_profit_by_nation(sf_dir: str):
     return q9_profit_by_nation(sf_dir)
 
 
+def _rare_terms(sf_dir: str):
+    # ES rare_terms: long-tail df<=N buckets straight from the
+    # epoch-pinned term dictionary — zero posting decode or corpus IO
+    from jesterj_ray.pipelines.flagship import rare_terms_documents
+    return rare_terms_documents(sf_dir)
+
+
 def _adjacency_matrix(sf_dir: str):
     # ES adjacency_matrix: every filter evaluated once per block into
     # a mask, O(F^2) intersection counts from mask AND-sums
@@ -1614,6 +1621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_cube": _documents_cube,
         "bm25_regexp_topk": _bm25_regexp_topk,
         "adjacency_matrix": _adjacency_matrix,
+        "rare_terms": _rare_terms,
         "percolate_indexed": _percolate_indexed,
         "daily_event_derivative": _daily_event_derivative,
         "knn_filtered_top10": _knn_filtered_top10,
@@ -4072,6 +4080,17 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name, o_year
             ORDER BY n_name, o_year""",
+        # engine: flagship.rare_terms_documents — long-tail df buckets
+        # from the term dictionary (no posting decode)
+        "rare_terms": f"""
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM (SELECT doc_id, unnest({_TOKS}) AS term
+                  FROM documents)
+            GROUP BY term
+            HAVING 200 * count(DISTINCT doc_id)
+                   <= 11 * (SELECT count(*) FROM documents)
+            ORDER BY df, term
+            LIMIT 40""",
         # engine: relational.adjacency_matrix_documents — singles +
         # pairwise filter intersections from shared per-block masks
         "adjacency_matrix": f"""

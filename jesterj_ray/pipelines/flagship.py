@@ -2213,3 +2213,29 @@ def bm25_regexp_topk_documents(sf_dir: str,
         "rank": pd.Series(rows["rank"], dtype=np.int64),
         "doc_id": pd.Series(rows["doc_id"], dtype=np.int64),
         "score": pd.Series(rows["score"], dtype=np.float64)})
+
+
+def rare_terms_documents(sf_dir: str, limit: int = 40
+                         ) -> pd.DataFrame:
+    """ES rare_terms aggregation analog: the long-tail buckets a terms
+    aggregation's size cap hides — every index term whose document
+    frequency is <= 5.5% of the doc count (200*df <= 11*N in EXACT
+    integer form — DuckDB DECIMAL literals multiply to a wrong scale,
+    so neither side touches decimals; 5.5% sits just above this
+    synthetic vocabulary's one genuine tail term at ~5% and below
+    everything else at ~75%), ordered (df asc, term
+    asc), capped to ``limit`` rows.
+
+    Pure term-dictionary work: one epoch-pinned light-column scan per
+    shard (the TermsComponent primitive with an empty prefix), zero
+    posting decode, zero corpus IO — vocab-bounded exactly like ES's
+    map-merge of per-shard rare sets.  Output: (term, df)."""
+    reader = IndexReader(documents_index(sf_dir))
+    n = int(reader.n_docs)
+    dfs = reader.prefix_term_dfs("")
+    rows = sorted(((t, d) for t, d in dfs.items()
+                   if 200 * d <= 11 * n),
+                  key=lambda x: (x[1], x[0]))[:limit]
+    return pd.DataFrame({
+        "term": pd.Series([r[0] for r in rows], dtype=object),
+        "df": pd.Series([r[1] for r in rows], dtype=np.int64)})

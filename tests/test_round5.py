@@ -1377,3 +1377,20 @@ def test_adjacency_matrix_set_laws(ray_session):
         if k in out.index:
             assert out[k] <= min(out[a], out[b])
     assert int(out["en&short"]) == int((en & short).sum())
+
+
+def test_rare_terms_threshold_law(ray_session):
+    """rare_terms returns exactly the dictionary terms with
+    200*df <= 11*N, (df, term)-ordered."""
+    from jesterj_ray.index.query import IndexReader
+    from jesterj_ray.pipelines.flagship import (documents_index,
+                                                rare_terms_documents)
+    sf = "/root/testdata/sf0.001"
+    out = rare_terms_documents(sf)
+    reader = IndexReader(documents_index(sf))
+    n = int(reader.n_docs)
+    dfs = reader.prefix_term_dfs("")
+    want = sorted(((t, d) for t, d in dfs.items()
+                   if 200 * d <= 11 * n), key=lambda x: (x[1], x[0]))
+    assert list(zip(out["term"], out["df"])) == want
+    assert len(out) >= 1  # the synthetic tail term exists
