@@ -1146,7 +1146,7 @@ def _knn_filtered_top10(sf_dir: str):
     def keep_label(t):
         return t.filter(_pc.equal(t["label"], 1))
 
-    ds = _rd.read_parquet(emb_path) \
+    ds = _rd.read_parquet(emb_path, override_num_blocks=8) \
         .map_batches(keep_label, batch_format="pyarrow")
     out = brute_force_topk(ds, qvec[None, :], k=10, dtype=np.float64)
     out["score"] = out["score"].round(6)

@@ -231,6 +231,47 @@ PERCOLATOR_QUERIES: List[Dict] = [
 ]
 
 
+
+def _block_presence(t: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Shared per-block percolation kernel: tokenize + factorize once,
+    return (doc_ids, n_docs, presence) where ``presence(term)`` is a
+    cached boolean doc mask (one bincount per distinct term probed).
+    Both percolator paths use THIS kernel so tokenization and
+    presence semantics can never drift between them (r05
+    self-review)."""
+    from ..tokenize.tokenizer import simple_tokenize
+    toks_per_doc = [simple_tokenize(x or "")
+                    for x in t[text_col].to_pylist()]
+    lens = np.fromiter((len(x) for x in toks_per_doc),
+                       dtype=np.int64, count=len(toks_per_doc))
+    dids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+    n_docs = len(dids)
+    flat = [tok for doc in toks_per_doc for tok in doc]
+    if not flat:
+        empty = np.zeros(n_docs, dtype=bool)
+        return dids, n_docs, lambda term: empty
+    tcodes, tuniq = pd.factorize(np.asarray(flat, dtype=object),
+                                 sort=False)
+    dcodes = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    tindex = {term: i for i, term in enumerate(tuniq)}
+    cache: Dict[str, np.ndarray] = {}
+
+    def presence(term: str) -> np.ndarray:
+        m = cache.get(term)
+        if m is None:
+            i = tindex.get(term)
+            if i is None:
+                m = np.zeros(n_docs, dtype=bool)
+            else:
+                sel = dcodes[tcodes == i]
+                m = np.bincount(sel, minlength=n_docs) > 0
+            cache[term] = m
+        return m
+
+    return dids, n_docs, presence
+
+
 def percolate_documents(sf_dir: str,
                         queries: Optional[List[Dict]] = None
                         ) -> pd.DataFrame:
@@ -251,44 +292,24 @@ def percolate_documents(sf_dir: str,
     ordered qid then doc_id.
     """
     qs = queries or PERCOLATOR_QUERIES
-    from ..tokenize.tokenizer import simple_tokenize
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"],
                          override_num_blocks=8)
 
     def match_block(t: pa.Table) -> pa.Table:
-        toks_per_doc = [simple_tokenize(x or "")
-                        for x in t["text"].to_pylist()]
-        lens = np.fromiter((len(x) for x in toks_per_doc),
-                           dtype=np.int64, count=len(toks_per_doc))
-        dids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
-        n_docs = len(dids)
+        dids, n_docs, presence = _block_presence(t)
         out_qid: List[np.ndarray] = []
         out_did: List[np.ndarray] = []
-        flat = [tok for doc in toks_per_doc for tok in doc]
-        if flat:
-            tcodes, tuniq = pd.factorize(np.asarray(flat, dtype=object),
-                                         sort=False)
-            dcodes = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-            tindex = {term: i for i, term in enumerate(tuniq)}
-
-            def presence(term: str) -> np.ndarray:
-                i = tindex.get(term)
-                if i is None:
-                    return np.zeros(n_docs, dtype=bool)
-                sel = dcodes[tcodes == i]
-                return np.bincount(sel, minlength=n_docs) > 0
-
-            for q in qs:
-                ok = np.ones(n_docs, dtype=bool)
-                for term in q["must"]:
-                    ok &= presence(term)
-                for term in q["must_not"]:
-                    ok &= ~presence(term)
-                hits = dids[ok]
-                out_qid.append(np.full(hits.size, q["qid"], np.int64))
-                out_did.append(hits)
+        for q in qs:
+            ok = np.ones(n_docs, dtype=bool)
+            for term in q["must"]:
+                ok &= presence(term)
+            for term in q["must_not"]:
+                ok &= ~presence(term)
+            hits = dids[ok]
+            out_qid.append(np.full(hits.size, q["qid"], np.int64))
+            out_did.append(hits)
         qid = np.concatenate(out_qid) if out_qid else np.zeros(0, np.int64)
         did = np.concatenate(out_did) if out_did else np.zeros(0, np.int64)
         return pa.table({"qid": pa.array(qid, pa.int64()),
@@ -398,7 +419,6 @@ def percolate_documents_indexed(sf_dir: str,
     Output: identical to :func:`percolate_documents` (pinned by
     pytest) — (qid, doc_id) ordered qid then doc_id."""
     qs = queries or PERCOLATOR_QUERIES
-    from ..tokenize.tokenizer import simple_tokenize
 
     # rarest-must-term guard index, df from the corpus index (tiny:
     # O(stored queries) postings-dictionary lookups, no posting decode)
@@ -409,7 +429,11 @@ def percolate_documents_indexed(sf_dir: str,
         return int(e["df"]) if e else 0
 
     guard: Dict[str, List[Dict]] = {}
+    unguarded: List[Dict] = []  # must-less queries probe every block
     for q in qs:
+        if not q["must"]:
+            unguarded.append(q)
+            continue
         g = min(q["must"], key=lambda t: (df_of(t), t))
         guard.setdefault(g, []).append(q)
 
@@ -418,52 +442,30 @@ def percolate_documents_indexed(sf_dir: str,
                          override_num_blocks=8)
 
     def match_block(t: pa.Table) -> pa.Table:
-        toks_per_doc = [simple_tokenize(x or "")
-                        for x in t["text"].to_pylist()]
-        lens = np.fromiter((len(x) for x in toks_per_doc),
-                           dtype=np.int64, count=len(toks_per_doc))
-        dids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
-        n_docs = len(dids)
+        dids, n_docs, presence = _block_presence(t)
         out_qid: List[np.ndarray] = []
         out_did: List[np.ndarray] = []
-        flat = [tok for doc in toks_per_doc for tok in doc]
-        if flat:
-            tcodes, tuniq = pd.factorize(np.asarray(flat, dtype=object),
-                                         sort=False)
-            dcodes = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-            tindex = {term: i for i, term in enumerate(tuniq)}
-            pres_cache: Dict[str, np.ndarray] = {}
 
-            def presence(term: str) -> np.ndarray:
-                m = pres_cache.get(term)
-                if m is None:
-                    i = tindex.get(term)
-                    if i is None:
-                        m = np.zeros(n_docs, dtype=bool)
-                    else:
-                        sel = dcodes[tcodes == i]
-                        m = np.bincount(sel, minlength=n_docs) > 0
-                    pres_cache[term] = m
-                return m
+        def answer(q: Dict, base: np.ndarray) -> None:
+            ok = base.copy()
+            for term in q["must"]:
+                ok &= presence(term)
+            for term in q["must_not"]:
+                ok &= ~presence(term)
+            hits = dids[ok]
+            out_qid.append(np.full(hits.size, q["qid"], np.int64))
+            out_did.append(hits)
 
-            # probe only guard terms present in THIS block's vocab
-            for g, cand_qs in guard.items():
-                if g not in tindex:
-                    continue
-                gmask = presence(g)
-                if not gmask.any():
-                    continue
-                for q in cand_qs:
-                    ok = gmask.copy()
-                    for term in q["must"]:
-                        if term != g:
-                            ok &= presence(term)
-                    for term in q["must_not"]:
-                        ok &= ~presence(term)
-                    hits = dids[ok]
-                    out_qid.append(np.full(hits.size, q["qid"],
-                                           np.int64))
-                    out_did.append(hits)
+        all_true = np.ones(n_docs, dtype=bool)
+        for q in unguarded:
+            answer(q, all_true)
+        # probe only guard terms with hits in THIS block
+        for g, cand_qs in guard.items():
+            gmask = presence(g)
+            if not gmask.any():
+                continue
+            for q in cand_qs:
+                answer(q, gmask)
         qid = np.concatenate(out_qid) if out_qid else np.zeros(0, np.int64)
         did = np.concatenate(out_did) if out_did else np.zeros(0, np.int64)
         return pa.table({"qid": pa.array(qid, pa.int64()),

@@ -1606,8 +1606,9 @@ def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
     h = per_cust.map_batches(hist, batch_format="pyarrow").to_pandas()
     h = h.groupby("c_count", sort=False)["custdist"].sum().reset_index()
 
-    n_cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                             columns=["c_custkey"]).count()
+    import pyarrow.parquet as pq
+    n_cust = pq.read_metadata(
+        os.path.join(sf_dir, "customer.parquet")).num_rows
     zero = int(n_cust) - int(h["custdist"].sum())
     if zero > 0:
         h = pd.concat([h, pd.DataFrame({"c_count": [0],
@@ -1657,7 +1658,8 @@ def q22_lapsed_customers(sf_dir: str, *, num_groups: int = 32
 
     bal = _fold_blocks(cust.map_batches(bal_part,
                                         batch_format="pyarrow"))
-    avg_bal = (pc.sum(bal["s"]).as_py() or 0.0) / \
+    avg_bal = 0.0 if bal is None else \
+        (pc.sum(bal["s"]).as_py() or 0.0) / \
         max(1, pc.sum(bal["n"]).as_py() or 0)
 
     def c_rows(t: pa.Table) -> pa.Table:
@@ -1752,6 +1754,9 @@ def q14_promo_revenue(sf_dir: str, *, force_cogroup: bool = False
 
     part_proj = _fold_blocks(part.map_batches(proj,
                                               batch_format="pyarrow"))
+    if part_proj is None:
+        part_proj = pa.table({"p_partkey": pa.array([], pa.int64()),
+                              "is_promo": pa.array([], pa.bool_())})
 
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_partkey", "l_extendedprice",
@@ -1768,16 +1773,21 @@ def q14_promo_revenue(sf_dir: str, *, force_cogroup: bool = False
         force_cogroup=force_cogroup)
 
     def rev_part(t: pa.Table) -> pa.Table:
+        # INNER-join semantics like the oracle: a lineitem whose
+        # partkey has no part row leaves BOTH sums (r05 self-review —
+        # fill_null(False) would have kept it in the denominator)
+        t = t.filter(pc.is_valid(t["is_promo"]))
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        promo = pc.if_else(pc.fill_null(t["is_promo"], False), rev,
-                           pa.scalar(0.0))
+        promo = pc.if_else(t["is_promo"], rev, pa.scalar(0.0))
         return pa.table({
             "p": pa.array([pc.sum(promo).as_py() or 0.0], pa.float64()),
             "t": pa.array([pc.sum(rev).as_py() or 0.0], pa.float64())})
 
     sums = _fold_blocks(joined.map_batches(rev_part,
                                            batch_format="pyarrow"))
+    if sums is None:  # zero rows in the window: defined 0-ratio row
+        return pd.DataFrame({"promo_revenue": [0.0]})
     total = pc.sum(sums["t"]).as_py() or 0.0
     promo = pc.sum(sums["p"]).as_py() or 0.0
     ratio = 100.0 * promo / total if total else 0.0
@@ -1848,9 +1858,14 @@ def q12_priority_shipping(sf_dir: str, *, num_groups: int = 32
                 "hi": pd.Series([], dtype=np.int64),
                 "lo": pd.Series([], dtype=np.int64)})
         idx = pc.index_in(lg["k"], value_set=og["k"])
-        is_high = pc.fill_null(pc.take(og["is_high"], idx), False)
+        is_high = pc.take(og["is_high"], idx)
+        # INNER-join semantics like the oracle: a lineitem with no
+        # orders row is dropped, not counted low (r05 self-review)
+        keep = pc.is_valid(is_high)
+        is_high = pc.filter(is_high, keep)
         pairs = pa.table({
-            "l_linestatus": lg["l_linestatus"].combine_chunks(),
+            "l_linestatus": pc.filter(
+                lg["l_linestatus"].combine_chunks(), keep),
             "hi": pc.cast(is_high, pa.int64()),
             "lo": pc.cast(pc.invert(is_high), pa.int64())})
         agg = pa.TableGroupBy(pairs, "l_linestatus").aggregate(
@@ -1978,6 +1993,11 @@ def q9_profit_by_nation(sf_dir: str) -> pd.DataFrame:
     def partials(t: pa.Table) -> pa.Table:
         lk = ray.get(lookup_ref)
         idx = pc.index_in(t["l_suppkey"], value_set=lk["s_suppkey"])
+        # INNER-join semantics like the oracle: an orphan suppkey
+        # (no supplier row) is dropped, never a null-nation group
+        keep = pc.is_valid(idx)
+        t = t.filter(keep)
+        idx = pc.filter(idx, keep)
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
         micros = np.floor(rev.to_numpy(zero_copy_only=False) * 1e6
@@ -2022,9 +2042,10 @@ def q10_returned_items(sf_dir: str, *, num_groups: int = 32,
     post-groupby, so block-local top-k is lossless), and dimension
     attachment (name, nation) by a driver lookup for ONLY the k
     winners — the wide customer columns never enter the exchange.
-    Revenue uses the exact integer-micros sum (the q9 boundary
-    lesson).  Ties: revenue desc, custkey asc — fully deterministic in
-    integer space."""
+    Revenue sums exactly in integer micros (the q9 boundary
+    lesson) and RANKS in integer cents — the oracle's ORDER BY key —
+    so the k boundary is deterministic in the same space on both
+    sides; custkey asc breaks cent ties."""
     lo = pa.scalar(Q10_LO.astype("datetime64[us]").item())
     hi = pa.scalar(Q10_HI.astype("datetime64[us]").item())
 
@@ -2098,9 +2119,13 @@ def q10_returned_items(sf_dir: str, *, num_groups: int = 32,
         ck = t["o_custkey"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         m = t["sum(m)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        o = np.lexsort((ck, -m))[:k]
+        # rank in CENTS — the oracle's ORDER BY key: a micros-space
+        # tiebreak could pick a different customer at the k boundary
+        # when two revenues round to the same cent (r05 self-review)
+        c = (m + 5000) // 10000
+        o = np.lexsort((ck, -c))[:k]
         return pa.table({"o_custkey": pa.array(ck[o], pa.int64()),
-                         "m": pa.array(m[o], pa.int64())})
+                         "cents": pa.array(c[o], pa.int64())})
 
     cand = _fold_blocks(per_cust.map_batches(block_topk,
                                              batch_format="pyarrow"))
@@ -2111,7 +2136,7 @@ def q10_returned_items(sf_dir: str, *, num_groups: int = 32,
             "n_name": pd.Series([], dtype=object),
             "revenue": pd.Series([], dtype=np.float64)})
     df = cand.to_pandas()
-    df = df.sort_values(["m", "o_custkey"], ascending=[False, True],
+    df = df.sort_values(["cents", "o_custkey"], ascending=[False, True],
                         kind="mergesort").head(k)
 
     import pyarrow.parquet as pq
@@ -2125,7 +2150,7 @@ def q10_returned_items(sf_dir: str, *, num_groups: int = 32,
     cmap = {int(c): (nm, nn) for c, nm, nn in zip(
         cu["c_custkey"].to_pylist(), cu["c_name"].to_pylist(),
         pc.take(na["n_name"], nidx).to_pylist())}
-    cents = (df["m"].to_numpy(np.int64) + 5000) // 10000
+    cents = df["cents"].to_numpy(np.int64)
     return pd.DataFrame({
         "c_custkey": df["o_custkey"].to_numpy(np.int64),
         "c_name": [cmap[int(c)][0] for c in df["o_custkey"]],

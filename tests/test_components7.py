@@ -150,3 +150,22 @@ def test_percolate_indexed_identity_and_large_query_set(ray_session):
     a2 = percolate_documents(sf, queries=qs)
     b2 = percolate_documents_indexed(sf, queries=qs)
     pd.testing.assert_frame_equal(a2, b2)
+
+
+def test_percolate_mustless_query_both_paths(ray_session):
+    """A stored query with an empty must list (pure exclusion) must
+    work identically on the exhaustive and indexed paths (r05
+    self-review: the indexed path crashed on min([]))."""
+    from jesterj_ray.pipelines.components import (
+        percolate_documents, percolate_documents_indexed)
+    sf = "/root/testdata/sf0.001"
+    qs = [{"qid": 1, "must": [], "must_not": ["stream"]},
+          {"qid": 2, "must": ["merge"], "must_not": []}]
+    import os
+    a = percolate_documents(sf, queries=qs)
+    b = percolate_documents_indexed(sf, queries=qs)
+    pd.testing.assert_frame_equal(a, b)
+    n_docs = pq.read_metadata(
+        os.path.join(sf, "documents.parquet")).num_rows
+    n_stream = (a["qid"] == 1).sum()
+    assert 0 < n_stream < n_docs  # exclusion actually bites

@@ -1243,12 +1243,14 @@ def test_q10_topk_matches_direct_and_groups_invariant(ray_session):
                             + 0.5).astype(np.int64)
     j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
     per = j.groupby("o_custkey")["micros"].sum().reset_index()
-    per = per.sort_values(["micros", "o_custkey"],
+    # rank in CENTS — the oracle's (and engine's) ORDER BY space
+    per["cents"] = (per["micros"].to_numpy(np.int64) + 5000) // 10000
+    per = per.sort_values(["cents", "o_custkey"],
                           ascending=[False, True],
                           kind="mergesort").head(20)
     assert list(a["c_custkey"]) == list(per["o_custkey"])
-    cents = (per["micros"].to_numpy(np.int64) + 5000) // 10000
-    assert list(a["revenue"]) == list(cents.astype(np.float64) / 100.0)
+    assert list(a["revenue"]) == list(
+        per["cents"].to_numpy(np.int64).astype(np.float64) / 100.0)
 
 
 def test_index_stats_vs_corpus_and_delta_visibility(ray_session):
