@@ -1085,6 +1085,20 @@ def _q9_profit_by_nation(sf_dir: str):
     return q9_profit_by_nation(sf_dir)
 
 
+def _q15_top_supplier(sf_dir: str):
+    # TPC-H Q15: global argmax WITH TIES over supplier-bounded exact
+    # micros partials; comparison in integer cents
+    from jesterj_ray.pipelines.relational import q15_top_supplier
+    return q15_top_supplier(sf_dir)
+
+
+def _q17_small_quantity_revenue(sf_dir: str):
+    # TPC-H Q17: correlated subquery as a fact-derived broadcast
+    # dimension (per-part 0.2*avg qty), exact micros revenue
+    from jesterj_ray.pipelines.relational import q17_small_quantity_revenue
+    return q17_small_quantity_revenue(sf_dir)
+
+
 def _rare_terms(sf_dir: str):
     # ES rare_terms: long-tail df<=N buckets straight from the
     # epoch-pinned term dictionary — zero posting decode or corpus IO
@@ -1622,6 +1636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_regexp_topk": _bm25_regexp_topk,
         "adjacency_matrix": _adjacency_matrix,
         "rare_terms": _rare_terms,
+        "q15_top_supplier": _q15_top_supplier,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "percolate_indexed": _percolate_indexed,
         "daily_event_derivative": _daily_event_derivative,
         "knn_filtered_top10": _knn_filtered_top10,
@@ -4080,6 +4096,34 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name, o_year
             ORDER BY n_name, o_year""",
+        # engine: relational.q15_top_supplier — global argmax with
+        # ties, integer-cents comparison space
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     (sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 1000000 + 0.5) AS BIGINT))
+                      + 5000) // 10000 AS cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+                AND l_shipdate < TIMESTAMP '1999-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, cents / 100.0 AS total_revenue
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE cents = (SELECT max(cents) FROM rev)
+            ORDER BY s_suppkey""",
+        # engine: relational.q17_small_quantity_revenue — correlated
+        # subquery as a fact-derived broadcast threshold; both sides
+        # sum the identical integer micros and round the same double
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(CAST(floor(l_extendedprice * 1000000
+                                        + 0.5) AS BIGINT))
+                         / 7000000.0, 2) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#1'
+              AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)""",
         # engine: flagship.rare_terms_documents — long-tail df buckets
         # from the term dictionary (no posting decode)
         "rare_terms": f"""

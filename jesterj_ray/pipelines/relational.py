@@ -2298,3 +2298,147 @@ def adjacency_matrix_documents(sf_dir: str) -> pd.DataFrame:
         .reset_index().rename(columns={"n_part": "n"})
     out = out[out["n"] > 0]  # ES omits empty buckets
     return out.reset_index(drop=True).astype({"n": np.int64})
+
+
+Q15_LO = np.datetime64("1999-01-01")
+Q15_HI = np.datetime64("1999-04-01")
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 top-supplier analog: the supplier(s) with the MAXIMUM
+    one-quarter revenue — the GLOBAL-ARGMAX-WITH-TIES shape (Q15's
+    view + WHERE total = (SELECT max(...)) keeps every tied supplier,
+    unlike a top-1 LIMIT).
+
+    Per-suppkey revenue is the exact integer-micros partial-sum fold
+    (supplier-bounded), ranking/equality happens in integer CENTS (the
+    oracle's comparison space), the max is one driver scalar, and only
+    the winners' names are fetched.  Output: (s_suppkey, s_name,
+    total_revenue) suppkey-ordered."""
+    lo = pa.scalar(Q15_LO.astype("datetime64[us]").item())
+    hi = pa.scalar(Q15_HI.astype("datetime64[us]").item())
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"],
+                         override_num_blocks=16)
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        micros = np.floor(rev.to_numpy(zero_copy_only=False) * 1e6
+                          + 0.5).astype(np.int64)
+        g = pa.table({"l_suppkey": t["l_suppkey"].combine_chunks()
+                      .cast(pa.int64()),
+                      "micros": pa.array(micros, pa.int64())})
+        agg = pa.TableGroupBy(g, "l_suppkey").aggregate(
+            [("micros", "sum")])
+        return pa.table({"l_suppkey": agg["l_suppkey"],
+                         "m_part": agg["micros_sum"]})
+
+    tbl = _fold_blocks(li.map_batches(partials, batch_format="pyarrow"))
+    empty = pd.DataFrame({
+        "s_suppkey": pd.Series([], dtype=np.int64),
+        "s_name": pd.Series([], dtype=object),
+        "total_revenue": pd.Series([], dtype=np.float64)})
+    if tbl is None:
+        return empty
+    per = tbl.to_pandas().groupby("l_suppkey")["m_part"].sum() \
+        .reset_index()
+    cents = (per["m_part"].to_numpy(np.int64) + 5000) // 10000
+    per["cents"] = cents
+    best = per[per["cents"] == cents.max()] \
+        .sort_values("l_suppkey").reset_index(drop=True)
+
+    import pyarrow.parquet as pq
+    su = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                       columns=["s_suppkey", "s_name"])
+    winners = pa.array(best["l_suppkey"].to_numpy(np.int64))
+    su = su.filter(pc.is_in(su["s_suppkey"], value_set=winners))
+    names = dict(zip(su["s_suppkey"].to_pylist(),
+                     su["s_name"].to_pylist()))
+    return pd.DataFrame({
+        "s_suppkey": best["l_suppkey"].to_numpy(np.int64),
+        "s_name": [names[int(x)] for x in best["l_suppkey"]],
+        "total_revenue": best["cents"].to_numpy(np.int64)
+        .astype(np.float64) / 100.0})
+
+
+Q17_BRAND = "Brand#1"
+
+
+def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 small-quantity-order analog: weekly revenue lost if
+    orders below 20% of a part's average quantity weren't filled, for
+    one brand's parts — the CORRELATED-SUBQUERY shape: the threshold
+    dimension (per-part 0.2*avg quantity) is DERIVED FROM THE FACT
+    TABLE itself, then broadcast back over it.
+
+    Two fact passes, both pruned to the brand's partkeys (broadcast
+    key set from the part table): pass A folds per-part (qty sum,
+    count) partials -> the per-part threshold table (part-bounded);
+    pass B filters l_quantity < threshold[partkey] per block and sums
+    price in EXACT integer micros — the oracle sums the identical
+    micros, so the /7 ratio rounds from the same double on both
+    sides.  Output: one (avg_yearly) row."""
+    import pyarrow.parquet as pq
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    bkeys = part.filter(pc.equal(part["p_brand"], Q17_BRAND))
+    bkeys_ref = ray.put(bkeys["p_partkey"].combine_chunks())
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"],
+                         override_num_blocks=16)
+
+    def qty_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"],
+                              value_set=ray.get(bkeys_ref)))
+        agg = pa.TableGroupBy(
+            t.select(["l_partkey", "l_quantity"]),
+            "l_partkey").aggregate([("l_quantity", "sum"),
+                                    ([], "count_all")])
+        return pa.table({"l_partkey": agg["l_partkey"],
+                         "q_part": agg["l_quantity_sum"],
+                         "n_part": agg["count_all"].cast(pa.int64())})
+
+    tbl = _fold_blocks(li.map_batches(qty_partials,
+                                      batch_format="pyarrow"))
+    if tbl is None:
+        return pd.DataFrame({"avg_yearly": [0.0]})
+    per = tbl.to_pandas().groupby("l_partkey").agg(
+        q=("q_part", "sum"), n=("n_part", "sum")).reset_index()
+    # EXACT oracle parity: quantities are integral so the sums are
+    # order-independent exact doubles, and the expression is spelled
+    # 0.2*(sum/n) — the oracle's 0.2*avg() association — because
+    # (0.2*sum)/n can differ in the last ulp and flip a `<` at an
+    # exactly-integer threshold (avg=25 -> thr=5.0)
+    thr = pa.table({
+        "l_partkey": pa.array(per["l_partkey"].to_numpy(np.int64)),
+        "thr": pa.array(0.2 * (per["q"].to_numpy(np.float64)
+                               / per["n"].to_numpy(np.float64)))})
+    thr_ref = ray.put(thr)
+
+    def rev_partials(t: pa.Table) -> pa.Table:
+        lk = ray.get(thr_ref)
+        idx = pc.index_in(t["l_partkey"], value_set=lk["l_partkey"])
+        keep = pc.is_valid(idx)
+        t = t.filter(keep)
+        idx = pc.filter(idx, keep)
+        thr_v = pc.take(lk["thr"], idx)
+        t = t.filter(pc.less(t["l_quantity"], thr_v))
+        micros = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 1e6
+            + 0.5).astype(np.int64)
+        return pa.table({"m": pa.array([int(micros.sum())],
+                                       pa.int64())})
+
+    sums = _fold_blocks(li.map_batches(rev_partials,
+                                       batch_format="pyarrow"))
+    total = 0 if sums is None else int(pc.sum(sums["m"]).as_py() or 0)
+    x = total / 7e6
+    return pd.DataFrame({"avg_yearly":
+                         [np.floor(x * 100 + 0.5) / 100]})

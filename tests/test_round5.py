@@ -1396,3 +1396,49 @@ def test_rare_terms_threshold_law(ray_session):
                    if 200 * d <= 11 * n), key=lambda x: (x[1], x[0]))
     assert list(zip(out["term"], out["df"])) == want
     assert len(out) >= 1  # the synthetic tail term exists
+
+
+def test_q15_argmax_ties_and_direct(ray_session):
+    """Q15 keeps every cents-tied max supplier and matches a direct
+    evaluation."""
+    from jesterj_ray.pipelines.relational import (Q15_HI, Q15_LO,
+                                                  q15_top_supplier)
+    sf = "/root/testdata/sf0.001"
+    out = q15_top_supplier(sf)
+    li = pq.read_table(os.path.join(sf, "lineitem.parquet")).to_pandas()
+    li = li[(li["l_shipdate"] >= pd.Timestamp(Q15_LO.item()))
+            & (li["l_shipdate"] < pd.Timestamp(Q15_HI.item()))].copy()
+    li["micros"] = np.floor(li["l_extendedprice"]
+                            * (1 - li["l_discount"]) * 1e6
+                            + 0.5).astype(np.int64)
+    per = li.groupby("l_suppkey")["micros"].sum()
+    cents = (per.to_numpy(np.int64) + 5000) // 10000
+    best = per.index.to_numpy()[cents == cents.max()]
+    assert sorted(out["s_suppkey"]) == sorted(best)
+    assert (out["total_revenue"] == cents.max() / 100.0).all()
+
+
+def test_q17_threshold_direct(ray_session):
+    """Q17 equals a direct evaluation with the oracle's exact
+    0.2*(sum/n) threshold association."""
+    from jesterj_ray.pipelines.relational import (Q17_BRAND,
+                                                  q17_small_quantity_revenue)
+    sf = "/root/testdata/sf0.001"
+    out = q17_small_quantity_revenue(sf)
+    li = pq.read_table(os.path.join(sf, "lineitem.parquet"),
+                       columns=["l_partkey", "l_quantity",
+                                "l_extendedprice"]).to_pandas()
+    part = pq.read_table(os.path.join(sf, "part.parquet"),
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    bk = set(part.loc[part["p_brand"] == Q17_BRAND, "p_partkey"])
+    sub = li[li["l_partkey"].isin(bk)]
+    agg = sub.groupby("l_partkey")["l_quantity"].agg(["sum", "count"])
+    thr = 0.2 * (agg["sum"] / agg["count"])
+    m = sub.merge(thr.rename("thr"), left_on="l_partkey",
+                  right_index=True)
+    cand = m[m["l_quantity"] < m["thr"]]
+    micros = np.floor(cand["l_extendedprice"].to_numpy(np.float64)
+                      * 1e6 + 0.5).astype(np.int64).sum()
+    x = micros / 7e6
+    assert float(out["avg_yearly"].iloc[0]) \
+        == np.floor(x * 100 + 0.5) / 100
