@@ -111,3 +111,27 @@ def test_bpe_encode_roundtrip_properties(ray_session):
         want = sum(len(_encode_word(w, ranks))
                    for w in _WORD_RE.findall(txt.lower()))
         assert int(some["n_bpe_tokens"].iloc[i]) == want
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.tuples(st.text(alphabet="abc", min_size=1, max_size=6),
+              st.integers(min_value=1, max_value=9)),
+    min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=8))
+def test_train_bpe_property_vs_brute(pairs, m):
+    """Property: on ANY small word histogram the vectorized trainer
+    equals the brute-force reference exactly (counts, tie-breaks,
+    early stop)."""
+    hist = {}
+    for w, n in pairs:
+        hist[w] = hist.get(w, 0) + n
+    hdf = pd.DataFrame(sorted(hist.items()), columns=["word", "n"])
+    got = train_bpe(hdf, m)
+    want = _brute(hdf, m)
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": np.int64, "pair_count": np.int64}),
+        want.astype({"rank": np.int64, "pair_count": np.int64}))

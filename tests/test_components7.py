@@ -169,3 +169,28 @@ def test_percolate_mustless_query_both_paths(ray_session):
         os.path.join(sf, "documents.parquet")).num_rows
     n_stream = (a["qid"] == 1).sum()
     assert 0 < n_stream < n_docs  # exclusion actually bites
+
+
+def test_percolate_paths_identity_property(ray_session):
+    """Property-style sweep: exhaustive == indexed over a randomized
+    family of stored query stores (seeded), covering shared guards,
+    pure-exclusion, absent terms, and single-term queries."""
+    import random
+    from jesterj_ray.pipelines.components import (
+        percolate_documents, percolate_documents_indexed)
+    sf = "/root/testdata/sf0.001"
+    vocab = ["merge", "sort", "stream", "dup", "customer", "window",
+             "hash", "join", "filter", "key", "line", "zzzabsent"]
+    rng = random.Random(20260818)
+    for trial in range(4):
+        qs = []
+        for qid in range(1, 13):
+            must = rng.sample(vocab, rng.randint(0, 3))
+            must_not = rng.sample(
+                [w for w in vocab if w not in must],
+                rng.randint(0, 2))
+            qs.append({"qid": qid, "must": must,
+                       "must_not": must_not})
+        a = percolate_documents(sf, queries=qs)
+        b = percolate_documents_indexed(sf, queries=qs)
+        pd.testing.assert_frame_equal(a, b)
