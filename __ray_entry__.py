@@ -1085,6 +1085,14 @@ def _q9_profit_by_nation(sf_dir: str):
     return q9_profit_by_nation(sf_dir)
 
 
+def _term_vectors(sf_dir: str):
+    # Solr TermVectorComponent: per-doc (term, tf) served from the
+    # index's postings, oracle recomputes from raw text — a per-doc
+    # index-integrity cross-check
+    from jesterj_ray.pipelines.flagship import term_vectors_documents
+    return term_vectors_documents(sf_dir)
+
+
 def _q15_top_supplier(sf_dir: str):
     # TPC-H Q15: global argmax WITH TIES over supplier-bounded exact
     # micros partials; comparison in integer cents
@@ -1638,6 +1646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_terms": _rare_terms,
         "q15_top_supplier": _q15_top_supplier,
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "term_vectors": _term_vectors,
         "percolate_indexed": _percolate_indexed,
         "daily_event_derivative": _daily_event_derivative,
         "knn_filtered_top10": _knn_filtered_top10,
@@ -4096,6 +4105,15 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name, o_year
             ORDER BY n_name, o_year""",
+        # engine: flagship.term_vectors_documents — per-doc (term, tf)
+        # from index postings vs raw-text recomputation
+        "term_vectors": f"""
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest({_TOKS}) AS term
+                  FROM documents)
+            WHERE doc_id IN (3, 42, 64)
+            GROUP BY doc_id, term
+            ORDER BY doc_id, term""",
         # engine: relational.q15_top_supplier — global argmax with
         # ties, integer-cents comparison space
         "q15_top_supplier": """

@@ -19,7 +19,7 @@ import hashlib
 import os
 import re
 import shutil
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -2239,3 +2239,47 @@ def rare_terms_documents(sf_dir: str, limit: int = 40
     return pd.DataFrame({
         "term": pd.Series([r[0] for r in rows], dtype=object),
         "df": pd.Series([r[1] for r in rows], dtype=np.int64)})
+
+
+TERM_VECTOR_DOCS = (3, 42, 64)
+
+
+def term_vectors_documents(sf_dir: str,
+                           doc_ids: Sequence[int] = TERM_VECTOR_DOCS
+                           ) -> pd.DataFrame:
+    """Solr TermVectorComponent analog (``tv.tf``): the (term, tf)
+    vector of specific documents, answered from the INDEX's postings
+    while the oracle recomputes from raw text — a per-document
+    index-integrity cross-check complementing the corpus-wide
+    ``index_stats_summary``.
+
+    The inverted index has no forward (doc->terms) store, so the
+    vector assembles by probing each dictionary term's postings for
+    the target docs — vocab-bounded x |docs| dense-membership checks,
+    no corpus IO.  (A production term-vector store would persist
+    forward vectors at build time, as Lucene does when
+    ``termVectors=true``; the probe is the honest exact equivalent at
+    this vocabulary size and keeps the index format unchanged.)
+
+    Output: (doc_id, term, tf) ordered doc_id then term."""
+    reader = IndexReader(documents_index(sf_dir))
+    targets = {}
+    for did in doc_ids:
+        internal = reader.doc_id_of_key(str(int(did)).zfill(12))
+        if internal is not None:
+            targets[int(internal)] = int(did)
+    rows = []
+    if targets:
+        internals = np.asarray(sorted(targets), dtype=np.int64)
+        for term in sorted(reader.prefix_term_dfs("")):
+            docs, tfs = reader.postings(term)
+            idx = np.searchsorted(docs, internals)
+            ok = (idx < docs.size) & (docs[np.minimum(
+                idx, docs.size - 1)] == internals)
+            for i, hit in zip(idx[ok], internals[ok]):
+                rows.append((targets[int(hit)], term, int(tfs[i])))
+    rows.sort()
+    return pd.DataFrame({
+        "doc_id": pd.Series([r[0] for r in rows], dtype=np.int64),
+        "term": pd.Series([r[1] for r in rows], dtype=object),
+        "tf": pd.Series([r[2] for r in rows], dtype=np.int64)})

@@ -1442,3 +1442,22 @@ def test_q17_threshold_direct(ray_session):
     x = micros / 7e6
     assert float(out["avg_yearly"].iloc[0]) \
         == np.floor(x * 100 + 0.5) / 100
+
+
+def test_term_vectors_against_tokenizer(ray_session):
+    """Per-doc term vectors from postings equal direct tokenization of
+    the raw docs (tf mass = doc length; missing doc yields no rows)."""
+    from collections import Counter
+    from jesterj_ray.pipelines.flagship import term_vectors_documents
+    from jesterj_ray.tokenize.tokenizer import simple_tokenize
+    sf = "/root/testdata/sf0.001"
+    out = term_vectors_documents(sf, doc_ids=(3, 42, 9999999))
+    d = pq.read_table(os.path.join(sf, "documents.parquet"),
+                      columns=["doc_id", "text"]).to_pandas() \
+        .set_index("doc_id")["text"]
+    for did in (3, 42):
+        want = Counter(simple_tokenize(d.loc[did] or ""))
+        got = dict(zip(out.loc[out["doc_id"] == did, "term"],
+                       out.loc[out["doc_id"] == did, "tf"]))
+        assert got == dict(want)
+    assert (out["doc_id"] == 9999999).sum() == 0
