@@ -1085,6 +1085,13 @@ def _q9_profit_by_nation(sf_dir: str):
     return q9_profit_by_nation(sf_dir)
 
 
+def _q7_volume_shipping(sf_dir: str):
+    # TPC-H Q7 capstone: both dimension chains composed into
+    # broadcasts, facts pre-pruned to the nation pair, one cogroup
+    from jesterj_ray.pipelines.relational import q7_volume_shipping
+    return q7_volume_shipping(sf_dir)
+
+
 def _term_vectors(sf_dir: str):
     # Solr TermVectorComponent: per-doc (term, tf) served from the
     # index's postings, oracle recomputes from raw text — a per-doc
@@ -1646,6 +1653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_terms": _rare_terms,
         "q15_top_supplier": _q15_top_supplier,
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "q7_volume_shipping": _q7_volume_shipping,
         "term_vectors": _term_vectors,
         "percolate_indexed": _percolate_indexed,
         "daily_event_derivative": _daily_event_derivative,
@@ -4105,6 +4113,26 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name, o_year
             ORDER BY n_name, o_year""",
+        # engine: relational.q7_volume_shipping — double dimension
+        # chain + fact-fact cogroup, exact integer-micros revenue
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   ((sum(m) + 5000) // 10000) / 100.0 AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 1000000 + 0.5) AS BIGINT) AS m
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation n1 ON n1.n_nationkey = s_nationkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n2 ON n2.n_nationkey = c_nationkey
+              WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year""",
         # engine: flagship.term_vectors_documents — per-doc (term, tf)
         # from index postings vs raw-text recomputation
         "term_vectors": f"""

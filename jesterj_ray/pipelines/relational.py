@@ -2442,3 +2442,140 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
     x = total / 7e6
     return pd.DataFrame({"avg_yearly":
                          [np.floor(x * 100 + 0.5) / 100]})
+
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q7_volume_shipping(sf_dir: str, *, num_groups: int = 32,
+                       nations: tuple = Q7_NATIONS) -> pd.DataFrame:
+    """TPC-H Q7 volume-shipping analog: discounted revenue shipped
+    between two nations, per (supplier nation, customer nation, ship
+    year) — the CAPSTONE composite: BOTH dimension chains (supplier->
+    nation on the lineitem side, customer->nation on the orders side)
+    compose into broadcast lookups, and the two pre-annotated fact
+    sides meet in ONE coarse-gkey cogroup join on orderkey.
+
+    Scale shape: lineitem blocks annotate supp_nation via the composed
+    (suppkey -> nation) lookup and DROP every row outside the nation
+    pair before the exchange (the Q7 predicate is supplier-side
+    prunable); orders blocks annotate cust_nation the same way and
+    drop rows outside the pair.  The cogroup then pairs survivors and
+    emits (supp_nation, cust_nation, year) micro-partials —
+    O(2 x years) rows per group.  Customer/supplier projections are
+    2-column int->string maps (TPC-H 1:10 and 1:10000 of the facts);
+    past the documented broadcast thresholds they'd become the
+    cogroup dimension exchange (broadcast_left_join's fallback).
+    Revenue is the exact integer-micros/cents form."""
+    import pyarrow.parquet as pq
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+
+    def nation_of(keys: pa.ChunkedArray, nk: pa.ChunkedArray):
+        idx = pc.index_in(nk, value_set=nat["n_nationkey"])
+        return pa.table({"k": keys.combine_chunks(),
+                         "nm": pc.take(nat["n_name"], idx)
+                         .combine_chunks()})
+
+    sup_lk = ray.put(nation_of(sup["s_suppkey"], sup["s_nationkey"]))
+    cust_lk = ray.put(nation_of(cust["c_custkey"], cust["c_nationkey"]))
+    pair = pa.array(list(nations))
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount",
+                                  "l_shipdate"],
+                         override_num_blocks=16)
+
+    def l_rows(t: pa.Table) -> pa.Table:
+        lk = ray.get(sup_lk)
+        idx = pc.index_in(t["l_suppkey"], value_set=lk["k"])
+        nm = pc.take(lk["nm"], idx)
+        keep = pc.is_in(nm, value_set=pair)
+        t, nm = t.filter(keep), pc.filter(nm, keep)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        micros = np.floor(rev.to_numpy(zero_copy_only=False) * 1e6
+                          + 0.5).astype(np.int64)
+        k = t["l_orderkey"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "k": k,
+            "nm": nm.combine_chunks(),
+            "m": pa.array(micros, pa.int64()),
+            "yr": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "side": pa.array(["l"] * len(t), pa.string()),
+            "gkey": pc.cast(_mod_nonneg(k, num_groups), pa.int64())})
+
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey"],
+                         override_num_blocks=8)
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        lk = ray.get(cust_lk)
+        idx = pc.index_in(t["o_custkey"], value_set=lk["k"])
+        nm = pc.take(lk["nm"], idx)
+        keep = pc.is_in(nm, value_set=pair)
+        t, nm = t.filter(keep), pc.filter(nm, keep)
+        k = t["o_orderkey"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "k": k,
+            "nm": nm.combine_chunks(),
+            "m": pa.nulls(len(t), pa.int64()),
+            "yr": pa.nulls(len(t), pa.int64()),
+            "side": pa.array(["o"] * len(t), pa.string()),
+            "gkey": pc.cast(_mod_nonneg(k, num_groups), pa.int64())})
+
+    def resolve(g: pa.Table) -> pd.DataFrame:
+        omask = pc.equal(g["side"], "o")
+        og = g.filter(omask)
+        lg = g.filter(pc.invert(omask))
+        empty = pd.DataFrame({
+            "supp_nation": pd.Series([], dtype=object),
+            "cust_nation": pd.Series([], dtype=object),
+            "l_year": pd.Series([], dtype=np.int64),
+            "m": pd.Series([], dtype=np.int64)})
+        if og.num_rows == 0 or lg.num_rows == 0:
+            return empty
+        idx = pc.index_in(lg["k"], value_set=og["k"])
+        cnm = pc.take(og["nm"], idx)
+        sn = lg["nm"]
+        # cross pair only: (a,b) or (b,a) — inner join + != filter
+        keep = pc.and_(pc.is_valid(cnm), pc.not_equal(sn, cnm))
+        if pc.sum(pc.cast(keep, pa.int64())).as_py() == 0:
+            return empty
+        sub = pa.table({
+            "supp_nation": pc.filter(sn.combine_chunks(), keep),
+            "cust_nation": pc.filter(cnm, keep),
+            "l_year": pc.filter(lg["yr"].combine_chunks(), keep),
+            "m": pc.filter(lg["m"].combine_chunks(), keep)})
+        agg = pa.TableGroupBy(sub, ["supp_nation", "cust_nation",
+                                    "l_year"]).aggregate([("m", "sum")])
+        return pd.DataFrame({
+            "supp_nation": agg["supp_nation"].to_pylist(),
+            "cust_nation": agg["cust_nation"].to_pylist(),
+            "l_year": agg["l_year"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "m": agg["m_sum"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+
+    parts = li.map_batches(l_rows, batch_format="pyarrow") \
+        .union(od.map_batches(o_rows, batch_format="pyarrow")) \
+        .groupby("gkey").map_groups(resolve, batch_format="pyarrow") \
+        .to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype=object),
+            "cust_nation": pd.Series([], dtype=object),
+            "l_year": pd.Series([], dtype=np.int64),
+            "revenue": pd.Series([], dtype=np.float64)})
+    out = parts.groupby(["supp_nation", "cust_nation", "l_year"],
+                        sort=True)["m"].sum().reset_index()
+    cents = (out["m"].to_numpy(np.int64) + 5000) // 10000
+    out["revenue"] = cents.astype(np.float64) / 100.0
+    out["l_year"] = out["l_year"].astype(np.int64)
+    return out[["supp_nation", "cust_nation", "l_year", "revenue"]] \
+        .reset_index(drop=True)

@@ -1461,3 +1461,42 @@ def test_term_vectors_against_tokenizer(ray_session):
                        out.loc[out["doc_id"] == did, "tf"]))
         assert got == dict(want)
     assert (out["doc_id"] == 9999999).sum() == 0
+
+
+def test_q7_double_chain_matches_direct(ray_session):
+    """Q7's double dimension chain + cogroup equals a direct pandas
+    evaluation on a nation pair with traffic at sf0.001, and is
+    partition-count invariant."""
+    from jesterj_ray.pipelines.relational import q7_volume_shipping
+    sf = "/root/testdata/sf0.001"
+    pair = ("NATION_20", "NATION_11")
+    a = q7_volume_shipping(sf, num_groups=4, nations=pair)
+    b = q7_volume_shipping(sf, num_groups=64, nations=pair)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+    li = pq.read_table(os.path.join(sf, "lineitem.parquet")).to_pandas()
+    su = pq.read_table(os.path.join(sf, "supplier.parquet")).to_pandas()
+    na = pq.read_table(os.path.join(sf, "nation.parquet")).to_pandas()
+    od = pq.read_table(os.path.join(sf, "orders.parquet")).to_pandas()
+    cu = pq.read_table(os.path.join(sf, "customer.parquet")).to_pandas()
+    j = li.merge(su, left_on="l_suppkey", right_on="s_suppkey") \
+        .merge(na.rename(columns={"n_name": "supp_nation"}),
+               left_on="s_nationkey", right_on="n_nationkey") \
+        .merge(od, left_on="l_orderkey", right_on="o_orderkey") \
+        .merge(cu, left_on="o_custkey", right_on="c_custkey") \
+        .merge(na.rename(columns={"n_name": "cust_nation"}),
+               left_on="c_nationkey", right_on="n_nationkey")
+    j = j[((j["supp_nation"] == pair[0]) & (j["cust_nation"] == pair[1]))
+          | ((j["supp_nation"] == pair[1])
+             & (j["cust_nation"] == pair[0]))].copy()
+    j["m"] = np.floor(j["l_extendedprice"] * (1 - j["l_discount"])
+                      * 1e6 + 0.5).astype(np.int64)
+    j["l_year"] = j["l_shipdate"].dt.year.astype(np.int64)
+    want = j.groupby(["supp_nation", "cust_nation", "l_year"],
+                     sort=True)["m"].sum().reset_index()
+    cents = (want["m"].to_numpy(np.int64) + 5000) // 10000
+    want["revenue"] = cents.astype(np.float64) / 100.0
+    pd.testing.assert_frame_equal(
+        a, want[["supp_nation", "cust_nation", "l_year", "revenue"]]
+        .reset_index(drop=True))
