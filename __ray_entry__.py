@@ -1085,6 +1085,20 @@ def _q9_profit_by_nation(sf_dir: str):
     return q9_profit_by_nation(sf_dir)
 
 
+def _q8_market_share(sf_dir: str):
+    # TPC-H Q8: grouped ratio atop the double dimension chain; both
+    # sides divide the SAME exact int64 sums
+    from jesterj_ray.pipelines.relational import q8_market_share
+    return q8_market_share(sf_dir)
+
+
+def _q19_discounted_revenue(sf_dir: str):
+    # TPC-H Q19: one vectorized OR-of-ANDs mask per block over the
+    # broadcast-annotated brand; exact-micros fold
+    from jesterj_ray.pipelines.relational import q19_discounted_revenue
+    return q19_discounted_revenue(sf_dir)
+
+
 def _q7_volume_shipping(sf_dir: str):
     # TPC-H Q7 capstone: both dimension chains composed into
     # broadcasts, facts pre-pruned to the nation pair, one cogroup
@@ -1654,6 +1668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": _q15_top_supplier,
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "q7_volume_shipping": _q7_volume_shipping,
+        "q8_market_share": _q8_market_share,
+        "q19_discounted_revenue": _q19_discounted_revenue,
         "term_vectors": _term_vectors,
         "percolate_indexed": _percolate_indexed,
         "daily_event_derivative": _daily_event_derivative,
@@ -4113,6 +4129,41 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name, o_year
             ORDER BY n_name, o_year""",
+        # engine: relational.q8_market_share — grouped ratio atop the
+        # double dimension chain; exact int64 numerator/denominator
+        "q8_market_share": """
+            WITH base AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(floor(l_extendedprice * (1 - l_discount)
+                                * 1000000 + 0.5) AS BIGINT) AS m,
+                     n1.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation n1 ON n1.n_nationkey = s_nationkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n2 ON n2.n_nationkey = c_nationkey
+              JOIN region ON r_regionkey = n2.n_regionkey
+              WHERE r_name = 'AFRICA' AND p_type = 'PROMO')
+            SELECT o_year,
+                   round(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                                  THEN m ELSE 0 END) AS DOUBLE)
+                         / sum(m), 6) AS mkt_share
+            FROM base GROUP BY o_year ORDER BY o_year""",
+        # engine: relational.q19_discounted_revenue — vectorized
+        # OR-of-ANDs predicate, exact-micros single-row fold
+        "q19_discounted_revenue": """
+            SELECT ((sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 1000000 + 0.5) AS BIGINT))
+                     + 5000) // 10000) / 100.0 AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1'
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2'
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3'
+                   AND l_quantity BETWEEN 20 AND 30)""",
         # engine: relational.q7_volume_shipping — double dimension
         # chain + fact-fact cogroup, exact integer-micros revenue
         "q7_volume_shipping": """

