@@ -1085,6 +1085,13 @@ def _q9_profit_by_nation(sf_dir: str):
     return q9_profit_by_nation(sf_dir)
 
 
+def _q21_blame_supplier(sf_dir: str):
+    # TPC-H Q21: per-order EXISTS/NOT-EXISTS as distinct-count
+    # predicates inside one cogroup; O(suppliers) group output
+    from jesterj_ray.pipelines.relational import q21_blame_supplier
+    return q21_blame_supplier(sf_dir)
+
+
 def _q8_market_share(sf_dir: str):
     # TPC-H Q8: grouped ratio atop the double dimension chain; both
     # sides divide the SAME exact int64 sums
@@ -1670,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_volume_shipping": _q7_volume_shipping,
         "q8_market_share": _q8_market_share,
         "q19_discounted_revenue": _q19_discounted_revenue,
+        "q21_blame_supplier": _q21_blame_supplier,
         "term_vectors": _term_vectors,
         "percolate_indexed": _percolate_indexed,
         "daily_event_derivative": _daily_event_derivative,
@@ -4129,6 +4137,23 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name, o_year
             ORDER BY n_name, o_year""",
+        # engine: relational.q21_blame_supplier — per-order EXISTS /
+        # NOT-EXISTS via distinct-count predicates
+        "q21_blame_supplier": """
+            WITH per_order AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT l_suppkey)
+                       FILTER (l_returnflag = 'R') AS n_r,
+                     min(l_suppkey)
+                       FILTER (l_returnflag = 'R') AS r_supp
+              FROM lineitem GROUP BY l_orderkey)
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM per_order JOIN supplier ON s_suppkey = r_supp
+            WHERE n_supp >= 2 AND n_r = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 10""",
         # engine: relational.q8_market_share — grouped ratio atop the
         # double dimension chain; exact int64 numerator/denominator
         "q8_market_share": """

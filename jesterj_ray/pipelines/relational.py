@@ -2779,3 +2779,79 @@ def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
     total = 0 if sums is None else int(pc.sum(sums["m"]).as_py() or 0)
     cents = (total + 5000) // 10000
     return pd.DataFrame({"revenue": [cents / 100.0]})
+
+
+def q21_blame_supplier(sf_dir: str, *, num_groups: int = 32,
+                       k: int = 10) -> pd.DataFrame:
+    """TPC-H Q21 waiting-orders analog: for every multi-supplier order
+    where EXACTLY ONE supplier's lineitems came back flagged ``'R'``,
+    blame that supplier; report the ``k`` most-blamed — the PER-GROUP
+    EXISTS / NOT-EXISTS shape (Q21's "another supplier contributed"
+    EXISTS and "no other supplier also failed" NOT EXISTS become
+    per-order distinct-count predicates).
+
+    One exchange co-locates each order's lineitems (coarse orderkey
+    gkey); inside a group ONE Arrow hash aggregate per orderkey
+    computes (distinct suppliers, distinct R-suppliers, the R
+    supplier), the predicate filters vectorized, and the group emits
+    per-SUPPLIER partial counts (O(suppliers) rows, never O(orders)).
+    A supplier-bounded fold ranks (numwait desc, name asc — total
+    order, names unique) and fetches the k winners' names only."""
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_returnflag"],
+                         override_num_blocks=16)
+
+    def rows(t: pa.Table) -> pa.Table:
+        k_ = t["l_orderkey"].combine_chunks().cast(pa.int64())
+        supp = t["l_suppkey"].combine_chunks().cast(pa.int64())
+        is_r = pc.equal(t["l_returnflag"], "R")
+        return pa.table({
+            "k": k_, "supp": supp,
+            "supp_r": pc.if_else(is_r, supp,
+                                 pa.scalar(None, pa.int64())),
+            "gkey": pc.cast(_mod_nonneg(k_, num_groups), pa.int64())})
+
+    def per_order(g: pa.Table) -> pd.DataFrame:
+        agg = pa.TableGroupBy(g.select(["k", "supp", "supp_r"]),
+                              "k").aggregate(
+            [("supp", "count_distinct"),
+             ("supp_r", "count_distinct"),
+             ("supp_r", "min")])
+        n_supp = agg["supp_count_distinct"].to_numpy(
+            zero_copy_only=False)
+        n_r = agg["supp_r_count_distinct"].to_numpy(
+            zero_copy_only=False)
+        r_supp = agg["supp_r_min"].to_numpy(zero_copy_only=False)
+        keep = (n_supp >= 2) & (n_r == 1)
+        blamed = r_supp[keep].astype(np.int64)
+        if blamed.size == 0:
+            return pd.DataFrame({
+                "s_suppkey": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64)})
+        uk, cnt = np.unique(blamed, return_counts=True)
+        return pd.DataFrame({"s_suppkey": uk.astype(np.int64),
+                             "n": cnt.astype(np.int64)})
+
+    parts = li.map_batches(rows, batch_format="pyarrow") \
+        .groupby("gkey").map_groups(per_order,
+                                    batch_format="pyarrow") \
+        .to_pandas()
+    empty = pd.DataFrame({
+        "s_name": pd.Series([], dtype=object),
+        "numwait": pd.Series([], dtype=np.int64)})
+    if parts.empty:
+        return empty
+    per = parts.groupby("s_suppkey")["n"].sum().reset_index()
+
+    import pyarrow.parquet as pq
+    su = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                       columns=["s_suppkey", "s_name"])
+    idx = pc.index_in(pa.array(per["s_suppkey"].to_numpy(np.int64)),
+                      value_set=su["s_suppkey"])
+    per["s_name"] = pc.take(su["s_name"], idx).to_pylist()
+    per = per.sort_values(["n", "s_name"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return pd.DataFrame({
+        "s_name": per["s_name"].to_numpy(),
+        "numwait": per["n"].to_numpy(np.int64)}).reset_index(drop=True)

@@ -1539,3 +1539,34 @@ def test_q19_disjunction_matches_direct(ray_session):
                       * 1e6 + 0.5).astype(np.int64).sum()
     cents = (micros + 5000) // 10000
     assert float(out["revenue"].iloc[0]) == cents / 100.0
+
+
+def test_q21_predicate_matches_direct_and_groups_invariant(ray_session):
+    """Q21's per-order distinct-count predicate equals a direct pandas
+    evaluation; partition-count invariant."""
+    from jesterj_ray.pipelines.relational import q21_blame_supplier
+    sf = "/root/testdata/sf0.001"
+    a = q21_blame_supplier(sf, num_groups=4)
+    b = q21_blame_supplier(sf, num_groups=64)
+    pd.testing.assert_frame_equal(a, b)
+
+    li = pq.read_table(os.path.join(sf, "lineitem.parquet"),
+                       columns=["l_orderkey", "l_suppkey",
+                                "l_returnflag"]).to_pandas()
+    g = li.groupby("l_orderkey").agg(
+        n_supp=("l_suppkey", "nunique"))
+    r = li[li["l_returnflag"] == "R"].groupby("l_orderkey") \
+        .agg(n_r=("l_suppkey", "nunique"), r_supp=("l_suppkey", "min"))
+    m = g.join(r, how="inner")
+    blamed = m[(m["n_supp"] >= 2) & (m["n_r"] == 1)]["r_supp"]
+    su = pq.read_table(os.path.join(sf, "supplier.parquet"),
+                       columns=["s_suppkey", "s_name"]).to_pandas() \
+        .set_index("s_suppkey")["s_name"]
+    want = blamed.map(su).value_counts()
+    want = want.reset_index()
+    want.columns = ["s_name", "numwait"]
+    want = want.sort_values(["numwait", "s_name"],
+                            ascending=[False, True],
+                            kind="mergesort").head(10)
+    assert list(a["s_name"]) == list(want["s_name"])
+    assert list(a["numwait"]) == list(want["numwait"])
