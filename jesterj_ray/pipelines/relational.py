@@ -2359,6 +2359,9 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
     su = su.filter(pc.is_in(su["s_suppkey"], value_set=winners))
     names = dict(zip(su["s_suppkey"].to_pylist(),
                      su["s_name"].to_pylist()))
+    # oracle's INNER 'supplier JOIN rev' drops winners missing from
+    # supplier — mirror (never a KeyError; second self-review pass)
+    best = best[best["l_suppkey"].isin(names)].reset_index(drop=True)
     return pd.DataFrame({
         "s_suppkey": best["l_suppkey"].to_numpy(np.int64),
         "s_name": [names[int(x)] for x in best["l_suppkey"]],
@@ -2407,8 +2410,8 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
 
     tbl = _fold_blocks(li.map_batches(qty_partials,
                                       batch_format="pyarrow"))
-    if tbl is None:
-        return pd.DataFrame({"avg_yearly": [0.0]})
+    if tbl is None:  # no brand rows at all -> SQL sum() is NULL
+        return pd.DataFrame({"avg_yearly": [None]})
     per = tbl.to_pandas().groupby("l_partkey").agg(
         q=("q_part", "sum"), n=("n_part", "sum")).reset_index()
     # EXACT oracle parity: quantities are integral so the sums are
@@ -2434,11 +2437,17 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
             t["l_extendedprice"].to_numpy(zero_copy_only=False) * 1e6
             + 0.5).astype(np.int64)
         return pa.table({"m": pa.array([int(micros.sum())],
-                                       pa.int64())})
+                                       pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
 
     sums = _fold_blocks(li.map_batches(rev_partials,
                                        batch_format="pyarrow"))
-    total = 0 if sums is None else int(pc.sum(sums["m"]).as_py() or 0)
+    n = 0 if sums is None else int(pc.sum(sums["n"]).as_py() or 0)
+    # SQL sum() over zero rows is NULL, not 0 — mirror it (the q6
+    # precedent; second self-review pass)
+    if n == 0:
+        return pd.DataFrame({"avg_yearly": [None]})
+    total = int(pc.sum(sums["m"]).as_py() or 0)
     x = total / 7e6
     return pd.DataFrame({"avg_yearly":
                          [np.floor(x * 100 + 0.5) / 100]})
@@ -2649,6 +2658,11 @@ def q8_market_share(sf_dir: str, *, num_groups: int = 32
         is_nat = pc.take(slk["is_nat"],
                          pc.index_in(t["l_suppkey"],
                                      value_set=slk["k"]))
+        # INNER-join semantics: a supplier-orphan lineitem leaves the
+        # DENOMINATOR too (second self-review pass — fill_null(False)
+        # would keep it, diverging from the oracle's join chain)
+        ok = pc.is_valid(is_nat)
+        t, is_nat = t.filter(ok), pc.filter(is_nat, ok)
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
         micros = np.floor(rev.to_numpy(zero_copy_only=False) * 1e6
@@ -2657,7 +2671,7 @@ def q8_market_share(sf_dir: str, *, num_groups: int = 32
         return pa.table({
             "k": k,
             "m": pa.array(micros, pa.int64()),
-            "is_nat": pc.fill_null(is_nat, False).combine_chunks(),
+            "is_nat": is_nat.combine_chunks(),
             "yr": pa.nulls(len(t), pa.int64()),
             "side": pa.array(["l"] * len(t), pa.string()),
             "gkey": pc.cast(_mod_nonneg(k, num_groups), pa.int64())})
@@ -2772,11 +2786,16 @@ def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
         micros = np.floor(rev.to_numpy(zero_copy_only=False) * 1e6
                           + 0.5).astype(np.int64)
         return pa.table({"m": pa.array([int(micros.sum())],
-                                       pa.int64())})
+                                       pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
 
     sums = _fold_blocks(li.map_batches(partials,
                                        batch_format="pyarrow"))
-    total = 0 if sums is None else int(pc.sum(sums["m"]).as_py() or 0)
+    n = 0 if sums is None else int(pc.sum(sums["n"]).as_py() or 0)
+    # SQL sum() over zero rows is NULL, not 0 — mirror it
+    if n == 0:
+        return pd.DataFrame({"revenue": [None]})
+    total = int(pc.sum(sums["m"]).as_py() or 0)
     cents = (total + 5000) // 10000
     return pd.DataFrame({"revenue": [cents / 100.0]})
 
@@ -2818,13 +2837,15 @@ def q21_blame_supplier(sf_dir: str, *, num_groups: int = 32,
             [("supp", "count_distinct"),
              ("supp_r", "count_distinct"),
              ("supp_r", "min")])
-        n_supp = agg["supp_count_distinct"].to_numpy(
-            zero_copy_only=False)
-        n_r = agg["supp_r_count_distinct"].to_numpy(
-            zero_copy_only=False)
-        r_supp = agg["supp_r_min"].to_numpy(zero_copy_only=False)
-        keep = (n_supp >= 2) & (n_r == 1)
-        blamed = r_supp[keep].astype(np.int64)
+        # filter in ARROW first: supp_r_min is nullable int64 and a
+        # numpy conversion would degrade to float64 (the pinned
+        # int64-with-nulls trap); after the predicate every survivor
+        # has a valid r_supp (n_r == 1), so the cast is lossless
+        keep = pc.and_(
+            pc.greater_equal(agg["supp_count_distinct"], 2),
+            pc.equal(agg["supp_r_count_distinct"], 1))
+        blamed = agg.filter(keep)["supp_r_min"] \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
         if blamed.size == 0:
             return pd.DataFrame({
                 "s_suppkey": pd.Series([], dtype=np.int64),
@@ -2850,6 +2871,8 @@ def q21_blame_supplier(sf_dir: str, *, num_groups: int = 32,
     idx = pc.index_in(pa.array(per["s_suppkey"].to_numpy(np.int64)),
                       value_set=su["s_suppkey"])
     per["s_name"] = pc.take(su["s_name"], idx).to_pylist()
+    # oracle's INNER join drops blamed suppkeys missing from supplier
+    per = per[per["s_name"].notna()]
     per = per.sort_values(["n", "s_name"], ascending=[False, True],
                           kind="mergesort").head(k)
     return pd.DataFrame({

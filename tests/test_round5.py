@@ -1503,9 +1503,10 @@ def test_q7_double_chain_matches_direct(ray_session):
 
 
 def test_q8_share_bounds_and_mass(ray_session):
-    """Market shares are in [0,1]; the denominator partials conserve
-    total PROMO revenue into the region (direct check)."""
-    from jesterj_ray.pipelines.relational import (Q8_PTYPE, Q8_REGION,
+    """Market shares are in [0,1], partition-count invariant, and
+    equal a full direct pandas evaluation of the Q8 join chain."""
+    from jesterj_ray.pipelines.relational import (Q8_NATION, Q8_PTYPE,
+                                                  Q8_REGION,
                                                   q8_market_share)
     sf = "/root/testdata/sf0.001"
     out = q8_market_share(sf)
@@ -1514,6 +1515,35 @@ def test_q8_share_bounds_and_mass(ray_session):
     a = q8_market_share(sf, num_groups=4)
     b = q8_market_share(sf, num_groups=64)
     pd.testing.assert_frame_equal(a, b)
+
+    li = pq.read_table(os.path.join(sf, "lineitem.parquet")).to_pandas()
+    pt = pq.read_table(os.path.join(sf, "part.parquet")).to_pandas()
+    su = pq.read_table(os.path.join(sf, "supplier.parquet")).to_pandas()
+    na = pq.read_table(os.path.join(sf, "nation.parquet")).to_pandas()
+    rg = pq.read_table(os.path.join(sf, "region.parquet")).to_pandas()
+    od = pq.read_table(os.path.join(sf, "orders.parquet")).to_pandas()
+    cu = pq.read_table(os.path.join(sf, "customer.parquet")).to_pandas()
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey") \
+        .merge(su, left_on="l_suppkey", right_on="s_suppkey") \
+        .merge(na.rename(columns={"n_name": "supp_nation"}),
+               left_on="s_nationkey", right_on="n_nationkey") \
+        .merge(od, left_on="l_orderkey", right_on="o_orderkey") \
+        .merge(cu, left_on="o_custkey", right_on="c_custkey") \
+        .merge(na.rename(columns={"n_name": "cust_nation",
+                                  "n_regionkey": "c_regionkey"}),
+               left_on="c_nationkey", right_on="n_nationkey") \
+        .merge(rg, left_on="c_regionkey", right_on="r_regionkey")
+    j = j[(j["r_name"] == Q8_REGION) & (j["p_type"] == Q8_PTYPE)].copy()
+    j["m"] = np.floor(j["l_extendedprice"] * (1 - j["l_discount"])
+                      * 1e6 + 0.5).astype(np.int64)
+    j["o_year"] = j["o_orderdate"].dt.year.astype(np.int64)
+    j["num"] = np.where(j["supp_nation"] == Q8_NATION, j["m"], 0)
+    w = j.groupby("o_year", sort=True).agg(
+        num=("num", "sum"), den=("m", "sum")).reset_index()
+    x = w["num"].to_numpy(np.float64) / w["den"].to_numpy(np.float64)
+    w["mkt_share"] = np.floor(x * 1e6 + 0.5) / 1e6
+    pd.testing.assert_frame_equal(
+        out, w[["o_year", "mkt_share"]].reset_index(drop=True))
 
 
 def test_q19_disjunction_matches_direct(ray_session):
