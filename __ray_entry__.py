@@ -833,6 +833,15 @@ def _wav_frame_energy(sf_dir: str):
     return wav_frame_energy_pipeline(sf_dir)
 
 
+def _wav_spectral_features(sf_dir: str):
+    # rows-only: rfft per frame has no SQL equivalent — pinned in
+    # pytest against a direct numpy recompute from the raw formula
+    # samples (codec AND DSP cross-checked)
+    from jesterj_ray.stages.multimodal import \
+        wav_spectral_features_pipeline
+    return wav_spectral_features_pipeline(sf_dir)
+
+
 def _tiff_decode_stats(sf_dir: str):
     # REAL baseline TIFF (strips + PackBits, pure stdlib) — lossless,
     # so the formula oracle hash-checks the full binary round trip
@@ -1198,6 +1207,37 @@ def _knn_filtered_top10(sf_dir: str):
 
     ds = _rd.read_parquet(emb_path, override_num_blocks=8) \
         .map_batches(keep_label, batch_format="pyarrow")
+    out = brute_force_topk(ds, qvec[None, :], k=10, dtype=np.float64)
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["score", "vec_id"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out[["rank", "vec_id", "score"]]
+
+
+def _knn_matryoshka_top10(sf_dir: str, dims: int = 8):
+    # Matryoshka-representation search (Kusupati et al. 2022): exact
+    # cosine top-k over the TRUNCATED embedding prefix — the cheap
+    # first-stage tier above PQ; truncation is a zero-copy Arrow slice
+    # inside the scan, then the existing per-block partial top-k
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+    from jesterj_ray.ann.knn import brute_force_topk
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = _pq.read_table(emb_path)
+    qvec = np.asarray(
+        q.filter(_pc.equal(q["vec_id"], 0))["embedding"].to_pylist()[0],
+        dtype=np.float64)[:dims]
+
+    def truncate(t):
+        return t.set_column(
+            t.schema.get_field_index("embedding"), "embedding",
+            _pc.list_slice(t["embedding"], 0, dims))
+
+    ds = _rd.read_parquet(emb_path, override_num_blocks=8) \
+        .map_batches(truncate, batch_format="pyarrow")
     out = brute_force_topk(ds, qvec[None, :], k=10, dtype=np.float64)
     out["score"] = out["score"].round(6)
     out = out.sort_values(["score", "vec_id"], ascending=[False, True]) \
@@ -1682,6 +1722,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_indexed": _percolate_indexed,
         "daily_event_derivative": _daily_event_derivative,
         "knn_filtered_top10": _knn_filtered_top10,
+        "knn_matryoshka_top10": _knn_matryoshka_top10,
+        "wav_spectral_features": _wav_spectral_features,
         "boost_function_topk": _boost_function_topk,
         "facet_query_intervals": _facet_query_intervals,
         "rank_eval_metrics": _rank_eval_metrics,
@@ -4317,6 +4359,20 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             SELECT day, n, CAST(delta AS BIGINT) AS delta
             FROM d WHERE delta IS NOT NULL
             ORDER BY day""",
+        # engine: _knn_matryoshka_top10 — truncated-prefix (MRL)
+        # cosine search; DuckDB list slicing is 1-based inclusive
+        "knn_matryoshka_top10": """
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+                        AS BIGINT) AS rank, vec_id, score FROM (
+              SELECT e.vec_id,
+                     round(list_cosine_similarity(
+                         CAST(e.embedding[1:8] AS DOUBLE[]),
+                         CAST(q.embedding[1:8] AS DOUBLE[])), 6)
+                       AS score
+              FROM embeddings e,
+                   (SELECT embedding FROM embeddings
+                    WHERE vec_id = 0) q)
+            ORDER BY score DESC, vec_id LIMIT 10""",
         # engine: _knn_filtered_top10 — filtered vector search: the
         # label predicate pre-filters before the exact cosine top-k
         "knn_filtered_top10": """

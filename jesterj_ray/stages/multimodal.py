@@ -394,3 +394,89 @@ def avi_frame_sample_pipeline(sf_dir: str, n_docs: int = 64,
     out = out.rename(columns={"media_id": "doc_id"})
     return out[["doc_id", "frame_idx", "px_sum"]] \
         .sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+class AudioSpectralFeatures:
+    """Actor-pool stage: REAL frequency-domain features over decoded
+    PCM — per frame, an rfft (numpy) yields the magnitude spectrum,
+    from which the stage emits the dominant non-DC bin (integer
+    argmax, ties lowest bin) and the spectral centroid
+    (sum(k*|X_k|)/sum(|X_k|) over k>=1, 6dp half-away).  The DSP tier
+    above :class:`AudioFrameSampler`'s time-domain energies; no audio
+    libs — decode is the in-repo RIFF parser, the transform is
+    ``np.fft.rfft``.
+
+    Frames are non-overlapping ``frame_len`` windows (trailing partial
+    frame dropped — a partial window's spectrum isn't comparable).
+    State (frame size) binds once per actor."""
+
+    def __init__(self, frame_len: int = 256):
+        self.frame_len = frame_len
+        from . import wav as _wav
+        self._wav = _wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, dom, cent = [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            samples, _rate = self._wav.decode_wav(payload)
+            n = (samples.size // self.frame_len) * self.frame_len
+            if n == 0:
+                continue
+            frames = samples[:n].astype(np.float64) \
+                .reshape(-1, self.frame_len)
+            mag = np.abs(np.fft.rfft(frames, axis=1))[:, 1:]
+            k = np.arange(1, mag.shape[1] + 1, dtype=np.float64)
+            tot = mag.sum(axis=1)
+            c = np.where(tot > 0, (mag * k).sum(axis=1)
+                         / np.where(tot > 0, tot, 1.0), 0.0)
+            d = np.argmax(mag, axis=1) + 1
+            for fi in range(frames.shape[0]):
+                ids.append(mid)
+                fidx.append(fi)
+                dom.append(int(d[fi]))
+                cent.append(float(np.floor(c[fi] * 1e6 + 0.5) / 1e6))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "dominant_bin": pa.array(dom, pa.int64()),
+            "centroid": pa.array(cent, pa.float64())})
+
+
+def wav_spectral_features_pipeline(sf_dir: str, n_docs: int = 64,
+                                   n_samples: int = 1024,
+                                   frame_len: int = 256):
+    """Spectral-features pipeline over the same formula-synthesized
+    PCM fixtures as :func:`wav_frame_energy_pipeline`: encode -> REAL
+    decode -> rfft features in the actor pool.  FFT has no SQL
+    equivalent, so this is a rows-only entry pinned in pytest against
+    a direct numpy recompute from the raw formula samples (bypassing
+    the codec entirely — so codec AND DSP are cross-checked)."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"], override_num_blocks=4)
+    ds = ds.map_batches(
+        lambda t, n=n_docs: t.filter(pc.less(t["doc_id"], n)),
+        batch_format="pyarrow")
+
+    def synth(t: pa.Table) -> pa.Table:
+        from . import wav as _wav
+        i = np.arange(n_samples, dtype=np.int64)
+        payloads = []
+        for did in t["doc_id"].to_pylist():
+            s = ((did * 31 + i * 7) % 4096) - 2048
+            payloads.append(_wav.encode_wav(s.astype(np.int16)))
+        return pa.table({"media_id": t["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(synth, batch_format="pyarrow")
+    out = media.map_batches(
+        AudioSpectralFeatures,
+        fn_constructor_kwargs={"frame_len": frame_len},
+        batch_format="pyarrow", concurrency=2).to_pandas()
+    out = out.rename(columns={"media_id": "doc_id"})
+    return out[["doc_id", "frame_idx", "dominant_bin", "centroid"]] \
+        .sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)

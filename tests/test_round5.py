@@ -1600,3 +1600,37 @@ def test_q21_predicate_matches_direct_and_groups_invariant(ray_session):
                             kind="mergesort").head(10)
     assert list(a["s_name"]) == list(want["s_name"])
     assert list(a["numwait"]) == list(want["numwait"])
+
+
+def test_wav_spectral_features_vs_direct_numpy(ray_session):
+    """Spectral features through encode->decode->rfft equal a direct
+    numpy recompute from the raw formula samples (codec and DSP both
+    cross-checked); matryoshka search respects the truncation."""
+    import __ray_entry__ as entry
+    out = entry.queries()["wav_spectral_features"](
+        "/root/testdata/sf0.001")
+    assert len(out) == 64 * 4  # 64 docs x 1024/256 frames
+    i = np.arange(1024, dtype=np.int64)
+    for did in (0, 17, 63):
+        s = (((did * 31 + i * 7) % 4096) - 2048).astype(np.float64)
+        frames = s.reshape(-1, 256)
+        mag = np.abs(np.fft.rfft(frames, axis=1))[:, 1:]
+        k = np.arange(1, mag.shape[1] + 1, dtype=np.float64)
+        cent = np.floor((mag * k).sum(axis=1) / mag.sum(axis=1)
+                        * 1e6 + 0.5) / 1e6
+        dom = np.argmax(mag, axis=1) + 1
+        g = out[out["doc_id"] == did].sort_values("frame_idx")
+        assert list(g["dominant_bin"]) == list(dom)
+        assert list(g["centroid"]) == list(cent)
+
+
+def test_knn_matryoshka_truncation_bites(ray_session):
+    """The truncated-prefix ranking must differ from the full-vector
+    ranking (otherwise the op is vacuous), and score 1.0 for the
+    query vector itself."""
+    import __ray_entry__ as entry
+    sf = "/root/testdata/sf0.001"
+    mrl = entry.queries()["knn_matryoshka_top10"](sf)
+    full = entry.queries()["knn_cosine_top10"](sf)
+    assert float(mrl.loc[mrl["rank"] == 1, "score"].iloc[0]) == 1.0
+    assert list(mrl["vec_id"]) != list(full["vec_id"])
