@@ -833,6 +833,14 @@ def _wav_frame_energy(sf_dir: str):
     return wav_frame_energy_pipeline(sf_dir)
 
 
+def _image_phash_near_dup(sf_dir: str):
+    # rows-only: perceptual aHash near-dup pairs (the IMAGE tier of
+    # the dedup family) — real decode, banded pigeonhole pairing,
+    # SWAR-popcount verify; pinned vs a direct recompute in pytest
+    from jesterj_ray.stages.multimodal import image_phash_near_dup
+    return image_phash_near_dup(sf_dir)
+
+
 def _wav_spectral_features(sf_dir: str):
     # rows-only: rfft per frame has no SQL equivalent — pinned in
     # pytest against a direct numpy recompute from the raw formula
@@ -1724,6 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered_top10": _knn_filtered_top10,
         "knn_matryoshka_top10": _knn_matryoshka_top10,
         "wav_spectral_features": _wav_spectral_features,
+        "image_phash_near_dup": _image_phash_near_dup,
         "boost_function_topk": _boost_function_topk,
         "facet_query_intervals": _facet_query_intervals,
         "rank_eval_metrics": _rank_eval_metrics,

@@ -480,3 +480,128 @@ def wav_spectral_features_pipeline(sf_dir: str, n_docs: int = 64,
     out = out.rename(columns={"media_id": "doc_id"})
     return out[["doc_id", "frame_idx", "dominant_bin", "centroid"]] \
         .sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+class ImagePerceptualHash:
+    """Actor-pool stage: 64-bit average-hash (aHash) perceptual image
+    fingerprint — REAL decode (in-repo codecs), 8x8 cell-mean
+    downsample, threshold against the global mean, one bit per cell.
+    The image analog of text simhash: brightness structure survives
+    small pixel perturbations, so near-duplicate images land within a
+    few hamming bits.  Codec state binds once per actor."""
+
+    def __init__(self, fmt: str = "png"):
+        from . import png as _png
+        self._decode = {"png": _png.decode_png}[fmt]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            img = np.asarray(self._decode(payload), dtype=np.float64)
+            if img.ndim == 3:
+                img = img.mean(axis=2)
+            h, w = img.shape
+            ch, cw = h // 8, w // 8
+            cells = img[:ch * 8, :cw * 8] \
+                .reshape(8, ch, 8, cw).mean(axis=(1, 3))
+            bits = (cells > cells.mean()).astype(np.uint64).ravel()
+            val = np.uint64(0)
+            for b in bits:
+                val = np.uint64(val << np.uint64(1)) | b
+            ids.append(mid)
+            hashes.append(int(val.astype(np.int64)))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "ahash": pa.array(hashes, pa.int64())})
+
+
+def image_phash_near_dup(sf_dir: str, n_docs: int = 64,
+                         max_dist: int = 3, h: int = 24, w: int = 16
+                         ) -> "pd.DataFrame":
+    """Perceptual image near-dup pairs — the IMAGE tier of the dedup
+    family: formula-synthesized PNGs -> REAL decode + aHash in the
+    actor pool -> banded pairing (four 16-bit bands; pigeonhole: any
+    pair within ``max_dist`` <= 3 hamming bits shares at least one
+    EXACT band, so only band-bucket collisions are candidates — the
+    simhash exchange shape, hash rows only) -> SWAR-popcount verify.
+
+    Rows-only entry (perceptual hashing has no SQL form); pinned in
+    pytest against a direct numpy recompute from the raw formula
+    pixels, bypassing codec and banding entirely.  Output: (id_a,
+    id_b, dist), id_a < id_b, pair-ordered."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from .dedup import popcount_u64
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"], override_num_blocks=4)
+    ds = ds.map_batches(
+        lambda t, n=n_docs: t.filter(pc.less(t["doc_id"], n)),
+        batch_format="pyarrow")
+
+    def synth(t: pa.Table) -> pa.Table:
+        from . import png as _png
+        yy, xx = np.mgrid[0:h, 0:w]
+        payloads = []
+        for did in t["doc_id"].to_pylist():
+            img = ((did * 31 + yy * 7 + xx * 3) % 256).astype(np.uint8)
+            payloads.append(_png.encode_png(img))
+        return pa.table({"media_id": t["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    hashes = ds.map_batches(synth, batch_format="pyarrow") \
+        .map_batches(ImagePerceptualHash, batch_format="pyarrow",
+                     concurrency=2)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        hv = t["ahash"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        ids = t["media_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_b, out_v, out_i, out_h = [], [], [], []
+        for band in range(4):
+            val = (hv >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            out_b.append(np.full(ids.size, band, np.int64))
+            out_v.append(val.astype(np.int64))
+            out_i.append(ids)
+            out_h.append(hv.view(np.int64))
+        return pa.table({
+            "band": pa.array(np.concatenate(out_b), pa.int64()),
+            "bval": pa.array(np.concatenate(out_v), pa.int64()),
+            "media_id": pa.array(np.concatenate(out_i), pa.int64()),
+            "ahash": pa.array(np.concatenate(out_h), pa.int64())})
+
+    def bucket_pairs(g: pa.Table) -> "pd.DataFrame":
+        ids = g["media_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hv = g["ahash"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        order = np.argsort(ids)
+        ids, hv = ids[order], hv[order]
+        n = ids.size
+        if n < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "dist": pd.Series([], dtype=np.int64)})
+        ia, ib = np.triu_indices(n, k=1)
+        dist = popcount_u64(hv[ia] ^ hv[ib])
+        keep = dist <= max_dist
+        return pd.DataFrame({
+            "id_a": ids[ia[keep]].astype(np.int64),
+            "id_b": ids[ib[keep]].astype(np.int64),
+            "dist": dist[keep].astype(np.int64)})
+
+    pairs = hashes.map_batches(band_rows, batch_format="pyarrow") \
+        .groupby(["band", "bval"]) \
+        .map_groups(bucket_pairs, batch_format="pyarrow").to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "dist": pd.Series([], dtype=np.int64)})
+    pairs = pairs.drop_duplicates(["id_a", "id_b"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pairs.astype({"id_a": np.int64, "id_b": np.int64,
+                         "dist": np.int64})

@@ -1634,3 +1634,32 @@ def test_knn_matryoshka_truncation_bites(ray_session):
     full = entry.queries()["knn_cosine_top10"](sf)
     assert float(mrl.loc[mrl["rank"] == 1, "score"].iloc[0]) == 1.0
     assert list(mrl["vec_id"]) != list(full["vec_id"])
+
+
+def test_image_phash_pairs_vs_direct(ray_session):
+    """Perceptual near-dup pairs through encode->decode->aHash->bands
+    equal a direct numpy recompute from the raw formula pixels
+    (codec, hashing and the pigeonhole banding all cross-checked —
+    banding must lose NO pair at dist <= 3)."""
+    from itertools import combinations
+    from jesterj_ray.stages.multimodal import image_phash_near_dup
+    out = image_phash_near_dup("/root/testdata/sf0.001")
+
+    yy, xx = np.mgrid[0:24, 0:16]
+    hashes = {}
+    for did in range(64):
+        img = ((did * 31 + yy * 7 + xx * 3) % 256).astype(np.float64)
+        cells = img[:24, :16].reshape(8, 3, 8, 2).mean(axis=(1, 3))
+        bits = (cells > cells.mean()).astype(np.uint64).ravel()
+        v = np.uint64(0)
+        for b in bits:
+            v = np.uint64(v << np.uint64(1)) | b
+        hashes[did] = int(v)
+    want = []
+    for a, b in combinations(range(64), 2):
+        d = bin(hashes[a] ^ hashes[b]).count("1")
+        if d <= 3:
+            want.append((a, b, d))
+    got = list(zip(out["id_a"], out["id_b"], out["dist"]))
+    assert got == want
+    assert len(want) > 0
