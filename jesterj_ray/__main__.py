@@ -225,6 +225,75 @@ def cmd_compact(args) -> int:
     return 0
 
 
+
+def cmd_verify_index(args) -> int:
+    """Operational integrity check: recompute doc count, vocabulary,
+    token totals and sampled per-doc term vectors from the SOURCE
+    parquet with the index's own tokenizer, and compare against what
+    the index reports (epoch-pinned metadata + term dictionary +
+    postings).  Exit 0 on full agreement, 1 with a diff report — the
+    CLI face of the `index_stats_summary`/`term_vectors` oracle
+    cross-checks.  Reads the whole source on the driver: a spot-check
+    tool for operators, not the distributed stats pipeline."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from jesterj_ray.index.query import IndexReader
+
+    reader = IndexReader(args.index_dir)
+    tok = reader.tokenizer
+    key_col = args.key_col or "doc_id"
+    t = pq.read_table(args.source, columns=[key_col, args.text_col])
+    keys = t[key_col].to_pylist()
+    texts = t[args.text_col].to_pylist()
+    toks = [tok(x or "") for x in texts]
+    problems = []
+    n_docs, total = len(texts), sum(len(d) for d in toks)
+    vocab = len({w for d in toks for w in d})
+    if int(reader.n_docs) != n_docs:
+        problems.append(f"n_docs: index {reader.n_docs} != source {n_docs}")
+    idx_total = int(reader._dl_dense.sum())
+    if idx_total != total:
+        problems.append(f"total_tokens: index {idx_total} != source {total}")
+    idx_vocab = len(reader.prefix_term_dfs(""))
+    if idx_vocab != vocab:
+        problems.append(f"vocab: index {idx_vocab} != source {vocab}")
+    # sampled per-doc term-frequency vectors through the postings
+    import random
+    rng = random.Random(args.seed)
+    width = len(str(keys[0])) if keys and not str(keys[0]).isdigit() \
+        else 12
+    sample = rng.sample(range(n_docs), min(args.sample, n_docs))
+    for i in sample:
+        key = str(keys[i]).zfill(width) if str(keys[i]).isdigit() \
+            else str(keys[i])
+        internal = reader.doc_id_of_key(key)
+        if internal is None:
+            problems.append(f"doc {keys[i]}: key not in index")
+            continue
+        want = Counter(toks[i])
+        import numpy as _np
+        dl = int(reader.doc_len(_np.asarray([internal],
+                                            _np.int64))[0])
+        if dl != len(toks[i]):
+            problems.append(f"doc {keys[i]}: doc_len {dl} != "
+                            f"{len(toks[i])}")
+        for term, tf in list(want.items())[:args.terms_per_doc]:
+            docs, tfs = reader.postings(term)
+            pos = _np.searchsorted(docs, internal)
+            if pos >= docs.size or docs[pos] != internal:
+                problems.append(f"doc {keys[i]}: term {term!r} "
+                                f"missing from postings")
+            elif int(tfs[pos]) != tf:
+                problems.append(f"doc {keys[i]} term {term!r}: tf "
+                                f"{int(tfs[pos])} != {tf}")
+    report = {"n_docs": n_docs, "vocab": vocab,
+              "total_tokens": total, "sampled_docs": len(sample),
+              "problems": problems}
+    print(json.dumps(report))
+    return 1 if problems else 0
+
+
 def cmd_query(args) -> int:
     """One query against an index dir, in any engine mode: pruned
     disjunctive (default), exhaustive, conjunctive (--and), exclusion
@@ -394,6 +463,15 @@ def main(argv=None) -> int:
     cp.add_argument("index_dir")
     cp.add_argument("--num-cpus", type=int, default=8)
 
+    vi = sub.add_parser("verify-index")
+    vi.add_argument("index_dir")
+    vi.add_argument("source")
+    vi.add_argument("--text-col", default="text")
+    vi.add_argument("--key-col", default=None)
+    vi.add_argument("--sample", type=int, default=8)
+    vi.add_argument("--terms-per-doc", type=int, default=10)
+    vi.add_argument("--seed", type=int, default=7)
+
     q = sub.add_parser("query")
     q.add_argument("index_dir")
     q.add_argument("query")
@@ -428,6 +506,7 @@ def main(argv=None) -> int:
             "delete-docs": cmd_delete_docs, "status": cmd_status,
             "repartition": cmd_repartition, "compact": cmd_compact,
             "snapshot": cmd_snapshot, "delete-query": cmd_delete_query,
+            "verify-index": cmd_verify_index,
             "query": cmd_query}[args.cmd](args)
 
 

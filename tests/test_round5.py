@@ -1663,3 +1663,36 @@ def test_image_phash_pairs_vs_direct(ray_session):
     got = list(zip(out["id_a"], out["id_b"], out["dist"]))
     assert got == want
     assert len(want) > 0
+
+
+def test_cli_verify_index_roundtrip(ray_session, tmp_path):
+    """verify-index agrees with a fresh build (exit 0, no problems)
+    and flags a mismatched source (exit 1, problems listed)."""
+    import json
+    import subprocess
+    import sys
+    idx = str(tmp_path / "vix")
+    src = "/root/testdata/sf0.001/documents.parquet"
+    r = subprocess.run([sys.executable, "-m", "jesterj_ray",
+                        "build-index", src, idx, "--key-col", "doc_id",
+                        "--num-cpus", "2"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-500:]
+    v = subprocess.run([sys.executable, "-m", "jesterj_ray",
+                        "verify-index", idx, src, "--key-col",
+                        "doc_id"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert v.returncode == 0, v.stdout + v.stderr[-300:]
+    rep = json.loads(v.stdout.strip().splitlines()[-1])
+    assert rep["problems"] == [] and rep["n_docs"] == 500
+
+    bad = subprocess.run([sys.executable, "-m", "jesterj_ray",
+                          "verify-index", idx,
+                          "/root/testdata/sf0.001/events.parquet",
+                          "--key-col", "event_id",
+                          "--text-col", "event_type"],
+                         capture_output=True, text=True,
+                         cwd="/root/repo")
+    assert bad.returncode == 1
+    rep = json.loads(bad.stdout.strip().splitlines()[-1])
+    assert rep["problems"]
