@@ -833,6 +833,14 @@ def _wav_frame_energy(sf_dir: str):
     return wav_frame_energy_pipeline(sf_dir)
 
 
+def _zscore_outlier_events(sf_dir: str):
+    # anomaly detection with ORACLE-PERFECT parity: |x-mean| > 3sigma
+    # rewritten as the integer inequality (n*x-S)^2 > 9(n*Q-S^2) over
+    # exact cents — no float appears after quantization
+    from jesterj_ray.pipelines.relational import zscore_outlier_events
+    return zscore_outlier_events(sf_dir)
+
+
 def _image_phash_near_dup(sf_dir: str):
     # rows-only: perceptual aHash near-dup pairs (the IMAGE tier of
     # the dedup family) — real decode, banded pigeonhole pairing,
@@ -1733,6 +1741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_matryoshka_top10": _knn_matryoshka_top10,
         "wav_spectral_features": _wav_spectral_features,
         "image_phash_near_dup": _image_phash_near_dup,
+        "zscore_outlier_events": _zscore_outlier_events,
         "boost_function_topk": _boost_function_topk,
         "facet_query_intervals": _facet_query_intervals,
         "rank_eval_metrics": _rank_eval_metrics,
@@ -4368,6 +4377,25 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10""",
             SELECT day, n, CAST(delta AS BIGINT) AS delta
             FROM d WHERE delta IS NOT NULL
             ORDER BY day""",
+        # engine: relational.zscore_outlier_events — 3-sigma outliers
+        # in exact integer arithmetic (no float after cents)
+        "zscore_outlier_events": """
+            WITH c AS (
+              SELECT event_type, event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events
+            ), m AS (
+              SELECT event_type, count(*) AS n, sum(cents) AS s,
+                     sum(cents * cents) AS q
+              FROM c GROUP BY event_type
+            )
+            SELECT c.event_type, c.event_id, c.cents
+            FROM c JOIN m USING (event_type)
+            WHERE CAST(n * c.cents - s AS HUGEINT)
+                  * CAST(n * c.cents - s AS HUGEINT)
+                  > 9 * (CAST(n AS HUGEINT) * q
+                         - CAST(s AS HUGEINT) * s)
+            ORDER BY c.event_type, c.event_id""",
         # engine: _knn_matryoshka_top10 — truncated-prefix (MRL)
         # cosine search; DuckDB list slicing is 1-based inclusive
         "knn_matryoshka_top10": """

@@ -2878,3 +2878,88 @@ def q21_blame_supplier(sf_dir: str, *, num_groups: int = 32,
     return pd.DataFrame({
         "s_name": per["s_name"].to_numpy(),
         "numwait": per["n"].to_numpy(np.int64)}).reset_index(drop=True)
+
+
+def zscore_outlier_events(sf_dir: str) -> pd.DataFrame:
+    """Per-type 3-sigma outlier detection in EXACT integer arithmetic
+    — the anomaly-detection shape with oracle-perfect parity: floats
+    appear nowhere after the initial cents quantization
+    (``floor(value*100+0.5)``, the identical double op on both
+    engines), because ``|x - mean| > 3*sigma`` rewrites as the integer
+    inequality ``(n*x - S)^2 > 9*(n*Q - S^2)`` (multiply through by
+    n^2; S = sum cents, Q = sum cents^2 per type).
+
+    Two scans: pass 1 folds per-type (n, S, Q) moment partials
+    (O(types) rows per block); the tiny moment table broadcasts by
+    closure into pass 2's vectorized integer filter.  Output:
+    (event_type, event_id, cents) outlier rows, type+id ordered.
+    Int64 headroom: (n*x - S)^2 needs n*max_cents < ~3e9 — beyond
+    that, lift the comparison to object dtype / two-word arithmetic
+    as the SQL side does with HUGEINT."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "event_id", "value"],
+                         override_num_blocks=8)
+
+    def cents_col(t: pa.Table) -> np.ndarray:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return np.floor(v * 100 + 0.5).astype(np.int64)
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = cents_col(t)
+        g = pa.table({"event_type": t["event_type"],
+                      "c": pa.array(c, pa.int64()),
+                      "c2": pa.array(c * c, pa.int64())})
+        agg = pa.TableGroupBy(g, "event_type").aggregate(
+            [("c", "sum"), ("c2", "sum"), ([], "count_all")])
+        return pa.table({"event_type": agg["event_type"],
+                         "s_part": agg["c_sum"],
+                         "q_part": agg["c2_sum"],
+                         "n_part": agg["count_all"].cast(pa.int64())})
+
+    tbl = _fold_blocks(ds.map_batches(moments, batch_format="pyarrow"))
+    empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype=object),
+        "event_id": pd.Series([], dtype=np.int64),
+        "cents": pd.Series([], dtype=np.int64)})
+    if tbl is None:
+        return empty
+    m = tbl.to_pandas().groupby("event_type").agg(
+        n=("n_part", "sum"), s=("s_part", "sum"),
+        q=("q_part", "sum"))
+    # 9*(n*Q - S^2) can exceed int64 — carry the threshold side as
+    # Python ints (exact, tiny table); the per-row side stays numpy
+    stats = {et: (int(r["n"]), int(r["s"]),
+                  9 * (int(r["n"]) * int(r["q"]) - int(r["s"]) ** 2))
+             for et, r in m.iterrows()}
+
+    def outliers(t: pa.Table) -> pd.DataFrame:
+        c = cents_col(t)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ids = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = np.zeros(c.size, dtype=bool)
+        for typ, (n, s, rhs) in stats.items():
+            sel = et == typ
+            d = n * c[sel] - s          # |d| <= n*max_cents
+            if abs(d).max(initial=0) < 3_000_000_000:
+                if rhs >= (1 << 63):
+                    continue  # every in-range d^2 is below rhs
+                # d^2 < 9e18 fits int64 — fully vectorized
+                keep[sel] = d * d > rhs
+            else:
+                # exact big-int fallback (per-row Python only when the
+                # square would overflow int64)
+                lhs = d.astype(object) ** 2
+                keep[sel] = np.fromiter((x > rhs for x in lhs),
+                                        dtype=bool, count=lhs.size)
+        return pd.DataFrame({
+            "event_type": et[keep],
+            "event_id": ids[keep],
+            "cents": c[keep]})
+
+    out = ds.map_batches(outliers, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(["event_type", "event_id"]) \
+        .reset_index(drop=True) \
+        .astype({"event_id": np.int64, "cents": np.int64})

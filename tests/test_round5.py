@@ -1696,3 +1696,28 @@ def test_cli_verify_index_roundtrip(ray_session, tmp_path):
     assert bad.returncode == 1
     rep = json.loads(bad.stdout.strip().splitlines()[-1])
     assert rep["problems"]
+
+
+def test_zscore_outliers_exact_integer_rule(ray_session):
+    """The integer inequality equals the literal 3-sigma rule computed
+    directly (population sigma over cents), per type."""
+    from jesterj_ray.pipelines.relational import zscore_outlier_events
+    sf = "/root/testdata/sf0.001"
+    out = zscore_outlier_events(sf)
+    ev = pq.read_table(os.path.join(sf, "events.parquet"),
+                       columns=["event_type", "event_id",
+                                "value"]).to_pandas()
+    ev["cents"] = np.floor(ev["value"].to_numpy(np.float64) * 100
+                           + 0.5).astype(np.int64)
+    want = []
+    for typ, g in ev.groupby("event_type"):
+        c = g["cents"].to_numpy(np.int64)
+        n, s, q = len(c), int(c.sum()), int((c * c).sum())
+        rhs = 9 * (n * q - s * s)
+        d = n * c - s
+        hits = g.loc[(d.astype(object) ** 2 > rhs).astype(bool),
+                     "event_id"]
+        want.extend((typ, int(i)) for i in sorted(hits))
+    got = list(zip(out["event_type"], out["event_id"]))
+    assert got == sorted(want)
+    assert len(got) > 0
