@@ -228,16 +228,26 @@ def cmd_compact(args) -> int:
 
 def cmd_verify_index(args) -> int:
     """Operational integrity check: recompute doc count, vocabulary,
-    token totals and sampled per-doc term vectors from the SOURCE
-    parquet with the index's own tokenizer, and compare against what
-    the index reports (epoch-pinned metadata + term dictionary +
+    token totals and sampled per-doc term-frequency vectors from the
+    SOURCE parquet with the index's own tokenizer, and compare against
+    what the index reports (epoch-pinned metadata + term dictionary +
     postings).  Exit 0 on full agreement, 1 with a diff report — the
     CLI face of the `index_stats_summary`/`term_vectors` oracle
     cross-checks.  Reads the whole source on the driver: a spot-check
-    tool for operators, not the distributed stats pipeline."""
+    tool for operators, not the distributed stats pipeline.
+
+    Delta-aware: on an index with tombstones (delta-reindexed), token
+    totals count ALIVE docs only, the vocabulary check is SKIPPED
+    (Lucene df semantics keep stale terms until compaction — a
+    healthy delta index would otherwise fail), and key lookups pick
+    the alive copy of an updated doc (delta pids strictly ascend)."""
+    import random
     from collections import Counter
 
+    import numpy as _np
+    import pyarrow.compute as _pc
     import pyarrow.parquet as pq
+    from jesterj_ray.index.build import DOC_BITS
     from jesterj_ray.index.query import IndexReader
 
     reader = IndexReader(args.index_dir)
@@ -248,31 +258,50 @@ def cmd_verify_index(args) -> int:
     texts = t[args.text_col].to_pylist()
     toks = [tok(x or "") for x in texts]
     problems = []
+    skipped = []
     n_docs, total = len(texts), sum(len(d) for d in toks)
     vocab = len({w for d in toks for w in d})
+    has_tombs = bool(reader._tombstone.any())
     if int(reader.n_docs) != n_docs:
         problems.append(f"n_docs: index {reader.n_docs} != source {n_docs}")
-    idx_total = int(reader._dl_dense.sum())
+    # _dl_dense (same internal index_stats_summary reads): alive-only
+    # totals so a delta-reindexed index verifies against its source
+    alive = ~reader._tombstone
+    idx_total = int(reader._dl_dense[alive].sum())
     if idx_total != total:
         problems.append(f"total_tokens: index {idx_total} != source {total}")
-    idx_vocab = len(reader.prefix_term_dfs(""))
-    if idx_vocab != vocab:
-        problems.append(f"vocab: index {idx_vocab} != source {vocab}")
-    # sampled per-doc term-frequency vectors through the postings
-    import random
+    if has_tombs:
+        skipped.append("vocab (tombstones present: stale terms decay "
+                       "only at compaction)")
+    else:
+        idx_vocab = len(reader.prefix_term_dfs(""))
+        if idx_vocab != vocab:
+            problems.append(f"vocab: index {idx_vocab} != source {vocab}")
+
+    def alive_internal(key: str):
+        # an updated doc exists twice (tombstoned base + alive delta);
+        # collect every internal id and serve the alive one — the
+        # realtime_get lookup shape
+        cands = []
+        for pid, arr in reader._doc_key.items():
+            i = _pc.index(arr, key).as_py()
+            if i >= 0:
+                cands.append((int(pid) << DOC_BITS) | int(i))
+        live = [c for c in cands
+                if reader.alive_mask(_np.asarray([c], _np.int64))[0]]
+        return max(live) if live else None
+
     rng = random.Random(args.seed)
-    width = len(str(keys[0])) if keys and not str(keys[0]).isdigit() \
-        else 12
     sample = rng.sample(range(n_docs), min(args.sample, n_docs))
     for i in sample:
-        key = str(keys[i]).zfill(width) if str(keys[i]).isdigit() \
-            else str(keys[i])
-        internal = reader.doc_id_of_key(key)
+        # build_index_rows zfills EVERY key to 12 (build_rows doc_key
+        # derivation) — mirror unconditionally, digits or not
+        key = str(keys[i]).zfill(12)
+        internal = alive_internal(key)
         if internal is None:
             problems.append(f"doc {keys[i]}: key not in index")
             continue
         want = Counter(toks[i])
-        import numpy as _np
         dl = int(reader.doc_len(_np.asarray([internal],
                                             _np.int64))[0])
         if dl != len(toks[i]):
@@ -289,7 +318,7 @@ def cmd_verify_index(args) -> int:
                                 f"{int(tfs[pos])} != {tf}")
     report = {"n_docs": n_docs, "vocab": vocab,
               "total_tokens": total, "sampled_docs": len(sample),
-              "problems": problems}
+              "skipped_checks": skipped, "problems": problems}
     print(json.dumps(report))
     return 1 if problems else 0
 

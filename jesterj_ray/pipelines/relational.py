@@ -2893,9 +2893,12 @@ def zscore_outlier_events(sf_dir: str) -> pd.DataFrame:
     (O(types) rows per block); the tiny moment table broadcasts by
     closure into pass 2's vectorized integer filter.  Output:
     (event_type, event_id, cents) outlier rows, type+id ordered.
-    Int64 headroom: (n*x - S)^2 needs n*max_cents < ~3e9 — beyond
-    that, lift the comparison to object dtype / two-word arithmetic
-    as the SQL side does with HUGEINT."""
+    Exactness contract: per-block moments refuse LOUDLY past the
+    int64 headroom (|cents| or block rows >= 2^21) rather than wrap
+    silently; the driver folds block partials and the threshold in
+    Python ints (exact at any magnitude), and the per-row square uses
+    int64 when it fits with an exact big-int fallback — the SQL side
+    is HUGEINT throughout."""
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "event_id", "value"],
                          override_num_blocks=8)
@@ -2906,6 +2909,15 @@ def zscore_outlier_events(sf_dir: str) -> pd.DataFrame:
 
     def moments(t: pa.Table) -> pa.Table:
         c = cents_col(t)
+        # LOUD headroom guard: c*c and the block partial sums below
+        # stay exact in int64 only while |cents| < 2^21 (~$20k) and
+        # blocks stay < 2^21 rows; beyond that int64 wraps SILENTLY
+        # while the HUGEINT oracle stays exact — refuse instead
+        if c.size and (np.abs(c).max() >= (1 << 21)
+                       or c.size >= (1 << 21)):
+            raise ValueError("zscore_outlier_events: cents/block-size "
+                             "exceed exact-int64 moment headroom — "
+                             "requantize or shrink blocks")
         g = pa.table({"event_type": t["event_type"],
                       "c": pa.array(c, pa.int64()),
                       "c2": pa.array(c * c, pa.int64())})
@@ -2923,14 +2935,16 @@ def zscore_outlier_events(sf_dir: str) -> pd.DataFrame:
         "cents": pd.Series([], dtype=np.int64)})
     if tbl is None:
         return empty
-    m = tbl.to_pandas().groupby("event_type").agg(
-        n=("n_part", "sum"), s=("s_part", "sum"),
-        q=("q_part", "sum"))
-    # 9*(n*Q - S^2) can exceed int64 — carry the threshold side as
-    # Python ints (exact, tiny table); the per-row side stays numpy
-    stats = {et: (int(r["n"]), int(r["s"]),
-                  9 * (int(r["n"]) * int(r["q"]) - int(r["s"]) ** 2))
-             for et, r in m.iterrows()}
+    # driver fold in PYTHON ints (tiny table, exact beyond int64 —
+    # a pandas int64 sum of guarded partials could still wrap at
+    # extreme block counts)
+    mp = tbl.to_pandas()
+    stats = {}
+    for et, grp in mp.groupby("event_type"):
+        n = sum(int(v) for v in grp["n_part"])
+        s_ = sum(int(v) for v in grp["s_part"])
+        q = sum(int(v) for v in grp["q_part"])
+        stats[et] = (n, s_, 9 * (n * q - s_ * s_))
 
     def outliers(t: pa.Table) -> pd.DataFrame:
         c = cents_col(t)

@@ -420,6 +420,8 @@ class AudioSpectralFeatures:
         for mid, payload in zip(batch["media_id"].to_pylist(),
                                 batch["payload"].to_pylist()):
             samples, _rate = self._wav.decode_wav(payload)
+            if samples.ndim == 2:  # multichannel: channel-sum like
+                samples = samples.sum(axis=1)  # AudioFrameSampler
             n = (samples.size // self.frame_len) * self.frame_len
             if n == 0:
                 continue
@@ -530,6 +532,13 @@ def image_phash_near_dup(sf_dir: str, n_docs: int = 64,
     pixels, bypassing codec and banding entirely.  Output: (id_a,
     id_b, dist), id_a < id_b, pair-ordered."""
     import os
+
+    if max_dist > 3:
+        # 4 x 16-bit bands are pigeonhole-lossless ONLY for dist <= 3
+        # (a dist-4 pair can differ in every band); more distance
+        # needs max_dist+1 bands, the simhash_near_dup_pairs shape
+        raise ValueError("image_phash_near_dup: max_dist > 3 would "
+                         "silently lose pairs with 4 bands")
 
     import pandas as pd
     import ray.data as rd

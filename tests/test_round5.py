@@ -1721,3 +1721,70 @@ def test_zscore_outliers_exact_integer_rule(ray_session):
     got = list(zip(out["event_type"], out["event_id"]))
     assert got == sorted(want)
     assert len(got) > 0
+
+
+def test_spectral_stereo_channel_sum(ray_session):
+    """A stereo payload must channel-sum before framing (not
+    interleave), matching the mono of the summed signal."""
+    from jesterj_ray.stages.multimodal import AudioSpectralFeatures
+    from jesterj_ray.stages import wav as wavmod
+    i = np.arange(1024, dtype=np.int64)
+    left = (((7 * i) % 512) - 256).astype(np.int16)
+    right = (((11 * i) % 512) - 256).astype(np.int16)
+    stereo = np.stack([left, right], axis=1)
+    mono = (left.astype(np.int64) + right.astype(np.int64))
+    st = AudioSpectralFeatures(frame_len=256)
+    out_st = st(pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([wavmod.encode_wav(stereo)], pa.binary())}))
+    out_mono = st(pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([wavmod.encode_wav(
+            mono.astype(np.int16))], pa.binary())}))
+    assert out_st.num_rows == 4  # 1024/256, NOT doubled
+    assert out_st["dominant_bin"].to_pylist() \
+        == out_mono["dominant_bin"].to_pylist()
+
+
+def test_phash_max_dist_guard(ray_session):
+    """max_dist > 3 must refuse loudly (4-band pigeonhole bound)."""
+    import pytest as _pytest
+    from jesterj_ray.stages.multimodal import image_phash_near_dup
+    with _pytest.raises(ValueError):
+        image_phash_near_dup("/root/testdata/sf0.001", max_dist=4)
+
+
+def test_cli_verify_index_delta_and_string_keys(ray_session, tmp_path):
+    """verify-index stays green after a delta reindex (alive-only
+    totals, vocab skipped, alive-copy lookups)."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    idx = str(tmp_path / "vix2")
+    src0 = "/root/testdata/sf0.001/documents.parquet"
+    mod = str(tmp_path / "mod.parquet")
+    t = _pq.read_table(src0, columns=["doc_id", "text"])
+    texts = t["text"].to_pylist()
+    texts[3] = (texts[3] or "") + " freshly delta verified tokens"
+    _pq.write_table(_pa.table({"doc_id": t["doc_id"],
+                               "text": _pa.array(texts, _pa.string())}),
+                    mod)
+    for cmd in (["build-index", src0, idx, "--key-col", "doc_id",
+                 "--num-cpus", "2"],
+                ["delta-index", mod, idx, "--key-col", "doc_id",
+                 "--num-cpus", "2"]):
+        r = subprocess.run([sys.executable, "-m", "jesterj_ray"] + cmd,
+                           capture_output=True, text=True,
+                           cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-400:]
+    v = subprocess.run([sys.executable, "-m", "jesterj_ray",
+                        "verify-index", idx, mod, "--key-col",
+                        "doc_id", "--sample", "6", "--seed", "3"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    rep = json.loads(v.stdout.strip().splitlines()[-1])
+    assert v.returncode == 0, rep
+    assert rep["problems"] == []
+    assert any("vocab" in s for s in rep["skipped_checks"])
